@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Local twin of the driver's correctness gate (dev tool, not shipped).
+
+Runs `graft.Verify` output (parquet per query) against the DuckDB oracle
+SQL in oracle_sql.json over the same sf dir, compares row counts, column
+names, and a canonical value hash (columns sorted by name, values
+stringified row-major). Usage:
+
+    python3 scripts/compare.py <sfDir> <verifyOutDir>
+"""
+import hashlib
+import json
+import sys
+
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    h = hashlib.sha256()
+    for row in rows:
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                v = repr(v)
+            h.update(str(v).encode())
+            h.update(b"\x1f")
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracle = json.load(f)
+    ok = bad = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            tbl = pq.read_table(f"{out_dir}/{name}")
+            spark_cols = list(tbl.column_names)
+            spark_rows = [tuple(r[c] for c in spark_cols)
+                          for r in tbl.to_pylist()]
+        except Exception as e:
+            print(f"FAIL {name}: spark output unreadable: {e}")
+            bad += 1
+            continue
+        try:
+            cur = con.execute(sql)
+            duck_cols = [d[0] for d in cur.description]
+            duck_rows = cur.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            bad += 1
+            continue
+        problems = []
+        if sorted(spark_cols) != sorted(duck_cols):
+            problems.append(f"cols spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+        if len(spark_rows) != len(duck_rows):
+            problems.append(f"rows spark={len(spark_rows)} duck={len(duck_rows)}")
+        if not problems:
+            hs = canon_hash(spark_cols, spark_rows)
+            hd = canon_hash(duck_cols, duck_rows)
+            if hs != hd:
+                problems.append("hash mismatch")
+                for i, (a, b) in enumerate(zip(spark_rows, duck_rows)):
+                    oa = [a[spark_cols.index(c)] for c in sorted(spark_cols)]
+                    ob = [b[duck_cols.index(c)] for c in sorted(duck_cols)]
+                    if [str(x) for x in oa] != [str(x) for x in ob]:
+                        problems.append(f"  first diff row {i}: spark={oa} duck={ob}")
+                        break
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            bad += 1
+        else:
+            print(f"OK   {name} ({len(spark_rows)} rows)")
+            ok += 1
+    print(f"\n{ok} ok, {bad} fail")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet loaders for the driver-generated star schema (TESTDATA.md,
+  * FIXTURES.md §B). One table per parquet file under the sf dir.
+  *
+  * Scale notes (100 TB design): these are plain `spark.read.parquet`
+  * scans — column pruning and predicate pushdown reach the parquet
+  * reader via Catalyst, so every downstream query only pays for the
+  * columns/rows it touches. Nothing here collects to the driver.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader only surfaces as a nanosecond LONG (via
+    * `spark.sql.legacy.parquet.nanosAsLong`). We normalize to Spark's
+    * native microsecond TimestampType so all downstream window/trunc
+    * logic is standard. DuckDB reads the same file as µs TIMESTAMP, so
+    * the two engines agree after this normalization.
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(path)
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        case _ => raw // engine already surfaced a native timestamp
+      }
+    } else spark.read.parquet(path)
+  }
+
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}
