@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.TaskContext
+import graft.apps.Apps
+import graft.engine.{MapReduce, SequentialOracle}
+
+/** Chaos twin of crash.so (SURVEY §5.4): inject a first-attempt
+  * failure into the map stage and assert the job still produces
+  * oracle-equal output via Spark task retry — the Spark analogue of
+  * the reference's 10 s requeue + re-execution
+  * (/root/reference/src/mr/coordinator.go:114-138) — and that exactly
+  * one attempt per partition commits (≡ jobcount,
+  * src/mrapps/jobcount.go:34-46).
+  */
+class ChaosSpec extends SparkSpec {
+  private val corpusDir = Paths.get("/root/reference/src/main")
+  private lazy val corpusFiles: Seq[String] =
+    Files.list(corpusDir).iterator().asScala
+      .map(_.toString).filter(_.matches(".*/pg-.*\\.txt")).toSeq.sorted
+
+  test("first-attempt map failures are retried to an oracle-equal result") {
+    import spark.implicits._
+    val successfulTasks = spark.sparkContext.longAccumulator("successfulMapTasks")
+    val crashyMap =
+      MapReduce.wholeFiles(spark, corpusFiles)
+        .flatMap { case (file, contents) =>
+          val tc = TaskContext.get()
+          if (tc.attemptNumber() == 0 && tc.partitionId() % 2 == 0)
+            throw new RuntimeException("injected crash (chaos spec)")
+          successfulTasks.add(1)
+          Apps.SortedMultisetAgg.map(file, contents)
+        }
+    val engine = crashyMap
+      .groupByKey(_._1)
+      .mapGroups((k, rows) => (k, Apps.SortedMultisetAgg.reduce(k, rows.map(_._2))))
+      .collect().toSeq
+
+    val corpusInMem = corpusFiles.map { p =>
+      (p.substring(p.lastIndexOf('/') + 1),
+        new String(Files.readAllBytes(Paths.get(p)), "UTF-8"))
+    }
+    val oracle = SequentialOracle.run(corpusInMem,
+      Apps.SortedMultisetAgg.map, Apps.SortedMultisetAgg.reduce)
+    assert(engine.sortBy(_._1) == oracle.sortBy(_._1))
+    // 4 map records per file (SortedMultisetAgg) × 8 files, each counted
+    // once per *successful* map execution; retried partitions may double
+    // count the accumulator only if a failed attempt got past add() —
+    // it cannot, because the throw precedes it.
+    assert(successfulTasks.value == 8)
+  }
+}
