@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Declared, DeclaredQueries}
+import graft.queries.{Declared, DeclaredQueries, ExtQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * All queries live in registries ([[graft.queries.DeclaredQueries]] and
@@ -10,7 +10,7 @@ import graft.queries.{Declared, DeclaredQueries}
   */
 object SparkEntry {
   private def registry: Seq[Declared] =
-    DeclaredQueries.all
+    DeclaredQueries.all ++ ExtQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
