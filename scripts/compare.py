@@ -8,6 +8,7 @@ stringified row-major). Usage:
 
     python3 scripts/compare.py <sfDir> <verifyOutDir>
 """
+import decimal
 import hashlib
 import json
 import sys
@@ -19,15 +20,23 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
+def canon(v):
+    """Mirror the driver's pandas coercion: decimals become float64, so
+    a Decimal('104997.90') hashes like the float 104997.9 — without
+    this the local gate passes code the driver rejects."""
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        return repr(v)
+    return str(v)
+
+
 def canon_hash(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     h = hashlib.sha256()
     for row in rows:
         for i in order:
-            v = row[i]
-            if isinstance(v, float):
-                v = repr(v)
-            h.update(str(v).encode())
+            h.update(canon(row[i]).encode())
             h.update(b"\x1f")
         h.update(b"\x1e")
     return h.hexdigest()
@@ -72,7 +81,7 @@ def main(sf_dir, out_dir):
                 for i, (a, b) in enumerate(zip(spark_rows, duck_rows)):
                     oa = [a[spark_cols.index(c)] for c in sorted(spark_cols)]
                     ob = [b[duck_cols.index(c)] for c in sorted(duck_cols)]
-                    if [str(x) for x in oa] != [str(x) for x in ob]:
+                    if [canon(x) for x in oa] != [canon(x) for x in ob]:
                         problems.append(f"  first diff row {i}: spark={oa} duck={ob}")
                         break
         if problems:

@@ -30,7 +30,9 @@ object Tables {
       val raw = spark.read.parquet(path)
       raw.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
-          raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+          // integer division: ns epochs (~1.7e18) exceed double's 2^53
+          // exact range, so `/ 1000` via double would be off by ~µs
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
         case _ => raw // engine already surfaced a native timestamp
       }
     } else spark.read.parquet(path)

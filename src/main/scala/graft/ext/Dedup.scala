@@ -12,31 +12,43 @@ import org.apache.spark.sql.expressions.Window
   *  - MinHash+LSH:  shingle → K minhashes → band → bucket-join — the
   *                  classic near-dup candidate generator; cost is
   *                  linear in corpus size, never pairwise;
-  *  - SimHash:      64-bit-ish signature whose hamming distance tracks
+  *  - SimHash:      bit signature whose hamming distance tracks
   *                  cosine similarity of the token multiset;
-  *  - n-gram Jaccard: exact pairwise verification, applied only to
-  *                  candidate pairs (here: pairs sharing a shingle).
+  *  - n-gram Jaccard: exact pairwise verification over hashed,
+  *                  frequency-capped shingles — run on LSH candidates
+  *                  (`ngramJaccardOnCandidates`) at scale.
   *
   * Everything is built from codegen'd built-ins over the portable
   * [[Hashing]] base so results are engine-checkable (no UDFs).
+  *
+  * 100 TB shape notes: MinHash/SimHash are each ONE groupBy whose
+  * shuffle carries exactly one row per document (k minhash columns /
+  * one signature), with Catalyst partial aggregation map-side; the
+  * Jaccard self-join operates on 8-byte shingle hashes with hot
+  * shingles (df > cap) dropped, so no posting list explodes the join.
   */
 object Dedup {
 
-  /** Exact dedup: keep one row per distinct value of `on`. At 100 TB,
-    * prefer `exactByFingerprint` — dropDuplicates on a long text column
-    * shuffles the full text bytes.
+  /** Exact dedup: keep one row per distinct value of `on`. Keeps an
+    * arbitrary row per group (Spark semantics); use
+    * `exactByFingerprint` for a deterministic winner and a shuffle
+    * that ships hashes instead of full rows for wide text columns.
     */
   def exact(df: DataFrame, on: Seq[String]): DataFrame =
     df.dropDuplicates(on)
 
-  /** Exact dedup shipping only an 8-byte fingerprint + tie-break id
-    * through the shuffle: rows whose `textCol` collide on a 60-bit
-    * content hash are deduplicated (keeping the smallest `idCol`).
-    * False-collision probability at 60 bits is ~n²/2^61.
+  /** Exact dedup by 60-bit content fingerprint, keeping the smallest
+    * `idCol` per duplicate set. Shape: groupBy(fp).agg(min(id)) then a
+    * semi-join on the id — two hash shuffles of (8-byte, 8-byte)
+    * pairs; no global sort, no window, and the text bytes never cross
+    * the wire. False-collision probability at 60 bits is ~n²/2^61.
     */
   def exactByFingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(Hashing.h60(col(textCol))).orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+    val keep = df
+      .select(col(idCol).as("__id"), Hashing.h60(col(textCol)).as("__fp"))
+      .groupBy("__fp").agg(min(col("__id")).as("__id"))
+      .select("__id")
+    df.join(keep, col(idCol) === col("__id"), "left_semi")
   }
 
   /** Distinct (doc, token, token-hash) triples — the shared first stage
@@ -50,39 +62,53 @@ object Dedup {
       .distinct()
       .withColumn("hv", Hashing.h32(col("w")))
 
-  /** MinHash signatures: one row per (doc_id, i) with the i-th minhash,
-    * i ∈ [0, k). The permutation-index table is tiny and broadcast; the
-    * heavy groupBy is a partial-aggregated min — Catalyst combines
-    * map-side, so the shuffle carries ≤ k rows per doc.
+  /** MinHash signature matrix: ONE row per doc with k minhash columns
+    * `m0..m{k-1}` — all k universal-hash permutations evaluated per
+    * token row inside one whole-stage-codegen'd aggregate, partial
+    * map-side, so the shuffle carries a single k-column row per doc
+    * (vs. the naive ×k row blowup of a crossJoin with a permutation
+    * table).
     */
-  def minhash(tok: DataFrame, k: Int): DataFrame = {
-    val spark = tok.sparkSession
-    val perms = broadcast(spark.range(k).select(col("id").cast("int").as("i")))
-    tok.crossJoin(perms)
-      .groupBy("doc_id", "i")
-      .agg(min(Hashing.permute(col("hv"), col("i"))).as("minh"))
+  def minhashSignatures(tok: DataFrame, k: Int): DataFrame = {
+    val aggs = (0 until k).map(i => min(Hashing.permute(col("hv"), lit(i))).as(s"m$i"))
+    tok.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH banding: concat each band's minhashes into a signature string;
-    * docs sharing (band, sig) are near-dup candidates. Returns one row
-    * per (doc_id, band, sig).
+  /** LSH banding over a signature matrix: one row per (doc_id, band)
+    * with the band's minhashes comma-joined into a signature string;
+    * docs sharing (band, sig) are near-dup candidates.
     */
-  def lshBands(sigs: DataFrame, rowsPerBand: Int): DataFrame =
-    sigs
-      .withColumn("band", (col("i") / rowsPerBand).cast("int"))
-      .groupBy("doc_id", "band")
-      .agg(concat_ws(",",
-        transform(array_sort(collect_list(struct(col("i"), col("minh")))),
-          x => x.getField("minh").cast("string"))).as("sig"))
+  def lshBands(sigs: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
+    val nBands = k / rowsPerBand
+    val bandStructs = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until rowsPerBand).map(r =>
+          col(s"m${b * rowsPerBand + r}").cast("string")): _*).as("sig"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** Distinct candidate pairs (doc_a < doc_b) from an LSH banding: the
+    * self-join is co-partitioned on (band, sig), so only same-bucket
+    * docs ever meet — linear in corpus size for non-degenerate
+    * buckets, never all-pairs.
+    */
+  def lshCandidatePairs(bands: DataFrame): DataFrame =
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
 
   /** Per-band LSH bucket census: how many buckets hold ≥2 docs, how
     * many candidate pairs they imply, and the total docs per band —
-    * integer-only, so oracle-checkable. A full dedup would follow with
-    * `ngramJaccardPairs` on the candidates.
+    * integer-only, so oracle-checkable.
     */
   def minhashLshCensus(docs: DataFrame, idCol: String, textCol: String,
                        k: Int = 16, rowsPerBand: Int = 4): DataFrame =
-    lshBands(minhash(tokenHashes(docs, idCol, textCol), k), rowsPerBand)
+    lshBands(minhashSignatures(tokenHashes(docs, idCol, textCol), k), k, rowsPerBand)
       .groupBy("band", "sig").agg(count(lit(1)).as("cnt"))
       .groupBy("band")
       .agg(sum(when(col("cnt") >= 2, 1).otherwise(0)).as("dup_buckets"),
@@ -90,20 +116,22 @@ object Dedup {
         sum(col("cnt")).as("n_docs"))
       .orderBy("band")
 
-  /** 16-bit SimHash per doc over distinct token hashes: bit b is set
-    * when more tokens have bit b set than clear. (16 bits keeps every
-    * intermediate in BIGINT range on both engines; widen by raising
-    * `bits` up to 60.)
+  /** SimHash per doc over distinct token hashes: bit b is set when
+    * more tokens have bit b of their 32-bit hash set than clear. All
+    * `bits` (≤ 32 — the token hash is 32-bit) per-bit tallies are
+    * computed as columns of ONE aggregate — single shuffle row per
+    * doc, map-side partial agg — then folded into the signature.
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
-    val spark = docs.sparkSession
-    val bitIdx = broadcast(spark.range(bits).select(col("id").cast("int").as("b")))
+    require(bits <= 32, "token hash is 32-bit; widen Hashing.h32 before raising bits")
+    val tallies = (0 until bits).map(b =>
+      sum(when(expr(s"shiftright(hv, $b) & 1") === 1, 1).otherwise(-1)).as(s"s$b"))
+    val sig = (0 until bits)
+      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
     tokenHashes(docs, idCol, textCol)
-      .crossJoin(bitIdx)
-      .groupBy("doc_id", "b")
-      .agg(sum(when(expr("shiftright(hv, b) & 1") === 1, 1).otherwise(-1)).as("s"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("s") > 0, expr("shiftleft(1, b)")).otherwise(0)).as("simhash"))
+      .groupBy("doc_id").agg(tallies.head, tallies.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
   }
 
   /** Distinct word-trigram shingles per doc, built relationally
@@ -121,25 +149,67 @@ object Dedup {
       .distinct()
   }
 
-  /** Pairwise n-gram Jaccard via a shingle-equijoin: only pairs that
-    * share ≥1 shingle are ever materialized (candidate generation and
-    * verification in one shuffle). Emits (doc_a, doc_b, inter, uni);
-    * jaccard = inter/uni left to the caller so the result stays
-    * integer-exact. At 100 TB you'd run this on LSH candidates only and
-    * salt hot shingles; here the shingle join IS the candidate filter.
+  /** Distinct (doc_id, 32-bit shingle hash) pairs with stop-shingles
+    * removed: any shingle appearing in more than `dfCap` documents is
+    * dropped before any join. This is what keeps the pairwise
+    * verification non-quadratic — one hot shingle ("of the and")
+    * otherwise makes the self-join quadratic in its posting list.
+    * Joining on the 8-byte hash (not the raw string) keeps the shuffle
+    * narrow; hash collisions fold identically on the oracle side.
     */
-  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def cappedShingleHashes(docs: DataFrame, idCol: String, textCol: String,
+                          dfCap: Int): DataFrame = {
     val sh = shingles(docs, idCol, textCol)
-    val card = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = sh.as("a")
-      .join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("doc_id"), Hashing.h32(col("shingle")).as("sh"))
+      .distinct()
+    val kept = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .where(col("df") <= dfCap).select("sh")
+    sh.join(kept, "sh")
+  }
+
+  /** Pairwise n-gram Jaccard via a hashed-shingle equijoin: only pairs
+    * sharing ≥1 (non-capped) shingle are ever materialized. Emits
+    * (doc_a, doc_b, inter, uni) over the capped shingle sets;
+    * jaccard = inter/uni left to the caller so the result stays
+    * integer-exact. For corpora where even capped posting lists are
+    * large, generate candidates with LSH and verify with
+    * `ngramJaccardOnCandidates` instead.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        dfCap: Int = 100): DataFrame = {
+    val fsh = cappedShingleHashes(docs, idCol, textCol, dfCap)
+    val card = fsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = fsh.as("a")
+      .join(fsh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
+    withUnion(pairs, card)
+  }
+
+  /** n-gram Jaccard restricted to the given candidate pairs
+    * (doc_a, doc_b) — the verification stage of an LSH pipeline: cost
+    * is Σ|shingles(doc)| over candidate docs, independent of corpus
+    * size. Pairs sharing no (non-capped) shingle drop out (inter=0 ⇒
+    * not a near-dup).
+    */
+  def ngramJaccardOnCandidates(docs: DataFrame, idCol: String, textCol: String,
+                               candidates: DataFrame, dfCap: Int = 100): DataFrame = {
+    val fsh = cappedShingleHashes(docs, idCol, textCol, dfCap)
+    val card = fsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = candidates
+      .join(fsh.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(fsh.as("b"), col("doc_b") === col("b.doc_id") && col("a.sh") === col("b.sh"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    withUnion(pairs, card)
+  }
+
+  /** Attach union cardinality: uni = |A| + |B| - inter. */
+  private def withUnion(pairs: DataFrame, card: DataFrame): DataFrame =
     pairs
       .join(card.as("ca"), col("doc_a") === col("ca.doc_id"))
       .join(card.as("cb"), col("doc_b") === col("cb.doc_id"))
       .select(col("doc_a"), col("doc_b"), col("inter"),
         (col("ca.n") + col("cb.n") - col("inter")).as("uni"))
-  }
 }

@@ -10,13 +10,21 @@ import org.apache.spark.sql.expressions.Window
   *  - Brute-force cosine top-k: the exactness baseline. Queries are
   *    broadcast; the corpus is scanned once; per-query top-k via a
   *    rank window. Cost O(|Q|·N·d) — fine for |Q| small at any N.
-  *  - LSH-bucketed variant (the scale path): 8 deterministic random
-  *    hyperplanes → 8-bit bucket; candidates = same bucket, so the
-  *    corpus×corpus product never materializes. Recall traded for a
-  *    ~2^8 cost reduction; multi-probe would recover recall.
+  *  - Banded multi-table sign-random-projection LSH (the scale path):
+  *    T independent tables × P hyperplanes each (AND within a table,
+  *    OR across tables — the classic LSH amplification). Candidates =
+  *    pairs sharing a bucket in ANY table, so the corpus×corpus
+  *    product never forms; recall rises with T, precision with P.
+  *    Tune P ≈ log2(n) so expected random-collision candidates stay
+  *    ~n per table at any corpus size; raise T (or multiprobe) for
+  *    recall.
   *
-  * Dot products use `functions.aggregate`/`zip_with` (codegen'd
-  * higher-order functions) — no UDF.
+  * The hyperplanes are deterministic (md5-derived, matching
+  * [[Hashing.h32]]) and are baked into the plan as ARRAY LITERALS, so
+  * bucket assignment is a pure whole-stage-codegen projection over the
+  * vector column — no explode, no join, no aggregation, nothing
+  * shuffles until the bucket-join itself. Dot products use
+  * `zip_with`/`aggregate` (codegen'd higher-order functions) — no UDF.
   */
 object Similarity {
 
@@ -27,7 +35,11 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0d), (acc, v) => acc + v)
-    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+    // cast to double FIRST: float32 products would round at ~1e-7 and
+    // diverge from any double-math oracle near score thresholds
+    val ad = a.cast("array<double>")
+    val bd = b.cast("array<double>")
+    dot(ad, bd) / sqrt(dot(ad, ad)) / sqrt(dot(bd, bd))
   }
 
   /** Exact brute-force top-k: for each row of `queries` (idCol, vecCol),
@@ -48,42 +60,85 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane i,
-    * dim j): md5-derived value in [-500, 500] / 500. Reproducible
-    * across runs and engines — no RNG state.
+  /** Deterministic pseudo-random hyperplane component for (global
+    * plane i, dim j): md5-derived value in [-1, 1], identical to the
+    * SQL `(CAST('0x' || substr(md5(i || '_' || j), 1, 8) AS BIGINT)
+    * % 1001 - 500) / 500.0` — reproducible across runs and engines.
+    * Computed driver-side so planes become plan literals.
     */
-  private def planeComponent(i: Column, j: Column): Column =
-    (Hashing.h32(concat(i.cast("string"), lit("_"), j.cast("string"))) % 1001 - 500)
-      .cast("double") / 500.0
-
-  /** Sign-random-projection bucket id (nPlanes bits) per row. */
-  def lshBuckets(df: DataFrame, idCol: String, vecCol: String, nPlanes: Int = 8): DataFrame = {
-    val spark = df.sparkSession
-    val planes = broadcast(
-      spark.range(nPlanes).select(col("id").cast("int").as("i"))
-        .crossJoin(spark.range(64).select(col("id").cast("int").as("j")))
-        .select(col("i"), col("j"), planeComponent(col("i"), col("j")).as("pc")))
-    df.select(col(idCol).as("vid"), posexplode(col(vecCol)).as(Seq("j", "x")))
-      .join(planes, "j")
-      .groupBy("vid", "i").agg(sum(col("x") * col("pc")).as("proj"))
-      .groupBy("vid")
-      .agg(sum(when(col("proj") >= 0, expr("shiftleft(1, i)")).otherwise(0)).as("bucket"))
+  def planeComponent(i: Int, j: Int): Double = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${i}_$j".getBytes("UTF-8"))
+    val hex = digest.take(4).map(b => f"${b & 0xff}%02x").mkString
+    ((java.lang.Long.parseLong(hex, 16) % 1001L) - 500L).toDouble / 500.0
   }
 
-  /** ANN top-k restricted to same-LSH-bucket candidates. Each bucket's
-    * candidate set is joined co-partitioned on the bucket id — the
-    * full cross product never forms.
+  /** Bucket id (P sign bits) of `vecCol` under table `t`'s planes
+    * (global plane indices t*P .. t*P+P-1) — a pure projection.
+    */
+  def bucketExpr(vecCol: Column, t: Int, planesPerTable: Int, dim: Int): Column =
+    (0 until planesPerTable).map { p =>
+      val plane = (0 until dim).map(j => planeComponent(t * planesPerTable + p, j))
+      val proj = aggregate(
+        zip_with(vecCol, typedlit(plane), (x, c) => x * c),
+        lit(0.0d), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** One row per (vector, table): (vid, tbl, bucket). The explode is
+    * over a T-element literal-built array — row count ×T, but each row
+    * is 24 bytes; the vectors themselves are not duplicated.
+    */
+  def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
+                 nTables: Int = 4, planesPerTable: Int = 12, dim: Int = 64): DataFrame = {
+    val tb = array((0 until nTables).map(t =>
+      struct(lit(t).as("tbl"), bucketExpr(col(vecCol), t, planesPerTable, dim).as("bucket"))): _*)
+    df.select(col(idCol).as("vid"), explode(tb).as("tb"))
+      .select(col("vid"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+  }
+
+  /** Near-duplicate pairs: distinct (a < b) sharing a bucket in ANY
+    * table, scored and filtered at `minCos`. The join is
+    * co-partitioned on (tbl, bucket); the distinct collapses pairs
+    * found by several tables before any cosine is computed.
+    */
+  def lshNearPairs(df: DataFrame, idCol: String, vecCol: String, minCos: Double,
+                   nTables: Int = 4, planesPerTable: Int = 12, dim: Int = 64): DataFrame = {
+    val b = lshBuckets(df, idCol, vecCol, nTables, planesPerTable, dim)
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val cand = b.as("x")
+      .join(b.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+          col("x.vid") < col("y.vid"))
+      .select(col("x.vid").as("doc_a"), col("y.vid").as("doc_b"))
+      .distinct()
+    cand
+      .join(v.as("va"), col("doc_a") === col("va.id"))
+      .join(v.as("vb"), col("doc_b") === col("vb.id"))
+      .select(col("doc_a"), col("doc_b"), cosine(col("va.v"), col("vb.v")).as("cos"))
+      .where(col("cos") >= minCos)
+  }
+
+  /** ANN top-k restricted to candidates sharing an LSH bucket with the
+    * query in any table. Candidate (query, neighbor) pairs are
+    * deduplicated across tables before scoring; vectors are joined
+    * back by id so only 16-byte id pairs flow through the candidate
+    * dedup shuffle.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
-              idCol: String, vecCol: String, k: Int, nPlanes: Int = 8): DataFrame = {
-    val cb = lshBuckets(corpus, idCol, vecCol, nPlanes)
-    val qb = lshBuckets(queries, idCol, vecCol, nPlanes)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .join(qb.withColumnRenamed("vid", "query_id"), "query_id")
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .join(cb.withColumnRenamed("vid", "neighbor_id"), "neighbor_id")
-    val scored = q.join(c, "bucket")
+              idCol: String, vecCol: String, k: Int,
+              nTables: Int = 4, planesPerTable: Int = 12, dim: Int = 64): DataFrame = {
+    val cb = lshBuckets(corpus, idCol, vecCol, nTables, planesPerTable, dim)
+      .withColumnRenamed("vid", "neighbor_id")
+    val qb = lshBuckets(queries, idCol, vecCol, nTables, planesPerTable, dim)
+      .withColumnRenamed("vid", "query_id")
+    val cand = qb.join(cb, Seq("tbl", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .distinct()
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = cand.join(qv, "query_id").join(cv, "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("cv")).as("cos"))
     val w = Window.partitionBy("query_id")

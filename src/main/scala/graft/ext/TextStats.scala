@@ -43,18 +43,27 @@ object TextStats {
 
   /** Quality features per document: token count, distinct-token count,
     * type/token decile, mean token length ×10 (integer — portable).
+    * The text is split ONCE into a `toks` column; downstream features
+    * reference that column, so the (expensive) split never re-evaluates
+    * — Catalyst keeps the projections separate because `toks` is
+    * non-cheap and multiply-referenced.
     */
-  def qualityFeatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = split(col(textCol), " ")
+  def qualityFeatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(
-      col(idCol).as("doc_id"),
-      size(toks).as("n_tokens"),
-      size(array_distinct(toks)).as("n_distinct"),
-      expr(s"(size(array_distinct(split($textCol, ' '))) * 10) div size(split($textCol, ' '))")
-        .as("ttr_decile"),
-      expr(s"(length(replace($textCol, ' ', '')) * 10) div size(split($textCol, ' '))")
-        .as("mean_tok_len_x10"))
-  }
+        col(idCol).as("doc_id"),
+        length(regexp_replace(col(textCol), " ", "")).as("n_nonspace_chars"),
+        split(col(textCol), " ").as("toks"))
+      .select(
+        col("doc_id"),
+        col("n_nonspace_chars"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("n_distinct"),
+        expr("(n_distinct * 10) div n_tokens").as("ttr_decile"),
+        expr("(n_nonspace_chars * 10) div n_tokens").as("mean_tok_len_x10"))
 
   /** Whitespace token count plus a BPE-ish subword count: alternating
     * letter-run / digit-run pieces capped at 4 chars — a deterministic

@@ -33,6 +33,15 @@ object DeclaredQueries {
   private val Dec = DecimalType(18, 2)
   private def dec(c: Column): Column = c.cast(Dec)
 
+  /** Output canonicalization for decimal aggregates: the aggregation
+    * stays exact in DECIMAL, but the *emitted* column is
+    * round(cast(x as double), 2) — on both engines — because the
+    * driver's oracle materializes DuckDB decimals as float64 (pandas),
+    * so a raw DECIMAL column stringifies differently on trailing
+    * zeros ('104997.90' vs '104997.9') and fails the hash gate.
+    */
+  private def outDec(c: Column): Column = round(c.cast("double"), 2)
+
   /** wc.go tokenizer analogue, engine-neutral ASCII class (SURVEY §7.4):
     * split on runs of non-letters, drop empty tokens.
     * Reference: /root/reference/src/mrapps/wc.go:19-32.
@@ -98,11 +107,11 @@ object DeclaredQueries {
       (s, d) =>
         Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_linenumber"),
-            dec(col("l_extendedprice")).as("price"))
+            outDec(dec(col("l_extendedprice"))).as("price"))
           .orderBy(col("price").desc, col("l_orderkey"), col("l_linenumber"))
           .limit(100),
       Some("""SELECT l_orderkey, l_linenumber,
-                     CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+                     ROUND(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE), 2) AS price
               FROM lineitem
               ORDER BY price DESC, l_orderkey, l_linenumber LIMIT 100""")),
 
@@ -153,13 +162,13 @@ object DeclaredQueries {
       (s, d) =>
         Tables.lineitem(s, d)
           .groupBy("l_returnflag", "l_linestatus")
-          .agg(sum(dec(col("l_quantity"))).as("sum_qty"),
-            sum(dec(col("l_extendedprice"))).as("sum_price"),
+          .agg(outDec(sum(dec(col("l_quantity")))).as("sum_qty"),
+            outDec(sum(dec(col("l_extendedprice")))).as("sum_price"),
             count(lit(1)).as("n"))
           .orderBy("l_returnflag", "l_linestatus"),
       Some("""SELECT l_returnflag, l_linestatus,
-                     SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-                     SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+                     ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+                     ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price,
                      COUNT(*) AS n
               FROM lineitem GROUP BY l_returnflag, l_linestatus
               ORDER BY l_returnflag, l_linestatus""")),
@@ -178,11 +187,11 @@ object DeclaredQueries {
           .join(customer, col("o_custkey") === col("c_custkey"))
           .join(nation, col("c_nationkey") === col("n_nationkey"))
           .groupBy("n_name")
-          .agg(count(lit(1)).as("n_orders"), sum(dec(col("o_totalprice"))).as("rev"))
+          .agg(count(lit(1)).as("n_orders"), outDec(sum(dec(col("o_totalprice")))).as("rev"))
           .orderBy("n_name")
       },
       Some("""SELECT n_name, COUNT(*) AS n_orders,
-                     SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+                     ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS rev
               FROM orders
               JOIN customer ON o_custkey = c_custkey
               JOIN nation ON c_nationkey = n_nationkey
@@ -201,15 +210,16 @@ object DeclaredQueries {
       Some("""SELECT COUNT(*) AS n FROM customer
               WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""")),
 
-    // DQ12 — exact dedup census (north_star). countDistinct over the
-    // full text shuffles the text bytes; ext/Dedup.scala provides the
-    // fingerprint-based variant that ships 8-byte hashes instead.
+    // DQ12 — exact dedup census (north_star). Distinct counted over
+    // md5(text), not the text itself, so the shuffle ships 32-byte
+    // digests instead of full document bytes (identical answer short
+    // of an md5 collision); both engines compute md5 bit-equal.
     Declared(
       "dq12_exact_dedup",
       (s, d) =>
         Tables.documents(s, d)
-          .agg(count(lit(1)).as("docs"), countDistinct(col("text")).as("uniq_text")),
-      Some("SELECT COUNT(*) AS docs, COUNT(DISTINCT text) AS uniq_text FROM documents")),
+          .agg(count(lit(1)).as("docs"), countDistinct(md5(col("text"))).as("uniq_text")),
+      Some("SELECT COUNT(*) AS docs, COUNT(DISTINCT md5(text)) AS uniq_text FROM documents")),
 
     // DQ13 — text stats per group (north_star). avg emitted as exact
     // integer SUM/COUNT in double then ROUND — engine-order-independent.
@@ -235,11 +245,11 @@ object DeclaredQueries {
         Tables.events(s, d)
           .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("h"),
             col("event_type"))
-          .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("v"))
+          .agg(count(lit(1)).as("n"), outDec(sum(dec(col("value")))).as("v"))
           .orderBy("h", "event_type"),
       Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
                      event_type, COUNT(*) AS n,
-                     SUM(CAST(value AS DECIMAL(18,2))) AS v
+                     ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS v
               FROM events GROUP BY h, event_type ORDER BY h, event_type""")),
 
     // DQ15 — ranking window function (SURVEY §2.3.5): top-3 customers by

@@ -8,10 +8,16 @@ import org.apache.spark.sql.functions._
   * (north_star): dedup, text analysis, similarity search, multimodal.
   * Oracle SQL is provided wherever the operator is expressible in
   * DuckDB SQL with engine-portable arithmetic (integer-only outputs,
-  * md5-based hashing — see [[graft.ext.Hashing]]); the float-scored
-  * similarity queries are rows-only by design (SURVEY §2.4 note).
+  * md5-based hashing — see [[graft.ext.Hashing]]); only the two
+  * float-scored top-k listings remain rows-only, and their correctness
+  * is covered by the integer-projected census/margin/recall queries.
   */
 object ExtQueries {
+
+  /** Stop-shingle document-frequency cap shared by the Spark queries
+    * and their oracles (see [[Dedup.cappedShingleHashes]]).
+    */
+  private val DfCap = 100
 
   /** Shared DuckDB CTE text: distinct (doc_id, token) with 32-bit hash. */
   private val tokCte =
@@ -22,11 +28,17 @@ object ExtQueries {
        h AS (
          SELECT doc_id, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS hv FROM tok)"""
 
-  /** Shared DuckDB CTE text: distinct word-trigram shingles per doc. */
+  /** Shared DuckDB CTE text: distinct word-trigram shingles per doc.
+    * The token position comes from zip-unnesting the split list with
+    * `range(len(...))` in the SELECT list (DuckDB runs parallel
+    * unnests in lockstep) — `range` as a lateral table function over a
+    * column is not supported.
+    */
   private val shingleCte =
     """tp AS (
-         SELECT doc_id, i AS pos, string_split(text, ' ')[i + 1] AS w
-         FROM documents, range(len(string_split(text, ' '))) t(i)),
+         SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                unnest(range(len(string_split(text, ' ')))) AS pos
+         FROM documents),
        sh0 AS (
          SELECT doc_id,
                 w || ' ' || LEAD(w, 1) OVER (PARTITION BY doc_id ORDER BY pos)
@@ -34,9 +46,79 @@ object ExtQueries {
          FROM tp),
        sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL)"""
 
+  /** Shared DuckDB CTE text: hashed shingles with the df > DfCap
+    * stop-shingles dropped, plus per-doc cardinality — the oracle twin
+    * of [[Dedup.cappedShingleHashes]].
+    */
+  private def cappedShingleCte =
+    s"""$shingleCte,
+       shh AS (
+         SELECT DISTINCT doc_id,
+                CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS sh
+         FROM sh),
+       kept AS (SELECT sh FROM shh GROUP BY sh HAVING COUNT(*) <= $DfCap),
+       fsh AS (SELECT doc_id, sh FROM shh JOIN kept USING (sh)),
+       card AS (SELECT doc_id, COUNT(*) AS n FROM fsh GROUP BY doc_id)"""
+
+  /** Shared DuckDB CTE text: MinHash band signatures (k=16 minhashes,
+    * 4 bands × 4 rows) — twin of [[Dedup.minhashSignatures]] +
+    * [[Dedup.lshBands]].
+    */
+  private val minhashSigCte =
+    s"""$tokCte,
+       mh AS (
+         SELECT doc_id, i,
+                MIN(((2*i + 3) * hv + (5*i + 7)) % 2147483647) AS minh
+         FROM h, range(16) t(i) GROUP BY doc_id, i),
+       sigs AS (
+         SELECT doc_id, CAST(i // 4 AS INT) AS band,
+                string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i) AS sig
+         FROM mh GROUP BY doc_id, band)"""
+
+  /** Shared DuckDB CTE text: sign-random-projection LSH buckets, 4
+    * tables × 8 planes over 64-dim embeddings — twin of
+    * [[Similarity.lshBuckets]] (global plane i ⇒ table i//8, bit i%8;
+    * plane components from the same md5 formula as
+    * [[Similarity.planeComponent]]).
+    */
+  private val lshBuckCte =
+    """planes AS (
+         SELECT i, j,
+                (CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 8) AS BIGINT)
+                   % 1001 - 500) / 500.0 AS pc
+         FROM range(32) t(i), range(64) u(j)),
+       vx AS (
+         SELECT vec_id, unnest(embedding::DOUBLE[]) AS x, unnest(range(64)) AS j
+         FROM embeddings),
+       proj AS (
+         SELECT vec_id, i, SUM(x * pc) AS p
+         FROM vx JOIN planes USING (j) GROUP BY vec_id, i),
+       buck AS (
+         SELECT vec_id, i // 8 AS tbl,
+                SUM(CASE WHEN p >= 0 THEN (CAST(1 AS BIGINT) << (i % 8)) ELSE 0 END) AS bucket
+         FROM proj GROUP BY vec_id, tbl)"""
+
   val all: Seq[Declared] = Seq(
 
     // --- Deduplication ------------------------------------------------
+
+    // Exact dedup, both library forms: deterministic min-id winner by
+    // 60-bit fingerprint (semi-join, no text bytes shuffled) and the
+    // dropDuplicates census. sum_kept_ids pins WHICH rows were kept.
+    Declared(
+      "ext_dedup_exact_rows",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val kept = Dedup.exactByFingerprint(docs, "doc_id", "text")
+          .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_kept_ids"))
+        val arb = Dedup.exact(docs, Seq("text")).agg(count(lit(1)).as("n_exact"))
+        kept.crossJoin(arb)
+      },
+      Some("""WITH keep AS (SELECT MIN(doc_id) AS id FROM documents GROUP BY md5(text))
+              SELECT COUNT(*) AS n_kept, CAST(SUM(id) AS BIGINT) AS sum_kept_ids,
+                     COUNT(*) AS n_exact
+              FROM keep""")),
+
     Declared(
       "ext_dedup_fingerprint",
       (s, d) => {
@@ -61,15 +143,7 @@ object ExtQueries {
     Declared(
       "ext_dedup_minhash",
       (s, d) => Dedup.minhashLshCensus(Tables.documents(s, d), "doc_id", "text"),
-      Some(s"""WITH $tokCte,
-               mh AS (
-                 SELECT doc_id, i,
-                        MIN(((2*i + 3) * hv + (5*i + 7)) % 2147483647) AS minh
-                 FROM h, range(16) t(i) GROUP BY doc_id, i),
-               sigs AS (
-                 SELECT doc_id, CAST(i // 4 AS INT) AS band,
-                        string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i) AS sig
-                 FROM mh GROUP BY doc_id, band),
+      Some(s"""WITH $minhashSigCte,
                buckets AS (
                  SELECT band, sig, COUNT(*) AS cnt FROM sigs GROUP BY band, sig)
                SELECT band,
@@ -100,16 +174,15 @@ object ExtQueries {
     Declared(
       "ext_dedup_ngram_jaccard",
       (s, d) =>
-        Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text")
+        Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", DfCap)
           .where(col("inter") >= 2)
           .orderBy(col("inter").desc, col("doc_a"), col("doc_b"))
           .limit(20),
-      Some(s"""WITH $shingleCte,
-               card AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      Some(s"""WITH $cappedShingleCte,
                pairs AS (
                  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-                 FROM sh a JOIN sh b
-                   ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 FROM fsh a JOIN fsh b
+                   ON a.sh = b.sh AND a.doc_id < b.doc_id
                  GROUP BY 1, 2)
                SELECT doc_a, doc_b, inter, ca.n + cb.n - inter AS uni
                FROM pairs
@@ -118,18 +191,85 @@ object ExtQueries {
                WHERE inter >= 2
                ORDER BY inter DESC, doc_a, doc_b LIMIT 20""")),
 
-    // Embedding near-dup: pairs above a cosine threshold via LSH
-    // candidate buckets. Float-scored → rows-only (no oracle).
+    // The full two-stage near-dup pipeline: MinHash-LSH candidate
+    // generation, then exact Jaccard verification restricted to the
+    // candidates — the 100 TB shape (verification cost scales with
+    // candidates, not corpus²).
+    Declared(
+      "ext_dedup_lsh_verified",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val cands = Dedup.lshCandidatePairs(
+          Dedup.lshBands(
+            Dedup.minhashSignatures(Dedup.tokenHashes(docs, "doc_id", "text"), 16),
+            16, 4))
+        Dedup.ngramJaccardOnCandidates(docs, "doc_id", "text", cands, DfCap)
+          .where(col("inter") >= 2)
+          .orderBy(col("inter").desc, col("doc_a"), col("doc_b"))
+          .limit(20)
+      },
+      Some(s"""WITH $minhashSigCte,
+               cand AS (
+                 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM sigs a JOIN sigs b
+                   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+               tp AS (
+                 SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                        unnest(range(len(string_split(text, ' ')))) AS pos
+                 FROM documents),
+               sh0 AS (
+                 SELECT doc_id,
+                        w || ' ' || LEAD(w, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+                          || ' ' || LEAD(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS shingle
+                 FROM tp),
+               sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL),
+               shh AS (
+                 SELECT DISTINCT doc_id,
+                        CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS sh
+                 FROM sh),
+               kept AS (SELECT sh FROM shh GROUP BY sh HAVING COUNT(*) <= $DfCap),
+               fsh AS (SELECT doc_id, sh FROM shh JOIN kept USING (sh)),
+               card AS (SELECT doc_id, COUNT(*) AS n FROM fsh GROUP BY doc_id),
+               inter AS (
+                 SELECT doc_a, doc_b, COUNT(*) AS inter
+                 FROM cand
+                 JOIN fsh fa ON fa.doc_id = doc_a
+                 JOIN fsh fb ON fb.doc_id = doc_b AND fa.sh = fb.sh
+                 GROUP BY doc_a, doc_b)
+               SELECT doc_a, doc_b, inter, ca.n + cb.n - inter AS uni
+               FROM inter
+               JOIN card ca ON doc_a = ca.doc_id
+               JOIN card cb ON doc_b = cb.doc_id
+               WHERE inter >= 2
+               ORDER BY inter DESC, doc_a, doc_b LIMIT 20""")),
+
+    // Embedding near-dup census over banded LSH candidates (4 tables ×
+    // 8 planes, OR-construction), double-precision cosine — integer
+    // projection, so oracle-checkable end to end.
     Declared(
       "ext_dedup_embedding",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        Similarity.lshTopK(emb, emb, "vec_id", "embedding", k = 3)
-          .where(col("cos") >= 0.5)
-          .groupBy("query_id").agg(count(lit(1)).as("n_near"))
-          .agg(count(lit(1)).as("docs_with_near_dup"), sum("n_near").as("n_pairs"))
+        val pairs = Similarity.lshNearPairs(emb, "vec_id", "embedding",
+          minCos = 0.3, nTables = 4, planesPerTable = 8)
+        val np = pairs.agg(count(lit(1)).as("n_pairs"))
+        val nd = pairs.select(explode(array(col("doc_a"), col("doc_b"))).as("dd"))
+          .agg(countDistinct(col("dd")).as("n_docs"))
+        np.crossJoin(nd)
       },
-      None),
+      Some(s"""WITH $lshBuckCte,
+               cand AS (
+                 SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+                 FROM buck x JOIN buck y
+                   ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+               pr AS (
+                 SELECT a, b FROM cand
+                 JOIN embeddings ea ON ea.vec_id = a
+                 JOIN embeddings eb ON eb.vec_id = b
+                 WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) >= 0.3)
+               SELECT (SELECT COUNT(*) FROM pr) AS n_pairs,
+                      (SELECT COUNT(DISTINCT dd) FROM
+                        (SELECT a AS dd FROM pr UNION ALL SELECT b FROM pr)) AS n_docs""")),
 
     // --- Text analysis ------------------------------------------------
     Declared(
@@ -198,7 +338,133 @@ object ExtQueries {
                      CAST(SUM(octet_length(encode(text)) * 7 % 480 + 1) AS BIGINT) AS sum_height
               FROM documents WHERE doc_id % 3 = 0""")),
 
-    // --- Similarity search (float-scored → rows-only) -----------------
+    // Frame sampling (video payloads = doc_id % 3 = 2): the oracle
+    // derives frame counts/bytes arithmetically from payload length —
+    // frame f of n=4 is bytes [8f, 8f+8) of the payload.
+    Declared(
+      "ext_multimodal_frames",
+      (s, d) =>
+        Multimodal.sampleFrames(
+          Multimodal.fromText(Tables.documents(s, d), "doc_id", "text"), n = 4)
+          .agg(count(lit(1)).as("n_frames"),
+            sum(octet_length(col("frame_bytes"))).as("sum_frame_bytes")),
+      Some("""SELECT CAST(SUM(LEAST(CAST(ceil(octet_length(encode(text)) / 8.0) AS BIGINT), 4)) AS BIGINT) AS n_frames,
+                     CAST(SUM(LEAST(octet_length(encode(text)), 32)) AS BIGINT) AS sum_frame_bytes
+              FROM documents WHERE doc_id % 3 = 2""")),
+
+    // Batch featurizer (mapPartitions, the mapInPandas shape): the
+    // oracle pins the structural contract — one dim-4 feature row per
+    // media row, every component a byte mean in [0, 255].
+    Declared(
+      "ext_multimodal_features",
+      (s, d) =>
+        Multimodal.extractFeatures(
+          Multimodal.fromText(Tables.documents(s, d), "doc_id", "text"), dim = 4)
+          .agg(count(lit(1)).as("n_media"),
+            sum(size(col("feature"))).as("sum_dims"),
+            sum(when(forall(col("feature"), v => v >= 0 && v <= 255), 1).otherwise(0))
+              .as("n_valid")),
+      Some("""SELECT COUNT(*) AS n_media,
+                     CAST(COUNT(*) * 4 AS BIGINT) AS sum_dims,
+                     COUNT(*) AS n_valid
+              FROM documents""")),
+
+    // --- Similarity search --------------------------------------------
+
+    // Integer-projected LSH bucket census per table: the correctness
+    // anchor for the banded random-projection machinery.
+    Declared(
+      "ext_sim_lsh_census",
+      (s, d) =>
+        Similarity.lshBuckets(Tables.embeddings(s, d), "vec_id", "embedding",
+          nTables = 4, planesPerTable = 8)
+          .groupBy("tbl", "bucket").agg(count(lit(1)).as("cnt"))
+          .groupBy("tbl")
+          .agg(sum(when(col("cnt") >= 2, 1).otherwise(0)).as("dup_buckets"),
+            sum(expr("(cnt * (cnt - 1)) div 2")).as("cand_pairs"),
+            sum(col("cnt")).as("n_docs"))
+          .orderBy("tbl"),
+      Some(s"""WITH $lshBuckCte,
+               bc AS (SELECT tbl, bucket, COUNT(*) AS cnt FROM buck GROUP BY tbl, bucket)
+               SELECT tbl,
+                      CAST(SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_buckets,
+                      CAST(SUM((cnt * (cnt - 1)) // 2) AS BIGINT) AS cand_pairs,
+                      CAST(SUM(cnt) AS BIGINT) AS n_docs
+               FROM bc GROUP BY tbl ORDER BY tbl""")),
+
+    // Brute-force pair count at a cosine margin over a bounded slice —
+    // the id_checksum pins WHICH pairs matched, not just how many.
+    Declared(
+      "ext_sim_pairs_margin",
+      (s, d) => {
+        val e = Tables.embeddings(s, d).where(col("vec_id") < 500)
+        val a = e.select(col("vec_id").as("a_id"), col("embedding").as("av"))
+        val b = e.select(col("vec_id").as("b_id"), col("embedding").as("bv"))
+        a.join(b, col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            Similarity.cosine(col("av"), col("bv")).as("cos"))
+          .where(col("cos") >= 0.3)
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("a_id") + col("b_id")).as("id_checksum"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                         FROM embeddings WHERE vec_id < 500),
+              p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                           list_cosine_similarity(a.v, b.v) AS c
+                    FROM e a JOIN e b ON a.vec_id < b.vec_id)
+              SELECT COUNT(*) AS n_pairs,
+                     CAST(SUM(a_id + b_id) AS BIGINT) AS id_checksum
+              FROM p WHERE c >= 0.3""")),
+
+    // Recall of banded LSH top-10 against the brute-force top-10 for a
+    // query panel — integers (hit counts), so oracle-checkable.
+    Declared(
+      "ext_sim_lsh_recall",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.where(col("vec_id") < 20)
+        val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10)
+          .select("query_id", "neighbor_id")
+        val lsh = Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 10,
+          nTables = 4, planesPerTable = 8)
+          .select("query_id", "neighbor_id")
+        val total = bf.agg(count(lit(1)).as("n_bf"))
+        val hits = bf.join(lsh, Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("n_hits"))
+        total.crossJoin(hits)
+      },
+      Some(s"""WITH $lshBuckCte,
+               cand AS (
+                 SELECT DISTINCT qb.vec_id AS qid, cb.vec_id AS nid
+                 FROM buck qb JOIN buck cb
+                   ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+                  AND qb.vec_id < 20 AND qb.vec_id <> cb.vec_id),
+               lsh AS (
+                 SELECT qid, nid FROM (
+                   SELECT qid, nid,
+                          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+                            list_cosine_similarity(eq.embedding::DOUBLE[], en.embedding::DOUBLE[]) DESC,
+                            nid) AS rk
+                   FROM cand
+                   JOIN embeddings eq ON eq.vec_id = qid
+                   JOIN embeddings en ON en.vec_id = nid)
+                 WHERE rk <= 10),
+               bf AS (
+                 SELECT qid, nid FROM (
+                   SELECT q.vec_id AS qid, c.vec_id AS nid,
+                          ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                            list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                            c.vec_id) AS rk
+                   FROM embeddings q JOIN embeddings c
+                     ON q.vec_id < 20 AND q.vec_id <> c.vec_id)
+                 WHERE rk <= 10)
+               SELECT (SELECT COUNT(*) FROM bf) AS n_bf,
+                      (SELECT COUNT(*) FROM bf JOIN lsh
+                        ON bf.qid = lsh.qid AND bf.nid = lsh.nid) AS n_hits""")),
+
+    // Float-scored top-k listings (exact baseline + ANN serving path):
+    // rows-only by design; their machinery is oracle-covered by the
+    // census/margin/recall queries above.
     Declared(
       "ext_sim_cosine_topk",
       (s, d) => {
@@ -214,7 +480,7 @@ object ExtQueries {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         Similarity.lshTopK(emb, emb.where(col("vec_id") < 3),
-          "vec_id", "embedding", k = 5)
+          "vec_id", "embedding", k = 5, nTables = 4, planesPerTable = 8)
           .orderBy("query_id", "rank")
       },
       None)
