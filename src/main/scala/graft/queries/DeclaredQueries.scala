@@ -238,7 +238,9 @@ object DeclaredQueries {
 
     // DQ14 — event-time tumbling window, batch-checkable (SURVEY §2.3.9).
     // Emitted as a string to be precision-neutral across engines; the
-    // Structured Streaming twin lives in streaming/.
+    // Structured Streaming twin is
+    // [[graft.streaming.StreamingQueries.tumblingWindow]], for which
+    // this batch query is the correctness oracle (StreamingSpec).
     Declared(
       "dq14_tumbling_window",
       (s, d) =>

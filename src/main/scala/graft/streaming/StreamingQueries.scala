@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming slice (SURVEY §7.5): streaming twins of the
+  * batch declared queries, written as pure DataFrame→DataFrame
+  * transforms so they bind to any source — `spark.readStream` in
+  * production, `MemoryStream` in the differential specs
+  * (StreamingSpec), where the batch query is the correctness oracle.
+  *
+  * Scale notes: state is bounded by the watermark (tumbling windows
+  * older than watermark are evicted); the aggregation is the standard
+  * partial/final streaming agg, so each microbatch shuffles one row
+  * per (window, key) — not per event.
+  */
+object StreamingQueries {
+  private val Dec = DecimalType(18, 2)
+
+  /** Streaming twin of DQ14: event-time tumbling-window counts/sums
+    * with a watermark bounding state. In append mode a window emits
+    * exactly once, when the watermark passes its end; the emitted rows
+    * match the batch DQ14 aggregation of the same events.
+    */
+  def tumblingWindow(events: DataFrame, every: String = "1 hour",
+                     watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), every).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast(Dec)).cast("double"), 2).as("v"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("h"),
+        col("event_type"), col("n"), col("v"))
+
+  /** Streaming twin of DQ2/wc: incremental word count over a line
+    * stream; running per-word counts live in the state store.
+    */
+  def wordCount(lines: DataFrame, textCol: String = "value"): DataFrame =
+    lines
+      .select(explode(split(col(textCol), "[^a-zA-Z]+")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("c"))
+}

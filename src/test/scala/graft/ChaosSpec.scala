@@ -51,4 +51,39 @@ class ChaosSpec extends SparkSpec {
     // it cannot, because the throw precedes it.
     assert(successfulTasks.value == 8)
   }
+
+  /** Reference parity: crash.so injects into Reduce as well
+    * (/root/reference/src/mrapps/crash.go:45-47 — maybeCrash() is the
+    * first line of Reduce). Post-shuffle retry is a different recovery
+    * path than map retry: the failed reduce task is re-fetched from
+    * the surviving shuffle files, and the map stage must NOT re-run.
+    */
+  test("first-attempt reduce failures are retried to an oracle-equal result") {
+    import spark.implicits._
+    val mapRuns = spark.sparkContext.longAccumulator("mapRecordRuns")
+    val engine = MapReduce.wholeFiles(spark, corpusFiles)
+      .flatMap { case (file, contents) =>
+        mapRuns.add(1)
+        Apps.SortedMultisetAgg.map(file, contents)
+      }
+      .groupByKey(_._1)
+      .mapGroups { (k, rows) =>
+        val tc = TaskContext.get()
+        if (tc.attemptNumber() == 0 && tc.partitionId() % 2 == 0)
+          throw new RuntimeException("injected reduce crash (chaos spec)")
+        (k, Apps.SortedMultisetAgg.reduce(k, rows.map(_._2)))
+      }
+      .collect().toSeq
+
+    val corpusInMem = corpusFiles.map { p =>
+      (p.substring(p.lastIndexOf('/') + 1),
+        new String(Files.readAllBytes(Paths.get(p)), "UTF-8"))
+    }
+    val oracle = SequentialOracle.run(corpusInMem,
+      Apps.SortedMultisetAgg.map, Apps.SortedMultisetAgg.reduce)
+    assert(engine.sortBy(_._1) == oracle.sortBy(_._1))
+    // reduce retries recompute from shuffle files: every map record ran
+    // exactly once despite the injected reduce-stage failures
+    assert(mapRuns.value == 8)
+  }
 }

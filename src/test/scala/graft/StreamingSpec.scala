@@ -1,0 +1,103 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingQueries
+
+case class Ev(ts: Timestamp, event_type: String, value: Double)
+case class Line(value: String)
+
+/** Differential specs for the Structured Streaming slice: the batch
+  * query over the same rows is the oracle (SURVEY §7.5 — batch DQ14
+  * stays the correctness anchor for the streaming twin).
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def realEvents: Seq[Ev] = {
+    import spark.implicits._
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("ts"), col("event_type"), col("value").cast("double").as("value"))
+      .as[Ev].collect().toSeq.sortBy(_.ts.getTime)
+  }
+
+  private def batchOracle(evs: Seq[Ev]): Seq[(String, String, Long, Double)] = {
+    import spark.implicits._
+    evs.toDF()
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("h"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2).as("v"))
+      .as[(String, String, Long, Double)].collect().toSeq.sorted
+  }
+
+  test("streaming tumbling window (complete mode) equals batch aggregation") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs = realEvents
+    val (b1, b2) = evs.splitAt(evs.size / 2)
+    val stream = MemoryStream[Ev]
+    val query = StreamingQueries.tumblingWindow(stream.toDF())
+      .writeStream.format("memory").queryName("tw_complete")
+      .outputMode("complete").start()
+    try {
+      stream.addData(b1)
+      query.processAllAvailable()
+      stream.addData(b2) // second batch exercises incremental state merge
+      query.processAllAvailable()
+      val got = spark.table("tw_complete")
+        .as[(String, String, Long, Double)].collect().toSeq.sorted
+      assert(got == batchOracle(evs))
+    } finally query.stop()
+  }
+
+  test("streaming tumbling window (append mode) emits watermark-closed windows equal to batch") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs = realEvents
+    val (b1, b2) = evs.splitAt(evs.size / 2)
+    // sentinel far past the real data: advances the watermark beyond
+    // every real window's end so append mode flushes them all; the
+    // sentinel's own window stays open and must NOT be emitted
+    val sentinel = Ev(new Timestamp(evs.last.ts.getTime + 10L * 3600 * 1000), "zzz_sentinel", 0.0)
+    val stream = MemoryStream[Ev]
+    val query = StreamingQueries.tumblingWindow(stream.toDF())
+      .writeStream.format("memory").queryName("tw_append")
+      .outputMode("append").start()
+    try {
+      stream.addData(b1)
+      query.processAllAvailable()
+      stream.addData(b2)
+      query.processAllAvailable()
+      stream.addData(Seq(sentinel))
+      query.processAllAvailable()
+      val got = spark.table("tw_append")
+        .as[(String, String, Long, Double)].collect().toSeq.sorted
+      assert(got == batchOracle(evs))
+    } finally query.stop()
+  }
+
+  test("streaming word count equals naive in-memory count across batches") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lines = Seq("the quick brown fox", "jumps over the lazy dog",
+      "the fox; the dog!", "42 apples and 7 oranges")
+    val stream = MemoryStream[Line]
+    val query = StreamingQueries.wordCount(stream.toDF())
+      .writeStream.format("memory").queryName("wc_stream")
+      .outputMode("complete").start()
+    try {
+      stream.addData(lines.take(2).map(Line))
+      query.processAllAvailable()
+      stream.addData(lines.drop(2).map(Line))
+      query.processAllAvailable()
+      val got = spark.table("wc_stream")
+        .as[(String, Long)].collect().toMap
+      val want = lines.flatMap(_.split("[^a-zA-Z]+")).filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(got == want)
+    } finally query.stop()
+  }
+}
