@@ -93,14 +93,26 @@ object Dedup {
     * self-join is co-partitioned on (band, sig), so only same-bucket
     * docs ever meet — linear in corpus size for non-degenerate
     * buckets, never all-pairs.
+    *
+    * Buckets larger than `maxBucket` are skipped: a bucket of m docs
+    * implies m²/2 pairs, so one degenerate cluster (boilerplate,
+    * near-identical template docs — the sf0.1 corpus has a 2,676-doc
+    * one) would alone produce millions of pairs and re-quadratic the
+    * pipeline. Members of an over-cap bucket agree on a whole band of
+    * minhashes — they ARE near-dups of each other; handle them as a
+    * cluster (keep one representative) rather than pairwise.
     */
-  def lshCandidatePairs(bands: DataFrame): DataFrame =
-    bands.as("a")
-      .join(bands.as("b"),
+  def lshCandidatePairs(bands: DataFrame, maxBucket: Int = 64): DataFrame = {
+    val ok = bands.groupBy("band", "sig").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") <= maxBucket).select("band", "sig")
+    val b = bands.join(ok, Seq("band", "sig"))
+    b.as("a")
+      .join(b.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
 
   /** Per-band LSH bucket census: how many buckets hold ≥2 docs, how
     * many candidate pairs they imply, and the total docs per band —

@@ -42,18 +42,40 @@ object Similarity {
     dot(ad, bd) / sqrt(dot(ad, ad)) / sqrt(dot(bd, bd))
   }
 
+  /** (id, unit-norm double vector) projection of `df`: the norm is
+    * computed once per row into a column, then divided out — pair
+    * scoring downstream needs ONE dot product instead of three
+    * (dot(a,b), dot(a,a), dot(b,b)), which matters because
+    * higher-order-function lambdas evaluate interpreted, not
+    * codegen'd: at millions of candidate pairs the two norm dots are
+    * two thirds of the scoring CPU.
+    */
+  def normalized(df: DataFrame, idCol: String, vecCol: String,
+                 outId: String, outVec: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    df.select(col(idCol).as(outId), v.as("__v"))
+      .withColumn("__nrm",
+        sqrt(aggregate(col("__v"), lit(0.0d), (acc, x) => acc + x * x)))
+      .select(col(outId),
+        transform(col("__v"), x => x / col("__nrm")).as(outVec))
+  }
+
+  /** Dot product of two unit vectors = their cosine. */
+  def unitDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (p, q) => p * q), lit(0.0d), (acc, v) => acc + v)
+
   /** Exact brute-force top-k: for each row of `queries` (idCol, vecCol),
     * the k nearest corpus rows by cosine. Queries must be small enough
     * to broadcast (the usual ANN serving shape).
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = broadcast(normalized(queries, idCol, vecCol, "query_id", "qv"))
+    val c = normalized(corpus, idCol, vecCol, "neighbor_id", "cv")
     val scored = q.crossJoin(c)
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("cos"))
+        unitDot(col("qv"), col("cv")).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
@@ -105,7 +127,8 @@ object Similarity {
   def lshNearPairs(df: DataFrame, idCol: String, vecCol: String, minCos: Double,
                    nTables: Int = 4, planesPerTable: Int = 12, dim: Int = 64): DataFrame = {
     val b = lshBuckets(df, idCol, vecCol, nTables, planesPerTable, dim)
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val va = normalized(df, idCol, vecCol, "__ida", "__va")
+    val vb = normalized(df, idCol, vecCol, "__idb", "__vb")
     val cand = b.as("x")
       .join(b.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
@@ -113,9 +136,9 @@ object Similarity {
       .select(col("x.vid").as("doc_a"), col("y.vid").as("doc_b"))
       .distinct()
     cand
-      .join(v.as("va"), col("doc_a") === col("va.id"))
-      .join(v.as("vb"), col("doc_b") === col("vb.id"))
-      .select(col("doc_a"), col("doc_b"), cosine(col("va.v"), col("vb.v")).as("cos"))
+      .join(va, col("doc_a") === col("__ida"))
+      .join(vb, col("doc_b") === col("__idb"))
+      .select(col("doc_a"), col("doc_b"), unitDot(col("__va"), col("__vb")).as("cos"))
       .where(col("cos") >= minCos)
   }
 
@@ -136,11 +159,11 @@ object Similarity {
       .where(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
       .distinct()
-    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val qv = normalized(queries, idCol, vecCol, "query_id", "qv")
+    val cv = normalized(corpus, idCol, vecCol, "neighbor_id", "cv")
     val scored = cand.join(qv, "query_id").join(cv, "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("cos"))
+        unitDot(col("qv"), col("cv")).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)

@@ -19,6 +19,13 @@ object ExtQueries {
     */
   private val DfCap = 100
 
+  /** LSH bucket-size cap shared by the Spark queries and their oracles
+    * (see [[Dedup.lshCandidatePairs]]): buckets holding more docs are
+    * degenerate near-identical clusters, excluded from pairwise
+    * verification.
+    */
+  private val MaxBucket = 64
+
   /** Shared DuckDB CTE text: distinct (doc_id, token) with 32-bit hash. */
   private val tokCte =
     """tok AS (
@@ -192,9 +199,10 @@ object ExtQueries {
                ORDER BY inter DESC, doc_a, doc_b LIMIT 20""")),
 
     // The full two-stage near-dup pipeline: MinHash-LSH candidate
-    // generation, then exact Jaccard verification restricted to the
-    // candidates — the 100 TB shape (verification cost scales with
-    // candidates, not corpus²).
+    // generation (degenerate buckets > MaxBucket docs skipped — their
+    // members are cluster-dups, not pairwise work), then exact Jaccard
+    // verification restricted to the candidates — the 100 TB shape
+    // (verification cost scales with candidates, not corpus²).
     Declared(
       "ext_dedup_lsh_verified",
       (s, d) => {
@@ -202,16 +210,21 @@ object ExtQueries {
         val cands = Dedup.lshCandidatePairs(
           Dedup.lshBands(
             Dedup.minhashSignatures(Dedup.tokenHashes(docs, "doc_id", "text"), 16),
-            16, 4))
+            16, 4),
+          maxBucket = MaxBucket)
         Dedup.ngramJaccardOnCandidates(docs, "doc_id", "text", cands, DfCap)
           .where(col("inter") >= 2)
           .orderBy(col("inter").desc, col("doc_a"), col("doc_b"))
           .limit(20)
       },
       Some(s"""WITH $minhashSigCte,
+               okb AS (
+                 SELECT band, sig FROM sigs
+                 GROUP BY band, sig HAVING COUNT(*) <= $MaxBucket),
+               sig2 AS (SELECT sigs.* FROM sigs JOIN okb USING (band, sig)),
                cand AS (
                  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                 FROM sigs a JOIN sigs b
+                 FROM sig2 a JOIN sig2 b
                    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
                tp AS (
                  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
@@ -398,11 +411,11 @@ object ExtQueries {
       "ext_sim_pairs_margin",
       (s, d) => {
         val e = Tables.embeddings(s, d).where(col("vec_id") < 500)
-        val a = e.select(col("vec_id").as("a_id"), col("embedding").as("av"))
-        val b = e.select(col("vec_id").as("b_id"), col("embedding").as("bv"))
+        val a = Similarity.normalized(e, "vec_id", "embedding", "a_id", "av")
+        val b = Similarity.normalized(e, "vec_id", "embedding", "b_id", "bv")
         a.join(b, col("a_id") < col("b_id"))
           .select(col("a_id"), col("b_id"),
-            Similarity.cosine(col("av"), col("bv")).as("cos"))
+            Similarity.unitDot(col("av"), col("bv")).as("cos"))
           .where(col("cos") >= 0.3)
           .agg(count(lit(1)).as("n_pairs"),
             sum(col("a_id") + col("b_id")).as("id_checksum"))
