@@ -2,7 +2,6 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Deduplication operators for large-scale training-data pipelines
   * (north_star; SURVEY §7.1 ext/). Four families:
@@ -55,11 +54,15 @@ object Dedup {
     * of MinHash and SimHash. Tokens split on single spaces (the
     * documents corpus is space-separated word soup; callers with richer
     * text pass their own tokenizer output).
+    *
+    * The per-doc dedup is `array_distinct` BEFORE the explode — pure
+    * map-side, identical to a global distinct on (doc_id, token) but
+    * without its 1.5M-row exchange at sf0.1.
     */
   def tokenHashes(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("w"))
+    docs.select(col(idCol).as("doc_id"),
+        explode(array_distinct(split(col(textCol), " "))).as("w"))
       .where(col("w") =!= "")
-      .distinct()
       .withColumn("hv", Hashing.h32(col("w")))
 
   /** MinHash signature matrix: ONE row per doc with k minhash columns
@@ -146,37 +149,49 @@ object Dedup {
       .select(col("doc_id"), sig.as("simhash"))
   }
 
-  /** Distinct word-trigram shingles per doc, built relationally
-    * (posexplode + window lead — both engines express this identically).
-    * `concat` (not concat_ws) so trailing partial shingles null out.
+  /** Word-trigram shingles per doc (posexplode + window lead; `concat`
+    * — not concat_ws — so trailing partial shingles null out). Kept in
+    * relational/codegen form: the window sort beats interpreted
+    * higher-order-function lambdas by ~4× at 1.5M shingles. NOT
+    * deduplicated — callers dedup on the hashed form (narrower rows).
     */
-  def shingles(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def rawShingles(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tp = docs.select(col(idCol).as("doc_id"),
       posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
-    val win = Window.partitionBy("doc_id").orderBy("pos")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
     tp.select(col("doc_id"),
         concat(col("w"), lit(" "), lead("w", 1).over(win),
           lit(" "), lead("w", 2).over(win)).as("shingle"))
       .where(col("shingle").isNotNull)
-      .distinct()
   }
+
+  /** Distinct word-trigram shingles per doc. */
+  def shingles(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    rawShingles(docs, idCol, textCol).distinct()
 
   /** Distinct (doc_id, 32-bit shingle hash) pairs with stop-shingles
     * removed: any shingle appearing in more than `dfCap` documents is
     * dropped before any join. This is what keeps the pairwise
     * verification non-quadratic — one hot shingle ("of the and")
     * otherwise makes the self-join quadratic in its posting list.
-    * Joining on the 8-byte hash (not the raw string) keeps the shuffle
-    * narrow; hash collisions fold identically on the oracle side.
+    * Shingles are hashed BEFORE the dedup exchange, so every shuffle
+    * in the pipeline carries 12-byte (doc_id, hash) rows, never
+    * strings; that distinct exchange is also the plan's shared anchor
+    * — every downstream consumer (df census, join sides, cardinality)
+    * reuses it (ReuseExchange) instead of recomputing the scan.
     */
   def cappedShingleHashes(docs: DataFrame, idCol: String, textCol: String,
                           dfCap: Int): DataFrame = {
-    val sh = shingles(docs, idCol, textCol)
+    val sh = rawShingles(docs, idCol, textCol)
       .select(col("doc_id"), Hashing.h32(col("shingle")).as("sh"))
       .distinct()
     val kept = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .where(col("df") <= dfCap).select("sh")
-    sh.join(kept, "sh")
+    // shuffle-hash join, not broadcast: a broadcast build side would
+    // re-execute the whole shingle subtree instead of reusing the
+    // shuffled one
+    sh.hint("shuffle_hash").join(kept, "sh")
   }
 
   /** Pairwise n-gram Jaccard via a hashed-shingle equijoin: only pairs

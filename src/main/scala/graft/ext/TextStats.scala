@@ -87,7 +87,9 @@ object TextStats {
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val content = docs.select(col(idCol).as("doc_id"),
       Hashing.h60(col(textCol)).as("content_fp"))
-    val winnow = Dedup.shingles(docs, idCol, textCol)
+    // min of shingle hashes — dedup unnecessary under min, so this
+    // aggregates rawShingles directly (partial agg map-side)
+    val winnow = Dedup.rawShingles(docs, idCol, textCol)
       .groupBy("doc_id")
       .agg(min(Hashing.h32(col("shingle"))).as("winnow_fp"))
     content.join(winnow, "doc_id")

@@ -72,14 +72,15 @@ object DeclaredQueries {
               WHERE w <> '' GROUP BY w ORDER BY word""")),
 
     // DQ3 — inverted index, doc-frequency form (src/mrapps/indexer.go:20-39):
-    // per-document DISTINCT words, then doc counts per word.
+    // per-document DISTINCT words (array_distinct before the explode —
+    // map-side, equivalent to a global distinct on (doc_id, word) but
+    // with no exchange), then doc counts per word.
     Declared(
       "dq03_inverted_index",
       (s, d) =>
         Tables.documents(s, d)
-          .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+          .select(explode(array_distinct(tokens(col("text")))).as("word"))
           .where(col("word") =!= "")
-          .distinct()
           .groupBy("word").agg(count(lit(1)).as("n_docs"))
           .orderBy("word"),
       Some("""SELECT w AS word, COUNT(*) AS n_docs
