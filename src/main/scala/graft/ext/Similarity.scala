@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.functions.DotProduct.dot
+
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`), north_star capability.
   *
@@ -33,8 +35,6 @@ object Similarity {
     * we normalize anyway for generality.
     */
   def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0d), (acc, v) => acc + v)
     // cast to double FIRST: float32 products would round at ~1e-7 and
     // diverge from any double-math oracle near score thresholds
     val ad = a.cast("array<double>")
@@ -54,15 +54,15 @@ object Similarity {
                  outId: String, outVec: String): DataFrame = {
     val v = col(vecCol).cast("array<double>")
     df.select(col(idCol).as(outId), v.as("__v"))
-      .withColumn("__nrm",
-        sqrt(aggregate(col("__v"), lit(0.0d), (acc, x) => acc + x * x)))
+      .withColumn("__nrm", sqrt(dot(col("__v"), col("__v"))))
       .select(col(outId),
         transform(col("__v"), x => x / col("__nrm")).as(outVec))
   }
 
-  /** Dot product of two unit vectors = their cosine. */
-  def unitDot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (p, q) => p * q), lit(0.0d), (acc, v) => acc + v)
+  /** Dot product of two unit vectors = their cosine (native codegen'd
+    * [[graft.functions.DotProduct]]).
+    */
+  def unitDot(a: Column, b: Column): Column = dot(a, b)
 
   /** Exact brute-force top-k: for each row of `queries` (idCol, vecCol),
     * the k nearest corpus rows by cosine. Queries must be small enough
@@ -101,9 +101,7 @@ object Similarity {
   def bucketExpr(vecCol: Column, t: Int, planesPerTable: Int, dim: Int): Column =
     (0 until planesPerTable).map { p =>
       val plane = (0 until dim).map(j => planeComponent(t * planesPerTable + p, j))
-      val proj = aggregate(
-        zip_with(vecCol, typedlit(plane), (x, c) => x * c),
-        lit(0.0d), (acc, v) => acc + v)
+      val proj = dot(vecCol.cast("array<double>"), typedlit(plane))
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
