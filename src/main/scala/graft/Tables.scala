@@ -26,7 +26,11 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // set once per session (the graft mains set it at session build;
+      // this fallback covers ad-hoc sessions) — re-setting the same
+      // value would be racy-looking under concurrent query planning
+      if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(path)
       raw.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>

@@ -132,22 +132,36 @@ object Dedup {
       .orderBy("band")
 
   /** SimHash per doc over distinct token hashes: bit b is set when
-    * more tokens have bit b of their 32-bit hash set than clear. All
-    * `bits` (≤ 32 — the token hash is 32-bit) per-bit tallies are
-    * computed as columns of ONE aggregate — single shuffle row per
-    * doc, map-side partial agg — then folded into the signature.
+    * more tokens have bit b of their hash set than clear. All `bits`
+    * per-bit tallies are computed as columns of ONE aggregate —
+    * single shuffle row per doc, map-side partial agg — then folded
+    * into the signature. Up to 32 bits the token hash is the 32-bit
+    * [[Hashing.h32]] (oracle-portable); wider signatures (≤ 60, the
+    * real-use width) draw bits from [[Hashing.h60]].
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
-    require(bits <= 32, "token hash is 32-bit; widen Hashing.h32 before raising bits")
+    require(bits <= 60, "token hash is 60-bit; widen Hashing.h60 before raising bits")
+    val hashed =
+      if (bits <= 32) tokenHashes(docs, idCol, textCol)
+      else
+        docs.select(col(idCol).as("doc_id"),
+            explode(array_distinct(split(col(textCol), " "))).as("w"))
+          .where(col("w") =!= "")
+          .withColumn("hv", Hashing.h60(col("w")))
     val tallies = (0 until bits).map(b =>
       sum(when(expr(s"shiftright(hv, $b) & 1") === 1, 1).otherwise(-1)).as(s"s$b"))
     val sig = (0 until bits)
       .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
-    tokenHashes(docs, idCol, textCol)
+    hashed
       .groupBy("doc_id").agg(tallies.head, tallies.tail: _*)
       .select(col("doc_id"), sig.as("simhash"))
   }
+
+  /** Hamming distance between two simhash signatures — the similarity
+    * measure for SimHash-based near-dup (bit_count is codegen'd).
+    */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** Word-trigram shingles per doc (posexplode + window lead; `concat`
     * — not concat_ws — so trailing partial shingles null out). Kept in

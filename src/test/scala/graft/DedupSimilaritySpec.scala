@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Similarity}
+import graft.functions.DotProduct
+
+/** Library-level specs for the dedup + similarity operators, on small
+  * in-memory corpora where the expected answer is computable by hand
+  * (complementing the DuckDB-oracle checks that run on the testdata).
+  */
+class DedupSimilaritySpec extends SparkSpec {
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+      (2L, "the quick brown fox leaps over the lazy dog"), // near dup of 0
+      (3L, "pack my box with five dozen liquor jugs"),
+      (4L, "pack my box with five dozen liquor jugs"),     // exact dup of 3
+      (5L, "completely different text about spark engines")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exactByFingerprint keeps the smallest id per duplicate set") {
+    import spark.implicits._
+    val kept = Dedup.exactByFingerprint(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(0L, 2L, 3L, 5L))
+  }
+
+  test("exact dropDuplicates census matches distinct text count") {
+    assert(Dedup.exact(docs, Seq("text")).count() == 4)
+  }
+
+  test("ngramJaccardOnCandidates agrees with the full pairwise join on given pairs") {
+    import spark.implicits._
+    val full = Dedup.ngramJaccardPairs(docs, "doc_id", "text", dfCap = 100)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val cands = Seq((0L, 1L), (0L, 2L), (3L, 4L), (0L, 5L)).toDF("doc_a", "doc_b")
+    val sub = Dedup.ngramJaccardOnCandidates(docs, "doc_id", "text", cands, dfCap = 100)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // candidate-restricted results are exactly the full results on
+    // those pairs; (0,5) shares no shingle and must not appear
+    assert(sub == full.filter(p => Set((0L, 1L), (0L, 2L), (3L, 4L)).contains((p._1, p._2))))
+    // exact dups share everything: inter == uni
+    val d01 = sub.find(p => (p._1, p._2) == (0L, 1L)).get
+    assert(d01._3 == d01._4)
+  }
+
+  test("simhash: identical docs get identical signatures, 60-bit width works") {
+    import spark.implicits._
+    for (bits <- Seq(16, 60)) {
+      val sig = Dedup.simhash(docs, "doc_id", "text", bits)
+        .as[(Long, Long)].collect().toMap
+      assert(sig(0L) == sig(1L), s"exact dups must collide at $bits bits")
+      assert(sig(3L) == sig(4L))
+      // near-dup hamming distance strictly below the unrelated pair's
+      val near = java.lang.Long.bitCount(sig(0L) ^ sig(2L))
+      val far = java.lang.Long.bitCount(sig(0L) ^ sig(5L))
+      assert(near < far, s"bits=$bits near=$near far=$far")
+      if (bits == 60) assert(sig.values.exists(v => (v >>> 32) != 0L),
+        "60-bit signatures should populate high bits")
+    }
+  }
+
+  test("hamming column function matches Long.bitCount") {
+    import spark.implicits._
+    val r = Seq((0xF0L, 0x0FL)).toDF("a", "b")
+      .select(Dedup.hamming(col("a"), col("b"))).as[Int].collect().head
+    assert(r == 8)
+  }
+
+  test("DotProduct is bit-equal to the interpreted HOF formulation") {
+    import spark.implicits._
+    val vecs = Seq(
+      (Array(0.1, -0.2, 0.37, 1e-9), Array(0.9, 0.41, -0.11, 2e7)),
+      (Array(1.0, 2.0, 3.0, 4.0), Array(-4.0, 3.0, -2.0, 1.0))
+    ).toDF("a", "b")
+    val both = vecs.select(
+      DotProduct.dot(col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"), (p, q) => p * q),
+        lit(0.0d), (acc, v) => acc + v).as("hof"))
+      .as[(Double, Double)].collect()
+    both.foreach { case (n, h) =>
+      assert(java.lang.Double.doubleToLongBits(n) == java.lang.Double.doubleToLongBits(h))
+    }
+  }
+
+  test("lshNearPairs finds the near-dup clusters on a clustered corpus") {
+    import spark.implicits._
+    // two tight clusters + noise: vectors near e1, near e2, and random
+    val dim = 64
+    def vec(base: Int, jitter: Int): Array[Float] = {
+      val a = Array.fill(dim)(0.001f * jitter)
+      a(base) = 1.0f
+      a
+    }
+    val rows = (0 until 6).map(i => (i.toLong, vec(0, i))) ++
+      (6 until 12).map(i => (i.toLong, vec(1, i))) ++
+      Seq((12L, Array.fill(dim)(0.5f)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val pairs = Similarity.lshNearPairs(emb, "vec_id", "embedding",
+      minCos = 0.95, nTables = 4, planesPerTable = 8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // every reported pair must be within one cluster
+    pairs.foreach { case (a, b) =>
+      assert((a < 6 && b < 6) || (a >= 6 && a < 12 && b >= 6 && b < 12), s"($a,$b)")
+    }
+    // the clusters are near-identical: LSH must recover most pairs
+    assert(pairs.size >= 10, s"found only ${pairs.size} of 30 cluster pairs")
+  }
+
+  test("lshTopK ranks bucket-mates by cosine like bruteForceTopK where buckets allow") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.where(col("vec_id") < 5)
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id", "cos")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    val lsh = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 5,
+      nTables = 4, planesPerTable = 8)
+      .select("query_id", "neighbor_id", "cos")
+      .as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    // every LSH hit scores exactly what brute force scored for that pair
+    lsh.foreach { case (q, n, c) =>
+      bf.get(q).flatMap(_.get(n)).foreach(bfc => assert(math.abs(bfc - c) < 1e-12))
+    }
+  }
+}
