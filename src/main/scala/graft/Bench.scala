@@ -12,9 +12,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // absorb one-time JVM/codegen/scheduler warm-up outside the timers
+    // absorb one-time JVM/codegen/scheduler warm-up outside the timers:
+    // a generic action plus one pass over each table (parquet footer +
+    // vectorized-reader JIT). No benchmarked query plan is pre-run.
     spark.range(1000000).selectExpr("sum(id)")
       .write.format("noop").mode("overwrite").save()
+    Tables.names.foreach { t =>
+      try Tables.load(spark, sfDir, t).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] warmup $t: $e") }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink materializes every result row (count() would let

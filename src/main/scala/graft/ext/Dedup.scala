@@ -163,20 +163,23 @@ object Dedup {
     */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Word-trigram shingles per doc (posexplode + window lead; `concat`
-    * — not concat_ws — so trailing partial shingles null out). Kept in
-    * relational/codegen form: the window sort beats interpreted
-    * higher-order-function lambdas by ~4× at 1.5M shingles. NOT
+  /** Word-trigram shingles per doc, entirely map-side: the token array
+    * is zipped with its two self-shifts (`arrays_zip` pads the shorter
+    * arrays with null) and exploded; `concat` — not concat_ws — makes
+    * the trailing partial shingles null out. No posexplode+window (an
+    * exchange + sort of every token) and no interpreted lambdas — the
+    * pipeline is scan → project → generate, nothing shuffles. NOT
     * deduplicated — callers dedup on the hashed form (narrower rows).
     */
   def rawShingles(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tp = docs.select(col(idCol).as("doc_id"),
-      posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-    tp.select(col("doc_id"),
-        concat(col("w"), lit(" "), lead("w", 1).over(win),
-          lit(" "), lead("w", 2).over(win)).as("shingle"))
+    val toks = split(col(textCol), " ")
+    docs.select(col(idCol).as("doc_id"),
+        explode(arrays_zip(
+          toks.as("w0"),
+          slice(toks, lit(2), greatest(size(toks) - 1, lit(0))).as("w1"),
+          slice(toks, lit(3), greatest(size(toks) - 2, lit(0))).as("w2"))).as("z"))
+      .select(col("doc_id"),
+        concat(col("z.w0"), lit(" "), col("z.w1"), lit(" "), col("z.w2")).as("shingle"))
       .where(col("shingle").isNotNull)
   }
 
@@ -204,8 +207,14 @@ object Dedup {
       .where(col("df") <= dfCap).select("sh")
     // shuffle-hash join, not broadcast: a broadcast build side would
     // re-execute the whole shingle subtree instead of reusing the
-    // shuffled one
+    // shuffled one.
+    // The result is persisted: every caller fans it into a diamond
+    // (cardinality + both self-join sides), and exchange reuse under
+    // AQE is best-effort — without the persist the scan+shingle
+    // subtree executes up to 8×. 12-byte rows: ~n_docs × shingles/doc
+    // × 12 B, spillable (MEMORY_AND_DISK) and lineage-preserving.
     sh.hint("shuffle_hash").join(kept, "sh")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Pairwise n-gram Jaccard via a hashed-shingle equijoin: only pairs

@@ -124,9 +124,13 @@ object Similarity {
     */
   def lshNearPairs(df: DataFrame, idCol: String, vecCol: String, minCos: Double,
                    nTables: Int = 4, planesPerTable: Int = 12, dim: Int = 64): DataFrame = {
-    val b = lshBuckets(df, idCol, vecCol, nTables, planesPerTable, dim)
-    val va = normalized(df, idCol, vecCol, "__ida", "__va")
-    val vb = normalized(df, idCol, vecCol, "__idb", "__vb")
+    // buckets and unit vectors each feed two consumers (self-join
+    // sides / both pair ends) — persist so the projection runs once
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val b = lshBuckets(df, idCol, vecCol, nTables, planesPerTable, dim).persist(lvl)
+    val v = normalized(df, idCol, vecCol, "__id", "__v").persist(lvl)
+    val va = v.select(col("__id").as("__ida"), col("__v").as("__va"))
+    val vb = v.select(col("__id").as("__idb"), col("__v").as("__vb"))
     val cand = b.as("x")
       .join(b.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
