@@ -100,4 +100,33 @@ class StreamingSpec extends SparkSpec {
       assert(got == want)
     } finally query.stop()
   }
+
+  test("flatMapGroupsWithState sessionization equals the batch fold oracle") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val gapMs = 5L * 60 * 1000
+    val evs = realEvents.map(e => (e.event_type, e.ts.getTime)).sortBy(_._2)
+    val (b1, b2) = evs.splitAt(evs.size / 2)
+    // sentinel advances the watermark far enough to time out and emit
+    // every real session; its own (still-open) session is excluded
+    val sentinel = ("zzz_sentinel", evs.last._2 + 24L * 3600 * 1000)
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
+    val src = stream.toDF().select(col("_1").as("key"),
+      timestamp_millis(col("_2")).as("ts"))
+    val query = graft.streaming.Sessionize.sessions(src, gapMs)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      stream.addData(b1); query.processAllAvailable()
+      stream.addData(b2); query.processAllAvailable()
+      stream.addData(Seq(sentinel)); query.processAllAvailable()
+      val got = spark.table("sessions")
+        .select(col("key"), expr("unix_millis(start)"),
+          expr("unix_millis(end)"), col("n_events"))
+        .as[(String, Long, Long, Long)].collect().toSeq
+        .filter(_._1 != "zzz_sentinel").sorted
+      val want = graft.streaming.Sessionize.sessionizeSeq(evs, gapMs).sorted
+      assert(got == want)
+    } finally query.stop()
+  }
 }
