@@ -106,9 +106,15 @@ object Dedup {
     * cluster (keep one representative) rather than pairwise.
     */
   def lshCandidatePairs(bands: DataFrame, maxBucket: Int = 64): DataFrame = {
-    val ok = bands.groupBy("band", "sig").agg(count(lit(1)).as("cnt"))
+    // deliberately NOT persisted: the banding is ~4 narrow rows/doc
+    // and its three consumers (census + both self-join sides) reuse
+    // the aggregate exchange; measured cold runs were 1-4s SLOWER with
+    // a persist here (InMemoryRelation build + broken stage pipelining
+    // outweigh the recompute)
+    val bp = bands
+    val ok = bp.groupBy("band", "sig").agg(count(lit(1)).as("cnt"))
       .where(col("cnt") <= maxBucket).select("band", "sig")
-    val b = bands.join(ok, Seq("band", "sig"))
+    val b = bp.join(ok, Seq("band", "sig"))
     b.as("a")
       .join(b.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
