@@ -382,6 +382,43 @@ object ExtQueries {
                      COUNT(*) AS n_valid
               FROM documents""")),
 
+    // --- Relational extensions (SURVEY §2.3.4 / §2.3.7: categories
+    // absent from the reference, free in Spark) ------------------------
+
+    // Hierarchical aggregate (ROLLUP): subtotal + grand-total rows.
+    // NULLS FIRST pinned explicitly — Spark defaults nulls-first on
+    // ASC, DuckDB defaults nulls-last.
+    Declared(
+      "ext_rel_rollup",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 2).as("qty"))
+          .orderBy(col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                     ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS qty
+              FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+              ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
+    // Set operations: INTERSECT / EXCEPT (distinct semantics on both
+    // engines).
+    Declared(
+      "ext_rel_setops",
+      (s, d) => {
+        val c = Tables.customer(s, d).select(col("c_custkey"))
+        val o = Tables.orders(s, d).select(col("o_custkey").as("c_custkey"))
+        val ni = c.intersect(o).agg(count(lit(1)).as("n_intersect"))
+        val ne = c.except(o).agg(count(lit(1)).as("n_except"))
+        ni.crossJoin(ne)
+      },
+      Some("""SELECT
+                (SELECT COUNT(*) FROM
+                  (SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders)) AS n_intersect,
+                (SELECT COUNT(*) FROM
+                  (SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders)) AS n_except""")),
+
     // --- Similarity search --------------------------------------------
 
     // Integer-projected LSH bucket census per table: the correctness
