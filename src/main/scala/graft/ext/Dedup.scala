@@ -211,15 +211,15 @@ object Dedup {
       .distinct()
     val kept = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .where(col("df") <= dfCap).select("sh")
-    // shuffle-hash join, not broadcast: a broadcast build side would
-    // re-execute the whole shingle subtree instead of reusing the
-    // shuffled one.
+    // shuffle-hash join with the build table on the (small) kept set,
+    // not broadcast: a broadcast build side would re-execute the whole
+    // shingle subtree instead of reusing the shuffled one.
     // The result is persisted: every caller fans it into a diamond
     // (cardinality + both self-join sides), and exchange reuse under
     // AQE is best-effort — without the persist the scan+shingle
     // subtree executes up to 8×. 12-byte rows: ~n_docs × shingles/doc
     // × 12 B, spillable (MEMORY_AND_DISK) and lineage-preserving.
-    sh.hint("shuffle_hash").join(kept, "sh")
+    sh.join(kept.hint("shuffle_hash"), "sh")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
