@@ -1,0 +1,108 @@
+package graft
+
+import org.scalacheck.Gen
+
+import org.apache.spark.sql.functions._
+
+import graft.apps.Apps
+import graft.ext.Dedup
+
+/** Property-based tests (SURVEY §5.3): engine results vs naive
+  * in-memory oracles on generated inputs, plus the tokenizer-parity
+  * claim (§7.4) that `Character.isLetter` means Unicode category L.
+  */
+class PropertySpec extends SparkSpec {
+
+  /** Deterministic ScalaCheck sampling (scalatestplus isn't on the
+    * offline classpath; raw generators + fixed seeds are enough).
+    */
+  private def sample[A](g: Gen[A], n: Int): Seq[A] = {
+    var seed = org.scalacheck.rng.Seed(42L)
+    val out = scala.collection.mutable.ListBuffer.empty[A]
+    var tries = 0
+    while (out.size < n && tries < n * 100) {
+      g.apply(Gen.Parameters.default, seed).foreach(out += _)
+      seed = seed.next
+      tries += 1
+    }
+    out.toSeq
+  }
+
+  private val wordGen: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaChar).map(_.mkString).map(_.take(8))
+  private val docGen: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      8 -> wordGen,
+      1 -> Gen.const("42"),
+      1 -> Gen.oneOf("!", ";", "—", "7g"))).map(_.mkString(" "))
+
+  test("wordcount over the engine equals a naive Map[String,Int] count") {
+    import spark.implicits._
+    sample(Gen.listOfN(12, docGen), 10).foreach { docs =>
+      val engine = docs.toDF("text")
+        .select(explode(split(col("text"), "[^a-zA-Z]+")).as("w"))
+        .where(col("w") =!= "")
+        .groupBy("w").count()
+        .as[(String, Long)].collect().toMap
+      val naive = docs.flatMap(_.split("[^a-zA-Z]+")).filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(engine == naive)
+    }
+  }
+
+  test("tokenizer parity: Character.isLetter == Unicode general category L (sampled code points)") {
+    // the reference tokenizes with Go's unicode.IsLetter (category L);
+    // our MR-parity apps use java.lang.Character.isLetter — assert the
+    // documented equivalence on a deterministic sweep of the BMP plus
+    // supplementary samples
+    val letterCats = Set(Character.UPPERCASE_LETTER, Character.LOWERCASE_LETTER,
+      Character.TITLECASE_LETTER, Character.MODIFIER_LETTER, Character.OTHER_LETTER)
+      .map(_.toInt)
+    val samples = (0 to 0xFFFF) ++ (0x10000 to 0x2FFFF by 97)
+    samples.foreach { cp =>
+      assert(Character.isLetter(cp) == letterCats.contains(Character.getType(cp)),
+        f"code point U+$cp%04X")
+    }
+  }
+
+  test("MR wordcount app equals engine SQL path on generated docs") {
+    sample(Gen.listOfN(6, docGen), 5).foreach { docs =>
+      val viaApp = docs.zipWithIndex
+        .flatMap { case (d, i) => Apps.WordCount.map(s"f$i", d) }
+        .groupBy(_._1).view
+        .mapValues(kvs => Apps.WordCount.reduce(kvs.head._1, kvs.iterator.map(_._2)).toLong)
+        .toMap
+      val naive = docs.flatMap(Apps.tokenize(_)).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      assert(viaApp == naive)
+    }
+  }
+
+  test("minhash signatures are invariant under row order and partitioning") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c d e f g"), (1L, "c d e f g h i"), (2L, "x y z"),
+      (3L, "a b c d e f g"), (4L, "p q r s t")
+    )
+    def sigs(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      Dedup.minhashSignatures(Dedup.tokenHashes(df, "doc_id", "text"), 8)
+        .collect().map(r => r.getLong(0) -> (1 to 8).map(i => r.getLong(i))).toMap
+    val base = sigs(docs.toDF("doc_id", "text"))
+    val shuffled = sigs(docs.reverse.toDF("doc_id", "text").repartition(7))
+    assert(base == shuffled)
+    // identical docs → identical signatures
+    assert(base(0L) == base(3L))
+  }
+
+  test("jaccard inter/uni bounds: 0 < inter <= uni, symmetric under id swap") {
+    import spark.implicits._
+    sample(Gen.listOfN(5, docGen.suchThat(_.split(" ").length >= 4)), 5).foreach { docs =>
+      val df = docs.zipWithIndex.map { case (d, i) => (i.toLong, d) }.toDF("doc_id", "text")
+      val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text", dfCap = 100)
+        .as[(Long, Long, Long, Long)].collect()
+      pairs.foreach { case (a, b, inter, uni) =>
+        assert(a < b && inter > 0 && inter <= uni)
+      }
+    }
+  }
+}
