@@ -12,7 +12,7 @@ import graft.functions.DotProduct.dot
   *  - Brute-force cosine top-k: the exactness baseline. Queries are
   *    broadcast; the corpus is scanned once; per-query top-k via a
   *    rank window. Cost O(|Q|·N·d) — fine for |Q| small at any N.
-  *  - Banded multi-table sign-random-projection LSH (the scale path):
+  *  - Banded multi-table sign-random-projection LSH (a scale path):
   *    T independent tables × P hyperplanes each (AND within a table,
   *    OR across tables — the classic LSH amplification). Candidates =
   *    pairs sharing a bucket in ANY table, so the corpus×corpus
@@ -20,6 +20,11 @@ import graft.functions.DotProduct.dot
   *    Tune P ≈ log2(n) so expected random-collision candidates stay
   *    ~n per table at any corpus size; raise T (or multiprobe) for
   *    recall.
+  *  - IVF (inverted file, the other scale path): k centroids trained
+  *    by a distributed Lloyd's k-means; corpus rows are assigned to
+  *    their nearest centroid (one pure-projection argmax over k
+  *    native dot products), queries probe the `nprobe` nearest
+  *    centroid lists. Candidate cost ≈ N·nprobe/k per query.
   *
   * The hyperplanes are deterministic (md5-derived, matching
   * [[Hashing.h32]]) and are baked into the plan as ARRAY LITERALS, so
@@ -142,6 +147,91 @@ object Similarity {
       .join(vb, col("doc_b") === col("__idb"))
       .select(col("doc_a"), col("doc_b"), unitDot(col("__va"), col("__vb")).as("cos"))
       .where(col("cos") >= minCos)
+  }
+
+  // ----- IVF --------------------------------------------------------
+
+  /** `array(dot(v, c0), ..., dot(v, ck-1))` for unit-vector column `v`
+    * against literal unit centroids — each element is a native
+    * codegen'd dot product.
+    */
+  private def centroidDots(v: Column, centers: Seq[Seq[Double]]): Column =
+    array(centers.map(c => dot(v, typedlit(c))): _*)
+
+  /** 0-based index of the nearest (max-cosine) centroid. */
+  private def nearestCentroid(v: Column, centers: Seq[Seq[Double]]): Column = {
+    val dots = centroidDots(v, centers)
+    (array_position(dots, array_max(dots)) - 1).cast("int")
+  }
+
+  /** Distributed Lloyd's k-means over unit vectors, deterministic:
+    * initial centers are the k rows with the smallest md5-hash of
+    * their id (a seedless pseudo-random but reproducible pick); each
+    * iteration assigns every row to its max-dot centroid (pure
+    * projection, no shuffle) and recomputes per-dimension means with
+    * one posexplode + groupBy. Centers (k×dim doubles) collect to the
+    * driver each iteration — tiny at any corpus size; the O(N·k·d)
+    * assignment work stays on the executors.
+    */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int = 5): Array[Seq[Double]] = {
+    val v = normalized(df, idCol, vecCol, "__id", "__v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def unit(c: Seq[Double]): Seq[Double] = {
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0) c else c.map(_ / n)
+    }
+    var centers: Array[Seq[Double]] = v
+      .orderBy(Hashing.h32(concat(lit("ivf_"), col("__id").cast("string"))), col("__id"))
+      .limit(k).select("__v").collect()
+      .map(_.getSeq[Double](0))
+    for (_ <- 1 to iters) {
+      val assigned = v.select(col("__v"),
+        nearestCentroid(col("__v"), centers.toSeq).as("c"))
+      val means = assigned
+        .select(col("c"), posexplode(col("__v")).as(Seq("j", "x")))
+        .groupBy("c", "j").agg(avg("x").as("m"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      val dim = centers.head.size
+      centers = centers.zipWithIndex.map { case (old, ci) =>
+        if (means.contains((ci, 0))) unit((0 until dim).map(j => means((ci, j))))
+        else old // empty cluster keeps its previous center
+      }
+    }
+    v.unpersist()
+    centers
+  }
+
+  /** IVF ANN top-k: corpus rows live in their nearest-centroid list;
+    * each query probes its `nprobe` nearest lists and ranks those
+    * candidates exactly. The probe-list expansion is a slice of the
+    * sorted (dot, centroid) struct array — all expression-level.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              centers: Array[Seq[Double]], nprobe: Int = 4): DataFrame = {
+    val cs = centers.toSeq
+    val cv = normalized(corpus, idCol, vecCol, "neighbor_id", "cv")
+      .withColumn("c", nearestCentroid(col("cv"), cs))
+    val qn = normalized(queries, idCol, vecCol, "query_id", "qv")
+    // struct(d, i) sorts by d first; sort desc and keep nprobe indices
+    val probes = slice(
+      sort_array(
+        zip_with(centroidDots(col("qv"), cs),
+          sequence(lit(0), lit(cs.size - 1)),
+          (d, i) => struct(d.as("d"), i.as("i"))),
+        asc = false),
+      1, nprobe)
+    val qb = qn.select(col("query_id"), col("qv"),
+      explode(probes).as("p")).select(col("query_id"), col("qv"), col("p.i").as("c"))
+    val scored = qb.join(cv, "c")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        unitDot(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
   }
 
   /** ANN top-k restricted to candidates sharing an LSH bucket with the

@@ -533,6 +533,20 @@ object ExtQueries {
           "vec_id", "embedding", k = 5, nTables = 4, planesPerTable = 8)
           .orderBy("query_id", "rank")
       },
+      None),
+
+    // IVF ANN: 16 Lloyd's centroids (deterministic init), 4-probe.
+    // Float-scored listing → rows-only; exactness is pinned by the
+    // nprobe=k ≡ brute-force property in DedupSimilaritySpec.
+    Declared(
+      "ext_sim_ivf_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val centers = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 16, iters = 3)
+        Similarity.ivfTopK(emb, emb.where(col("vec_id") < 3),
+          "vec_id", "embedding", k = 5, centers, nprobe = 4)
+          .orderBy("query_id", "rank")
+      },
       None)
   )
 }

@@ -112,6 +112,43 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.size >= 10, s"found only ${pairs.size} of 30 cluster pairs")
   }
 
+  test("ivfTopK with nprobe = k probes every list and equals bruteForceTopK exactly") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.where(col("vec_id") < 5)
+    val centers = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+      centers, nprobe = 8)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)]
+      .collect().toSet
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)]
+      .collect().toSet
+    assert(ivf == bf)
+  }
+
+  test("ivfTopK recovers cluster-mates on a clustered corpus with nprobe = 1") {
+    import spark.implicits._
+    val dim = 64
+    def vec(base: Int, jitter: Int): Array[Float] = {
+      val a = Array.fill(dim)(0.001f * jitter)
+      a(base) = 1.0f
+      a
+    }
+    val rows = (0 until 8).map(i => (i.toLong, vec(0, i))) ++
+      (8 until 16).map(i => (i.toLong, vec(1, i)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val centers = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 2, iters = 4)
+    val top = Similarity.ivfTopK(emb, emb, "vec_id", "embedding", 3, centers, nprobe = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(top.nonEmpty)
+    // with converged centroids and one probe, every neighbor comes
+    // from the query's own cluster
+    top.foreach { case (q, n) =>
+      assert((q < 8) == (n < 8), s"cross-cluster neighbor ($q,$n)")
+    }
+  }
+
   test("lshTopK ranks bucket-mates by cosine like bruteForceTopK where buckets allow") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
