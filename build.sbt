@@ -32,4 +32,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // pause targeting cost ±8s run-to-run variance on the bench
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   "-XX:+UseParallelGC",
+  // 37 queries × many whole-stage-codegen classes exhaust the default
+  // 240 MB code cache mid-run; once it fills, JIT stops and random
+  // later queries run interpreted 10-30× slower
+  "-XX:ReservedCodeCacheSize=1g",
 )
