@@ -78,22 +78,26 @@ object Multimodal {
     * constant memory, no collect — and emits a fixed-width feature
     * vector fabricated from payload bytes.
     */
-  def extractFeatures(media: DataFrame, dim: Int = 4): DataFrame = {
-    val spark = media.sparkSession
+  def extractFeatures(media: DataFrame, dim: Int = 4, batchSize: Int = 64): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("feature", ArrayType(DoubleType, containsNull = false), nullable = false)))
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
-    media.select("media_id", "payload").mapPartitions { batch =>
-      batch.map { r =>
-        val id = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]](1)
-        // ??? real featurizer goes here; fake: mean of byte strides
-        val feature = Array.tabulate(dim) { d =>
-          val stride = bytes.indices.filter(_ % dim == d).map(i => bytes(i) & 0xff)
-          if (stride.isEmpty) 0.0 else stride.sum.toDouble / stride.size
+    media.select("media_id", "payload").mapPartitions { it =>
+      // explicit batches of `batchSize` rows — the shape a native/model
+      // featurizer wants (one inference call per batch, the mapInPandas
+      // arrow-batch analogue); grouped() keeps memory at one batch
+      it.grouped(batchSize).flatMap { batch =>
+        // ??? real batched featurizer goes here; fake: mean of byte strides
+        batch.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val feature = Array.tabulate(dim) { d =>
+            val stride = bytes.indices.filter(_ % dim == d).map(i => bytes(i) & 0xff)
+            if (stride.isEmpty) 0.0 else stride.sum.toDouble / stride.size
+          }
+          Row(id, feature.toSeq)
         }
-        Row(id, feature.toSeq)
       }
     }(encoder)
   }

@@ -149,6 +149,23 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("saltedJoin on a skewed key equals the plain join") {
+    import spark.implicits._
+    import graft.ext.Skew
+    // 10k rows, 90% on one hot key
+    val big = (0L until 10000L)
+      .map(i => (i, if (i % 10 == 0) s"k${i % 100}" else "hot"))
+      .toDF("row_id", "key")
+    val small = Seq(("hot", 1), ("k0", 2), ("k10", 3), ("k20", 4))
+      .toDF("key", "payload")
+    val plain = big.join(small, "key")
+      .select("row_id", "payload").as[(Long, Int)].collect().sorted.toSeq
+    val salted = Skew.saltedJoin(big, small, "key", salt = 16, distributeBy = "row_id")
+      .select("row_id", "payload").as[(Long, Int)].collect().sorted.toSeq
+    assert(salted == plain)
+    assert(plain.nonEmpty)
+  }
+
   test("lshTopK ranks bucket-mates by cosine like bruteForceTopK where buckets allow") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
