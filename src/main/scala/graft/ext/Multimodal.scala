@@ -57,6 +57,22 @@ object Multimodal {
         (octet_length(col("payload")) * 7 % 480 + 1).cast("int").as("height"),
         octet_length(col("payload")).cast("long").as("n_bytes"))
 
+  /** STUB image resize ??? — stands in for a real scaler. The fake
+    * keeps the first ceil(w·h/16) payload bytes (a deterministic
+    * "thumbnail"); the Spark-side shape is the real one — a binary→
+    * binary codegen'd projection with the new typed dimensions, no
+    * data leaving the executor.
+    */
+  def resizeImages(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val budget = (w * h + 15) / 16
+    media.where(col("media_type") === "image")
+      .select(
+        col("media_id"),
+        lit(w).as("width"),
+        lit(h).as("height"),
+        expr(s"substring(payload, 1, $budget)").as("payload"))
+  }
+
   /** STUB frame sampler ??? — stands in for video frame extraction.
     * Emits `n` byte-range "frames" per video payload via binary
     * substring: the real operator's exact plumbing (one row in, n

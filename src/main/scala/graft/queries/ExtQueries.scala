@@ -365,6 +365,24 @@ object ExtQueries {
                      CAST(SUM(LEAST(octet_length(encode(text)), 32)) AS BIGINT) AS sum_frame_bytes
               FROM documents WHERE doc_id % 3 = 2""")),
 
+    // Image resize (stub scaler, real binary->binary plumbing): the
+    // oracle derives the resized payload size arithmetically —
+    // min(orig_bytes, ceil(64*48/16)=192).
+    Declared(
+      "ext_multimodal_resize",
+      (s, d) =>
+        Multimodal.resizeImages(
+          Multimodal.fromText(Tables.documents(s, d), "doc_id", "text"), w = 64, h = 48)
+          .agg(count(lit(1)).as("n_images"),
+            sum(octet_length(col("payload"))).as("sum_resized_bytes"),
+            sum(col("width")).as("sum_width"),
+            sum(col("height")).as("sum_height")),
+      Some("""SELECT COUNT(*) AS n_images,
+                     CAST(SUM(LEAST(octet_length(encode(text)), 192)) AS BIGINT) AS sum_resized_bytes,
+                     CAST(COUNT(*) * 64 AS BIGINT) AS sum_width,
+                     CAST(COUNT(*) * 48 AS BIGINT) AS sum_height
+              FROM documents WHERE doc_id % 3 = 0""")),
+
     // Batch featurizer (mapPartitions, the mapInPandas shape): the
     // oracle pins the structural contract — one dim-4 feature row per
     // media row, every component a byte mean in [0, 255].
