@@ -27,11 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // local[32] at sf0.1 needs headroom for 32 concurrent task buffers;
-  // the box has 128 GiB — 8g caused GC-bound variance in full runs.
-  // ParallelGC: explode-heavy plans churn young-gen garbage; G1's
-  // pause targeting cost ±8s run-to-run variance on the bench
+  // the box has 128 GiB — 8g caused GC-bound variance in full runs
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-  "-XX:+UseParallelGC",
+  "-XX:+UseG1GC",
   // 37 queries × many whole-stage-codegen classes exhaust the default
   // 240 MB code cache mid-run; once it fills, JIT stops and random
   // later queries run interpreted 10-30× slower
