@@ -420,6 +420,39 @@ object ExtQueries {
               FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
               ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
 
+    // Four-dimension star join over the fact table (region → nation →
+    // supplier and part, TPC-H flavor): every dimension is broadcast,
+    // so the lineitem fact never shuffles before the final small
+    // aggregate — the canonical 100 TB star-join plan. Also the only
+    // queries exercising the part and region tables.
+    Declared(
+      "ext_rel_star_join",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val sup = broadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"))
+        val nat = broadcast(Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey"))
+        val reg = broadcast(Tables.region(s, d).select("r_regionkey", "r_name"))
+        val prt = broadcast(Tables.part(s, d).select("p_partkey", "p_brand"))
+        li.join(sup, col("l_suppkey") === col("s_suppkey"))
+          .join(nat, col("s_nationkey") === col("n_nationkey"))
+          .join(reg, col("n_regionkey") === col("r_regionkey"))
+          .join(prt, col("l_partkey") === col("p_partkey"))
+          .groupBy("r_name", "p_brand")
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2)
+              .as("revenue"))
+          .orderBy("r_name", "p_brand")
+      },
+      Some("""SELECT r_name, p_brand, COUNT(*) AS n,
+                     ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              JOIN part ON l_partkey = p_partkey
+              GROUP BY r_name, p_brand
+              ORDER BY r_name, p_brand""")),
+
     // Set operations: INTERSECT / EXCEPT (distinct semantics on both
     // engines).
     Declared(
