@@ -101,6 +101,27 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("file-source readStream (json) through the tumbling window equals batch") {
+    import spark.implicits._
+    val evs = realEvents
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
+    // two files = two discovered batches
+    val (b1, b2) = evs.splitAt(evs.size / 2)
+    b1.toDF().coalesce(1).write.mode("append").json(dir)
+    b2.toDF().coalesce(1).write.mode("append").json(dir)
+    val schema = b1.toDF().schema
+    val src = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").json(dir)
+    val query = StreamingQueries.tumblingWindow(src)
+      .writeStream.format("memory").queryName("tw_files")
+      .outputMode("complete").start()
+    try {
+      query.processAllAvailable()
+      val got = spark.table("tw_files")
+        .as[(String, String, Long, Double)].collect().toSeq.sorted
+      assert(got == batchOracle(evs))
+    } finally query.stop()
+  }
+
   test("flatMapGroupsWithState sessionization equals the batch fold oracle") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
