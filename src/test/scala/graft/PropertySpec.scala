@@ -94,6 +94,30 @@ class PropertySpec extends SparkSpec {
     assert(base(0L) == base(3L))
   }
 
+  test("Md5Prefix is bit-equal to conv(substring(md5(x),1,k),16,10) for k=8 and k=15") {
+    import spark.implicits._
+    val strGen = Gen.oneOf(
+      docGen,
+      Gen.listOf(Gen.choose(32.toChar, 0x2FFF.toChar)).map(_.mkString),
+      Gen.const(""))
+    val strings = sample(strGen, 300) ++ Seq("", " ", "a", "é中😀")
+    val df = strings.toDF("s")
+    Seq(8, 15).foreach { k =>
+      val rows = df.select(
+          graft.functions.Md5Prefix.md5Prefix(col("s"), k).as("fast"),
+          conv(substring(md5(col("s")), 1, k), 16, 10).cast("long").as("slow"))
+        .collect()
+      rows.foreach(r => assert(r.getLong(0) == r.getLong(1), s"k=$k"))
+      // interpreted path (no codegen) agrees too
+      strings.foreach { s =>
+        val viaEval = graft.functions.Md5Prefix.prefix(s.getBytes("UTF-8"), k)
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString.take(k)
+        assert(viaEval == java.lang.Long.parseLong(hex, 16))
+      }
+    }
+  }
+
   test("jaccard inter/uni bounds: 0 < inter <= uni, symmetric under id swap") {
     import spark.implicits._
     sample(Gen.listOfN(5, docGen.suchThat(_.split(" ").length >= 4)), 5).foreach { docs =>
