@@ -14,6 +14,34 @@ final case class Declared(
     df: (SparkSession, String) => DataFrame,
     sql: Option[String])
 
+/** Exact 2-decimal fixed-point aggregation as integer "cents".
+  *
+  * The money/quantity columns are 2-decimal fixed-point by
+  * construction, but Spark's `sum(DECIMAL)` runs ~20× slower than an
+  * integer sum (per-row Decimal boxing in the agg buffer). Summing
+  * `round(x*100)::long` instead is exactly equal — each value is the
+  * nearest double to a 2-decimal number, so x*100 is within 1e-9 of
+  * an integer and `round` recovers it losslessly — and stays inside
+  * codegen'd long arithmetic. Emission divides back and rounds, same
+  * formula on the DuckDB twin.
+  *
+  * 100 TB note: a per-group cent sum overflows long only past ~9e16
+  * currency units per group; TPC-H-scale groups are orders of
+  * magnitude below. Overflow-sensitive pipelines keep the DECIMAL
+  * path ([[DeclaredQueries]]' `dec`).
+  */
+private[queries] object FixedPoint {
+  /** Long-cents SUM of a 2-decimal fixed-point double column.
+    * DuckDB twin: `SUM(CAST(round(x*100) AS BIGINT))`.
+    */
+  def sumCents(c: Column): Column = sum(round(c * 100).cast("long"))
+
+  /** Emit a cents sum as the canonical rounded double.
+    * DuckDB twin: `ROUND(CAST(s AS DOUBLE)/100.0, 2)`.
+    */
+  def outCents(c: Column): Column = round(c.cast("double") / 100.0, 2)
+}
+
 /** DQ1–DQ16 — the declared query inventory of SURVEY.md §2.4.
   *
   * Canonicalization protocol (shared with the DuckDB oracle):
@@ -41,6 +69,10 @@ object DeclaredQueries {
     * zeros ('104997.90' vs '104997.9') and fails the hash gate.
     */
   private def outDec(c: Column): Column = round(c.cast("double"), 2)
+
+  /** Exact fixed-point(2) SUM at integer speed (see [[FixedPoint]]). */
+  private def sumCents(c: Column): Column = FixedPoint.sumCents(c)
+  private def outCents(c: Column): Column = FixedPoint.outCents(c)
 
   /** wc.go tokenizer analogue, engine-neutral ASCII class (SURVEY §7.4):
     * split on runs of non-letters, drop empty tokens.
@@ -124,7 +156,7 @@ object DeclaredQueries {
           .select(lit("orders").as("src"), col("n"))
         val l = Tables.lineitem(s, d).agg(count(lit(1)).as("n"))
           .select(lit("lineitem").as("src"), col("n"))
-        o.unionAll(l).orderBy("src")
+        o.union(l).orderBy("src")
       },
       Some("""SELECT src, n FROM (
                 SELECT 'orders' AS src, COUNT(*) AS n FROM orders
@@ -158,18 +190,19 @@ object DeclaredQueries {
       Some("SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type ORDER BY event_type")),
 
     // DQ9 — multi-column numeric aggregation (generalized reduce, E8).
+    // Sums run as exact long "cents" ([[FixedPoint]]), not DECIMAL.
     Declared(
       "dq09_numeric_agg",
       (s, d) =>
         Tables.lineitem(s, d)
           .groupBy("l_returnflag", "l_linestatus")
-          .agg(outDec(sum(dec(col("l_quantity")))).as("sum_qty"),
-            outDec(sum(dec(col("l_extendedprice")))).as("sum_price"),
+          .agg(outCents(sumCents(col("l_quantity"))).as("sum_qty"),
+            outCents(sumCents(col("l_extendedprice"))).as("sum_price"),
             count(lit(1)).as("n"))
           .orderBy("l_returnflag", "l_linestatus"),
       Some("""SELECT l_returnflag, l_linestatus,
-                     ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
-                     ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price,
+                     ROUND(CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0, 2) AS sum_qty,
+                     ROUND(CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0, 2) AS sum_price,
                      COUNT(*) AS n
               FROM lineitem GROUP BY l_returnflag, l_linestatus
               ORDER BY l_returnflag, l_linestatus""")),

@@ -412,11 +412,11 @@ object ExtQueries {
         Tables.lineitem(s, d)
           .rollup("l_returnflag", "l_linestatus")
           .agg(count(lit(1)).as("n"),
-            round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 2).as("qty"))
+            FixedPoint.outCents(FixedPoint.sumCents(col("l_quantity"))).as("qty"))
           .orderBy(col("l_returnflag").asc_nulls_first,
             col("l_linestatus").asc_nulls_first),
       Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-                     ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS qty
+                     ROUND(CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0, 2) AS qty
               FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
               ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
 
@@ -439,12 +439,11 @@ object ExtQueries {
           .join(prt, col("l_partkey") === col("p_partkey"))
           .groupBy("r_name", "p_brand")
           .agg(count(lit(1)).as("n"),
-            round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2)
-              .as("revenue"))
+            FixedPoint.outCents(FixedPoint.sumCents(col("l_extendedprice"))).as("revenue"))
           .orderBy("r_name", "p_brand")
       },
       Some("""SELECT r_name, p_brand, COUNT(*) AS n,
-                     ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+                     ROUND(CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0, 2) AS revenue
               FROM lineitem
               JOIN supplier ON l_suppkey = s_suppkey
               JOIN nation ON s_nationkey = n_nationkey
