@@ -22,23 +22,44 @@ object TextStats {
     "de" -> Seq("der", "die", "und", "ist", "das"),
     "fr" -> Seq("le", "la", "et", "les", "des"))
 
-  private def hits(textCol: Column, words: Seq[String]): Column =
-    size(filter(split(textCol, " "), x => x.isin(words.map(lit(_)): _*)))
-
-  /** Heuristic language-ID: argmax of stopword hit counts with a fixed
-    * tie-break order (list order above), 'und' (undetermined) when no
-    * list hits. Pure CASE/array arithmetic — identical in DuckDB.
+  /** Argmax over per-language score columns with a fixed
+    * first-listed-wins tie-break, 'und' when no list hits. The inputs
+    * MUST be cheap references (each score is referenced up to
+    * 2·|langs|−1 times in the CASE tree) — see [[withLangId]].
     */
-  def langId(textCol: Column): Column = {
-    val scored = stopwords.map { case (lang, words) => (lang, hits(textCol, words)) }
-    // argmax with first-listed-wins tie-break: lang wins if its score is
-    // strictly greater than every earlier lang's and >= every later one.
-    val best = scored.zipWithIndex.foldLeft(lit("und")) { case (acc, ((lang, score), idx)) =>
+  private def argmaxLang(scored: Seq[(String, Column)]): Column =
+    scored.zipWithIndex.foldLeft(lit("und")) { case (acc, ((lang, score), idx)) =>
       val beatsEarlier = scored.take(idx).map(_._2).foldLeft(lit(true))((a, s) => a && score > s)
       val tiesLater = scored.drop(idx + 1).map(_._2).foldLeft(lit(true))((a, s) => a && score >= s)
       when(score > 0 && beatsEarlier && tiesLater, lang).otherwise(acc)
     }
-    best
+
+  /** Heuristic language-ID: argmax of stopword hit counts, appended to
+    * `docs` as column `out`. Two projections, deliberately staged so
+    * the expensive work runs ONCE per row:
+    *
+    *   1. score: ONE fused tokenize+count pass over the text bytes
+    *      ([[graft.functions.StopwordHits]]) emitting an array<int> of
+    *      per-language hits — no token array is ever materialized;
+    *   2. argmax: a CASE tree over cheap element_at references.
+    *
+    * The staged `__scores` alias is non-cheap and multiply-referenced,
+    * so Catalyst's CollapseProject keeps the boundary — a single-Column
+    * formulation instead inlines the whole scoring tree at every CASE
+    * reference (28 copies of `split(text)` for 4 languages — 28
+    * redundant tokenization passes per row at scale), and even staged
+    * `size(filter(split))` columns pay an interpreted lambda per token
+    * per language (~2× the parquet text-scan cost measured at sf0.1).
+    */
+  def withLangId(docs: DataFrame, textCol: String, out: String = "predicted"): DataFrame = {
+    val keep = docs.columns.toSeq.map(col)
+    val scored = docs.select(
+      keep :+ graft.functions.StopwordHits
+        .stopwordHits(col(textCol), stopwords.map(_._2)).as("__scores"): _*)
+    val refs = stopwords.zipWithIndex.map { case ((lang, _), i) =>
+      (lang, col("__scores")(i))
+    }
+    scored.select(keep :+ argmaxLang(refs).as(out): _*)
   }
 
   /** Quality features per document: token count, distinct-token count,

@@ -288,8 +288,7 @@ object ExtQueries {
     Declared(
       "ext_text_langid",
       (s, d) =>
-        Tables.documents(s, d)
-          .select(col("lang"), TextStats.langId(col("text")).as("predicted"))
+        TextStats.withLangId(Tables.documents(s, d).select("lang", "text"), "text")
           .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
           .orderBy("lang", "predicted"),
       Some("""WITH s AS (SELECT lang,

@@ -108,6 +108,13 @@ class PropertySpec extends SparkSpec {
           conv(substring(md5(col("s")), 1, k), 16, 10).cast("long").as("slow"))
         .collect()
       rows.foreach(r => assert(r.getLong(0) == r.getLong(1), s"k=$k"))
+      // null propagates as null on both paths (default UnaryExpression
+      // null semantics, isNull codegen)
+      val nullRow = Seq(Option.empty[String]).toDF("s").select(
+          graft.functions.Md5Prefix.md5Prefix(col("s"), k).as("fast"),
+          conv(substring(md5(col("s")), 1, k), 16, 10).cast("long").as("slow"))
+        .collect().head
+      assert(nullRow.isNullAt(0) && nullRow.isNullAt(1), s"k=$k null propagation")
       // interpreted path (no codegen) agrees too
       strings.foreach { s =>
         val viaEval = graft.functions.Md5Prefix.prefix(s.getBytes("UTF-8"), k)
@@ -116,6 +123,35 @@ class PropertySpec extends SparkSpec {
         assert(viaEval == java.lang.Long.parseLong(hex, 16))
       }
     }
+  }
+
+  test("StopwordHits equals the size(filter(split)) formulation, incl. nulls and empty tokens") {
+    import spark.implicits._
+    import graft.ext.TextStats.stopwords
+    val lists = stopwords.map(_._2)
+    val vocab = lists.flatten ++ Seq("zzz", "la", "de", "", "und")
+    val textGen = Gen.listOf(Gen.oneOf(vocab)).map(_.mkString(" "))
+    val texts = sample(textGen, 200).map(Option(_)) ++
+      Seq(None, Some(""), Some("  "), Some(" the  the "), Some("la la de"))
+    val df = texts.toDF("s")
+    val hofCols = lists.zipWithIndex.map { case (ws, i) =>
+      size(filter(split(col("s"), " "), x => x.isin(ws.map(lit(_)): _*))).as(s"h$i")
+    }
+    val rows = df.select(
+      graft.functions.StopwordHits.stopwordHits(col("s"), lists).as("fast") +: hofCols: _*)
+      .collect()
+    rows.foreach { r =>
+      if (r.isNullAt(0)) assert((1 to lists.size).forall(i => r.isNullAt(i) || r.getInt(i) == -1))
+      else {
+        val fast = r.getSeq[Int](0)
+        val slow = (1 to lists.size).map(r.getInt)
+        assert(fast == slow, s"row $r")
+      }
+    }
+    // null in → null out (never a zero array)
+    assert(df.where(col("s").isNull)
+      .select(graft.functions.StopwordHits.stopwordHits(col("s"), lists))
+      .collect().head.isNullAt(0))
   }
 
   test("jaccard inter/uni bounds: 0 < inter <= uni, symmetric under id swap") {
