@@ -82,6 +82,9 @@ object Dedup {
     * docs sharing (band, sig) are near-dup candidates.
     */
   def lshBands(sigs: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
+    require(k % rowsPerBand == 0,
+      s"k=$k must be a multiple of rowsPerBand=$rowsPerBand " +
+        "(trailing minhashes would be silently dropped)")
     val nBands = k / rowsPerBand
     val bandStructs = (0 until nBands).map { b =>
       struct(lit(b).as("band"),

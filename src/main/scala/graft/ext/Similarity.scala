@@ -146,7 +146,12 @@ object Similarity {
       .join(va, col("doc_a") === col("__ida"))
       .join(vb, col("doc_b") === col("__idb"))
       .select(col("doc_a"), col("doc_b"), unitDot(col("__va"), col("__vb")).as("cos"))
-      .where(col("cos") >= minCos)
+      // threshold on the 9-dp-quantized score: engines differ in the
+      // last ulps of a double cosine (summation order), so a raw
+      // `cos >= t` flips membership for scores within ~1e-15 of t;
+      // rounding to 1e-9 first (both engines, same rule) makes the
+      // comparison deterministic across engines
+      .where(round(col("cos"), 9) >= minCos)
   }
 
   // ----- IVF --------------------------------------------------------

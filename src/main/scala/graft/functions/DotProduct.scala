@@ -33,10 +33,12 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData].toDoubleArray()
     val y = b.asInstanceOf[ArrayData].toDoubleArray()
-    val n = math.min(x.length, y.length)
+    // mismatched dimensions are an upstream bug (corrupt embedding,
+    // wrong literal): fail loudly instead of silently truncating
+    if (x.length != y.length) throw DotProduct.mismatch(x.length, y.length)
     var s = 0.0
     var i = 0
-    while (i < n) { s += x(i) * y(i); i += 1 }
+    while (i < x.length) { s += x(i) * y(i); i += 1 }
     s
   }
 
@@ -44,15 +46,16 @@ case class DotProduct(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
-      val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
          |double[] $x = $a.toDoubleArray();
          |double[] $y = $b.toDoubleArray();
-         |int $n = Math.min($x.length, $y.length);
+         |if ($x.length != $y.length) {
+         |  throw graft.functions.DotProduct.mismatch($x.length, $y.length);
+         |}
          |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) { $s += $x[$i] * $y[$i]; }
+         |for (int $i = 0; $i < $x.length; $i++) { $s += $x[$i] * $y[$i]; }
          |${ev.value} = $s;
        """.stripMargin
     })
@@ -69,4 +72,9 @@ object DotProduct {
   def dot(a: Column, b: Column): Column =
     ColumnShim.column(
       DotProduct(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** Shared by eval and generated code. */
+  def mismatch(na: Int, nb: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"graft_dot: mismatched array lengths ($na vs $nb) — upstream dimension bug")
 }

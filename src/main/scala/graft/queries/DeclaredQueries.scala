@@ -25,16 +25,29 @@ final case class Declared(
   * codegen'd long arithmetic. Emission divides back and rounds, same
   * formula on the DuckDB twin.
   *
-  * 100 TB note: a per-group cent sum overflows long only past ~9e16
-  * currency units per group; TPC-H-scale groups are orders of
-  * magnitude below. Overflow-sensitive pipelines keep the DECIMAL
-  * path ([[DeclaredQueries]]' `dec`).
+  * 100 TB note: a long cents sum wraps SILENTLY (non-ANSI Spark)
+  * past Long.MaxValue ≈ 9.2e18 cents ≈ 9.2e16 currency units per
+  * group — and a DuckDB oracle would NOT catch it (SUM(BIGINT)
+  * promotes to HUGEINT, so only the Spark side wraps). DQ9-shaped
+  * groups at 100 TB TPC-H scale reach ~1e18 cents: inside the range
+  * but only ~8× headroom, not "orders of magnitude". When per-group
+  * sums can approach ~1e18 cents, use [[sumCentsExact]]
+  * (DECIMAL(38,0) accumulation — overflow-proof, ~20× slower) or
+  * run with spark.sql.ansi.enabled=true so overflow fails loudly.
   */
 private[queries] object FixedPoint {
   /** Long-cents SUM of a 2-decimal fixed-point double column.
     * DuckDB twin: `SUM(CAST(round(x*100) AS BIGINT))`.
     */
   def sumCents(c: Column): Column = sum(round(c * 100).cast("long"))
+
+  /** Overflow-proof fallback: cents accumulated in DECIMAL(38,0).
+    * Same values as [[sumCents]] while the long path is in range;
+    * required once per-group sums approach ~1e18 cents (see object
+    * doc). DuckDB twin: `SUM(CAST(round(x*100) AS HUGEINT))`.
+    */
+  def sumCentsExact(c: Column): Column =
+    sum(round(c * 100).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
 
   /** Emit a cents sum as the canonical rounded double.
     * DuckDB twin: `ROUND(CAST(s AS DOUBLE)/100.0, 2)`.

@@ -279,7 +279,7 @@ object ExtQueries {
                  SELECT a, b FROM cand
                  JOIN embeddings ea ON ea.vec_id = a
                  JOIN embeddings eb ON eb.vec_id = b
-                 WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) >= 0.3)
+                 WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 9) >= 0.3)
                SELECT (SELECT COUNT(*) FROM pr) AS n_pairs,
                       (SELECT COUNT(DISTINCT dd) FROM
                         (SELECT a AS dd FROM pr UNION ALL SELECT b FROM pr)) AS n_docs""")),
@@ -502,7 +502,8 @@ object ExtQueries {
         a.join(b, col("a_id") < col("b_id"))
           .select(col("a_id"), col("b_id"),
             Similarity.unitDot(col("av"), col("bv")).as("cos"))
-          .where(col("cos") >= 0.3)
+          // 9-dp quantize before the threshold (see lshNearPairs note)
+          .where(round(col("cos"), 9) >= 0.3)
           .agg(count(lit(1)).as("n_pairs"),
             sum(col("a_id") + col("b_id")).as("id_checksum"))
       },
@@ -513,7 +514,7 @@ object ExtQueries {
                     FROM e a JOIN e b ON a.vec_id < b.vec_id)
               SELECT COUNT(*) AS n_pairs,
                      CAST(SUM(a_id + b_id) AS BIGINT) AS id_checksum
-              FROM p WHERE c >= 0.3""")),
+              FROM p WHERE round(c, 9) >= 0.3""")),
 
     // Recall of banded LSH top-10 against the brute-force top-10 for a
     // query panel — integers (hit counts), so oracle-checkable.

@@ -88,6 +88,32 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("DotProduct fails loudly on mismatched array lengths (both eval paths)") {
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(DotProduct.dot(col("a"), col("b"))).collect()
+    }
+    def root(t: Throwable): Throwable = Option(t.getCause).map(root).getOrElse(t)
+    assert(root(e).getMessage.contains("mismatched array lengths"))
+    // interpreted path too
+    val e2 = intercept[IllegalArgumentException] {
+      graft.functions.DotProduct(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(Array(1.0), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
+        org.apache.spark.sql.catalyst.expressions.Literal.create(Array(1.0, 2.0), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
+      ).eval(null)
+    }
+    assert(e2.getMessage.contains("mismatched array lengths"))
+  }
+
+  test("lshBands rejects k not divisible by rowsPerBand") {
+    import spark.implicits._
+    val sigs = Dedup.minhashSignatures(Dedup.tokenHashes(docs, "doc_id", "text"), 6)
+    intercept[IllegalArgumentException] {
+      Dedup.lshBands(sigs, 6, 4)
+    }
+  }
+
   test("lshNearPairs finds the near-dup clusters on a clustered corpus") {
     import spark.implicits._
     // two tight clusters + noise: vectors near e1, near e2, and random
