@@ -208,23 +208,25 @@ object Dedup {
     * reuses it (ReuseExchange) instead of recomputing the scan.
     */
   def cappedShingleHashes(docs: DataFrame, idCol: String, textCol: String,
-                          dfCap: Int): DataFrame = {
-    val sh = rawShingles(docs, idCol, textCol)
-      .select(col("doc_id"), Hashing.h32(col("shingle")).as("sh"))
-      .distinct()
-    val kept = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-      .where(col("df") <= dfCap).select("sh")
-    // shuffle-hash join with the build table on the (small) kept set,
-    // not broadcast: a broadcast build side would re-execute the whole
-    // shingle subtree instead of reusing the shuffled one.
-    // The result is persisted: every caller fans it into a diamond
-    // (cardinality + both self-join sides), and exchange reuse under
-    // AQE is best-effort — without the persist the scan+shingle
-    // subtree executes up to 8×. 12-byte rows: ~n_docs × shingles/doc
-    // × 12 B, spillable (MEMORY_AND_DISK) and lineage-preserving.
-    sh.join(kept.hint("shuffle_hash"), "sh")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-  }
+                          dfCap: Int): DataFrame =
+    PlanCache.cached(s"cappedShingles/$idCol/$textCol/$dfCap", docs) { d =>
+      val sh = rawShingles(d, idCol, textCol)
+        .select(col("doc_id"), Hashing.h32(col("shingle")).as("sh"))
+        .distinct()
+      val kept = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .where(col("df") <= dfCap).select("sh")
+      // shuffle-hash join with the build table on the (small) kept set,
+      // not broadcast: a broadcast build side would re-execute the whole
+      // shingle subtree instead of reusing the shuffled one.
+      // The result is persisted (via PlanCache, one relation per input
+      // plan, releasable with PlanCache.clear()): every caller fans it
+      // into a diamond (cardinality + both self-join sides), and
+      // exchange reuse under AQE is best-effort — without the persist
+      // the scan+shingle subtree executes up to 8×. 12-byte rows:
+      // ~n_docs × shingles/doc × 12 B, spillable (MEMORY_AND_DISK) and
+      // lineage-preserving.
+      sh.join(kept.hint("shuffle_hash"), "sh")
+    }
 
   /** Pairwise n-gram Jaccard via a hashed-shingle equijoin: only pairs
     * sharing ≥1 (non-capped) shingle are ever materialized. Emits

@@ -1,0 +1,56 @@
+package graft.ext
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Lifecycle manager for the library's persisted intermediate
+  * relations.
+  *
+  * Several operators fan one expensive subtree into a diamond
+  * (capped shingle hashes, LSH buckets, unit vectors) and persist it
+  * so the subtree executes once. Left unmanaged, every call persists
+  * a fresh copy of an identical plan: Spark's CacheManager warns
+  * "Asked to cache already cached data" on each repeat, and the
+  * relations accumulate in session storage until the session dies —
+  * a real leak on a long-lived pipeline that builds these queries
+  * many times.
+  *
+  * `cached` memoizes ONE persisted DataFrame per (tag, canonicalized
+  * input plan): repeated calls with a semantically-equal input reuse
+  * the already-persisted relation (no warning, no duplicate storage,
+  * no recompute), while different inputs (another sf dir, another
+  * table) get their own entry. `clear()` unpersists everything — the
+  * bracket for pipelines that want deterministic release.
+  *
+  * The tag must encode every build parameter that changes the result
+  * (e.g. `"cappedShingles/doc_id/text/100"`) — the cache trusts it.
+  */
+object PlanCache {
+  private val cache = TrieMap.empty[
+    (String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), DataFrame]
+
+  /** Build-or-reuse a persisted relation derived from `input`. */
+  def cached(tag: String, input: DataFrame)(build: DataFrame => DataFrame): DataFrame = {
+    // key on the canonicalized plan OBJECT (structural equality — the
+    // same rule CacheManager's sameResult uses): plan TEXT truncates
+    // LocalRelation data, so two in-memory inputs with equal schemas
+    // would collide, and an Int semanticHash collision would silently
+    // serve the wrong relation
+    val key = (tag, input.queryExecution.analyzed.canonicalized)
+    cache.getOrElseUpdate(key,
+      build(input).persist(StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** Unpersist and drop every cached relation (blocking=false: lazy
+    * executor-side release).
+    */
+  def clear(): Unit = {
+    cache.values.foreach(_.unpersist(false))
+    cache.clear()
+  }
+
+  /** Number of live cached relations (for specs/diagnostics). */
+  def size: Int = cache.size
+}

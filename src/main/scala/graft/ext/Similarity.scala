@@ -130,10 +130,13 @@ object Similarity {
   def lshNearPairs(df: DataFrame, idCol: String, vecCol: String, minCos: Double,
                    nTables: Int = 4, planesPerTable: Int = 12, dim: Int = 64): DataFrame = {
     // buckets and unit vectors each feed two consumers (self-join
-    // sides / both pair ends) — persist so the projection runs once
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val b = lshBuckets(df, idCol, vecCol, nTables, planesPerTable, dim).persist(lvl)
-    val v = normalized(df, idCol, vecCol, "__id", "__v").persist(lvl)
+    // sides / both pair ends) — persist via PlanCache so the
+    // projection runs once per input AND repeated calls reuse one
+    // relation instead of leaking a new cached copy each time
+    val b = PlanCache.cached(s"lshBuckets/$idCol/$vecCol/$nTables/$planesPerTable/$dim", df)(
+      lshBuckets(_, idCol, vecCol, nTables, planesPerTable, dim))
+    val v = PlanCache.cached(s"unitVecs/$idCol/$vecCol", df)(
+      normalized(_, idCol, vecCol, "__id", "__v"))
     val va = v.select(col("__id").as("__ida"), col("__v").as("__va"))
     val vb = v.select(col("__id").as("__idb"), col("__v").as("__vb"))
     val cand = b.as("x")
@@ -155,6 +158,36 @@ object Similarity {
   }
 
   // ----- IVF --------------------------------------------------------
+
+  /** A built IVF index: k unit centroids (k×dim doubles — driver-side
+    * by design, the only data an IVF index needs beyond the corpus
+    * itself). Build once, query many times — the ANN serving shape; a
+    * production pipeline would persist `centers` alongside the corpus.
+    */
+  final case class IvfIndex(centers: Array[Seq[Double]]) {
+    def k: Int = centers.length
+  }
+
+  object IvfIndex {
+    private val memo = scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String), IvfIndex]
+
+    /** Build (or reuse) the index for `corpus`: memoized on the
+      * corpus's canonicalized plan + build params, so repeated query
+      * construction over the same table trains Lloyd's k-means once.
+      * `clear()` drops the memo (e.g. after the corpus is rewritten).
+      */
+    def build(corpus: DataFrame, idCol: String, vecCol: String,
+              k: Int, iters: Int = 5): IvfIndex = {
+      // canonicalized plan OBJECT, not text — see PlanCache.cached
+      val key = (corpus.queryExecution.analyzed.canonicalized,
+        s"$idCol/$vecCol/$k/$iters")
+      memo.getOrElseUpdate(key,
+        IvfIndex(kmeansCentroids(corpus, idCol, vecCol, k, iters)))
+    }
+
+    def clear(): Unit = memo.clear()
+  }
 
   /** `array(dot(v, c0), ..., dot(v, ck-1))` for unit-vector column `v`
     * against literal unit centroids — each element is a native
@@ -180,8 +213,12 @@ object Similarity {
     */
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
                       k: Int, iters: Int = 5): Array[Seq[Double]] = {
-    val v = normalized(df, idCol, vecCol, "__id", "__v")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // shared via PlanCache with lshNearPairs' unit-vector relation
+    // (same tag ⇒ same persisted data when run over the same corpus);
+    // an explicit unpersist here would drop the shared cache out from
+    // under concurrent consumers — release is PlanCache.clear()
+    val v = PlanCache.cached(s"unitVecs/$idCol/$vecCol", df)(
+      normalized(_, idCol, vecCol, "__id", "__v"))
     def unit(c: Seq[Double]): Seq[Double] = {
       val n = math.sqrt(c.map(x => x * x).sum)
       if (n == 0) c else c.map(_ / n)
@@ -203,7 +240,6 @@ object Similarity {
         else old // empty cluster keeps its previous center
       }
     }
-    v.unpersist()
     centers
   }
 

@@ -114,6 +114,21 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("PlanCache memoizes one persisted relation per semantic input; clear releases") {
+    import graft.ext.PlanCache
+    PlanCache.clear()
+    // `docs` is a def: each call builds a NEW DataFrame with an equal
+    // canonicalized plan — the cache must key semantically, not by ref
+    val a = Dedup.cappedShingleHashes(docs, "doc_id", "text", 100)
+    val b = Dedup.cappedShingleHashes(docs, "doc_id", "text", 100)
+    assert(a eq b, "second call must reuse the memoized persisted relation")
+    assert(PlanCache.size == 1)
+    val c = Dedup.cappedShingleHashes(docs, "doc_id", "text", 50)
+    assert(!(c eq a) && PlanCache.size == 2, "different dfCap is a different relation")
+    PlanCache.clear()
+    assert(PlanCache.size == 0)
+  }
+
   test("lshNearPairs finds the near-dup clusters on a clustered corpus") {
     import spark.implicits._
     // two tight clusters + noise: vectors near e1, near e2, and random
