@@ -6,11 +6,11 @@ import org.apache.spark.sql.functions._
 
 /** Declared queries for the LLM-pipeline extension operators
   * (north_star): dedup, text analysis, similarity search, multimodal.
-  * Oracle SQL is provided wherever the operator is expressible in
-  * DuckDB SQL with engine-portable arithmetic (integer-only outputs,
-  * md5-based hashing — see [[graft.ext.Hashing]]); only the two
-  * float-scored top-k listings remain rows-only, and their correctness
-  * is covered by the integer-projected census/margin/recall queries.
+  * EVERY query carries a DuckDB oracle SQL twin with engine-portable
+  * arithmetic (integer-only outputs, md5-based hashing — see
+  * [[graft.ext.Hashing]]); float-scored top-k machinery is checked
+  * through tie-safe integer projections ([[topkChecksum]]) plus the
+  * census/margin/recall queries.
   */
 object ExtQueries {
 
@@ -562,44 +562,113 @@ object ExtQueries {
                       (SELECT COUNT(*) FROM bf JOIN lsh
                         ON bf.qid = lsh.qid AND bf.nid = lsh.nid) AS n_hits""")),
 
-    // Float-scored top-k listings (exact baseline + ANN serving path):
-    // rows-only by design; their machinery is oracle-covered by the
-    // census/margin/recall queries above.
+    // Top-k queries, emitted as tie-safe integer projections so each
+    // is hash-checked end to end (previously rows-only float
+    // listings). See [[topkChecksum]]: raw rank-k listings are
+    // engine-dependent when scores tie within double noise; the
+    // projection is not. The float listings remain the library API
+    // (bruteForceTopK / lshTopK / ivfTopK).
     Declared(
       "ext_sim_cosine_topk",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 3),
-          "vec_id", "embedding", k = 5)
-          .orderBy("query_id", "rank")
+        topkChecksum(Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 3),
+          "vec_id", "embedding", k = 5))
       },
-      None),
+      Some(s"""WITH $bruteTopCte
+               $topkChecksumSql""")),
 
     Declared(
       "ext_sim_lsh_topk",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        Similarity.lshTopK(emb, emb.where(col("vec_id") < 3),
-          "vec_id", "embedding", k = 5, nTables = 4, planesPerTable = 8)
-          .orderBy("query_id", "rank")
+        topkChecksum(Similarity.lshTopK(emb, emb.where(col("vec_id") < 3),
+          "vec_id", "embedding", k = 5, nTables = 4, planesPerTable = 8))
       },
-      None),
+      Some(s"""WITH $lshBuckCte,
+               sc0 AS (
+                 SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+                 FROM buck qb JOIN buck cb
+                   ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+                  AND qb.vec_id < 3 AND qb.vec_id <> cb.vec_id),
+               sc AS (
+                 SELECT query_id, neighbor_id,
+                        list_cosine_similarity(eq.embedding::DOUBLE[], en.embedding::DOUBLE[]) AS cos
+                 FROM sc0
+                 JOIN embeddings eq ON eq.vec_id = query_id
+                 JOIN embeddings en ON en.vec_id = neighbor_id),
+               $rankTopKthCte
+               $topkChecksumSql""")),
 
-    // IVF ANN: 16 Lloyd's centroids (deterministic init), 4-probe.
-    // Float-scored listing → rows-only; exactness is pinned by the
-    // nprobe=k ≡ brute-force property in DedupSimilaritySpec.
-    // Similarity.IvfIndex.build memoizes the training per corpus —
-    // the realistic serving shape (the IVF index is built once,
-    // queried many times).
+    // IVF ANN run at nprobe = k (probe every list): provably equal to
+    // the brute-force ranking — same scoring expression over the same
+    // candidate set — so the DuckDB brute-force SQL oracles the WHOLE
+    // IVF pipeline (centroid training, assignment, probe expansion,
+    // list join, ranking) end to end. The approximate nprobe < k
+    // serving path is pinned by DedupSimilaritySpec (nprobe=1 cluster
+    // recovery; nprobe=k ≡ brute-force). Similarity.IvfIndex.build
+    // memoizes training per corpus — the build-once/query-many shape.
     Declared(
       "ext_sim_ivf_topk",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         val index = Similarity.IvfIndex.build(emb, "vec_id", "embedding", k = 16, iters = 3)
-        Similarity.ivfTopK(emb, emb.where(col("vec_id") < 3),
-          "vec_id", "embedding", k = 5, index.centers, nprobe = 4)
-          .orderBy("query_id", "rank")
+        topkChecksum(Similarity.ivfTopK(emb, emb.where(col("vec_id") < 3),
+          "vec_id", "embedding", k = 5, index.centers, nprobe = 16))
       },
-      None)
+      Some(s"""WITH $bruteTopCte
+               $topkChecksumSql"""))
   )
+
+  /** Tie-safe integer projection of a top-k listing (query_id,
+    * neighbor_id, cos): per query — the row count, the count of
+    * neighbors clearing the engine's OWN k-th score by ≥ 1e-9, and
+    * the neighbor-id checksum of that clear-cut set. Cross-engine
+    * double noise (~1e-15, summation order) cannot move a neighbor
+    * across the 1e-9 margin, so the projection hashes identically on
+    * both engines even when rank-k ties make the raw listing
+    * engine-dependent (scores within 1e-9 of the k-th are excluded on
+    * BOTH sides by each engine's own threshold).
+    */
+  private def topkChecksum(listing: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val clear = col("cos") >= col("__kth") + 1e-9
+    listing
+      .join(listing.groupBy("query_id").agg(min(col("cos")).as("__kth")), "query_id")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(clear, 1L).otherwise(0L)).as("n_clear"),
+        sum(when(clear, col("neighbor_id")).otherwise(0L)).as("id_checksum"))
+      .orderBy("query_id")
+  }
+
+  /** DuckDB CTE text: brute-force scored pairs for the vec_id < 3
+    * query panel — `sc(query_id, neighbor_id, cos)` + rank/top/kth.
+    */
+  private def bruteTopCte =
+    s"""sc AS (
+         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos
+         FROM embeddings q JOIN embeddings c
+           ON q.vec_id < 3 AND q.vec_id <> c.vec_id),
+       $rankTopKthCte"""
+
+  /** DuckDB CTE text: rank an `sc(query_id, neighbor_id, cos)` set,
+    * keep the top 5 per query, derive each query's k-th score.
+    */
+  private def rankTopKthCte =
+    """rk AS (
+         SELECT query_id, neighbor_id, cos,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, neighbor_id) AS rnk
+         FROM sc),
+       top AS (SELECT * FROM rk WHERE rnk <= 5),
+       kth AS (SELECT query_id, MIN(cos) AS kc FROM top GROUP BY query_id)"""
+
+  /** DuckDB twin of [[topkChecksum]]'s final aggregate. */
+  private def topkChecksumSql =
+    """SELECT query_id, COUNT(*) AS n_rows,
+              CAST(SUM(CASE WHEN cos >= kc + 1e-9 THEN 1 ELSE 0 END) AS BIGINT) AS n_clear,
+              CAST(SUM(CASE WHEN cos >= kc + 1e-9 THEN neighbor_id ELSE 0 END) AS BIGINT) AS id_checksum
+       FROM top JOIN kth USING (query_id)
+       GROUP BY query_id ORDER BY query_id"""
 }

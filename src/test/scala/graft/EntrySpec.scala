@@ -9,11 +9,10 @@ class EntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query name has either an oracle or is a documented rows-only listing") {
-    val rowsOnly = Set("ext_sim_cosine_topk", "ext_sim_lsh_topk", "ext_sim_ivf_topk")
+  test("every query name has a DuckDB oracle (no rows-only listings left)") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q))
-    assert((q -- o) == rowsOnly, s"unexpected oracle-less queries: ${q -- o -- rowsOnly}")
+    assert((q -- o).isEmpty, s"oracle-less queries: ${q -- o}")
   }
 }
