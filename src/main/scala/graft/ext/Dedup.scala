@@ -172,6 +172,50 @@ object Dedup {
     */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Near-duplicate pairs by SimHash hamming distance: distinct pairs
+    * (doc_a < doc_b) whose `bits`-bit signatures differ in ≤ `maxDist`
+    * bits, with the distance attached.
+    *
+    * The pair join stays bucketed via the multi-index trick: the
+    * signature splits into `maxDist + 1` disjoint segments, and any
+    * pair within `maxDist` must agree EXACTLY on at least one segment
+    * (pigeonhole: ≤ maxDist differing bits cannot touch all
+    * maxDist + 1 segments) — so candidates are pairs sharing
+    * (segment index, segment value), an equijoin co-partitioned on
+    * the segment key, and the hamming verification runs on candidates
+    * only. Exact (no recall loss), never all-pairs; degenerate
+    * segments (e.g. all-zero high bits across the corpus) are the
+    * skew case — at 100 TB, cap or salt hot (seg, segv) buckets the
+    * same way [[lshCandidatePairs]] caps hot LSH buckets.
+    */
+  def simhashNearPairs(docs: DataFrame, idCol: String, textCol: String,
+                       bits: Int = 60, maxDist: Int = 3): DataFrame = {
+    val nSeg = maxDist + 1
+    require(bits % nSeg == 0,
+      s"bits=$bits must be divisible by maxDist+1=$nSeg segments")
+    val segBits = bits / nSeg
+    val mask = (1L << segBits) - 1
+    val sh = simhash(docs, idCol, textCol, bits)
+    val segStructs = (0 until nSeg).map { i =>
+      struct(lit(i).as("seg"),
+        expr(s"shiftright(simhash, ${i * segBits}) & $mask").as("segv"))
+    }
+    // signatures ride along (8 bytes) so verification needs no
+    // join-back to the signature table
+    val segs = sh.select(col("doc_id"), col("simhash"),
+        explode(array(segStructs: _*)).as("sv"))
+      .select(col("doc_id"), col("simhash"),
+        col("sv.seg").as("seg"), col("sv.segv").as("segv"))
+    segs.as("a")
+      .join(segs.as("b"),
+        col("a.seg") === col("b.seg") && col("a.segv") === col("b.segv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        hamming(col("a.simhash"), col("b.simhash")).as("dist"))
+      .where(col("dist") <= maxDist)
+      .distinct()
+  }
+
   /** Word-trigram shingles per doc, entirely map-side: the token array
     * is zipped with its two self-shifts (`arrays_zip` pads the shorter
     * arrays with null) and exploded; `concat` — not concat_ws — makes
@@ -240,8 +284,14 @@ object Dedup {
                         dfCap: Int = 100): DataFrame = {
     val fsh = cappedShingleHashes(docs, idCol, textCol, dfCap)
     val card = fsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // shuffle_hash pins the self-join strategy: once the persisted
+    // relation materializes, its (columnar-compressed) stats can fall
+    // under the broadcast threshold and flip this to a broadcast of
+    // the FULL shingle set — measured 6× slower at sf0.1 (driver
+    // collect + row-expanded build per run) and lethal at scale, where
+    // the posting-list relation is never broadcastable
     val pairs = fsh.as("a")
-      .join(fsh.as("b"),
+      .join(fsh.as("b").hint("shuffle_hash"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
@@ -258,9 +308,12 @@ object Dedup {
                                candidates: DataFrame, dfCap: Int = 100): DataFrame = {
     val fsh = cappedShingleHashes(docs, idCol, textCol, dfCap)
     val card = fsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // shuffle_hash for the same reason as in ngramJaccardPairs: never
+    // broadcast the full shingle relation on materialized-cache stats
     val pairs = candidates
-      .join(fsh.as("a"), col("doc_a") === col("a.doc_id"))
-      .join(fsh.as("b"), col("doc_b") === col("b.doc_id") && col("a.sh") === col("b.sh"))
+      .join(fsh.as("a").hint("shuffle_hash"), col("doc_a") === col("a.doc_id"))
+      .join(fsh.as("b").hint("shuffle_hash"),
+        col("doc_b") === col("b.doc_id") && col("a.sh") === col("b.sh"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter"))
     withUnion(pairs, card)

@@ -178,6 +178,43 @@ object ExtQueries {
                SELECT CAST(simhash % 64 AS BIGINT) AS bucket, COUNT(*) AS n
                FROM simh GROUP BY bucket ORDER BY bucket""")),
 
+    // 60-bit SimHash hamming-≤3 near-dup census: the Spark side uses
+    // the multi-index segment bucketing (exact by pigeonhole, never
+    // all-pairs — the 100 TB shape); the oracle brute-forces all pairs
+    // in SQL, so a hash match also proves the multi-index loses no
+    // pair. Aggregated to one row: pair count, id checksum (pins WHICH
+    // pairs), summed distance (pins the distances).
+    Declared(
+      "ext_dedup_simhash_pairs",
+      (s, d) =>
+        Dedup.simhashNearPairs(Tables.documents(s, d), "doc_id", "text",
+          bits = 60, maxDist = 3)
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("doc_a") + col("doc_b")).as("id_checksum"),
+            sum(col("dist")).as("sum_dist")),
+      Some("""WITH tok AS (
+                 SELECT DISTINCT doc_id, w FROM (
+                   SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+                 WHERE w <> ''),
+               h AS (
+                 SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS hv FROM tok),
+               bits AS (
+                 SELECT doc_id, b,
+                        SUM(CASE WHEN ((hv >> b) & 1) = 1 THEN 1 ELSE -1 END) AS s
+                 FROM h, range(60) t(b) GROUP BY doc_id, b),
+               simh AS (
+                 SELECT doc_id,
+                        SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+                 FROM bits GROUP BY doc_id),
+               p AS (
+                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        bit_count(xor(a.simhash, b.simhash)) AS dist
+                 FROM simh a JOIN simh b ON a.doc_id < b.doc_id)
+               SELECT COUNT(*) AS n_pairs,
+                      CAST(SUM(doc_a + doc_b) AS BIGINT) AS id_checksum,
+                      CAST(SUM(dist) AS BIGINT) AS sum_dist
+               FROM p WHERE dist <= 3""")),
+
     Declared(
       "ext_dedup_ngram_jaccard",
       (s, d) =>

@@ -65,6 +65,24 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("simhashNearPairs (multi-index bucketed) equals brute-force hamming filter") {
+    import spark.implicits._
+    for (maxDist <- Seq(3, 4)) {
+      val bucketed = Dedup.simhashNearPairs(docs, "doc_id", "text",
+        bits = 60, maxDist = maxDist)
+        .select("doc_a", "doc_b", "dist").as[(Long, Long, Int)].collect().toSet
+      val sigs = Dedup.simhash(docs, "doc_id", "text", 60)
+        .as[(Long, Long)].collect().toMap
+      val brute = (for {
+        a <- sigs.keys; b <- sigs.keys if a < b
+        d = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if d <= maxDist
+      } yield (a, b, d)).toSet
+      assert(bucketed == brute, s"maxDist=$maxDist")
+      // exact dups must appear at distance 0
+      assert(bucketed.contains((0L, 1L, 0)) && bucketed.contains((3L, 4L, 0)))
+    }
+  }
+
   test("hamming column function matches Long.bitCount") {
     import spark.implicits._
     val r = Seq((0xF0L, 0x0FL)).toDF("a", "b")
