@@ -1,6 +1,37 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Driver benchmark: one JSON line with per-query min-of-2 seconds
+  * plus the diagnostics a reader needs to REJECT an outlier without a
+  * rerun — per-query raw runs + loadavg, JVM heap/GC totals, and an
+  * explicit failed list (a failed query reports NO timing instead of
+  * a valid-looking one). Past rounds' artifacts carried single
+  * contended-box outliers (27.8 s / 11.1 s on queries that reproduce
+  * at <1 s) that were indistinguishable from regressions.
+  */
 object Bench {
+  private def loadavg: Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
+  private def gcMs: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).filter(_ >= 0).sum
+  }
+
+  private def heapMb: Long = {
+    val r = Runtime.getRuntime
+    (r.totalMemory - r.freeMemory) / (1024L * 1024L)
+  }
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => " "
+      case c => c.toString
+    }.take(200) + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -12,6 +43,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val loadStart = loadavg
+    val gcStart = gcMs
     // Warm-up, outside the timers: a generic action, one scan per
     // table (parquet footer + vectorized-reader JIT), then every query
     // ONCE against the 100×-smaller sf0.001 dataset. The small-SF pass
@@ -31,24 +64,42 @@ object Bench {
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] warmup $name: $e") }
       }
+    // min of two measured executions: rare single-run JVM stalls (JIT
+    // recompile storms) otherwise add 10-20s to one random query per
+    // run. The noop sink materializes every result row (count() would
+    // let Catalyst prune projections/sorts and flatter the plan).
+    final case class QRes(name: String, runs: Seq[Double],
+                          load: Double, err: Option[String])
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // min of two measured executions: rare single-run JVM stalls
-      // (JIT recompile storms) otherwise add 10-20s to one random
-      // query per run. The noop sink materializes every result row
-      // (count() would let Catalyst prune projections/sorts and
-      // flatter the plan).
-      val times = (1 to 2).map { _ =>
+      val load0 = loadavg
+      var err: Option[String] = None
+      val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+        catch { case e: Throwable =>
+          err = Some(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          System.err.println(s"[bench] $name: $e")
+        }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      QRes(name, runs, load0, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val ok = results.filter(_.err.isEmpty)
+    val failed = results.filter(_.err.isDefined)
+    // contract field: name -> min seconds, SUCCEEDED queries only — a
+    // failed query must never look like a fast (or slow) timing
+    val qs = ok.map(r => jstr(r.name) + ":" + r.runs.min).mkString("{", ",", "}")
+    val diag = results.map { r =>
+      jstr(r.name) + ":{" +
+        s""""runs":[${r.runs.mkString(",")}],"loadavg":${r.load},"failed":${r.err.isDefined}""" +
+        r.err.map(e => s""","error":${jstr(e)}""").getOrElse("") + "}"
+    }.mkString("{", ",", "}")
+    val failedArr = failed.map(r => jstr(r.name)).mkString("[", ",", "]")
+    val total = ok.map(_.runs.min).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+      s""","failed":$failedArr,"n_failed":${failed.size}""" +
+      s""","loadavg_start":$loadStart,"loadavg_end":$loadavg""" +
+      s""","heap_mb":$heapMb,"gc_ms":${gcMs - gcStart},"diag":$diag}""")
     spark.stop()
   }
 }
