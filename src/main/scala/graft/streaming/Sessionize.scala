@@ -12,61 +12,74 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * flatMapGroupsWithState for custom state").
   *
   * A session for a key is a maximal run of events where consecutive
-  * gaps are ≤ `gapMs`. A session closes (and is emitted, append mode)
-  * when the event-time watermark passes its end + gap — the state per
-  * open session is three longs, evicted on close, so state size is
-  * O(active keys) regardless of stream length.
+  * gaps are ≤ `gapMs`. Semantics are ORDER-INDEPENDENT: state holds
+  * every session not yet releasable, and a session is emitted
+  * (append mode) only once the event-time watermark passes its
+  * end + gap — at that point no admissible event (Spark drops rows
+  * below the watermark) can extend or bridge it, so late,
+  * out-of-order, and cross-batch events all land correctly:
+  * an earlier-than-state event extends a session backward or opens
+  * its own, and an event falling between two open sessions merges
+  * them (counts add). State per key is O(open sessions), bounded by
+  * the watermark delay / gap ratio, evicted on emission.
   */
 object Sessionize {
 
   case class Ev(key: String, ts: Timestamp)
   case class SessState(start: Long, end: Long, n: Long)
+  case class SessList(sessions: List[SessState])
   case class Session(key: String, start: Timestamp, end: Timestamp, n_events: Long)
 
-  /** Per-group state transition. Events inside one microbatch are
-    * sorted; sessions that close inside the batch are emitted
-    * immediately, the trailing open session is kept in state with an
-    * event-time timeout at end + gap.
+  /** Coalesce sessions (any order) into maximal runs: sort by start,
+    * then fold, merging a session into the previous run when its
+    * start is within `gapMs` of the run's end (event counts add).
+    * Exposed for the spec's direct property checks.
+    */
+  private[graft] def mergeAll(ss: Seq[SessState], gapMs: Long): List[SessState] =
+    ss.sortBy(s => (s.start, s.end)).foldLeft(List.empty[SessState]) { (acc, s) =>
+      acc match {
+        case h :: t if s.start - h.end <= gapMs =>
+          SessState(h.start, math.max(h.end, s.end), h.n + s.n) :: t
+        case _ => s :: acc
+      }
+    }.reverse
+
+  /** Per-group state transition, shared by the data and timeout
+    * paths (`rows` is empty on timeout): fold incoming events into
+    * the session set as singleton sessions, re-merge, then release
+    * every session the watermark has sealed (end + gap < watermark —
+    * no admissible future event can reach it).
     */
   def update(gapMs: Long)(
-      key: String, rows: Iterator[Ev], state: GroupState[SessState]): Iterator[Session] = {
-    def emit(s: SessState): Session =
-      Session(key, new Timestamp(s.start), new Timestamp(s.end), s.n)
-
-    if (state.hasTimedOut) {
-      val out = state.getOption.map(emit).iterator
-      state.remove()
-      out
+      key: String, rows: Iterator[Ev], state: GroupState[SessList]): Iterator[Session] = {
+    val existing = state.getOption.map(_.sessions).getOrElse(Nil)
+    val incoming = rows.map(e => SessState(e.ts.getTime, e.ts.getTime, 1L)).toList
+    val merged = mergeAll(existing ++ incoming, gapMs)
+    val wm = state.getCurrentWatermarkMs()
+    val (closed, open) = merged.partition(_.end + gapMs < wm)
+    if (open.nonEmpty) {
+      state.update(SessList(open))
+      // fire when the watermark passes the earliest possible close;
+      // must be strictly above the current watermark
+      val fireAt = open.map(_.end + gapMs).min + 1
+      state.setTimeoutTimestamp(math.max(fireAt, wm + 1))
     } else {
-      var closed = List.empty[Session]
-      var cur = state.getOption
-      rows.toArray.map(e => (e.key, e.ts.getTime)).sortBy(_._2).foreach { case (_, t) =>
-        cur match {
-          case Some(s) if t - s.end <= gapMs =>
-            cur = Some(SessState(s.start, math.max(s.end, t), s.n + 1))
-          case Some(s) =>
-            closed ::= emit(s)
-            cur = Some(SessState(t, t, 1))
-          case None =>
-            cur = Some(SessState(t, t, 1))
-        }
-      }
-      cur.foreach { s =>
-        state.update(s)
-        state.setTimeoutTimestamp(s.end + gapMs)
-      }
-      closed.reverseIterator
+      state.remove()
     }
+    closed.sortBy(_.start)
+      .map(s => Session(key, new Timestamp(s.start), new Timestamp(s.end), s.n))
+      .iterator
   }
 
   /** Streaming sessionize: `events` must have (key: string,
-    * ts: timestamp) columns. Returns closed sessions (append mode).
+    * ts: timestamp) columns. Returns watermark-sealed sessions
+    * (append mode).
     */
   def sessions(events: Dataset[_], gapMs: Long,
                watermark: String = "30 minutes"): Dataset[Session] = {
     implicit val evEnc = Encoders.product[Ev]
     implicit val sessEnc = Encoders.product[Session]
-    implicit val stEnc = Encoders.product[SessState]
+    implicit val stEnc = Encoders.product[SessList]
     implicit val strEnc = Encoders.STRING
     val fn = update(gapMs) _
     events.toDF()

@@ -122,6 +122,69 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("sessionization handles out-of-order events across microbatches") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val gapMs = 5L * 60 * 1000
+    def t(hhmm: String): Long = {
+      val Array(h, m) = hhmm.split(":").map(_.toInt)
+      86400000L + (h * 60L + m) * 60 * 1000
+    }
+    // batches deliberately out of order WITHIN and ACROSS batches:
+    //  b2's 10:03 extends b1's [10:00] session forward,
+    //  b2's 10:48 extends b1's [10:50] session BACKWARD,
+    //  b3's 9:40 is an entirely earlier separate session,
+    //  b4's 10:27 bridges nothing (own session) but arrives last.
+    val b1 = Seq(("a", t("10:50")), ("a", t("10:00")))
+    val b2 = Seq(("a", t("10:03")), ("b", t("10:00")), ("a", t("10:48")))
+    val b3 = Seq(("a", t("9:40")))
+    val b4 = Seq(("a", t("10:27")))
+    val sentinel = Seq(("zzz", t("23:00")))
+    val all = b1 ++ b2 ++ b3 ++ b4
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
+    val src = stream.toDF().select(col("_1").as("key"),
+      timestamp_millis(col("_2")).as("ts"))
+    // large watermark delay keeps every out-of-order event admissible
+    val query = graft.streaming.Sessionize.sessions(src, gapMs, watermark = "3 hours")
+      .writeStream.format("memory").queryName("sessions_ooo")
+      .outputMode("append").start()
+    try {
+      Seq(b1, b2, b3, b4, sentinel).foreach { b =>
+        stream.addData(b); query.processAllAvailable()
+      }
+      val got = spark.table("sessions_ooo")
+        .select(col("key"), expr("unix_millis(start)"),
+          expr("unix_millis(end)"), col("n_events"))
+        .as[(String, Long, Long, Long)].collect().toSeq
+        .filter(_._1 != "zzz").sorted
+      val want = graft.streaming.Sessionize.sessionizeSeq(all, gapMs).sorted
+      assert(got == want)
+      // and the expected shape explicitly: a gets 4 sessions, b one
+      assert(want.map(w => (w._1, w._2, w._3, w._4)) == Seq(
+        ("a", t("9:40"), t("9:40"), 1L),
+        ("a", t("10:00"), t("10:03"), 2L),
+        ("a", t("10:27"), t("10:27"), 1L),
+        ("a", t("10:48"), t("10:50"), 2L),
+        ("b", t("10:00"), t("10:00"), 1L)).sorted)
+    } finally query.stop()
+  }
+
+  test("session merge: a bridging event coalesces two open sessions, counts add") {
+    import graft.streaming.Sessionize.{mergeAll, SessState}
+    val gap = 1000L
+    // sessions [0,300] and [2000,2800]; the bridge at 1200 is within
+    // gap of both ends (1200-300=900, 2000-1200=800)
+    val merged = mergeAll(Seq(
+      SessState(0, 300, 2), SessState(2000, 2800, 3), SessState(1200, 1200, 1)), gap)
+    assert(merged == List(SessState(0, 2800, 6)))
+    // without the bridge they stay separate (2000 - 300 > gap)
+    assert(mergeAll(Seq(SessState(0, 300, 2), SessState(2000, 2800, 3)), gap) ==
+      List(SessState(0, 300, 2), SessState(2000, 2800, 3)))
+    // order independence
+    assert(mergeAll(Seq(SessState(2000, 2800, 3), SessState(1200, 1200, 1),
+      SessState(0, 300, 2)), gap) == List(SessState(0, 2800, 6)))
+  }
+
   test("flatMapGroupsWithState sessionization equals the batch fold oracle") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
