@@ -11,6 +11,26 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// SpeculationSpec needs a local-cluster master (Spark disables
+// speculation under local[...]), i.e. its own SparkContext — isolate
+// it in a separate forked JVM so it never clashes with the shared
+// local session the other suites use. sbt's default ForkedTestGroup
+// restriction runs one group at a time. SPARK_HOME lets the
+// local-cluster Worker spawn executor JVMs.
+Test / envVars ++= Map(
+  "SPARK_HOME" -> "/opt/spark",
+  // the executor launcher infers this from build directories that a
+  // binary distribution doesn't have
+  "SPARK_SCALA_VERSION" -> "2.13")
+Test / testGrouping := {
+  val opts = (Test / forkOptions).value
+  val (cluster, rest) =
+    (Test / definedTests).value.partition(_.name.contains("SpeculationSpec"))
+  Seq(
+    Tests.Group("main", rest, Tests.SubProcess(opts)),
+    Tests.Group("local-cluster", cluster, Tests.SubProcess(opts)),
+  ).filter(_.tests.nonEmpty)
+}
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

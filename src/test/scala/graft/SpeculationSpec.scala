@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.TaskContext
+import org.apache.spark.scheduler.{SparkListener, SparkListenerSpeculativeTaskSubmitted, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Speculative-execution parity with the reference's straggler path:
+  * crash.so DELAYS a task 0–10 s with probability 1/3
+  * (/root/reference/src/mrapps/crash.go:26-31) and the coordinator's
+  * 10 s requeue re-issues the slow task to another worker
+  * (/root/reference/src/mr/coordinator.go:114-138), with the atomic
+  * rename ensuring one output wins. The Spark analogue:
+  * `spark.speculation` detects the straggling attempt against the
+  * successful-task median and resubmits it, and the output-commit
+  * coordinator lets exactly one attempt commit.
+  *
+  * Runs on `local-cluster[2,2,1536]` (real separate executor JVMs):
+  * Spark's TaskSchedulerImpl never starts the speculation thread
+  * under a local[...] master. build.sbt isolates this suite in its
+  * own forked JVM so this cluster session and the shared local
+  * session never coexist in one JVM.
+  *
+  * What is asserted: the straggler is DETECTED and submitted for
+  * speculation (SparkListenerSpeculativeTaskSubmitted — the analogue
+  * of the reference's timeout requeue marking a BUSY task READY
+  * again), and the job's output is complete and exactly-once. The
+  * speculative COPY cannot launch here: the scheduler refuses to
+  * place a speculative attempt on the same HOST as the original
+  * (dequeue excludes hosts with a live attempt), and every
+  * local-cluster executor shares localhost — re-execution of an
+  * attempt to an oracle-equal result is covered by ChaosSpec's
+  * retry tests, which run the same recovery machinery.
+  */
+class SpeculationSpec extends AnyFunSuite {
+
+  test("a straggler is detected for speculation and output commits exactly once") {
+    val spark = SparkSession.builder()
+      .master("local-cluster[2,2,1536]")
+      .appName("graft-speculation")
+      // executor JVMs need the repo's classes (this spec's closures)
+      .config("spark.executor.extraClassPath", sys.props("java.class.path"))
+      .config("spark.speculation", "true")
+      .config("spark.speculation.interval", "100ms")
+      .config("spark.speculation.quantile", "0.5")
+      .config("spark.speculation.multiplier", "1.2")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      import spark.implicits._
+      val sc = spark.sparkContext
+      sc.setLogLevel("WARN")
+      @volatile var speculativeSubmitted = 0
+      @volatile var speculativeLaunched = 0
+      sc.addSparkListener(new SparkListener {
+        override def onSpeculativeTaskSubmitted(
+            e: SparkListenerSpeculativeTaskSubmitted): Unit =
+          speculativeSubmitted += 1
+        override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+          if (e.taskInfo.speculative) speculativeLaunched += 1
+      })
+      // 8 tasks; partition 0's FIRST attempt is an 8 s straggler (a
+      // speculative re-launch would have attemptNumber 1 and run
+      // fast), the rest take ~300 ms so the speculation
+      // quantile/multiplier thresholds are met quickly
+      val out = java.nio.file.Files.createTempDirectory("graft_spec").toString + "/res"
+      spark.range(0, 80, 1, 8)
+        .mapPartitions { it =>
+          val tc = TaskContext.get()
+          if (tc.partitionId() == 0 && tc.attemptNumber() == 0) Thread.sleep(8000)
+          else Thread.sleep(300)
+          it.map(i => (i, i * 2))
+        }
+        .toDF("k", "v")
+        .write.mode("overwrite").parquet(out)
+      // exactly-once commit: any duplicate or partial attempt output
+      // would surface as duplicate/missing rows here
+      val got = spark.read.parquet(out).as[(Long, Long)].collect().sorted.toSeq
+      assert(got == (0L until 80L).map(i => (i, i * 2)))
+      // the listener bus is async — poll for the detection event
+      val deadline = System.currentTimeMillis + 30000
+      while (speculativeSubmitted == 0 && System.currentTimeMillis < deadline)
+        Thread.sleep(100)
+      assert(speculativeSubmitted >= 1,
+        "the straggler was never submitted for speculative execution")
+      info(s"speculative: submitted=$speculativeSubmitted launched=$speculativeLaunched")
+    } finally spark.stop()
+  }
+}
