@@ -157,10 +157,14 @@ object Dedup {
             explode(array_distinct(split(col(textCol), " "))).as("w"))
           .where(col("w") =!= "")
           .withColumn("hv", Hashing.h60(col("w")))
+    // branchless per-bit tallies: count the ones (one shift+and per
+    // bit, no CASE) and recover the ±1 tally sign from 2·ones > n —
+    // algebraically identical to sum(±1) > 0, measurably cheaper at
+    // 60 aggregate columns over millions of token rows
     val tallies = (0 until bits).map(b =>
-      sum(when(expr(s"shiftright(hv, $b) & 1") === 1, 1).otherwise(-1)).as(s"s$b"))
+      sum(expr(s"shiftright(hv, $b) & 1")).as(s"c$b")) :+ count(lit(1)).as("n")
     val sig = (0 until bits)
-      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .map(b => when(col(s"c$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
     hashed
       .groupBy("doc_id").agg(tallies.head, tallies.tail: _*)
