@@ -24,13 +24,29 @@ object Bench {
     (r.totalMemory - r.freeMemory) / (1024L * 1024L)
   }
 
-  private def jstr(s: String): String =
+  /** Used MB across the JIT code-cache pools ("CodeHeap ..."): if this
+    * approaches ReservedCodeCacheSize, compilation stopped mid-run and
+    * random queries ran interpreted 10-30× slower — THE historical
+    * source of inexplicable per-query outliers.
+    */
+  private def codeCacheMb: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(p => p.getName.startsWith("CodeHeap") || p.getName == "Code Cache")
+      .map(_.getUsage.getUsed).sum / (1024L * 1024L)
+  }
+
+  private def jvmArgs: String =
+    java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments
+      .toArray.mkString(" ")
+
+  private def jstr(s: String, maxLen: Int = 200): String =
     "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
       case c if c < ' ' => " "
       case c => c.toString
-    }.take(200) + "\""
+    }.take(maxLen) + "\""
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -99,7 +115,8 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
       s""","failed":$failedArr,"n_failed":${failed.size}""" +
       s""","loadavg_start":$loadStart,"loadavg_end":$loadavg""" +
-      s""","heap_mb":$heapMb,"gc_ms":${gcMs - gcStart},"diag":$diag}""")
+      s""","heap_mb":$heapMb,"gc_ms":${gcMs - gcStart},"code_cache_mb":$codeCacheMb""" +
+      s""","jvm_args":${jstr(jvmArgs, 2000)},"diag":$diag}""")
     spark.stop()
   }
 }

@@ -312,12 +312,14 @@ object Dedup {
                                candidates: DataFrame, dfCap: Int = 100): DataFrame = {
     val fsh = cappedShingleHashes(docs, idCol, textCol, dfCap)
     val card = fsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // shuffle_hash for the same reason as in ngramJaccardPairs: never
-    // broadcast the full shingle relation on materialized-cache stats
+    // no join hints here, unlike ngramJaccardPairs' SELF-join: these
+    // joins pair the small candidate set against fsh, and the planner
+    // correctly broadcasts the smaller (candidates) side — forcing
+    // shuffle_hash was measured 2-4× slower (it shuffles the full
+    // shingle relation that broadcast-of-candidates leaves in place)
     val pairs = candidates
-      .join(fsh.as("a").hint("shuffle_hash"), col("doc_a") === col("a.doc_id"))
-      .join(fsh.as("b").hint("shuffle_hash"),
-        col("doc_b") === col("b.doc_id") && col("a.sh") === col("b.sh"))
+      .join(fsh.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(fsh.as("b"), col("doc_b") === col("b.doc_id") && col("a.sh") === col("b.sh"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter"))
     withUnion(pairs, card)

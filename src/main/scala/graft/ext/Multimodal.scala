@@ -104,14 +104,22 @@ object Multimodal {
       // featurizer wants (one inference call per batch, the mapInPandas
       // arrow-batch analogue); grouped() keeps memory at one batch
       it.grouped(batchSize).flatMap { batch =>
-        // ??? real batched featurizer goes here; fake: mean of byte strides
+        // ??? real batched featurizer goes here; fake: mean of byte
+        // strides, one pass over the payload, no per-(row,dim)
+        // collection allocation
         batch.map { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
-          val feature = Array.tabulate(dim) { d =>
-            val stride = bytes.indices.filter(_ % dim == d).map(i => bytes(i) & 0xff)
-            if (stride.isEmpty) 0.0 else stride.sum.toDouble / stride.size
+          val sums = new Array[Double](dim)
+          val counts = new Array[Int](dim)
+          var i = 0
+          while (i < bytes.length) {
+            sums(i % dim) += (bytes(i) & 0xff)
+            counts(i % dim) += 1
+            i += 1
           }
+          val feature = Array.tabulate(dim)(d =>
+            if (counts(d) == 0) 0.0 else sums(d) / counts(d))
           Row(id, feature.toSeq)
         }
       }

@@ -41,4 +41,20 @@ object StreamingQueries {
       .select(explode(split(col(textCol), "[^a-zA-Z]+")).as("word"))
       .where(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("c"))
+
+  /** Streaming exact dedup — the training-data ingest shape: keep the
+    * first arrival per key, drop duplicates that land within the
+    * watermark delay of it. `dropDuplicatesWithinWatermark` (not plain
+    * `dropDuplicates`) so per-key state is EVICTED once the watermark
+    * passes its expiry — bounded state regardless of stream length,
+    * which a key-only dropDuplicates cannot guarantee (it would keep
+    * every key forever unless the event-time column itself were part
+    * of the key). Duplicates separated by more than the watermark
+    * delay are re-admitted — the streaming contract; cross-epoch
+    * dedup belongs to the batch operators ([[graft.ext.Dedup]]).
+    */
+  def dedupByKey(events: DataFrame, keys: Seq[String], tsCol: String = "ts",
+                 watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
 }

@@ -185,6 +185,30 @@ class StreamingSpec extends SparkSpec {
       SessState(0, 300, 2)), gap) == List(SessState(0, 2800, 6)))
   }
 
+  test("streaming dedupByKey keeps one row per key across microbatches, state bounded by watermark") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = 86400000L
+    // duplicate keys spread across batches, all within the watermark
+    val b1 = Seq(("k1", base + 1000L), ("k2", base + 2000L), ("k1", base + 3000L))
+    val b2 = Seq(("k2", base + 4000L), ("k3", base + 5000L), ("k1", base + 6000L))
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
+    val src = stream.toDF().select(col("_1").as("key"),
+      timestamp_millis(col("_2")).as("ts"))
+    val query = StreamingQueries.dedupByKey(src, Seq("key"), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData(b1); query.processAllAvailable()
+      stream.addData(b2); query.processAllAvailable()
+      val got = spark.table("dedup_stream")
+        .select(col("key"), expr("unix_millis(ts)"))
+        .as[(String, Long)].collect().toSeq.sorted
+      // exactly one row per key, and it is the FIRST arrival's row
+      assert(got == Seq(("k1", base + 1000L), ("k2", base + 2000L), ("k3", base + 5000L)))
+    } finally query.stop()
+  }
+
   test("flatMapGroupsWithState sessionization equals the batch fold oracle") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
