@@ -668,9 +668,14 @@ object ExtQueries {
     * BOTH sides by each engine's own threshold).
     */
   private def topkChecksum(listing: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // the k-th score via a window over the SAME partition key the
+    // listing's rank window used — one pass, no added shuffle; a
+    // groupBy+self-join would execute the (expensive) listing subtree
+    // twice at scale
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
     val clear = col("cos") >= col("__kth") + 1e-9
     listing
-      .join(listing.groupBy("query_id").agg(min(col("cos")).as("__kth")), "query_id")
+      .withColumn("__kth", min(col("cos")).over(w))
       .groupBy("query_id")
       .agg(count(lit(1)).as("n_rows"),
         sum(when(clear, 1L).otherwise(0L)).as("n_clear"),
