@@ -157,15 +157,25 @@ object Dedup {
             explode(array_distinct(split(col(textCol), " "))).as("w"))
           .where(col("w") =!= "")
           .withColumn("hv", Hashing.h60(col("w")))
-    // branchless per-bit tallies: count the ones (one shift+and per
-    // bit, no CASE) and recover the ±1 tally sign from 2·ones > n —
-    // algebraically identical to sum(±1) > 0, measurably cheaper at
-    // 60 aggregate columns over millions of token rows
-    val tallies = (0 until bits).map(b =>
-      sum(expr(s"shiftright(hv, $b) & 1")).as(s"c$b")) :+ count(lit(1)).as("n")
-    val sig = (0 until bits)
-      .map(b => when(col(s"c$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
+    // branchless packed tallies: count ones per bit (shift+and, no
+    // CASE) with THREE bit-counts packed into one long aggregate
+    // column as 20-bit fields — a doc has far fewer than 2^20 distinct
+    // tokens, so fields never carry into each other. One third the
+    // aggregate-buffer columns (and per-row buffer writes) of the
+    // naive one-column-per-bit layout; the majority sign is recovered
+    // from 2·ones > n, algebraically identical to sum(±1) > 0.
+    val nPack = (bits + 2) / 3
+    val tallies = (0 until nPack).map { j =>
+      val terms = (0 until 3).collect {
+        case i if 3 * j + i < bits =>
+          s"(shiftleft(shiftright(hv, ${3 * j + i}) & 1, ${20 * i}))"
+      }
+      sum(expr(terms.mkString(" + "))).as(s"p$j")
+    } :+ count(lit(1)).as("n")
+    val sig = (0 until bits).map { b =>
+      val ones = expr(s"shiftright(p${b / 3}, ${20 * (b % 3)}) & 1048575")
+      when(ones * 2 > col("n"), lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
     hashed
       .groupBy("doc_id").agg(tallies.head, tallies.tail: _*)
       .select(col("doc_id"), sig.as("simhash"))
