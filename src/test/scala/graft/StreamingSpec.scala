@@ -185,6 +185,37 @@ class StreamingSpec extends SparkSpec {
       SessState(0, 300, 2)), gap) == List(SessState(0, 2800, 6)))
   }
 
+  test("restart from checkpoint is exactly-once: no loss, no duplication across query restarts") {
+    import spark.implicits._
+    // the streaming analogue of the reference's crash-recovery
+    // guarantee (atomic commit + idempotent completion, E9/E12): a
+    // file-sink query stopped and restarted from its checkpoint must
+    // neither reprocess batch 0 nor lose batch 1
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_ckpt_src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ckpt_out").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_meta").toString
+    val evs = realEvents
+    val (b1, b2) = evs.splitAt(evs.size / 2)
+    val schema = b1.toDF().schema
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema(schema).json(srcDir)
+      val q = src.writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", outDir)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    b1.toDF().coalesce(1).write.mode("append").json(srcDir)
+    runOnce() // processes b1, commits it to the sink log
+    b2.toDF().coalesce(1).write.mode("append").json(srcDir)
+    runOnce() // restart: must pick up ONLY b2 from the checkpoint
+    def canon(s: Seq[Ev]): Seq[(Long, String, Double)] =
+      s.map(e => (e.ts.getTime, e.event_type, e.value)).sorted
+    val got = spark.read.parquet(outDir)
+      .select(col("ts"), col("event_type"), col("value")).as[Ev].collect().toSeq
+    assert(canon(got) == canon(evs))
+  }
+
   test("streaming dedupByKey keeps one row per key across microbatches, state bounded by watermark") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
