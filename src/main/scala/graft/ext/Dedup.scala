@@ -126,6 +126,21 @@ object Dedup {
       .distinct()
   }
 
+  /** Degenerate LSH clusters: the over-cap buckets that
+    * [[lshCandidatePairs]] SKIPS, reduced to what cluster-level dedup
+    * needs — (band, sig, representative = min doc_id, size). Members
+    * of an over-cap bucket agree on a whole band of minhashes (they
+    * are near-dups of each other); at 100 TB the dedup action is
+    * "keep the representative, drop or down-weight the rest", an
+    * O(cluster) aggregate instead of the O(cluster²) pairwise work
+    * the cap exists to avoid. Complements lshCandidatePairs: the two
+    * together cover every bucket exactly once.
+    */
+  def lshDegenerateClusters(bands: DataFrame, maxBucket: Int = 64): DataFrame =
+    bands.groupBy("band", "sig")
+      .agg(min(col("doc_id")).as("rep_doc"), count(lit(1)).as("size"))
+      .where(col("size") > maxBucket)
+
   /** Per-band LSH bucket census: how many buckets hold ≥2 docs, how
     * many candidate pairs they imply, and the total docs per band —
     * integer-only, so oracle-checkable.
@@ -203,7 +218,8 @@ object Dedup {
     * same way [[lshCandidatePairs]] caps hot LSH buckets.
     */
   def simhashNearPairs(docs: DataFrame, idCol: String, textCol: String,
-                       bits: Int = 60, maxDist: Int = 3): DataFrame = {
+                       bits: Int = 60, maxDist: Int = 3,
+                       maxSegBucket: Int = Int.MaxValue): DataFrame = {
     val nSeg = maxDist + 1
     require(bits % nSeg == 0,
       s"bits=$bits must be divisible by maxDist+1=$nSeg segments")
@@ -216,10 +232,24 @@ object Dedup {
     }
     // signatures ride along (8 bytes) so verification needs no
     // join-back to the signature table
-    val segs = sh.select(col("doc_id"), col("simhash"),
+    val allSegs = sh.select(col("doc_id"), col("simhash"),
         explode(array(segStructs: _*)).as("sv"))
       .select(col("doc_id"), col("simhash"),
         col("sv.seg").as("seg"), col("sv.segv").as("segv"))
+    // optional skew guard for the 100 TB case: a (seg, segv) bucket of
+    // m docs implies m²/2 candidate pairs, and a boilerplate cluster
+    // of near-identical simhashes lands whole in one bucket. Capping
+    // drops those buckets from PAIRWISE generation (handle them as
+    // clusters — the members agree on a quarter of the signature);
+    // pairs whose OTHER segments still agree under-cap are unaffected.
+    // Default Int.MaxValue = exact (the oracle-checked mode).
+    val segs =
+      if (maxSegBucket == Int.MaxValue) allSegs
+      else {
+        val ok = allSegs.groupBy("seg", "segv").agg(count(lit(1)).as("cnt"))
+          .where(col("cnt") <= maxSegBucket).select("seg", "segv")
+        allSegs.join(ok, Seq("seg", "segv"))
+      }
     segs.as("a")
       .join(segs.as("b"),
         col("a.seg") === col("b.seg") && col("a.segv") === col("b.segv") &&

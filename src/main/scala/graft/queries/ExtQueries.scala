@@ -235,6 +235,32 @@ object ExtQueries {
                WHERE inter >= 2
                ORDER BY inter DESC, doc_a, doc_b LIMIT 20""")),
 
+    // The buckets the pairwise path SKIPS, handled the cluster way:
+    // over-cap LSH buckets reduced to (representative, size). Together
+    // with ext_dedup_lsh_verified this covers every bucket exactly
+    // once — the complete 100 TB dedup recipe (pairs below the cap,
+    // O(cluster) representative-keeps above it).
+    Declared(
+      "ext_dedup_lsh_clusters",
+      (s, d) =>
+        Dedup.lshDegenerateClusters(
+          Dedup.lshBands(
+            Dedup.minhashSignatures(
+              Dedup.tokenHashes(Tables.documents(s, d), "doc_id", "text"), 16),
+            16, 4),
+          maxBucket = MaxBucket)
+          .agg(count(lit(1)).as("n_clusters"),
+            sum(col("size")).as("sum_sizes"),
+            sum(col("rep_doc")).as("rep_checksum")),
+      Some(s"""WITH $minhashSigCte,
+               big AS (
+                 SELECT band, sig, COUNT(*) AS cnt, MIN(doc_id) AS rep
+                 FROM sigs GROUP BY band, sig HAVING COUNT(*) > $MaxBucket)
+               SELECT COUNT(*) AS n_clusters,
+                      CAST(SUM(cnt) AS BIGINT) AS sum_sizes,
+                      CAST(SUM(rep) AS BIGINT) AS rep_checksum
+               FROM big""")),
+
     // The full two-stage near-dup pipeline: MinHash-LSH candidate
     // generation (degenerate buckets > MaxBucket docs skipped — their
     // members are cluster-dups, not pairwise work), then exact Jaccard

@@ -83,6 +83,40 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("lshDegenerateClusters and lshCandidatePairs partition the buckets at the cap") {
+    import spark.implicits._
+    // 6 docs, 2 exact-dup families -> every band bucket of the dup
+    // family holds >= 2 docs; with cap 1 those become clusters and
+    // pairwise candidates must be empty for them
+    val bands = Dedup.lshBands(
+      Dedup.minhashSignatures(Dedup.tokenHashes(docs, "doc_id", "text"), 8), 8, 4)
+    val clusters = Dedup.lshDegenerateClusters(bands, maxBucket = 1)
+      .as[(Int, String, Long, Long)].collect()
+    val pairs = Dedup.lshCandidatePairs(bands, maxBucket = 1)
+      .as[(Long, Long)].collect()
+    // exact dups (0,1) and (3,4) share every band: with cap 1 their
+    // buckets are clusters (rep = min id) and never pairwise
+    assert(clusters.exists(c => c._3 == 0L && c._4 >= 2))
+    assert(clusters.exists(c => c._3 == 3L && c._4 >= 2))
+    assert(!pairs.contains((0L, 1L)) && !pairs.contains((3L, 4L)))
+    // with a generous cap the same buckets are pairwise, not clusters
+    assert(Dedup.lshDegenerateClusters(bands, maxBucket = 64).count() == 0)
+    assert(Dedup.lshCandidatePairs(bands, maxBucket = 64)
+      .as[(Long, Long)].collect().toSet.contains((0L, 1L)))
+  }
+
+  test("simhashNearPairs segment-bucket cap yields a subset; generous cap is exact") {
+    import spark.implicits._
+    val exact = Dedup.simhashNearPairs(docs, "doc_id", "text", 60, 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val capped = Dedup.simhashNearPairs(docs, "doc_id", "text", 60, 3, maxSegBucket = 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(capped.subsetOf(exact))
+    val generous = Dedup.simhashNearPairs(docs, "doc_id", "text", 60, 3, maxSegBucket = 1000)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(generous == exact)
+  }
+
   test("hamming column function matches Long.bitCount") {
     import spark.implicits._
     val r = Seq((0xF0L, 0x0FL)).toDF("a", "b")
