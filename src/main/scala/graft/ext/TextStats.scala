@@ -115,4 +115,15 @@ object TextStats {
       .agg(min(Hashing.h32(col("shingle"))).as("winnow_fp"))
     content.join(winnow, "doc_id")
   }
+
+  /** Rolling-hash (Rabin–Karp) document fingerprint: min polynomial
+    * hash over all k-byte windows, O(n) per doc via
+    * [[graft.functions.RollingHashMin]] — a pure codegen projection,
+    * no explode/shuffle at all (vs the word-shingle winnowing path,
+    * which generates a row per shingle). NULL for docs shorter than k.
+    */
+  def rollingFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                          k: Int = 8): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      graft.functions.RollingHashMin.rollingHashMin(col(textCol), k).as("roll_fp"))
 }

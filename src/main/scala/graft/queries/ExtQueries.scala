@@ -397,6 +397,32 @@ object ExtQueries {
                        w -> CAST(ceil(len(w) / 4.0) AS INT)))) AS BIGINT) AS subword_tokens
               FROM documents GROUP BY bucket ORDER BY bucket""")),
 
+    // Rolling-hash fingerprints: the oracle recomputes every k-byte
+    // window NAIVELY (exact double polynomial, k=8·base=31 stays under
+    // 2^53), so a hash match also cross-checks the O(n) rolling update
+    // against the O(n·k) definition.
+    Declared(
+      "ext_text_rollhash",
+      (s, d) =>
+        TextStats.rollingFingerprints(Tables.documents(s, d), "doc_id", "text")
+          .where(col("roll_fp").isNotNull)
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("roll_fp")).as("uniq_fp"),
+            sum(col("roll_fp")).as("fp_checksum")),
+      Some("""WITH pos AS (
+                 SELECT doc_id, text, unnest(range(1, len(text) - 6)) AS i
+                 FROM documents WHERE len(text) >= 8),
+               hv AS (
+                 SELECT doc_id,
+                        CAST(list_sum(list_transform(range(8), j ->
+                          ascii(substr(text, CAST(i + j AS INT), 1)) * POW(31, 7 - j)))
+                          AS BIGINT) % 1000000007 AS h
+                 FROM pos),
+               m AS (SELECT doc_id, MIN(h) AS fp FROM hv GROUP BY doc_id)
+               SELECT COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS uniq_fp,
+                      CAST(SUM(fp) AS BIGINT) AS fp_checksum
+               FROM m""")),
+
     // --- Multimodal ---------------------------------------------------
     Declared(
       "ext_multimodal_meta",

@@ -154,6 +154,34 @@ class PropertySpec extends SparkSpec {
       .collect().head.isNullAt(0))
   }
 
+  test("RollingHashMin equals naive per-window recompute; short strings are null") {
+    import spark.implicits._
+    val k = 8; val base = 31L; val mod = 1000000007L
+    def naive(s: String): Option[Long] = {
+      val b = s.getBytes("UTF-8")
+      if (b.length < k) None
+      else Some((0 to b.length - k).map { i =>
+        (i until i + k).foldLeft(0L)((h, j) => (h * base + (b(j) & 0xff)) % mod)
+      }.min)
+    }
+    val strs = sample(docGen, 150) ++ Seq("", "short", "exactly8", "exactly8!",
+      "aaaaaaaaaaaa", "z" * 500)
+    // interpreted path
+    strs.foreach { s =>
+      val got = Option(graft.functions.RollingHashMin.minHash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), k, base, mod))
+        .map(_.longValue)
+      assert(got == naive(s), s"'$s'")
+    }
+    // codegen path + null propagation
+    val rows = (strs.map(Option(_)) :+ None).toDF("s")
+      .select(graft.functions.RollingHashMin.rollingHashMin(col("s"), k, base, mod))
+      .collect()
+    rows.zip(strs.map(naive) :+ None).foreach { case (r, want) =>
+      assert((if (r.isNullAt(0)) None else Some(r.getLong(0))) == want)
+    }
+  }
+
   test("jaccard inter/uni bounds: 0 < inter <= uni, symmetric under id swap") {
     import spark.implicits._
     sample(Gen.listOfN(5, docGen.suchThat(_.split(" ").length >= 4)), 5).foreach { docs =>
