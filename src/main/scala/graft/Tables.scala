@@ -16,6 +16,21 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Measured negative result (round 4), kept so it isn't re-tried:
+    * every sf0.1 fixture file is a single parquet row group, so each
+    * scan plans as ONE task and all map-side compute runs on one core
+    * until the first exchange. An adaptive
+    * `repartition(defaultParallelism)` fan-out of documents/embeddings
+    * was A/B-profiled at sf0.1 and LOST on every affected query
+    * (langid 0.24→0.37 s, exact_rows 0.33→1.09 s, fingerprint
+    * 0.59→0.99 s, embedding 0.77→1.14 s): the round-robin exchange
+    * (determinism sort + serialize/deserialize of the text bytes +
+    * an extra stage wave) costs more than the freed parallelism,
+    * because the per-row CPU sinks are already fused codegen
+    * expressions. At production scale the problem vanishes on its
+    * own — multi-GB tables split into ≥ parallelism row groups.
+    */
+
   /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
     * vectorized reader only surfaces as a nanosecond LONG (via
     * `spark.sql.legacy.parquet.nanosAsLong`). We normalize to Spark's
