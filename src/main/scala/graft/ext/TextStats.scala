@@ -86,6 +86,23 @@ object TextStats {
         expr("(n_distinct * 10) div n_tokens").as("ttr_decile"),
         expr("(n_nonspace_chars * 10) div n_tokens").as("mean_tok_len_x10"))
 
+  /** Append `n_tokens`, `n_distinct`, `ttr_decile` to `docs` without
+    * dropping any column — the map-side quality gate of a curation
+    * pipeline ([[Curation]]): unlike [[qualityFeatures]] there is no
+    * join-back by id, so at 100 TB the gate costs zero shuffles. Same
+    * staged-projection idiom: `__toks` is non-cheap and multiply
+    * referenced, so CollapseProject keeps the boundary and the split
+    * runs once per row.
+    */
+  def withQualityFeatures(docs: DataFrame, textCol: String): DataFrame = {
+    val keep = docs.columns.toSeq.map(col)
+    docs.select(keep :+ split(col(textCol), " ").as("__toks"): _*)
+      .select(keep ++ Seq(
+        size(col("__toks")).as("n_tokens"),
+        size(array_distinct(col("__toks"))).as("n_distinct")): _*)
+      .withColumn("ttr_decile", expr("(n_distinct * 10) div n_tokens"))
+  }
+
   /** Whitespace token count plus a BPE-ish subword count: alternating
     * letter-run / digit-run pieces capped at 4 chars — a deterministic
     * stand-in for a real BPE vocab, portable to SQL via ceil(len/4) on

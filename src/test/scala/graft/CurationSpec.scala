@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Curation
+
+/** Stage-by-stage spec for the end-to-end curation pipeline on a
+  * corpus where every stage's attrition is computable by hand
+  * (complementing the DuckDB oracle over the testdata corpus).
+  */
+class CurationSpec extends SparkSpec {
+
+  // 32 distinct tokens, English stopwords up front: passes the lang
+  // gate (en=5, others 0), the quality gate (32 tokens, ttr 10), and
+  // is unique content.
+  private val enStop = Seq("the", "a", "of", "and", "to")
+  private val base = (enStop ++ (1 to 27).map("w" + _)).mkString(" ")
+  // one mid-word substitution: token jaccard 31/33 (LSH catches it),
+  // trigram-shingle jaccard 27/33 = 0.818 ≥ 0.8 (verification keeps it)
+  private val nearDup = base.replace("w14", "zz")
+  private val other = (enStop ++ (1 to 27).map("v" + _)).mkString(" ")
+
+  private def corpus = {
+    import spark.implicits._
+    Seq(
+      (0L, base),
+      (1L, base),                            // exact dup of 0 → exact stage
+      (2L, nearDup),                         // near dup of 0 → near-dedup
+      (3L, "el la de que y " * 7),           // Spanish → lang gate
+      (4L, "the a of and to quick"),         // 6 tokens → quality gate
+      (5L, Seq.fill(40)("the").mkString(" ")), // ttr_decile 0 → quality gate
+      (6L, other)                            // clean survivor
+    ).toDF("doc_id", "text")
+  }
+
+  test("curate drops each doc at exactly the intended stage") {
+    import spark.implicits._
+    val c = Curation.curate(corpus, "doc_id", "text")
+    assert(c.input.count() == 7)
+    assert(c.langKept.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(0L, 1L, 2L, 4L, 5L, 6L))
+    assert(c.qualityKept.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(0L, 1L, 2L, 6L))
+    assert(c.exactKept.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(0L, 2L, 6L))
+    assert(c.nearDupPairs.select("doc_a", "doc_b").as[(Long, Long)]
+      .collect().toSet == Set((0L, 2L)))
+    assert(c.finalDocs.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(0L, 6L))
+  }
+
+  test("near-dup verification threshold is exact rational arithmetic") {
+    import spark.implicits._
+    // shingle jaccard 27/33: passes at 4/5 (27·5 ≥ 33·4), fails at 5/6
+    val strict = Curation.curate(corpus, "doc_id", "text",
+      jaccardNum = 5, jaccardDen = 6)
+    assert(strict.nearDupPairs.count() == 0)
+    assert(strict.finalDocs.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(0L, 2L, 6L))
+  }
+
+  test("finalDocs carries the curated corpus columns (id, text, n_tokens)") {
+    val out = Curation.curate(corpus, "doc_id", "text").finalDocs
+    assert(out.columns.toSeq == Seq("doc_id", "text", "n_tokens"))
+    assert(out.where(col("doc_id") === 0L).select("n_tokens")
+      .head().getInt(0) == 32)
+  }
+}
