@@ -1,0 +1,91 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and dataset splitting for training-data
+  * pipelines — the operators that carve a curated corpus into
+  * train/val/test and rebalance domain mixtures.
+  *
+  * Everything keys off a salted content hash ([[Hashing.h32]] over
+  * the stringified key), never `rand()`:
+  *
+  *  - reproducible across runs, executors, partitionings, AND engines
+  *    (the DuckDB oracle computes the identical buckets), which is
+  *    what makes a resumable 100 TB pipeline possible — re-running a
+  *    failed stage re-draws the same sample;
+  *  - pure map-side codegen projection — sampling 100 TB costs one
+  *    scan, zero shuffles, and composes with partition pruning;
+  *  - independent decisions come from independent SALTS (the split
+  *    bucket and a downsampling bucket of the same row are
+  *    decorrelated by their salt strings, not by praying over one
+  *    hash's bits).
+  *
+  * Fractions are integer per-cent / per-mille rationals — no float
+  * thresholds anywhere, so bucket membership is exact on both
+  * engines.
+  */
+object Sampling {
+
+  /** The salted hash bucket of `key` in [0, den): the primitive every
+    * operator here builds on. DuckDB twin:
+    * `CAST('0x' || substr(md5(CAST(key AS VARCHAR) || salt), 1, 8) AS BIGINT) % den`.
+    */
+  def hashBucket(key: Column, den: Int, salt: String = ""): Column = {
+    require(den > 0, s"den=$den must be positive")
+    val keyed = if (salt.isEmpty) key.cast("string")
+                else concat(key.cast("string"), lit(salt))
+    Hashing.h32(keyed) % den
+  }
+
+  /** Keep rows whose bucket falls below num/den — deterministic
+    * Bernoulli(num/den) by key. Same key + salt ⇒ same decision,
+    * forever.
+    */
+  def byHash(df: DataFrame, key: Column, num: Int, den: Int,
+             salt: String = ""): DataFrame = {
+    require(num >= 0 && num <= den, s"num=$num must be in [0, den=$den]")
+    df.where(hashBucket(key, den, salt) < num)
+  }
+
+  /** Append a `split` column assigning each row to val/test/train by
+    * percentage (val takes buckets [0, valPct), test
+    * [valPct, valPct+testPct), train the rest) — disjoint and
+    * exhaustive by construction, stable under corpus growth: a row's
+    * assignment never changes when other rows are added, the property
+    * that keeps eval sets uncontaminated across dataset versions.
+    */
+  def withSplit(df: DataFrame, key: Column, valPct: Int, testPct: Int,
+                salt: String = "split", out: String = "split"): DataFrame = {
+    require(valPct >= 0 && testPct >= 0 && valPct + testPct <= 100,
+      s"valPct=$valPct + testPct=$testPct must fit in 100")
+    val b = hashBucket(key, 100, salt)
+    df.withColumn(out,
+      when(b < valPct, "val")
+        .when(b < valPct + testPct, "test")
+        .otherwise("train"))
+  }
+
+  /** Keep-decision for stratified (per-stratum-rate) downsampling:
+    * true when the row's [0,1000) bucket falls under its stratum's
+    * per-mille rate — the domain-mixture rebalancing primitive
+    * ("keep 50% of web, 100% of books"). `rates` compiles to a
+    * literal CASE chain (no join, pure codegen); strata absent from
+    * `rates` fall back to `defaultPerMille`.
+    */
+  def stratifiedKeep(key: Column, stratum: Column, rates: Seq[(String, Int)],
+                     defaultPerMille: Int, salt: String = "strat"): Column = {
+    (rates.map(_._2) :+ defaultPerMille).foreach(r =>
+      require(r >= 0 && r <= 1000, s"per-mille rate $r must be in [0, 1000]"))
+    val rate = rates.foldRight(lit(defaultPerMille)) { case ((s, r), acc) =>
+      when(stratum === s, lit(r)).otherwise(acc)
+    }
+    hashBucket(key, 1000, salt) < rate
+  }
+
+  /** Filter form of [[stratifiedKeep]]. */
+  def stratified(df: DataFrame, key: Column, stratum: Column,
+                 rates: Seq[(String, Int)], defaultPerMille: Int,
+                 salt: String = "strat"): DataFrame =
+    df.where(stratifiedKeep(key, stratum, rates, defaultPerMille, salt))
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Curation, Dedup, Multimodal, Similarity, TextStats}
+import graft.ext.{Curation, Dedup, Multimodal, Sampling, Similarity, TextStats}
 import org.apache.spark.sql.functions._
 
 /** Declared queries for the LLM-pipeline extension operators
@@ -809,7 +809,46 @@ object ExtQueries {
                  COUNT(*) AS n_final,
                  CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
                  CAST(SUM(n_tokens) AS BIGINT) AS token_checksum
-               FROM fin"""))
+               FROM fin""")),
+
+    // Deterministic split + stratified-downsampling census: every row
+    // is assigned val/test/train by a salted hash of its id, and
+    // independently marked kept/dropped by a per-language per-mille
+    // rate (en 500‰, es/de/fr 250‰, default 100‰ — exercises the
+    // fallback on zh). The id checksum pins exact membership of every
+    // (split, lang) cell, so the oracle verifies assignment and
+    // sampling decisions row-for-row, not just proportions.
+    Declared(
+      "ext_pipeline_split",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val sp = Sampling.withSplit(docs, col("doc_id"), valPct = 10, testPct = 10)
+        val keep = Sampling.stratifiedKeep(col("doc_id"), col("lang"),
+          Seq("en" -> 500, "es" -> 250, "de" -> 250, "fr" -> 250),
+          defaultPerMille = 100)
+        sp.groupBy("split", "lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).as("id_checksum"),
+            sum(when(keep, 1L).otherwise(0L)).as("n_kept"))
+          .orderBy("split", "lang")
+      },
+      Some("""WITH b AS (
+                SELECT doc_id, lang,
+                  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 8) AS BIGINT) % 100 AS sb,
+                  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'strat'), 1, 8) AS BIGINT) % 1000 AS kb
+                FROM documents)
+              SELECT CASE WHEN sb < 10 THEN 'val'
+                          WHEN sb < 20 THEN 'test'
+                          ELSE 'train' END AS split,
+                     lang, COUNT(*) AS n_docs,
+                     CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+                     CAST(SUM(CASE WHEN kb < (CASE lang WHEN 'en' THEN 500
+                                                        WHEN 'es' THEN 250
+                                                        WHEN 'de' THEN 250
+                                                        WHEN 'fr' THEN 250
+                                                        ELSE 100 END)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+              FROM b GROUP BY split, lang ORDER BY split, lang"""))
   )
 
   /** Tie-safe integer projection of a top-k listing (query_id,

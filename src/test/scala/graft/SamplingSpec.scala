@@ -1,0 +1,73 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Sampling
+
+/** Specs for deterministic hash sampling/splitting: membership is
+  * recomputed independently with java MessageDigest (not Spark, not
+  * DuckDB), so the library's bucket formula is pinned against a third
+  * implementation.
+  */
+class SamplingSpec extends SparkSpec {
+
+  private def refBucket(key: String, den: Int, salt: String = ""): Long = {
+    val hex = MessageDigest.getInstance("MD5")
+      .digest((key + salt).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    java.lang.Long.parseLong(hex, 16) % den
+  }
+
+  private def ids = {
+    import spark.implicits._
+    spark.range(1000).toDF("id")
+  }
+
+  test("byHash keeps exactly the rows the reference md5 formula keeps") {
+    import spark.implicits._
+    val kept = Sampling.byHash(ids, col("id"), num = 100, den = 1000, salt = "s1")
+      .select("id").as[Long].collect().toSet
+    val expected = (0L until 1000L).filter(i =>
+      refBucket(i.toString, 1000, "s1") < 100).toSet
+    assert(kept == expected)
+    assert(kept.nonEmpty && kept.size < 1000)
+  }
+
+  test("withSplit is disjoint, exhaustive, and matches reference buckets") {
+    import spark.implicits._
+    val sp = Sampling.withSplit(ids, col("id"), valPct = 10, testPct = 20)
+    val byRow = sp.select(col("id"), col("split")).as[(Long, String)].collect()
+    assert(byRow.length == 1000)
+    byRow.foreach { case (i, s) =>
+      val b = refBucket(i.toString, 100, "split")
+      val exp = if (b < 10) "val" else if (b < 30) "test" else "train"
+      assert(s == exp, s"id=$i bucket=$b")
+    }
+  }
+
+  test("stratifiedKeep applies per-stratum rates with default fallback") {
+    import spark.implicits._
+    val df = spark.range(2000).toDF("id")
+      .withColumn("src", when(col("id") % 2 === 0, "web").otherwise("books"))
+    val kept = Sampling.stratified(df, col("id"), col("src"),
+        Seq("web" -> 200), defaultPerMille = 1000)
+      .select("id", "src").as[(Long, String)].collect()
+    // every books row survives (default 1000‰); web rows only under 200‰
+    assert(kept.count(_._2 == "books") == 1000)
+    val keptWeb = kept.collect { case (i, "web") => i }.toSet
+    val expWeb = (0L until 2000L by 2).filter(i =>
+      refBucket(i.toString, 1000, "strat") < 200).toSet
+    assert(keptWeb == expWeb)
+  }
+
+  test("independent salts decorrelate decisions on the same key") {
+    import spark.implicits._
+    val both = ids.select(
+        Sampling.hashBucket(col("id"), 100, "a").as("ba"),
+        Sampling.hashBucket(col("id"), 100, "b").as("bb"))
+      .as[(Long, Long)].collect()
+    assert(both.exists { case (a, b) => a != b })
+  }
+}
