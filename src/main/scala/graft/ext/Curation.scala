@@ -72,39 +72,59 @@ object Curation {
     // one gate projection carrying pass/fail flags instead of filtering
     // immediately: the audit counts then need no extra passes, and the
     // kept-frames below are cheap filters over the same projection
-    val gated = TextStats.withQualityFeatures(
-        TextStats.withLangId(input, textCol, "__predicted"), textCol)
-      .withColumn("__lang_ok", col("__predicted") === keepLang)
-      .withColumn("__qual_ok",
-        col("__lang_ok") && col("n_tokens") >= minTokens &&
-          col("ttr_decile") >= minTtrDecile)
+    def gateProjection(d: DataFrame): DataFrame =
+      TextStats.withQualityFeatures(
+          TextStats.withLangId(d, textCol, "__predicted"), textCol)
+        .withColumn("__lang_ok", col("__predicted") === keepLang)
+        .withColumn("__qual_ok",
+          col("__lang_ok") && col("n_tokens") >= minTokens &&
+            col("ttr_decile") >= minTtrDecile)
+    val gated = gateProjection(input)
     val gateStats = gated.agg(
       count(lit(1)).as("n_input"),
       sum(when(col("__lang_ok"), 1L).otherwise(0L)).as("n_lang"),
       sum(when(col("__qual_ok"), 1L).otherwise(0L)).as("n_quality"))
     val langKept = gated.where(col("__lang_ok"))
       .select(col(idCol), col(textCol))
+    // PlanCache keys canonicalize the INPUT plan they are given — so
+    // every cached relation here keys on the small `input` scan plan
+    // (params live in the tag) and derives inside the build closure.
+    // Keying on the derived plans instead was measured 10-45 s/call
+    // once a session held other cached relations: canonicalizing the
+    // multi-join near-dup tree is driver-side quadratic-ish work, paid
+    // on every lookup, hit or miss.
+    val gateTag = s"$idCol/$textCol/$keepLang/$minTokens/$minTtrDecile"
+    val surv = PlanCache.cached(s"curation/surv/$gateTag", input) { d =>
+      Dedup.exactByFingerprint(
+        gateProjection(d).where(col("__qual_ok"))
+          .select(col(idCol), col(textCol), col("n_tokens")),
+        idCol, textCol)
+    }
     val qualityKept = gated.where(col("__qual_ok"))
       .select(col(idCol), col(textCol), col("n_tokens"))
-    val gateTag = s"$idCol/$textCol/$keepLang/$minTokens/$minTtrDecile"
-    val surv = PlanCache.cached(s"curation/surv/$gateTag",
-      Dedup.exactByFingerprint(qualityKept, idCol, textCol))(identity)
 
     val bands = Dedup.lshBands(
       Dedup.minhashSignatures(Dedup.tokenHashes(surv, idCol, textCol), k),
       k, rowsPerBand)
-    val verified = PlanCache.cached(
+    // the two drop-side artifacts are CHECKPOINTED, not just persisted:
+    // their full lineage is the multi-join near-dup subtree, and it
+    // would otherwise be inlined (twice — audit count + anti-join) into
+    // every composed consumer plan; as LogicalRDDs they compose for free
+    val verified = PlanCache.checkpointed(
       s"curation/pairs/$gateTag/$jaccardNum/$jaccardDen/$k/$rowsPerBand/$maxBucket/$dfCap",
+      input) { _ =>
       Dedup.ngramJaccardOnCandidates(surv, idCol, textCol,
           Dedup.lshCandidatePairs(bands, maxBucket), dfCap)
-        .where(col("inter") * jaccardDen >= col("uni") * jaccardNum))(identity)
+        .where(col("inter") * jaccardDen >= col("uni") * jaccardNum)
+    }
     // members of degenerate buckets, minus each bucket's representative
-    val clusterDrops = PlanCache.cached(
-      s"curation/clusters/$gateTag/$k/$rowsPerBand/$maxBucket",
+    val clusterDrops = PlanCache.checkpointed(
+      s"curation/clusters/$gateTag/$k/$rowsPerBand/$maxBucket", input) { _ =>
       bands
         .join(Dedup.lshDegenerateClusters(bands, maxBucket), Seq("band", "sig"))
         .where(col("doc_id") =!= col("rep_doc"))
-        .select("doc_id"))(identity)
+        .select("doc_id")
+    }
     val drops = verified.select(col("doc_b").as("doc_id"))
       .union(clusterDrops).distinct()
       .withColumnRenamed("doc_id", "__drop_id")

@@ -43,8 +43,31 @@ object PlanCache {
       build(input).persist(StorageLevel.MEMORY_AND_DISK))
   }
 
+  /** Like [[cached]], but the memoized relation is a lazy
+    * `localCheckpoint` instead of a persist: the result's logical plan
+    * is truncated to a `LogicalRDD`, so a SMALL derived relation that
+    * later composes into larger plans contributes ~nothing to their
+    * plan size. Use for compact pipeline artifacts (drop-lists,
+    * candidate sets) whose full lineage would otherwise be inlined
+    * into every consumer — a multi-join subtree repeated across a
+    * composed plan was measured to blow analysis/caching work up to
+    * 10-45 s per query once a session held several cached relations.
+    *
+    * Trade-off vs [[cached]]: the checkpoint is NOT lineage-recoverable
+    * (executor loss loses the partitions — Spark's documented
+    * localCheckpoint semantics). That is the right trade only for
+    * small relations; a production pipeline would write such artifacts
+    * to reliable storage at exactly this boundary, which cuts lineage
+    * identically.
+    */
+  def checkpointed(tag: String, input: DataFrame)(build: DataFrame => DataFrame): DataFrame = {
+    val key = (tag, input.queryExecution.analyzed.canonicalized)
+    cache.getOrElseUpdate(key, build(input).localCheckpoint(eager = false))
+  }
+
   /** Unpersist and drop every cached relation (blocking=false: lazy
-    * executor-side release).
+    * executor-side release). Checkpointed entries release their RDD
+    * storage via the ContextCleaner once unreferenced.
     */
   def clear(): Unit = {
     cache.values.foreach(_.unpersist(false))
