@@ -89,7 +89,7 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val load0 = loadavg
       var err: Option[String] = None
-      val runs = (1 to 2).map { _ =>
+      def run(): Double = {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
@@ -98,6 +98,17 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
+      val base = (1 to 2).map(_ => run())
+      // adaptive retries: a slow or unstable pair gets two more runs.
+      // Past artifacts carried transient stalls that poisoned BOTH
+      // baseline runs of one query (17 s twice on a 0.5 s query, clean
+      // immediately after) — min-of-2 can't save that, min-of-4 of the
+      // affected queries usually does. Fast stable queries (the common
+      // case) pay nothing.
+      val runs =
+        if (err.isEmpty && (base.min > 2.0 || base.max / base.min.max(1e-9) > 2.5))
+          base ++ (1 to 2).map(_ => run())
+        else base
       QRes(name, runs, load0, err)
     }
     val ok = results.filter(_.err.isEmpty)
