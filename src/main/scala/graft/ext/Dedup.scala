@@ -50,6 +50,35 @@ object Dedup {
     df.join(keep, col(idCol) === col("__id"), "left_semi")
   }
 
+  /** The 60-bit fingerprint store of a corpus: one 8-byte row per
+    * distinct content. This is the artifact an INCREMENTAL pipeline
+    * maintains between ingests — at 100 TB the store is ~0.3% the
+    * corpus size, and deduping a new batch against it never re-reads
+    * corpus text ([[incrementalExact]]). Union the new batch's kept
+    * fingerprints back in to roll the store forward.
+    */
+  def fingerprintStore(df: DataFrame, textCol: String): DataFrame =
+    df.select(Hashing.h60(col(textCol)).as("fp")).distinct()
+
+  /** Incremental exact dedup: keep the rows of `batch` whose content
+    * is new — not in `store` (a [[fingerprintStore]]) and, within the
+    * batch, the smallest `idCol` per duplicate set. Shape: the batch
+    * (small) hashes map-side, left-anti joins the store on the 8-byte
+    * fingerprint, then in-batch min-id dedup — corpus cost is ONE scan
+    * of the store column, zero text bytes shuffled, independent of
+    * corpus text size.
+    */
+  def incrementalExact(batch: DataFrame, idCol: String, textCol: String,
+                       store: DataFrame): DataFrame = {
+    val hashed = batch.withColumn("__fp", Hashing.h60(col(textCol)))
+    val fresh = hashed.join(store, col("__fp") === store("fp"), "left_anti")
+    val keep = fresh
+      .groupBy("__fp").agg(min(col(idCol)).as("__keep_id"))
+      .select("__keep_id")
+    fresh.join(keep, col(idCol) === col("__keep_id"), "left_semi")
+      .drop("__fp")
+  }
+
   /** Distinct (doc, token, token-hash) triples — the shared first stage
     * of MinHash and SimHash. Tokens split on single spaces (the
     * documents corpus is space-separated word soup; callers with richer

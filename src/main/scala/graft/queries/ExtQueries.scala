@@ -126,6 +126,33 @@ object ExtQueries {
                      COUNT(*) AS n_exact
               FROM keep""")),
 
+    // Incremental ingest dedup: the batch (doc_id ≡ 0 mod 5) dedups
+    // against the fingerprint STORE of the standing corpus (the other
+    // 80%) — one 8-byte column anti-join, corpus text never re-read —
+    // then min-id within the batch. The id checksum pins exactly which
+    // batch rows count as new content.
+    Declared(
+      "ext_dedup_incremental",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val corpus = docs.where(col("doc_id") % 5 =!= 0)
+        val batch = docs.where(col("doc_id") % 5 === 0)
+        val kept = Dedup.incrementalExact(batch, "doc_id", "text",
+          Dedup.fingerprintStore(corpus, "text"))
+        batch.agg(count(lit(1)).as("n_batch")).crossJoin(
+          kept.agg(count(lit(1)).as("n_new"),
+            sum(col("doc_id")).as("id_checksum")))
+      },
+      Some("""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+              batch AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+              store AS (SELECT DISTINCT md5(text) AS fp FROM corpus),
+              fresh AS (SELECT b.* FROM batch b ANTI JOIN store s ON md5(b.text) = s.fp),
+              keep AS (SELECT MIN(doc_id) AS doc_id FROM fresh GROUP BY md5(text))
+              SELECT (SELECT COUNT(*) FROM batch) AS n_batch,
+                     COUNT(*) AS n_new,
+                     CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+              FROM keep""")),
+
     Declared(
       "ext_dedup_fingerprint",
       (s, d) => {

@@ -34,6 +34,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Dedup.exact(docs, Seq("text")).count() == 4)
   }
 
+  test("incrementalExact keeps only batch content new to the store, min-id in batch") {
+    import spark.implicits._
+    val corpus = docs.where($"doc_id" <= 2) // texts of 0/1 (dup) and 2
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // already in corpus
+      (11L, "pack my box with five dozen liquor jugs"),     // new to store...
+      (12L, "pack my box with five dozen liquor jugs"),     // ...in-batch dup of 11
+      (13L, "entirely new content never seen before")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalExact(batch, "doc_id", "text",
+        Dedup.fingerprintStore(corpus, "text"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(11L, 13L))
+    // rolling the store forward makes a re-ingest of the same batch empty
+    val rolled = Dedup.fingerprintStore(corpus, "text")
+      .union(Dedup.fingerprintStore(batch, "text")).distinct()
+    assert(Dedup.incrementalExact(batch, "doc_id", "text", rolled).count() == 0)
+  }
+
   test("ngramJaccardOnCandidates agrees with the full pairwise join on given pairs") {
     import spark.implicits._
     val full = Dedup.ngramJaccardPairs(docs, "doc_id", "text", dfCap = 100)
