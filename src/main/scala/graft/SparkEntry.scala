@@ -13,8 +13,13 @@ object SparkEntry {
     DeclaredQueries.all ++ ExtQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: the end-to-end curation pipeline (language gate →
+    * quality gate → exact dedup → LSH near-dedup) — the library's
+    * most representative composition. One audit row; driver
+    * smoke-checks rows > 0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    DeclaredQueries.all.find(_.name == "dq10_join_agg").get
+    ExtQueries.all.find(_.name == "ext_pipeline_curation").get
       .df(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */

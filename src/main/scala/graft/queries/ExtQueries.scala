@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Curation, Dedup, Multimodal, Sampling, Similarity, TextStats}
+import graft.ext.{Curation, Dedup, Multimodal, Sampling, Similarity, Stats, TextStats}
 import org.apache.spark.sql.functions._
 
 /** Declared queries for the LLM-pipeline extension operators
@@ -449,6 +449,31 @@ object ExtQueries {
                SELECT COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS uniq_fp,
                       CAST(SUM(fp) AS BIGINT) AS fp_checksum
                FROM m""")),
+
+    // Per-language token-count quantiles (corpus length profile — what
+    // sets curation thresholds). Exact type-7 interpolation on BOTH
+    // engines; ×100 integer projection is mathematically integral
+    // (interpolation fractions are multiples of 0.01 for these p), so
+    // the only float exposure is ~1e-12 summation noise vs a 0.5
+    // rounding margin.
+    Declared(
+      "ext_text_quantiles",
+      (s, d) => {
+        val n = Tables.documents(s, d)
+          .select(col("lang"), size(split(col("text"), " ")).as("n_tokens"))
+        Stats.quantiles(n, Seq("lang"), col("n_tokens"), Seq(0.5, 0.9, 0.99))
+          .select(col("lang"),
+            expr("cast(round(p50 * 100) as bigint)").as("p50_x100"),
+            expr("cast(round(p90 * 100) as bigint)").as("p90_x100"),
+            expr("cast(round(p99 * 100) as bigint)").as("p99_x100"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang,
+                     CAST(round(quantile_cont(n, 0.5) * 100) AS BIGINT) AS p50_x100,
+                     CAST(round(quantile_cont(n, 0.9) * 100) AS BIGINT) AS p90_x100,
+                     CAST(round(quantile_cont(n, 0.99) * 100) AS BIGINT) AS p99_x100
+              FROM (SELECT lang, len(string_split(text, ' ')) AS n FROM documents)
+              GROUP BY lang ORDER BY lang""")),
 
     // --- Multimodal ---------------------------------------------------
     Declared(
