@@ -58,6 +58,34 @@ object Curation {
     finalDocs: DataFrame,
     gateStats: DataFrame)
 
+  /** The gate projection alone: appends `__predicted`, quality
+    * features, and `__lang_ok` / `__qual_ok` flags — one map-side
+    * pass, no shuffle, no state. Because it is a pure stateless
+    * transform it applies unchanged to a STREAMING DataFrame (gate an
+    * ingest stream at the edge, before anything stateful); the
+    * streaming spec pins it differentially against this same batch
+    * path.
+    */
+  def gateFlags(docs: DataFrame, textCol: String, keepLang: String = "en",
+                minTokens: Int = 30, minTtrDecile: Int = 3): DataFrame =
+    TextStats.withQualityFeatures(
+        TextStats.withLangId(docs, textCol, "__predicted"), textCol)
+      .withColumn("__lang_ok", col("__predicted") === keepLang)
+      .withColumn("__qual_ok",
+        col("__lang_ok") && col("n_tokens") >= minTokens &&
+          col("ttr_decile") >= minTtrDecile)
+
+  /** Filter form of [[gateFlags]]: the rows that pass both gates,
+    * keeping (id, text, n_tokens). Streaming-safe (stateless).
+    */
+  def gates(docs: DataFrame, idCol: String, textCol: String,
+            keepLang: String = "en", minTokens: Int = 30,
+            minTtrDecile: Int = 3): DataFrame =
+    gateFlags(docs.select(col(idCol), col(textCol)), textCol, keepLang,
+        minTokens, minTtrDecile)
+      .where(col("__qual_ok"))
+      .select(col(idCol), col(textCol), col("n_tokens"))
+
   /** Run the pipeline over `docs`. Near-dup threshold is the rational
     * jaccardNum/jaccardDen (integer cross-multiplication — no float
     * compare anywhere).
@@ -73,12 +101,7 @@ object Curation {
     // immediately: the audit counts then need no extra passes, and the
     // kept-frames below are cheap filters over the same projection
     def gateProjection(d: DataFrame): DataFrame =
-      TextStats.withQualityFeatures(
-          TextStats.withLangId(d, textCol, "__predicted"), textCol)
-        .withColumn("__lang_ok", col("__predicted") === keepLang)
-        .withColumn("__qual_ok",
-          col("__lang_ok") && col("n_tokens") >= minTokens &&
-            col("ttr_decile") >= minTtrDecile)
+      gateFlags(d, textCol, keepLang, minTokens, minTtrDecile)
     val gated = gateProjection(input)
     val gateStats = gated.agg(
       count(lit(1)).as("n_input"),

@@ -216,6 +216,31 @@ class StreamingSpec extends SparkSpec {
     assert(canon(got) == canon(evs))
   }
 
+  test("curation gates on a document stream equal the batch gates (stateless, append mode)") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val (b1, b2) = docs.splitAt(docs.size / 2)
+    val stream = MemoryStream[(Long, String)]
+    val query = graft.ext.Curation
+      .gates(stream.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("cur_gates")
+      .outputMode("append").start()
+    try {
+      stream.addData(b1)
+      query.processAllAvailable()
+      stream.addData(b2)
+      query.processAllAvailable()
+      val got = spark.table("cur_gates")
+        .as[(Long, String, Int)].collect().toSeq.sorted
+      val batch = graft.ext.Curation
+        .gates(docs.toDF("doc_id", "text"), "doc_id", "text")
+        .as[(Long, String, Int)].collect().toSeq.sorted
+      assert(got == batch && batch.nonEmpty)
+    } finally query.stop()
+  }
+
   test("streaming dedupByKey keeps one row per key across microbatches, state bounded by watermark") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
