@@ -289,25 +289,34 @@ object Dedup {
       .distinct()
   }
 
-  /** Word-trigram shingles per doc, entirely map-side: the token array
-    * is zipped with its two self-shifts (`arrays_zip` pads the shorter
+  /** Word n-grams per doc, entirely map-side: the token array is
+    * zipped with its n−1 self-shifts (`arrays_zip` pads the shorter
     * arrays with null) and exploded; `concat` — not concat_ws — makes
-    * the trailing partial shingles null out. No posexplode+window (an
+    * the trailing partial n-grams null out. No posexplode+window (an
     * exchange + sort of every token) and no interpreted lambdas — the
     * pipeline is scan → project → generate, nothing shuffles. NOT
     * deduplicated — callers dedup on the hashed form (narrower rows).
     */
-  def rawShingles(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def rawNgrams(docs: DataFrame, idCol: String, textCol: String, n: Int,
+                out: String = "shingle"): DataFrame = {
+    require(n >= 1, s"n=$n must be positive")
     val toks = split(col(textCol), " ")
-    docs.select(col(idCol).as("doc_id"),
-        explode(arrays_zip(
-          toks.as("w0"),
-          slice(toks, lit(2), greatest(size(toks) - 1, lit(0))).as("w1"),
-          slice(toks, lit(3), greatest(size(toks) - 2, lit(0))).as("w2"))).as("z"))
-      .select(col("doc_id"),
-        concat(col("z.w0"), lit(" "), col("z.w1"), lit(" "), col("z.w2")).as("shingle"))
-      .where(col("shingle").isNotNull)
+    val shifts = (0 until n).map { i =>
+      val c = if (i == 0) toks
+              else slice(toks, lit(i + 1), greatest(size(toks) - i, lit(0)))
+      c.as(s"w$i")
+    }
+    val joined = (0 until n).flatMap { i =>
+      if (i == 0) Seq(col(s"z.w$i")) else Seq(lit(" "), col(s"z.w$i"))
+    }
+    docs.select(col(idCol).as("doc_id"), explode(arrays_zip(shifts: _*)).as("z"))
+      .select(col("doc_id"), concat(joined: _*).as(out))
+      .where(col(out).isNotNull)
   }
+
+  /** Word-trigram n-grams — the shingle width the dedup family uses. */
+  def rawShingles(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    rawNgrams(docs, idCol, textCol, 3)
 
   /** Distinct word-trigram shingles per doc. */
   def shingles(docs: DataFrame, idCol: String, textCol: String): DataFrame =

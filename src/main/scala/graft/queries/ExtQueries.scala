@@ -863,6 +863,47 @@ object ExtQueries {
                  CAST(SUM(n_tokens) AS BIGINT) AS token_checksum
                FROM fin""")),
 
+    // Eval-set decontamination: the eval slice is a deterministic 5%
+    // hash sample; training docs sharing any word 8-gram with it are
+    // dropped. The oracle matches on raw n-gram STRINGS while Spark
+    // matches 32-bit hashes — a hash-collision mismatch would surface
+    // here as a checksum diff, so the green row also bounds collision
+    // over-dropping at this scale.
+    Declared(
+      "ext_pipeline_decontam",
+      (s, d) => {
+        val b = Tables.documents(s, d)
+          .withColumn("__eb", Sampling.hashBucket(col("doc_id"), 100, "eval"))
+        val ev = b.where(col("__eb") < 5).select("doc_id", "text")
+        val tr = b.where(col("__eb") >= 5).select("doc_id", "text")
+        val clean = Curation.decontaminate(tr, "doc_id", "text", ev, "text", n = 8)
+        tr.agg(count(lit(1)).as("n_train"))
+          .crossJoin(ev.agg(count(lit(1)).as("n_eval")))
+          .crossJoin(clean.agg(count(lit(1)).as("n_clean"),
+            sum(col("doc_id")).as("id_checksum")))
+      },
+      Some("""WITH b AS (
+                SELECT doc_id, text,
+                  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'eval'), 1, 8) AS BIGINT) % 100 AS eb
+                FROM documents),
+              ev AS (SELECT doc_id, text FROM b WHERE eb < 5),
+              tr AS (SELECT doc_id, text FROM b WHERE eb >= 5),
+              evg AS (
+                SELECT DISTINCT unnest(list_transform(range(1, len(string_split(text,' ')) - 6),
+                  i -> array_to_string(string_split(text,' ')[i:i+7], ' '))) AS g
+                FROM ev),
+              trg AS (
+                SELECT doc_id, unnest(list_transform(range(1, len(string_split(text,' ')) - 6),
+                  i -> array_to_string(string_split(text,' ')[i:i+7], ' '))) AS g
+                FROM tr),
+              contam AS (SELECT DISTINCT doc_id FROM trg JOIN evg USING (g)),
+              clean AS (SELECT t.* FROM tr t ANTI JOIN contam c ON t.doc_id = c.doc_id)
+              SELECT (SELECT COUNT(*) FROM tr) AS n_train,
+                     (SELECT COUNT(*) FROM ev) AS n_eval,
+                     COUNT(*) AS n_clean,
+                     CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+              FROM clean""")),
+
     // Deterministic split + stratified-downsampling census: every row
     // is assigned val/test/train by a salted hash of its id, and
     // independently marked kept/dropped by a per-language per-mille

@@ -59,6 +59,22 @@ class CurationSpec extends SparkSpec {
       Seq(0L, 2L, 6L))
   }
 
+  test("decontaminate drops exactly the train docs sharing an n-gram with eval") {
+    import spark.implicits._
+    val evalSet = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      // contains the eval 8-gram "alpha ... theta" inside a longer doc
+      (1L, "prefix alpha beta gamma delta epsilon zeta eta theta suffix"),
+      // shares 7 consecutive tokens only — below the n=8 bar
+      (2L, "alpha beta gamma delta epsilon zeta eta other words here"),
+      (3L, "completely unrelated training document with its own words")
+    ).toDF("doc_id", "text")
+    val clean = Curation.decontaminate(train, "doc_id", "text", evalSet, "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(clean == Seq(2L, 3L))
+  }
+
   test("finalDocs carries the curated corpus columns (id, text, n_tokens)") {
     val out = Curation.curate(corpus, "doc_id", "text").finalDocs
     assert(out.columns.toSeq == Seq("doc_id", "text", "n_tokens"))
