@@ -15,7 +15,10 @@ fi
 
 cd "$(dirname "$0")/.."
 
-trap 'kill -INT -$pid 2>/dev/null; exit 1' INT
+# plain $pid, not -$pid: a background child of a non-interactive
+# script shares this script's process group, so a group kill never
+# reaches it when the signal came via `kill` rather than Ctrl-C
+trap 'kill -INT "$pid" 2>/dev/null; exit 1' INT
 
 runs=$1
 for i in $(seq 1 "$runs"); do

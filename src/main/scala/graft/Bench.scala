@@ -40,13 +40,16 @@ object Bench {
     java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments
       .toArray.mkString(" ")
 
+  // truncate BEFORE escaping: cutting after could split a 2-char
+  // escape pair, leaving a lone trailing backslash that escapes the
+  // closing quote and corrupts the whole JSON line
   private def jstr(s: String, maxLen: Int = 200): String =
-    "\"" + s.flatMap {
+    "\"" + s.take(maxLen).flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
       case c if c < ' ' => " "
       case c => c.toString
-    }.take(maxLen) + "\""
+    } + "\""
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

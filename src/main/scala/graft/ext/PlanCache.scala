@@ -29,7 +29,8 @@ import org.apache.spark.storage.StorageLevel
   */
 object PlanCache {
   private val cache = TrieMap.empty[
-    (String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), DataFrame]
+    (String, org.apache.spark.sql.SparkSession,
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), DataFrame]
 
   /** Build-or-reuse a persisted relation derived from `input`. */
   def cached(tag: String, input: DataFrame)(build: DataFrame => DataFrame): DataFrame = {
@@ -37,8 +38,11 @@ object PlanCache {
     // same rule CacheManager's sameResult uses): plan TEXT truncates
     // LocalRelation data, so two in-memory inputs with equal schemas
     // would collide, and an Int semanticHash collision would silently
-    // serve the wrong relation
-    val key = (tag, input.queryExecution.analyzed.canonicalized)
+    // serve the wrong relation. The owning session is part of the key
+    // (reference equality): after a session restart the same scan plan
+    // would otherwise hit and serve a DataFrame bound to the STOPPED
+    // session, failing every downstream action.
+    val key = (tag, input.sparkSession, input.queryExecution.analyzed.canonicalized)
     cache.getOrElseUpdate(key,
       build(input).persist(StorageLevel.MEMORY_AND_DISK))
   }
@@ -61,7 +65,7 @@ object PlanCache {
     * identically.
     */
   def checkpointed(tag: String, input: DataFrame)(build: DataFrame => DataFrame): DataFrame = {
-    val key = (tag, input.queryExecution.analyzed.canonicalized)
+    val key = (tag, input.sparkSession, input.queryExecution.analyzed.canonicalized)
     cache.getOrElseUpdate(key, build(input).localCheckpoint(eager = false))
   }
 

@@ -26,30 +26,27 @@ object Stats {
     * per requested quantile named `p<pct>` (e.g. p50, p99).
     */
   def quantiles(df: DataFrame, groupCols: Seq[String], value: Column,
-                ps: Seq[Double]): DataFrame = {
-    val arr = expr(s"percentile(__v, array(${ps.mkString(", ")}))")
-    val cols = ps.zipWithIndex.map { case (p, i) =>
-      element_at(col("__ps"), i + 1).as(s"p${(p * 100).round}")
-    }
-    df.withColumn("__v", value)
-      .groupBy(groupCols.map(col): _*)
-      .agg(arr.as("__ps"))
-      .select(groupCols.map(col) ++ cols: _*)
-  }
+                ps: Seq[Double]): DataFrame =
+    quantilesWith(df, groupCols, value, ps,
+      pcts => s"percentile(__v, array($pcts))")
 
   /** Sketched per-group quantiles (same column naming), with
     * `accuracy` as in `approx_percentile` (higher = tighter).
     */
   def approxQuantiles(df: DataFrame, groupCols: Seq[String], value: Column,
-                      ps: Seq[Double], accuracy: Int = 10000): DataFrame = {
-    val arr = expr(
-      s"approx_percentile(__v, array(${ps.mkString(", ")}), $accuracy)")
+                      ps: Seq[Double], accuracy: Int = 10000): DataFrame =
+    quantilesWith(df, groupCols, value, ps,
+      pcts => s"approx_percentile(__v, array($pcts), $accuracy)")
+
+  private def quantilesWith(df: DataFrame, groupCols: Seq[String],
+                            value: Column, ps: Seq[Double],
+                            aggSql: String => String): DataFrame = {
     val cols = ps.zipWithIndex.map { case (p, i) =>
       element_at(col("__ps"), i + 1).as(s"p${(p * 100).round}")
     }
     df.withColumn("__v", value)
       .groupBy(groupCols.map(col): _*)
-      .agg(arr.as("__ps"))
+      .agg(expr(aggSql(ps.mkString(", "))).as("__ps"))
       .select(groupCols.map(col) ++ cols: _*)
   }
 }

@@ -42,10 +42,15 @@ case class RollingHashMin(child: Expression, k: Int, base: Long, mod: Long)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, { s =>
+      // freshName, not a fixed identifier: with a NON-nullable child,
+      // nullSafeExec inlines this snippet unwrapped, so two of these
+      // expressions in one generated function would redeclare the same
+      // local -> janino error -> silent interpreted fallback
+      val r = ctx.freshName("rhmR")
       s"""
-         |Object rhmR = graft.functions.RollingHashMin.minHash($s, $k, ${base}L, ${mod}L);
-         |if (rhmR == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = ((java.lang.Long) rhmR).longValue(); }
+         |Object $r = graft.functions.RollingHashMin.minHash($s, $k, ${base}L, ${mod}L);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((java.lang.Long) $r).longValue(); }
        """.stripMargin
     })
 

@@ -180,6 +180,15 @@ class PropertySpec extends SparkSpec {
     rows.zip(strs.map(naive) :+ None).foreach { case (r, want) =>
       assert((if (r.isNullAt(0)) None else Some(r.getLong(0))) == want)
     }
+    // two instances in ONE projection over a NON-nullable column:
+    // nullSafeExec inlines both snippets unwrapped into one generated
+    // function, so fixed local identifiers would collide (janino error
+    // -> silent interpreted fallback); freshName keeps codegen live
+    val two = Seq("abcdefghijkl").toDF("s").select(
+      graft.functions.RollingHashMin.rollingHashMin(col("s"), 8, base, mod).as("a"),
+      graft.functions.RollingHashMin.rollingHashMin(col("s"), 4, base, mod).as("b"))
+      .head()
+    assert(!two.isNullAt(0) && !two.isNullAt(1) && two.getLong(0) != two.getLong(1))
   }
 
   test("jaccard inter/uni bounds: 0 < inter <= uni, symmetric under id swap") {
