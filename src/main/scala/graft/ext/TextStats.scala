@@ -116,6 +116,23 @@ object TextStats {
       expr(s"aggregate(split($textCol, ' '), 0, (acc, w) -> acc + CAST(ceil(length(w) / 4.0) AS INT))")
         .as("n_subword_tokens"))
 
+  /** Within-document repetition: per doc, total vs distinct word
+    * n-gram occurrences — the repeated-n-gram quality filter (a doc
+    * whose trigrams are mostly repeats is boilerplate/spam, the
+    * classic "repetition removal" gate that token-type ratio alone
+    * misses at n>1). Shape: map-side n-gram generate → one groupBy
+    * per doc over 12-byte (doc_id, hash) rows, partial-agg map-side;
+    * hashing is the engine-portable [[Hashing.h32]], so any (rare)
+    * collision is IDENTICAL on the oracle side and cannot diverge.
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3): DataFrame =
+    Dedup.rawNgrams(docs, idCol, textCol, n)
+      .select(col("doc_id"), Hashing.h32(col("shingle")).as("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        countDistinct(col("g")).as("n_distinct"))
+
   /** Content fingerprint (60-bit md5 prefix) and a winnowing-style
     * shingle fingerprint (min trigram-shingle hash) per doc. Two docs
     * with equal `winnow_fp` share their minimal shingle — a cheap

@@ -450,6 +450,30 @@ object ExtQueries {
                       CAST(SUM(fp) AS BIGINT) AS fp_checksum
                FROM m""")),
 
+    // Within-doc repetition histogram: docs bucketed by their repeated-
+    // trigram decile ((total − distinct) · 10 div total) — the
+    // boilerplate/spam gate. Identical md5-based trigram hashing on
+    // both engines, so even hash collisions cannot diverge.
+    Declared(
+      "ext_text_repetition",
+      (s, d) =>
+        TextStats.repetitionStats(Tables.documents(s, d), "doc_id", "text")
+          .withColumn("rep_decile",
+            expr("((n_grams - n_distinct) * 10) div n_grams"))
+          .groupBy("rep_decile")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_grams")).as("sum_grams"))
+          .orderBy("rep_decile"),
+      Some("""WITH g AS (
+                SELECT doc_id, CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) AS h FROM (
+                  SELECT doc_id, unnest(list_transform(range(1, len(string_split(text,' ')) - 1),
+                    i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS g
+                  FROM documents)),
+              d AS (SELECT doc_id, COUNT(*) AS n_grams, COUNT(DISTINCT h) AS n_distinct
+                    FROM g GROUP BY doc_id)
+              SELECT ((n_grams - n_distinct) * 10) // n_grams AS rep_decile,
+                     COUNT(*) AS n_docs, CAST(SUM(n_grams) AS BIGINT) AS sum_grams
+              FROM d GROUP BY rep_decile ORDER BY rep_decile""")),
+
     // Per-language token-count quantiles (corpus length profile — what
     // sets curation thresholds). Exact type-7 interpolation on BOTH
     // engines; ×100 integer projection is mathematically integral

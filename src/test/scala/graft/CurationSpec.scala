@@ -75,6 +75,19 @@ class CurationSpec extends SparkSpec {
     assert(clean == Seq(2L, 3L))
   }
 
+  test("repetitionStats separates boilerplate from fresh text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq.fill(10)("buy now limited offer").mkString(" ")), // 4 words x10
+      (2L, (1 to 40).map("w" + _).mkString(" "))                 // all distinct
+    ).toDF("doc_id", "text")
+    val r = graft.ext.TextStats.repetitionStats(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    // doc 1: 38 trigrams, only 4 distinct patterns cycle; doc 2: all 38 distinct
+    assert(r == Seq((1L, 38L, 4L), (2L, 38L, 38L)))
+  }
+
   test("finalDocs carries the curated corpus columns (id, text, n_tokens)") {
     val out = Curation.curate(corpus, "doc_id", "text").finalDocs
     assert(out.columns.toSeq == Seq("doc_id", "text", "n_tokens"))
