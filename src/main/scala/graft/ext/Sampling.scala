@@ -88,4 +88,29 @@ object Sampling {
                  rates: Seq[(String, Int)], defaultPerMille: Int,
                  salt: String = "strat"): DataFrame =
     df.where(stratifiedKeep(key, stratum, rates, defaultPerMille, salt))
+
+  /** Greedy contiguous sequence packing: assign each document to a
+    * training bin of ~`budget` tokens, walking documents in `orderCol`
+    * order within each `partCols` group (bin = tokens-before-me div
+    * budget — the "concat the shard, chop every budget tokens"
+    * assignment, deterministic and engine-portable).
+    *
+    * Scale shape: the prefix sum is a window PARTITIONED BY the shard
+    * columns — every shard packs independently in parallel, and a
+    * shard is whatever already bounds your data (split × lang ×
+    * source, a file, a bucket). There is deliberately NO unpartitioned
+    * variant: a global prefix-sum over 100 TB would serialize into one
+    * task, and cross-shard bin continuity buys nothing for training
+    * batches.
+    */
+  def packBins(df: DataFrame, partCols: Seq[String], orderCol: Column,
+               tokensCol: Column, budget: Int, out: String = "bin"): DataFrame = {
+    require(budget > 0, s"budget=$budget must be positive")
+    require(partCols.nonEmpty,
+      "packBins requires shard columns: an unpartitioned prefix-sum cannot scale")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partCols.map(col): _*).orderBy(orderCol)
+    df.withColumn(out,
+      ((sum(tokensCol).over(w) - tokensCol) / budget).cast("bigint"))
+  }
 }

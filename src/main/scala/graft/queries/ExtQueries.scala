@@ -887,6 +887,44 @@ object ExtQueries {
                  CAST(SUM(n_tokens) AS BIGINT) AS token_checksum
                FROM fin""")),
 
+    // Sequence packing census: documents pack into ~2048-token training
+    // bins per language (contiguous by doc_id — the "concat the shard,
+    // chop every budget" assignment). Per-lang bin counts, the heaviest
+    // bin, and a bin-weighted checksum pin every assignment.
+    Declared(
+      "ext_pipeline_pack",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("lang"), col("doc_id"),
+            size(split(col("text"), " ")).as("n_tokens"))
+        Sampling.packBins(docs, Seq("lang"), col("doc_id"), col("n_tokens"),
+            budget = 2048)
+          .groupBy("lang", "bin")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("load"),
+            sum(col("doc_id") * (col("bin") + 1)).as("ck"))
+          .groupBy("lang")
+          .agg(countDistinct(col("bin")).as("n_bins"),
+            sum(col("n_docs")).as("n_docs"),
+            max(col("load")).as("max_bin_tokens"),
+            sum(col("ck")).as("assign_checksum"))
+          .orderBy("lang")
+      },
+      Some("""WITH t AS (
+                SELECT lang, doc_id, len(string_split(text, ' ')) AS n FROM documents),
+              b AS (
+                SELECT lang, doc_id, n,
+                  CAST((SUM(n) OVER (PARTITION BY lang ORDER BY doc_id) - n) // 2048 AS BIGINT) AS bin
+                FROM t),
+              pb AS (
+                SELECT lang, bin, COUNT(*) AS n_docs, SUM(n) AS load,
+                       SUM(doc_id * (bin + 1)) AS ck
+                FROM b GROUP BY lang, bin)
+              SELECT lang, COUNT(DISTINCT bin) AS n_bins,
+                     CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+                     CAST(MAX(load) AS BIGINT) AS max_bin_tokens,
+                     CAST(SUM(ck) AS BIGINT) AS assign_checksum
+              FROM pb GROUP BY lang ORDER BY lang""")),
+
     // Eval-set decontamination: the eval slice is a deterministic 5%
     // hash sample; training docs sharing any word 8-gram with it are
     // dropped. The oracle matches on raw n-gram STRINGS while Spark

@@ -62,6 +62,22 @@ class SamplingSpec extends SparkSpec {
     assert(keptWeb == expWeb)
   }
 
+  test("packBins assigns docs to budget bins by prefix sum within each shard") {
+    import spark.implicits._
+    val docs = Seq(
+      ("en", 1L, 60), ("en", 2L, 50), ("en", 3L, 40), ("en", 4L, 10),
+      ("de", 5L, 90), ("de", 6L, 20)
+    ).toDF("lang", "doc_id", "n_tokens")
+    val bins = Sampling.packBins(docs, Seq("lang"), col("doc_id"),
+        col("n_tokens"), budget = 100)
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    // en prefix-before: 0, 60, 110, 150 → bins 0, 0, 1, 1; de: 0, 90 → 0, 0
+    assert(bins == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 0L, 6L -> 0L))
+    intercept[IllegalArgumentException] {
+      Sampling.packBins(docs, Seq.empty, col("doc_id"), col("n_tokens"), 100)
+    }
+  }
+
   test("independent salts decorrelate decisions on the same key") {
     import spark.implicits._
     val both = ids.select(
