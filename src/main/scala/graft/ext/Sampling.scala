@@ -102,6 +102,12 @@ object Sampling {
     * variant: a global prefix-sum over 100 TB would serialize into one
     * task, and cross-shard bin continuity buys nothing for training
     * batches.
+    *
+    * `orderCol` must be unique within a shard: the default window
+    * frame under an ORDER BY is RANGE (tied rows would all see the
+    * same prefix sum) — identical semantics on the DuckDB side, so
+    * results still match, but "ties share a prefix" is rarely the
+    * packing a caller wants.
     */
   def packBins(df: DataFrame, partCols: Seq[String], orderCol: Column,
                tokensCol: Column, budget: Int, out: String = "bin"): DataFrame = {
