@@ -116,7 +116,12 @@ object Sampling {
       "packBins requires shard columns: an unpartitioned prefix-sum cannot scale")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(partCols.map(col): _*).orderBy(orderCol)
-    df.withColumn(out,
-      ((sum(tokensCol).over(w) - tokensCol) / budget).cast("bigint"))
+    // integral `div`, not `/`: Spark's `/` is double division, which
+    // loses exactness once a shard's prefix sum passes 2^53 — the
+    // oracle's `//` is exact at all magnitudes and bins must match it
+    df.withColumn("__pack_prefix",
+        (sum(tokensCol).over(w) - tokensCol).cast("bigint"))
+      .withColumn(out, expr(s"__pack_prefix div $budget"))
+      .drop("__pack_prefix")
   }
 }
