@@ -119,10 +119,20 @@ object Curation {
   /** Run the pipeline over `docs`. Near-dup threshold is the rational
     * jaccardNum/jaccardDen (integer cross-multiplication — no float
     * compare anywhere).
+    *
+    * `maxRepDecile` < 10 enables a third gate between quality and
+    * exact dedup: drop docs whose repeated-trigram decile
+    * ([[TextStats.repetitionStats]]) exceeds it — phrase-level
+    * boilerplate that unigram TTR passes. It costs one extra
+    * (doc_id, hash) groupBy over gate survivors, so it is off by
+    * default (10: decile is always ≤ 9). Run it only after a
+    * minTokens ≥ 3 quality gate — docs with no trigram would
+    * otherwise be dropped outright.
     */
   def curate(docs: DataFrame, idCol: String, textCol: String,
              keepLang: String = "en",
              minTokens: Int = 30, minTtrDecile: Int = 3,
+             maxRepDecile: Int = 10,
              jaccardNum: Int = 4, jaccardDen: Int = 5,
              k: Int = 16, rowsPerBand: Int = 4,
              maxBucket: Int = 64, dfCap: Int = 100): Curated = {
@@ -146,11 +156,20 @@ object Curation {
     // once a session held other cached relations: canonicalizing the
     // multi-join near-dup tree is driver-side quadratic-ish work, paid
     // on every lookup, hit or miss.
-    val gateTag = s"$idCol/$textCol/$keepLang/$minTokens/$minTtrDecile"
+    def repGate(kept: DataFrame): DataFrame =
+      if (maxRepDecile >= 10) kept
+      else {
+        val ok = TextStats.repetitionStats(kept, idCol, textCol)
+          .where(expr(s"((n_grams - n_distinct) * 10) div n_grams") <= maxRepDecile)
+          .select(col("doc_id").as("__rep_id"))
+        kept.join(ok, col(idCol) === col("__rep_id"), "left_semi")
+      }
+    val gateTag =
+      s"$idCol/$textCol/$keepLang/$minTokens/$minTtrDecile/$maxRepDecile"
     val surv = PlanCache.cached(s"curation/surv/$gateTag", input) { d =>
       Dedup.exactByFingerprint(
-        gateProjection(d).where(col("__qual_ok"))
-          .select(col(idCol), col(textCol), col("n_tokens")),
+        repGate(gateProjection(d).where(col("__qual_ok"))
+          .select(col(idCol), col(textCol), col("n_tokens"))),
         idCol, textCol)
     }
     val qualityKept = gated.where(col("__qual_ok"))

@@ -75,6 +75,20 @@ class CurationSpec extends SparkSpec {
     assert(clean == Seq(2L, 3L))
   }
 
+  test("optional repetition gate drops phrase-boilerplate that unigram TTR passes") {
+    import spark.implicits._
+    // 8 distinct 4-word phrases, each repeated 3x consecutively: enough
+    // distinct unigrams to pass TTR, but ~half the trigrams are repeats
+    val phrases = (1 to 8).map(i => s"x${i}a x${i}b x${i}c x${i}d")
+    val boiler = (enStop ++ phrases.flatMap(p => Seq(p, p, p))).mkString(" ")
+    val docs = Seq((0L, base), (1L, boiler)).toDF("doc_id", "text")
+    def survivors(maxRep: Int) =
+      Curation.curate(docs, "doc_id", "text", maxRepDecile = maxRep)
+        .exactKept.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(survivors(10) == Seq(0L, 1L), "gate off: both pass quality")
+    assert(survivors(1) == Seq(0L), "gate on: boilerplate dropped")
+  }
+
   test("repetitionStats separates boilerplate from fresh text") {
     import spark.implicits._
     val docs = Seq(
