@@ -241,6 +241,30 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("hash split/sampling on a stream equals the batch assignment (stateless)") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ids = (0L until 500L).toSeq
+    val stream = MemoryStream[Long]
+    val query = graft.ext.Sampling
+      .withSplit(stream.toDF().toDF("id"), col("id"), valPct = 10, testPct = 20)
+      .where(graft.ext.Sampling.hashBucket(col("id"), 1000, "s1") < 100)
+      .writeStream.format("memory").queryName("split_stream")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = ids.splitAt(250)
+      stream.addData(b1); query.processAllAvailable()
+      stream.addData(b2); query.processAllAvailable()
+      val got = spark.table("split_stream")
+        .as[(Long, String)].collect().toSeq.sorted
+      val batch = graft.ext.Sampling
+        .withSplit(ids.toDF("id"), col("id"), valPct = 10, testPct = 20)
+        .where(graft.ext.Sampling.hashBucket(col("id"), 1000, "s1") < 100)
+        .as[(Long, String)].collect().toSeq.sorted
+      assert(got == batch && batch.nonEmpty)
+    } finally query.stop()
+  }
+
   test("streaming dedupByKey keeps one row per key across microbatches, state bounded by watermark") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
