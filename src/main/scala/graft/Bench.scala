@@ -116,9 +116,10 @@ object Bench {
     }
     val ok = results.filter(_.err.isEmpty)
     val failed = results.filter(_.err.isDefined)
+    def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     // contract field: name -> min seconds, SUCCEEDED queries only — a
     // failed query must never look like a fast (or slow) timing
-    val qs = ok.map(r => jstr(r.name) + ":" + r.runs.min).mkString("{", ",", "}")
+    val qs = ok.map(r => jstr(r.name) + ":" + r3(r.runs.min)).mkString("{", ",", "}")
     val diag = results.map { r =>
       jstr(r.name) + ":{" +
         s""""runs":[${r.runs.mkString(",")}],"loadavg":${r.load},"failed":${r.err.isDefined}""" +
@@ -126,11 +127,26 @@ object Bench {
     }.mkString("{", ",", "}")
     val failedArr = failed.map(r => jstr(r.name)).mkString("[", ",", "]")
     val total = ok.map(_.runs.min).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
-      s""","failed":$failedArr,"n_failed":${failed.size}""" +
+    // Full diagnostics (raw runs, loadavg per query, jvm args) go to a
+    // FILE, not stdout: the driver keeps only the last ~2000 chars of
+    // process output, and round 4's inlined diag pushed the metric
+    // line past that window — it was truncated mid-line and the round
+    // recorded parsed:null. The stdout contract line stays compact
+    // (3-dp timings, no per-run detail) so it always fits.
+    val detailPath = "bench_detail.json"
+    val pw = new java.io.PrintWriter(detailPath)
+    try pw.println(s"""{"value":$total,"sf":"$sfDir","failed":$failedArr""" +
       s""","loadavg_start":$loadStart,"loadavg_end":$loadavg""" +
       s""","heap_mb":$heapMb,"gc_ms":${gcMs - gcStart},"code_cache_mb":$codeCacheMb""" +
       s""","jvm_args":${jstr(jvmArgs, 2000)},"diag":$diag}""")
+    finally pw.close()
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs""" +
+      s""","sf":"$sfDir","failed":$failedArr,"n_failed":${failed.size}""" +
+      s""","loadavg_end":${r3(loadavg)},"gc_ms":${gcMs - gcStart},"detail":"$detailPath"}"""
+    // belt-and-braces: if the query set ever grows the line past the
+    // driver's tail window, drop to the bare contract fields
+    println(if (line.length <= 1700) line
+      else s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
