@@ -1,0 +1,134 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series joins Spark lacks as built-ins: as-of join and banded
+  * range join. Both are expressed as compositions of equi-shuffle +
+  * window/filter primitives, so Catalyst plans them with ordinary
+  * hash exchanges — no non-equi join (which Spark executes as
+  * BroadcastNestedLoopJoin, an |L|×|R| scan per key at worst).
+  *
+  * Scale shapes (the reason these are worth a dedicated operator):
+  *
+  *  - [[asofJoin]]: ONE hash shuffle of each side on the equi-keys,
+  *    one in-partition sort of the unioned rows, one streaming window
+  *    pass. Cost O((|L|+|R|) log p) per partition, zero row
+  *    amplification — at 100 TB this is the only as-of shape that
+  *    works; a per-key range probe or nested-loop join amplifies by
+  *    the per-key right cardinality.
+  *  - [[rangeJoin]]: right rows land in ONE time band of width equal
+  *    to the window length; each left row probes the ≤2 bands its
+  *    window can intersect. The join is a plain equi-join on
+  *    (keys, band); the exact predicate filters band false-candidates.
+  *    Output work ∝ true matches + candidates in adjacent bands,
+  *    never |L|×|R| per key.
+  */
+object TimeJoin {
+
+  /** As-of join: for each left row, the single nearest right row with
+    * the same `keys` and right time at-or-before (backward, default)
+    * or at-or-after (`forward = true`) the left time. Left rows with
+    * no admissible right row survive with null payload (left-join
+    * semantics). `inclusive = false` makes an equal timestamp
+    * inadmissible (strictly-before/after semantics).
+    *
+    * Implementation: both sides union into one relation tagged by
+    * side, hash-partitioned by `keys` and sorted by (time, side); a
+    * running `last(right-payload, ignoreNulls)` window then carries
+    * the most recent right row forward onto each left row. The right
+    * payload rides as ONE struct (null on left rows), so a null FIELD
+    * inside a matched right row cannot tear — the window skips whole
+    * unmatched rows, never individual columns.
+    *
+    * Determinism: when several right rows share (keys, time), the
+    * surviving one is the last in the (time, side) sort, which is not
+    * defined between them — supply right rows unique per (keys, time)
+    * (dedupe upstream with max_by) for fully deterministic output,
+    * the same contract DuckDB's ASOF JOIN arbitrates silently.
+    *
+    * Output: every left column unchanged, plus each `payload` column
+    * from the matched right row as `prefix + name` (null if no match).
+    * Key column names must match across the two sides.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String, payload: Seq[String],
+               prefix: String = "asof_", forward: Boolean = false,
+               inclusive: Boolean = true): DataFrame = {
+    require(keys.nonEmpty, "asofJoin needs at least one equi-key")
+    require(payload.nonEmpty, "asofJoin needs at least one payload column")
+    val lStruct = struct(left.columns.toIndexedSeq.map(col): _*)
+    val rStruct = struct(payload.toIndexedSeq.map(col): _*)
+    val lType = left.select(lStruct).schema.head.dataType
+    val rType = right.select(rStruct).schema.head.dataType
+    val lPart = left.select(
+      keys.toIndexedSeq.map(col) ++ Seq(
+        col(leftTs).as("__t"), lit(1).as("__side"),
+        lStruct.as("__l"), lit(null).cast(rType).as("__r")): _*)
+    val rPart = right.select(
+      keys.toIndexedSeq.map(col) ++ Seq(
+        col(rightTs).as("__t"), lit(0).as("__side"),
+        lit(null).cast(lType).as("__l"), rStruct.as("__r")): _*)
+    // at an equal timestamp the right row is admissible iff
+    // `inclusive`: sort it before (inclusive) or after (strict) the
+    // left row so the running window has/hasn't seen it
+    val sideOrder = if (inclusive) col("__side").asc else col("__side").desc
+    val tOrder = if (forward) col("__t").desc else col("__t").asc
+    val w = Window.partitionBy(keys.toIndexedSeq.map(col): _*)
+      .orderBy(tOrder, sideOrder)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lPart.unionByName(rPart)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select(
+        // key columns come from the union's TOP LEVEL (identical to
+        // the struct fields on left rows by construction): they keep
+        // the attribute chain from the window's hash partitioning, so
+        // a downstream groupBy/join on the keys reuses this exchange
+        // instead of re-shuffling — a struct-field extraction would
+        // sever the partitioning info
+        left.columns.toIndexedSeq.map(c =>
+          (if (keys.contains(c)) col(c) else col("__l").getField(c)).as(c)) ++
+          payload.map(p => col("__m").getField(p).as(prefix + p)): _*)
+  }
+
+  /** Exact floor-division band of a millisecond epoch column —
+    * integer arithmetic only (a double division would round above
+    * 2^53, and truncating `div` mis-bands negative epochs).
+    */
+  private def band(ms: Column, width: Long): Column =
+    ((ms - pmod(ms, lit(width))) / lit(width)).cast("long")
+
+  /** Banded range join: all (left, right) row pairs with equal `keys`
+    * and `rightTs - leftTs` in `[lowerMs, upperMs)` — e.g.
+    * `(-7200000, 0)` = "right events in the two hours before left".
+    * Output columns are both sides' in full, disambiguated as
+    * `lPrefix + name` / `rPrefix + name`.
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                leftTs: String, rightTs: String,
+                lowerMs: Long, upperMs: Long,
+                lPrefix: String = "l_", rPrefix: String = "r_"): DataFrame = {
+    require(keys.nonEmpty, "rangeJoin needs at least one equi-key")
+    require(upperMs > lowerMs, s"empty range [$lowerMs, $upperMs)")
+    val width = upperMs - lowerMs
+    val l = left.select(left.columns.toIndexedSeq.map(c => col(c).as(lPrefix + c)): _*)
+    val r = right.select(right.columns.toIndexedSeq.map(c => col(c).as(rPrefix + c)): _*)
+    val lms = unix_millis(col(lPrefix + leftTs))
+    val rms = unix_millis(col(rPrefix + rightTs))
+    // each right row is banded once; each left row probes the bands
+    // its window intersects (≤2 of them since width == window length,
+    // so the explode amplifies the SMALL side of the time predicate
+    // by at most 2 — not a shuffle-size hazard)
+    val lb = l.withColumn("__lband",
+      explode(sequence(band(lms + lit(lowerMs), width),
+        band(lms + lit(upperMs - 1), width))))
+    val rb = r.withColumn("__rband", band(rms, width))
+    val keyCond = keys.map(k => col(lPrefix + k) === col(rPrefix + k))
+      .reduce(_ && _)
+    lb.join(rb, keyCond && col("__lband") === col("__rband") &&
+        rms >= lms + lit(lowerMs) && rms < lms + lit(upperMs))
+      .drop("__lband", "__rband")
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Curation, Dedup, Multimodal, Sampling, Similarity, Stats, TextStats}
+import graft.ext.{Curation, Dedup, Multimodal, Sampling, Similarity, Stats, TextStats, TimeJoin}
 import org.apache.spark.sql.functions._
 
 /** Declared queries for the LLM-pipeline extension operators
@@ -632,6 +632,82 @@ object ExtQueries {
                   (SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders)) AS n_intersect,
                 (SELECT COUNT(*) FROM
                   (SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders)) AS n_except""")),
+
+    // As-of join ([[TimeJoin.asofJoin]]): each click matched to the
+    // user's latest at-or-before view, aggregated per user with an
+    // id-product checksum + exact millisecond gap sum that pin every
+    // individual (click, view) pairing. The oracle is a portable
+    // window formulation (verified equal to DuckDB's native ASOF
+    // JOIN on this data); timestamps are globally unique in events,
+    // so the match is tie-free on both engines.
+    Declared(
+      "ext_rel_asof",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val clicks = ev.where(col("event_type") === "click")
+          .select("user_id", "ts", "event_id")
+        val views = ev.where(col("event_type") === "view")
+          .select("user_id", "ts", "event_id")
+        TimeJoin.asofJoin(clicks, views, Seq("user_id"), "ts", "ts",
+            payload = Seq("event_id", "ts"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_clicks"),
+            count(col("asof_event_id")).as("n_matched"),
+            coalesce(sum(col("event_id") * col("asof_event_id")), lit(0L))
+              .as("pair_checksum"),
+            coalesce(sum(unix_millis(col("ts")) - unix_millis(col("asof_ts"))),
+              lit(0L)).as("gap_ms_sum"))
+          .orderBy("user_id")
+      },
+      Some("""WITH u AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN event_type='click' THEN 1 ELSE 0 END AS is_l
+                FROM events WHERE event_type IN ('click','view')
+              ), w AS (
+                SELECT user_id, ts, event_id, is_l,
+                       last_value(CASE WHEN is_l=0 THEN event_id END IGNORE NULLS)
+                         OVER win AS m_id,
+                       last_value(CASE WHEN is_l=0 THEN epoch_ms(ts) END IGNORE NULLS)
+                         OVER win AS m_ms
+                FROM u
+                WINDOW win AS (PARTITION BY user_id ORDER BY ts, is_l
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              )
+              SELECT user_id, COUNT(*) AS n_clicks, COUNT(m_id) AS n_matched,
+                     COALESCE(SUM(event_id * m_id), 0) AS pair_checksum,
+                     COALESCE(SUM(epoch_ms(ts) - m_ms), 0) AS gap_ms_sum
+              FROM w WHERE is_l = 1
+              GROUP BY user_id ORDER BY user_id""")),
+
+    // Banded range join ([[TimeJoin.rangeJoin]]): clicks in the two
+    // hours before each error, same user. The oracle states the raw
+    // inequality join; the Spark plan is the banded equi-join (the
+    // ≤2-band probe), so a green row proves banding loses no pair.
+    Declared(
+      "ext_rel_range_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val errors = ev.where(col("event_type") === "error")
+          .select("user_id", "ts", "event_id")
+        val clicks = ev.where(col("event_type") === "click")
+          .select("user_id", "ts", "event_id")
+        TimeJoin.rangeJoin(errors, clicks, Seq("user_id"), "ts", "ts",
+            lowerMs = -7200000L, upperMs = 0L)
+          .groupBy(col("l_user_id").as("user_id"))
+          .agg(countDistinct(col("l_event_id")).as("n_errors_matched"),
+            count(lit(1)).as("n_pairs"),
+            sum(col("l_event_id") * col("r_event_id")).as("pair_checksum"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT e.user_id,
+                     COUNT(DISTINCT e.event_id) AS n_errors_matched,
+                     COUNT(*) AS n_pairs,
+                     SUM(e.event_id * c.event_id) AS pair_checksum
+              FROM events e JOIN events c
+                ON c.user_id = e.user_id AND c.event_type = 'click'
+               AND c.ts >= e.ts - INTERVAL 120 MINUTE AND c.ts < e.ts
+              WHERE e.event_type = 'error'
+              GROUP BY e.user_id ORDER BY e.user_id""")),
 
     // --- Similarity search --------------------------------------------
 

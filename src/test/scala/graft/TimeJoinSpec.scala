@@ -1,0 +1,143 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ext.TimeJoin
+
+/** Differential specs for [[graft.ext.TimeJoin]]: the banded /
+  * windowed implementations are checked against Spark's own naive
+  * non-equi formulations (correct by construction, unusable at scale)
+  * on data built around the edge cases — equal timestamps across
+  * sides, strict vs inclusive bounds, forward direction, null payload
+  * fields, band boundaries, unmatched rows.
+  */
+class TimeJoinSpec extends SparkSpec {
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  // left: key, time, lid. Includes a left row exactly at a right
+  // row's time (k=1, t=100) and a left row with no admissible match.
+  private def left: DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("a", ts(50), 1L),   // before any right row of a
+      ("a", ts(100), 2L),  // exactly at right t=100
+      ("a", ts(250), 3L),
+      ("b", ts(500), 4L),
+      ("c", ts(10), 5L)    // key with no right rows at all
+    ).toDF("k", "t", "lid")
+  }
+
+  // right: key, time, rid, v (v null on one row — payload-tearing trap:
+  // a column-wise last(ignoreNulls) would skip rid=11's null v back to
+  // rid=10's, pairing rid=11 with v=7.0)
+  private def right: DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("a", ts(100), 10L, Some(7.0)),
+      ("a", ts(200), 11L, None),
+      ("b", ts(400), 12L, Some(9.0)),
+      ("b", ts(600), 13L, Some(3.0))
+    ).toDF("k", "t", "rid", "v")
+  }
+
+  /** Naive as-of twin: non-equi join + max_by over admissible rows. */
+  private def naiveAsof(forward: Boolean, inclusive: Boolean): Seq[(Long, Option[Long], Option[Double])] = {
+    val l = left.select(col("k").as("lk"), col("t").as("lt"), col("lid"))
+    val cmp =
+      if (forward && inclusive) col("rt") >= col("lt")
+      else if (forward) col("rt") > col("lt")
+      else if (inclusive) col("rt") <= col("lt")
+      else col("rt") < col("lt")
+    val r = right.select(col("k").as("rk"), col("t").as("rt"), col("rid"), col("v"))
+    val picked = l.join(r, col("lk") === col("rk") && cmp, "left")
+      .groupBy(col("lid"))
+      .agg(max_by(struct(col("rid"), col("v")),
+        // admissible rows only; nearest = max rt backward, min rt forward
+        when(col("rid").isNotNull,
+          if (forward) -unix_millis(col("rt")) else unix_millis(col("rt")))).as("m"))
+      .select(col("lid"), col("m.rid"), col("m.v"))
+    picked.collect().map(row =>
+      (row.getLong(0),
+        if (row.isNullAt(1)) None else Some(row.getLong(1)),
+        if (row.isNullAt(2)) None else Some(row.getDouble(2)))).toSeq.sortBy(_._1)
+  }
+
+  private def fastAsof(forward: Boolean, inclusive: Boolean): Seq[(Long, Option[Long], Option[Double])] =
+    TimeJoin.asofJoin(left, right, Seq("k"), "t", "t", Seq("rid", "v"),
+        forward = forward, inclusive = inclusive)
+      .select(col("lid"), col("asof_rid"), col("asof_v"))
+      .collect().map(row =>
+        (row.getLong(0),
+          if (row.isNullAt(1)) None else Some(row.getLong(1)),
+          if (row.isNullAt(2)) None else Some(row.getDouble(2)))).toSeq.sortBy(_._1)
+
+  test("asofJoin matches the naive non-equi join in all four modes") {
+    for (forward <- Seq(false, true); inclusive <- Seq(false, true)) {
+      val fast = fastAsof(forward, inclusive)
+      val naive = naiveAsof(forward, inclusive)
+      assert(fast == naive, s"forward=$forward inclusive=$inclusive")
+    }
+  }
+
+  test("asofJoin boundary semantics: equal timestamp flips on inclusive") {
+    def m(inclusive: Boolean): Map[Long, (Option[Long], Option[Double])] =
+      fastAsof(forward = false, inclusive = inclusive)
+        .map(x => x._1 -> ((x._2, x._3))).toMap
+    assert(m(true)(2L)._1.contains(10L))  // t=100 sees rid=10 at t=100
+    assert(m(false)(2L)._1.isEmpty)       // strict: nothing before t=100
+  }
+
+  test("asofJoin carries a matched row's null field whole (no payload tearing)") {
+    val r = fastAsof(forward = false, inclusive = true)
+    // lid=3 (t=250) matches rid=11 (t=200) whose v is null — v must be
+    // null, not rid=10's 7.0
+    assert(r.find(_._1 == 3L).get == ((3L, Some(11L), None)))
+    // left-join semantics: lid=5 (key c) survives unmatched
+    assert(r.find(_._1 == 5L).get == ((5L, None, None)))
+  }
+
+  test("rangeJoin equals the naive inequality join incl. band boundaries") {
+    import spark.implicits._
+    // times laid out around the band width (width = upper-lower =
+    // 100 s): exact multiples of the width, the window edges
+    // themselves, and cross-band matches
+    val l = Seq(("a", ts(100), 1L), ("a", ts(250), 2L), ("b", ts(300), 3L))
+      .toDF("k", "t", "id")
+    val r = Seq(
+      ("a", ts(0), 10L), ("a", ts(100), 11L), ("a", ts(199), 12L),
+      ("a", ts(200), 13L), ("a", ts(249), 14L), ("a", ts(340), 17L),
+      ("b", ts(200), 15L), ("b", ts(399), 16L)).toDF("k", "t", "id")
+    // window: right in [t+0, t+100) — inclusive lower, exclusive upper
+    val fast = TimeJoin.rangeJoin(l, r, Seq("k"), "t", "t", 0L, 100000L)
+      .select(col("l_id"), col("r_id"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val naive = l.select(col("k").as("lk"), col("t").as("lt"), col("id").as("l_id"))
+      .join(r.select(col("k").as("rk"), col("t").as("rt"), col("id").as("r_id")),
+        col("lk") === col("rk") &&
+          col("rt") >= col("lt") && col("rt") < col("lt") + expr("INTERVAL 100 SECONDS"))
+      .select(col("l_id"), col("r_id"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(fast == naive)
+    // pin the expected pairs so the naive twin can't mask a shared bug:
+    // r11 sits exactly on l1's inclusive lower edge; r13 exactly on its
+    // exclusive upper edge; r14 is 1 s before l2's window opens; r17 is
+    // l2's cross-band match (bands 2→3 for width 100 s)
+    assert(fast == Set((1L, 11L), (1L, 12L), (2L, 17L), (3L, 16L)))
+  }
+
+  test("rangeJoin negative window (right before left) and no self pair loss") {
+    import spark.implicits._
+    val ev = Seq(
+      ("u", ts(1000), 1L), ("u", ts(1500), 2L), ("u", ts(2000), 3L))
+      .toDF("k", "t", "id")
+    // right rows in the 10 minutes BEFORE each left row: [t-600, t)
+    val pairs = TimeJoin.rangeJoin(ev, ev, Seq("k"), "t", "t", -600000L, 0L)
+      .select(col("l_id"), col("r_id"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(pairs == Set((2L, 1L), (3L, 2L)))
+  }
+}
