@@ -302,6 +302,67 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over an undirected edge list: (node,
+    * component) where component = the MINIMUM node id reachable from
+    * `node` — the canonical representative a transitive dedup class
+    * needs (pairwise near-dup output alone under-merges: A~B and B~C
+    * must collapse to one class even when A~C was never emitted).
+    *
+    * Algorithm: min-label propagation with pointer jumping. Each
+    * round every node takes the least of its own label, its
+    * neighbors' labels, and its label's label (path halving). Plain
+    * neighbor propagation needs O(diameter) rounds; the jump step
+    * halves label-chain depth each round, giving O(log n) worst case
+    * — the classic MapReduce-CC recipe, here as nothing but
+    * equi-joins and min-aggregates that AQE plans freely at any
+    * scale. Each iteration is localCheckpoint-truncated: an iterative
+    * loop otherwise compounds its own lineage into an
+    * analysis-time blowup. Convergence is detected by the label sum
+    * (labels only ever decrease, so an unchanged sum IS the
+    * fixpoint), one cheap aggregate per round.
+    *
+    * Isolated nodes (no edges) don't appear; callers union them back
+    * as singleton components if needed.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIters: Int = 30): DataFrame = {
+    val sym = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+      .select(explode(array(
+        struct(col("a"), col("b")),
+        struct(col("b").as("a"), col("a").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .distinct()
+      .localCheckpoint() // static across rounds; materialize once
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var prevSum = Option.empty[Long]
+    var it = 0
+    var converged = labels.isEmpty
+    while (!converged && it < maxIters) {
+      val nbrMin = sym
+        .join(labels.select(col("node").as("b"), col("label").as("bl")), Seq("b"))
+        .groupBy(col("a").as("node")).agg(min(col("bl")).as("nl"))
+      val stepped = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+      val jumped = stepped
+        .join(stepped.select(col("node").as("pl"), col("label").as("pll")),
+          stepped("label") === col("pl"), "left")
+        .select(col("node"),
+          least(stepped("label"), coalesce(col("pll"), stepped("label"))).as("label"))
+        .localCheckpoint()
+      val s = jumped.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
+      converged = prevSum.contains(s)
+      prevSum = Some(s)
+      labels = jumped
+      it += 1
+    }
+    labels.select(col("node"), col("label").as("component"))
+  }
+
   /** Word n-grams per doc, entirely map-side: the token array is
     * zipped with its n−1 self-shifts (`arrays_zip` pads the shorter
     * arrays with null) and exploded; `concat` — not concat_ws — makes

@@ -242,6 +242,61 @@ object ExtQueries {
                       CAST(SUM(dist) AS BIGINT) AS sum_dist
                FROM p WHERE dist <= 3""")),
 
+    // Transitive duplicate classes ([[Dedup.connectedComponents]])
+    // over the simhash hamming-≤3 pair graph: pairwise output alone
+    // under-merges (A~B, B~C must be ONE class even when A~C never
+    // surfaced); the component representative (min reachable id) is
+    // what a keep-one-per-class dedup policy needs. The oracle
+    // computes the same closure with a recursive CTE; the label<node
+    // prune is safe for MIN-label reachability (any pruned label
+    // routes through a node whose own smaller seed reaches the same
+    // places) and is what makes the recursion finite.
+    Declared(
+      "ext_dedup_components",
+      (s, d) => {
+        val pairs = Dedup.simhashNearPairs(Tables.documents(s, d), "doc_id", "text",
+          bits = 60, maxDist = 3)
+        Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+          .groupBy("component").agg(count(lit(1)).as("sz"))
+          .agg(count(lit(1)).as("n_components"),
+            sum(col("sz")).as("n_docs"),
+            sum(col("component")).as("rep_checksum"),
+            max(col("sz")).as("max_size"))
+      },
+      Some("""WITH RECURSIVE tok AS (
+                 SELECT DISTINCT doc_id, w FROM (
+                   SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+                 WHERE w <> ''),
+               h AS (
+                 SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS hv FROM tok),
+               bits AS (
+                 SELECT doc_id, b,
+                        SUM(CASE WHEN ((hv >> b) & 1) = 1 THEN 1 ELSE -1 END) AS s
+                 FROM h, range(60) t(b) GROUP BY doc_id, b),
+               simh AS (
+                 SELECT doc_id,
+                        SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+                 FROM bits GROUP BY doc_id),
+               p AS (
+                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM simh a JOIN simh b ON a.doc_id < b.doc_id
+                 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+               edges AS (
+                 SELECT doc_a AS a, doc_b AS b FROM p
+                 UNION SELECT doc_b, doc_a FROM p),
+               reach(node, label) AS (
+                 SELECT a, a FROM edges
+                 UNION
+                 SELECT e.b, r.label FROM reach r
+                 JOIN edges e ON e.a = r.node WHERE r.label < e.b),
+               cc AS (SELECT node, MIN(label) AS comp FROM reach GROUP BY node),
+               sizes AS (SELECT comp, COUNT(*) AS sz FROM cc GROUP BY comp)
+               SELECT COUNT(*) AS n_components,
+                      CAST(SUM(sz) AS BIGINT) AS n_docs,
+                      CAST(SUM(comp) AS BIGINT) AS rep_checksum,
+                      CAST(MAX(sz) AS BIGINT) AS max_size
+               FROM sizes""")),
+
     Declared(
       "ext_dedup_ngram_jaccard",
       (s, d) =>

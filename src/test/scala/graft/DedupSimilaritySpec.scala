@@ -143,6 +143,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(r == 8)
   }
 
+  test("connectedComponents labels every node with its component's min id") {
+    import spark.implicits._
+    // a 6-node path (worst case for plain propagation: diameter 5),
+    // a triangle given only as two edges' closure input, a 2-cycle
+    // duplicate edge, and reversed/duplicate orientations
+    val edges = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L), // path
+      (2L, 7L), (7L, 4L),                                         // chain: class min 2
+      (20L, 21L), (21L, 20L),                                     // duplicate both ways
+      (30L, 31L)
+    ).toDF("src", "dst")
+    val got = Dedup.connectedComponents(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    val expected = Map(
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L, 15L -> 10L,
+      2L -> 2L, 7L -> 2L, 4L -> 2L,
+      20L -> 20L, 21L -> 20L,
+      30L -> 30L, 31L -> 30L)
+    assert(got == expected)
+  }
+
+  test("connectedComponents on an empty edge list is empty") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Dedup.connectedComponents(empty, "src", "dst").count() == 0)
+  }
+
   test("DotProduct is bit-equal to the interpreted HOF formulation") {
     import spark.implicits._
     val vecs = Seq(
