@@ -49,4 +49,41 @@ object Stats {
       .agg(expr(aggSql(ps.mkString(", "))).as("__ps"))
       .select(groupCols.map(col) ++ cols: _*)
   }
+
+  // ----- Cardinality ------------------------------------------------
+
+  /** Exact per-group cardinality profile of `value`: (group, n_rows,
+    * n_distinct). Exact distinct is a full shuffle of the distinct
+    * values — the oracle-checkable baseline, not the 100 TB path.
+    */
+  def cardinality(df: DataFrame, groupCols: Seq[String], value: Column): DataFrame =
+    df.withColumn("__v", value)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"), countDistinct(col("__v")).as("n_distinct"))
+
+  /** Per-group DataSketches HLL sketches of `value` — THE 100 TB
+    * cardinality path: one pass, bounded memory (2^lgK registers),
+    * partial-aggregated map-side, and the output sketch is a VALUE.
+    * Sketches built per shard/day/group union losslessly into coarser
+    * rollups ([[hllUnion]]) without re-reading the data — the property
+    * exact countDistinct fundamentally lacks (distinct sets don't
+    * add). Estimates are engine-specific, so correctness is
+    * spec-pinned against the exact path within HLL error bounds, not
+    * DuckDB-oracle-checked.
+    */
+  def hllSketches(df: DataFrame, groupCols: Seq[String], value: Column,
+                  lgK: Int = 12): DataFrame =
+    df.withColumn("__v", value)
+      .groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_agg(col("__v"), lit(lgK)).as("sketch"))
+
+  /** Union previously-built sketches (e.g. per-group → global) and
+    * estimate: (n_groups, estimate). `allowDifferentLgK` tolerates
+    * mixing sketches built at different precisions (the union
+    * downgrades to the coarsest).
+    */
+  def hllUnion(sketches: DataFrame, allowDifferentLgK: Boolean = false): DataFrame =
+    sketches.agg(count(lit(1)).as("n_groups"),
+      hll_sketch_estimate(hll_union_agg(col("sketch"), lit(allowDifferentLgK)))
+        .as("estimate"))
 }

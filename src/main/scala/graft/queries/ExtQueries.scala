@@ -554,6 +554,21 @@ object ExtQueries {
               FROM (SELECT lang, len(string_split(text, ' ')) AS n FROM documents)
               GROUP BY lang ORDER BY lang""")),
 
+    // Cardinality profile ([[Stats.cardinality]]): exact per-type
+    // event/user counts — the oracle-checkable baseline of the
+    // sketch family; the mergeable DataSketches HLL path
+    // ([[Stats.hllSketches]]/[[Stats.hllUnion]]) is spec-pinned
+    // against this within HLL error bounds (estimates are
+    // engine-specific, so no DuckDB twin can exist for them).
+    Declared(
+      "ext_stats_cardinality",
+      (s, d) =>
+        Stats.cardinality(Tables.events(s, d), Seq("event_type"), col("user_id"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(*) AS n_rows,
+                     COUNT(DISTINCT user_id) AS n_distinct
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // --- Multimodal ---------------------------------------------------
     Declared(
       "ext_multimodal_meta",
