@@ -135,7 +135,8 @@ object Curation {
              maxRepDecile: Int = 10,
              jaccardNum: Int = 4, jaccardDen: Int = 5,
              k: Int = 16, rowsPerBand: Int = 4,
-             maxBucket: Int = 64, dfCap: Int = 100): Curated = {
+             maxBucket: Int = 64, dfCap: Int = 100,
+             componentPolicy: Boolean = false): Curated = {
     val input = docs.select(col(idCol), col(textCol))
     // one gate projection carrying pass/fail flags instead of filtering
     // immediately: the audit counts then need no extra passes, and the
@@ -197,7 +198,25 @@ object Curation {
         .where(col("doc_id") =!= col("rep_doc"))
         .select("doc_id")
     }
-    val drops = verified.select(col("doc_b").as("doc_id"))
+    // near-dup drop policy. Default: drop each verified pair's doc_b —
+    // single-pass, SQL-expressible for the oracle, but it under-merges
+    // on chains (pairs (B,C),(A,C) leave B alive though transitively
+    // duplicate with A). componentPolicy=true closes the pair graph
+    // with [[Dedup.connectedComponents]] and keeps exactly one min-id
+    // representative per duplicate CLASS — the policy a production
+    // dedup wants; it costs the O(log n)-round iterative loop, and its
+    // closure has no single-pass SQL twin (the components QUERY
+    // oracle covers it via a recursive CTE instead).
+    val pairDrops =
+      if (componentPolicy)
+        PlanCache.checkpointed(
+          s"curation/compdrops/$gateTag/$jaccardNum/$jaccardDen/$k/$rowsPerBand/$maxBucket/$dfCap",
+          input) { _ =>
+          Dedup.componentDrops(verified, "doc_a", "doc_b")
+            .withColumnRenamed("node", "doc_id")
+        }
+      else verified.select(col("doc_b").as("doc_id"))
+    val drops = pairDrops
       .union(clusterDrops).distinct()
       .withColumnRenamed("doc_id", "__drop_id")
     val finalDocs = surv

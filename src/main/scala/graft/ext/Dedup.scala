@@ -363,6 +363,17 @@ object Dedup {
     labels.select(col("node"), col("label").as("component"))
   }
 
+  /** Drop list of a component-representative dedup policy: every node
+    * of the pair graph EXCEPT each component's min-id representative.
+    * Subsumes per-pair doc_b-dropping, which under-merges on chains —
+    * with pairs (B,C) and (A,C), B is never a doc_b and survives even
+    * though it is transitively duplicate with A.
+    */
+  def componentDrops(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    connectedComponents(edges, srcCol, dstCol)
+      .where(col("node") =!= col("component"))
+      .select(col("node"))
+
   /** Word n-grams per doc, entirely map-side: the token array is
     * zipped with its n−1 self-shifts (`arrays_zip` pads the shorter
     * arrays with null) and exploded; `concat` — not concat_ws — makes

@@ -57,4 +57,16 @@ object StreamingQueries {
                  watermark: String = "30 minutes"): DataFrame =
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
+
+  /** Stream–static enrichment: the event stream joined to a static
+    * dimension on `keys` (left join — events with no dimension row
+    * survive with nulls, they must not silently vanish from a
+    * pipeline). Spark re-plans the static side per microbatch, so a
+    * small dimension broadcasts (no stream shuffle at all) and a
+    * refreshed dimension table is picked up on the next batch —
+    * the standard streaming enrichment shape; no state, no
+    * watermark needed.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left")
 }

@@ -49,6 +49,16 @@ class CurationSpec extends SparkSpec {
       Seq(0L, 6L))
   }
 
+  test("componentPolicy=true matches the pair policy on a chain-free corpus") {
+    import spark.implicits._
+    // this corpus's pair graph has a single edge (0,2), so the two
+    // policies must agree exactly; the chain case where they diverge
+    // is pinned by DedupSimilaritySpec's componentDrops test
+    val c = Curation.curate(corpus, "doc_id", "text", componentPolicy = true)
+    assert(c.finalDocs.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(0L, 6L))
+  }
+
   test("near-dup verification threshold is exact rational arithmetic") {
     import spark.implicits._
     // shingle jaccard 27/33: passes at 4/5 (27·5 ≥ 33·4), fails at 5/6

@@ -170,6 +170,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Dedup.connectedComponents(empty, "src", "dst").count() == 0)
   }
 
+  test("componentDrops closes chains the per-pair doc_b policy leaves open") {
+    import spark.implicits._
+    // pairs (B,C) and (A,C): B is never a doc_b, so the doc_b policy
+    // keeps {A, B}; the component policy keeps only the class min A
+    val pairs = Seq((2L, 3L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val compDrops = Dedup.componentDrops(pairs, "doc_a", "doc_b")
+      .as[Long].collect().toSet
+    val pairDrops = pairs.select($"doc_b").distinct().as[Long].collect().toSet
+    assert(pairDrops == Set(3L))
+    assert(compDrops == Set(2L, 3L))
+  }
+
   test("DotProduct is bit-equal to the interpreted HOF formulation") {
     import spark.implicits._
     val vecs = Seq(

@@ -265,6 +265,39 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-static enrich equals the batch left join, dimension broadcast, unmatched kept") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs = realEvents
+    val (b1, b2) = evs.splitAt(evs.size / 2)
+    // static dimension keyed by event_type; one type deliberately
+    // missing so the left-join null path is exercised
+    val dim = Seq(("click", 1L), ("view", 2L), ("error", 3L), ("signup", 4L))
+      .toDF("event_type", "type_code")
+    val stream = MemoryStream[Ev]
+    val query = StreamingQueries.enrich(stream.toDF(), dim, Seq("event_type"))
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      stream.addData(b1)
+      query.processAllAvailable()
+      stream.addData(b2)
+      query.processAllAvailable()
+      val got = spark.table("enriched")
+        .select(col("ts"), col("event_type"), col("type_code"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq.sorted
+      val expect = evs.toDF()
+        .join(dim, Seq("event_type"), "left")
+        .select(col("ts"), col("event_type"), col("type_code"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq.sorted
+      assert(got == expect)
+      // purchase events have no dimension row and must still be present
+      assert(got.exists(_._3 == -1L))
+    } finally query.stop()
+  }
+
   test("streaming dedupByKey keeps one row per key across microbatches, state bounded by watermark") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
