@@ -335,8 +335,12 @@ object Dedup {
       .select(col("e.a").as("a"), col("e.b").as("b"))
       .distinct()
       .localCheckpoint() // static across rounds; materialize once
-    var labels = sym.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // fused round 0: label(v) = min(v, min N(v)) falls out of one
+    // groupBy over the edge list — no join needed. A dense near-dup
+    // cluster (the common dedup graph) is fully labeled right here,
+    // so the loop below runs only its confirming round.
+    var labels = sym.groupBy(col("a")).agg(min(col("b")).as("__nb"))
+      .select(col("a").as("node"), least(col("a"), col("__nb")).as("label"))
       .localCheckpoint()
     var prevSum = Option.empty[Long]
     var it = 0
