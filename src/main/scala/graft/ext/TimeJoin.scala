@@ -70,6 +70,12 @@ object TimeJoin {
       keys.toIndexedSeq.map(col) ++ Seq(
         col(rightTs).as("__t"), lit(0).as("__side"),
         lit(null).cast(lType).as("__l"), rStruct.as("__r")): _*)
+      // join semantics: a null key matches nothing (the window would
+      // otherwise treat NULL as a real partition and pair null-key
+      // rows with each other). Dropping null-key RIGHT rows suffices:
+      // null-key left rows then sit in a partition with no right rows
+      // and survive unmatched, preserving left-join semantics.
+      .where(keys.map(col(_).isNotNull).reduce(_ && _))
     // at an equal timestamp the right row is admissible iff
     // `inclusive`: sort it before (inclusive) or after (strict) the
     // left row so the running window has/hasn't seen it

@@ -100,6 +100,19 @@ class TimeJoinSpec extends SparkSpec {
     assert(r.find(_._1 == 5L).get == ((5L, None, None)))
   }
 
+  test("asofJoin null keys match nothing, like a join and unlike a window partition") {
+    import spark.implicits._
+    val l = Seq((Option("a"), ts(100), 1L), (Option.empty[String], ts(100), 2L))
+      .toDF("k", "t", "lid")
+    val r = Seq((Option("a"), ts(50), 10L), (Option.empty[String], ts(50), 11L))
+      .toDF("k", "t", "rid")
+    val got = TimeJoin.asofJoin(l, r, Seq("k"), "t", "t", Seq("rid"))
+      .select(col("lid"), col("asof_rid"))
+      .collect().map(x => (x.getLong(0),
+        if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+    assert(got == Map(1L -> Some(10L), 2L -> None))
+  }
+
   test("rangeJoin equals the naive inequality join incl. band boundaries") {
     import spark.implicits._
     // times laid out around the band width (width = upper-lower =
