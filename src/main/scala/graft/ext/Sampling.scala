@@ -109,6 +109,27 @@ object Sampling {
     * results still match, but "ties share a prefix" is rarely the
     * packing a caller wants.
     */
+  /** Deterministic fixed-size sample: exactly min(k, |stratum|) rows
+    * per stratum, the ones with the smallest salted hash — a
+    * "reservoir" whose membership is a pure function of (key, salt),
+    * so it reproduces across runs/engines and is STABLE under corpus
+    * growth in expectation (a new row displaces at most one member,
+    * unlike rand()-ranked sampling where everything reshuffles).
+    * One shuffle on the strata; the rank window streams each stratum.
+    * Ties are impossible in the rank order (the key itself breaks
+    * hash collisions), so output is exactly reproducible.
+    */
+  def reservoirPerStratum(df: DataFrame, strataCols: Seq[String], key: Column,
+                          k: Int, salt: String = "resv"): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCols.map(col): _*)
+      .orderBy(Hashing.h32(concat(key.cast("string"), lit(salt))), key)
+    df.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   def packBins(df: DataFrame, partCols: Seq[String], orderCol: Column,
                tokensCol: Column, budget: Int, out: String = "bin"): DataFrame = {
     require(budget > 0, s"budget=$budget must be positive")

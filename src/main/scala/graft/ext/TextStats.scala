@@ -69,6 +69,17 @@ object TextStats {
     * — Catalyst keeps the projections separate because `toks` is
     * non-cheap and multiply-referenced.
     */
+  /** Engine-portable text normalization — the standard pass before
+    * hashing/dedup so trivial formatting variants (case, punctuation,
+    * whitespace runs) collapse to one canonical form: lower-case,
+    * non-[a-z0-9 ] → space, whitespace runs collapsed, trimmed. Pure
+    * codegen projection; deliberately restricted to character classes
+    * whose regex semantics are identical in Java (Spark) and RE2
+    * (DuckDB), so the oracle reproduces it byte-for-byte.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
   def qualityFeatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(
         col(idCol).as("doc_id"),

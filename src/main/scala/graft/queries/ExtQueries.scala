@@ -479,6 +479,26 @@ object ExtQueries {
                        w -> CAST(ceil(len(w) / 4.0) AS INT)))) AS BIGINT) AS subword_tokens
               FROM documents GROUP BY bucket ORDER BY bucket""")),
 
+    // Text normalization ([[TextStats.normalize]]): md5 checksums of
+    // the canonical forms pin every output byte, so the oracle proves
+    // the two engines' regex/lower/trim pipelines agree exactly.
+    Declared(
+      "ext_text_normalize",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(TextStats.normalize(col("text")).as("nt"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("nt"))).as("len_sum"),
+            sum(graft.functions.Md5Prefix.md5Prefix(col("nt"), 8))
+              .as("md5_checksum")),
+      Some("""SELECT COUNT(*) AS n_docs,
+                     CAST(SUM(len(nt)) AS BIGINT) AS len_sum,
+                     CAST(SUM(CAST('0x' || substr(md5(nt), 1, 8) AS BIGINT)) AS BIGINT)
+                       AS md5_checksum
+              FROM (SELECT trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nt
+                    FROM documents)""")),
+
     // Rolling-hash fingerprints: the oracle recomputes every k-byte
     // window NAIVELY (exact double polynomial, k=8·base=31 stays under
     // 2^53), so a hash match also cross-checks the O(n) rolling update
@@ -1119,6 +1139,29 @@ object ExtQueries {
     // fallback on zh). The id checksum pins exact membership of every
     // (split, lang) cell, so the oracle verifies assignment and
     // sampling decisions row-for-row, not just proportions.
+    // Deterministic fixed-size per-stratum sample
+    // ([[Sampling.reservoirPerStratum]]): exactly k min-salted-hash
+    // rows per language; id checksums pin the exact membership, which
+    // the oracle reproduces from the same md5 rank.
+    Declared(
+      "ext_pipeline_reservoir",
+      (s, d) =>
+        Sampling.reservoirPerStratum(Tables.documents(s, d), Seq("lang"),
+            col("doc_id"), k = 20)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_checksum"))
+          .orderBy("lang"),
+      Some("""WITH rk AS (
+                SELECT lang, doc_id,
+                       ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+                         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'resv'), 1, 8) AS BIGINT),
+                         doc_id) AS rk
+                FROM documents)
+              SELECT lang, COUNT(*) AS n_kept,
+                     CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+              FROM rk WHERE rk <= 20
+              GROUP BY lang ORDER BY lang""")),
+
     Declared(
       "ext_pipeline_split",
       (s, d) => {

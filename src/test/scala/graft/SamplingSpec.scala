@@ -62,6 +62,27 @@ class SamplingSpec extends SparkSpec {
     assert(keptWeb == expWeb)
   }
 
+  test("reservoirPerStratum: exact k per stratum, growth displaces at most the new arrivals") {
+    import spark.implicits._
+    val base = spark.range(500).toDF("id")
+      .withColumn("g", when(col("id") % 2 === 0, "a").otherwise("b"))
+    def sample(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      Sampling.reservoirPerStratum(df, Seq("g"), col("id"), k = 25)
+        .select("id").as[Long].collect().toSet
+    val s1 = sample(base)
+    assert(s1.size == 50) // 25 per stratum, both strata full
+    // deterministic under repartition/order changes
+    assert(sample(base.repartition(13).orderBy(col("id").desc)) == s1)
+    // corpus growth: old members stay unless displaced by a NEW row
+    // with a smaller hash — never reshuffled among themselves
+    val grown = base.union(spark.range(500, 600).toDF("id")
+      .withColumn("g", when(col("id") % 2 === 0, "a").otherwise("b")))
+    val s2 = sample(grown)
+    assert(s2.size == 50)
+    assert((s2 -- s1).forall(_ >= 500L))
+    assert((s1 -- s2).size == (s2 -- s1).size)
+  }
+
   test("packBins assigns docs to budget bins by prefix sum within each shard") {
     import spark.implicits._
     val docs = Seq(
