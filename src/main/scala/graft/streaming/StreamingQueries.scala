@@ -58,6 +58,34 @@ object StreamingQueries {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream–stream interval join — the streaming twin of
+    * [[graft.ext.TimeJoin.rangeJoin]]: pairs (l, r) with equal `keys`
+    * and `r.ts - l.ts` in `[lowerMs, upperMs)`. Both sides carry
+    * watermarks, and the time-range condition bounds how long either
+    * side's rows are buffered: a left row can stop waiting once the
+    * watermark passes `l.ts + upperMs`, a right row once it passes
+    * `r.ts - lowerMs` — so state is O(rate × window), not O(stream).
+    * Columns are prefix-disambiguated like the batch operator.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftTs: String, rightTs: String,
+                   lowerMs: Long, upperMs: Long,
+                   watermark: String = "30 minutes",
+                   lPrefix: String = "l_", rPrefix: String = "r_"): DataFrame = {
+    require(upperMs > lowerMs, s"empty range [$lowerMs, $upperMs)")
+    val l = left.select(left.columns.toIndexedSeq.map(c => col(c).as(lPrefix + c)): _*)
+      .withWatermark(lPrefix + leftTs, watermark)
+    val r = right.select(right.columns.toIndexedSeq.map(c => col(c).as(rPrefix + c)): _*)
+      .withWatermark(rPrefix + rightTs, watermark)
+    val lts = col(lPrefix + leftTs)
+    val rts = col(rPrefix + rightTs)
+    val keyCond = keys.map(k => col(lPrefix + k) === col(rPrefix + k))
+      .reduce(_ && _)
+    l.join(r, keyCond &&
+      rts >= lts + expr(s"INTERVAL $lowerMs MILLISECONDS") &&
+      rts < lts + expr(s"INTERVAL $upperMs MILLISECONDS"))
+  }
+
   /** Stream–static enrichment: the event stream joined to a static
     * dimension on `keys` (left join — events with no dimension row
     * survive with nulls, they must not silently vanish from a

@@ -9,6 +9,7 @@ import graft.streaming.StreamingQueries
 
 case class Ev(ts: Timestamp, event_type: String, value: Double)
 case class Line(value: String)
+case class KeyedEv(user_id: Long, ts: Timestamp, event_id: Long)
 
 /** Differential specs for the Structured Streaming slice: the batch
   * query over the same rows is the oracle (SURVEY §7.5 — batch DQ14
@@ -295,6 +296,48 @@ class StreamingSpec extends SparkSpec {
       assert(got == expect)
       // purchase events have no dimension row and must still be present
       assert(got.exists(_._3 == -1L))
+    } finally query.stop()
+  }
+
+  test("stream-stream interval join equals the batch banded rangeJoin") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // user-keyed events: clicks in the 2 hours before each error —
+    // same predicate as ext_rel_range_join, tiny scale
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val errs = ev.where(col("event_type") === "error")
+      .select("user_id", "ts", "event_id")
+    val clicks = ev.where(col("event_type") === "click")
+      .select("user_id", "ts", "event_id")
+    val errSeq = errs.as[(Long, Timestamp, Long)].collect()
+      .map(x => KeyedEv(x._1, x._2, x._3)).toSeq.sortBy(_.ts.getTime)
+    val clkSeq = clicks.as[(Long, Timestamp, Long)].collect()
+      .map(x => KeyedEv(x._1, x._2, x._3)).toSeq.sortBy(_.ts.getTime)
+    val lStream = MemoryStream[KeyedEv]
+    val rStream = MemoryStream[KeyedEv]
+    val joined = StreamingQueries.intervalJoin(
+      lStream.toDF(), rStream.toDF(), Seq("user_id"), "ts", "ts",
+      lowerMs = -7200000L, upperMs = 0L, watermark = "10 minutes")
+    val query = joined
+      .select(col("l_event_id"), col("r_event_id"))
+      .writeStream.format("memory").queryName("ivj").outputMode("append").start()
+    try {
+      // two microbatches per side, split mid-stream
+      val (l1, l2) = errSeq.splitAt(errSeq.size / 2)
+      val (r1, r2) = clkSeq.splitAt(clkSeq.size / 2)
+      lStream.addData(l1); rStream.addData(r1)
+      query.processAllAvailable()
+      lStream.addData(l2); rStream.addData(r2)
+      query.processAllAvailable()
+      val got = spark.table("ivj")
+        .as[(Long, Long)].collect().toSet
+      val batch = graft.ext.TimeJoin.rangeJoin(errs, clicks, Seq("user_id"),
+          "ts", "ts", -7200000L, 0L)
+        .select(col("l_event_id"), col("r_event_id"))
+        .as[(Long, Long)].collect().toSet
+      assert(got == batch)
+      assert(batch.nonEmpty) // sanity: the differential isn't vacuous
     } finally query.stop()
   }
 
