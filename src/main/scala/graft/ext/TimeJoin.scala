@@ -99,6 +99,30 @@ object TimeJoin {
           payload.map(p => col("__m").getField(p).as(prefix + p)): _*)
   }
 
+  /** Batch gap-based sessionization: appends a per-key ordinal
+    * `session_id` (1-based), where a new session starts when the gap
+    * to the previous event exceeds `gapMs` (a gap of EXACTLY gapMs
+    * stays in-session — mirrors the streaming
+    * [[graft.streaming.Sessionize]] contract). One hash shuffle on
+    * the keys and one in-partition sort serve both window passes
+    * (lag + running sum share the partitioning/ordering), so the cost
+    * at any scale is that of a single windowed scan. Rows with a null
+    * timestamp sort first and join the first session — filter them
+    * upstream if they are noise.
+    */
+  def sessionize(df: DataFrame, keys: Seq[String], tsCol: String,
+                 gapMs: Long, out: String = "session_id"): DataFrame = {
+    require(gapMs > 0, s"gapMs=$gapMs must be positive")
+    val w = Window.partitionBy(keys.toIndexedSeq.map(col): _*).orderBy(col(tsCol))
+    val prev = lag(col(tsCol), 1).over(w)
+    val newSession = when(
+      prev.isNull || unix_millis(col(tsCol)) - unix_millis(prev) > gapMs, 1L)
+      .otherwise(0L)
+    df.withColumn(out,
+      sum(newSession).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   /** Exact floor-division band of a millisecond epoch column —
     * integer arithmetic only (a double division would round above
     * 2^53, and truncating `div` mis-bands negative epochs).

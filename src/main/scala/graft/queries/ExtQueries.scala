@@ -769,6 +769,94 @@ object ExtQueries {
               FROM w WHERE is_l = 1
               GROUP BY user_id ORDER BY user_id""")),
 
+    // Forward as-of: each click matched to the user's EARLIEST
+    // at-or-after view — the other direction of the same operator,
+    // exercised end to end (the spec pins all four modes on synthetic
+    // data; this pins forward on the real table against its own
+    // oracle, a DESC-traversal mirror of the backward formulation).
+    Declared(
+      "ext_rel_asof_fwd",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val clicks = ev.where(col("event_type") === "click")
+          .select("user_id", "ts", "event_id")
+        val views = ev.where(col("event_type") === "view")
+          .select("user_id", "ts", "event_id")
+        TimeJoin.asofJoin(clicks, views, Seq("user_id"), "ts", "ts",
+            payload = Seq("event_id", "ts"), forward = true)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_clicks"),
+            count(col("asof_event_id")).as("n_matched"),
+            coalesce(sum(col("event_id") * col("asof_event_id")), lit(0L))
+              .as("pair_checksum"),
+            coalesce(sum(unix_millis(col("asof_ts")) - unix_millis(col("ts"))),
+              lit(0L)).as("gap_ms_sum"))
+          .orderBy("user_id")
+      },
+      Some("""WITH u AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN event_type='click' THEN 1 ELSE 0 END AS is_l
+                FROM events WHERE event_type IN ('click','view')
+              ), w AS (
+                SELECT user_id, ts, event_id, is_l,
+                       last_value(CASE WHEN is_l=0 THEN event_id END IGNORE NULLS)
+                         OVER win AS m_id,
+                       last_value(CASE WHEN is_l=0 THEN epoch_ms(ts) END IGNORE NULLS)
+                         OVER win AS m_ms
+                FROM u
+                WINDOW win AS (PARTITION BY user_id ORDER BY ts DESC, is_l
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              )
+              SELECT user_id, COUNT(*) AS n_clicks, COUNT(m_id) AS n_matched,
+                     COALESCE(SUM(event_id * m_id), 0) AS pair_checksum,
+                     COALESCE(SUM(m_ms - epoch_ms(ts)), 0) AS gap_ms_sum
+              FROM w WHERE is_l = 1
+              GROUP BY user_id ORDER BY user_id""")),
+
+    // Batch gap sessionization ([[TimeJoin.sessionize]]): 30-minute
+    // gap sessions per user; per-session event counts and exact
+    // durations pin the session SEGMENTATION, not just counts. The
+    // streaming twin is [[graft.streaming.Sessionize]].
+    Declared(
+      "ext_rel_sessionize",
+      (s, d) => {
+        val ev = Tables.events(s, d).select("user_id", "ts")
+        TimeJoin.sessionize(ev, Seq("user_id"), "ts", gapMs = 1800000L)
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+            (unix_millis(max(col("ts"))) - unix_millis(min(col("ts"))))
+              .as("dur_ms"),
+            unix_millis(min(col("ts"))).as("start_ms"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_sessions"),
+            max(col("n_events")).as("max_events"),
+            sum(col("dur_ms")).as("dur_ms_sum"),
+            (sum(col("start_ms")) % 1000000007L).as("start_checksum"))
+          .orderBy("user_id")
+      },
+      Some("""WITH g AS (
+                SELECT user_id, ts,
+                       CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) > 1800000
+                            OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+              ), s AS (
+                SELECT user_id, ts,
+                       SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                FROM g
+              ), agg AS (
+                SELECT user_id, sid, COUNT(*) AS n_events,
+                       epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)) AS dur_ms,
+                       epoch_ms(MIN(ts)) AS start_ms
+                FROM s GROUP BY user_id, sid
+              )
+              SELECT user_id, COUNT(*) AS n_sessions,
+                     CAST(MAX(n_events) AS BIGINT) AS max_events,
+                     CAST(SUM(dur_ms) AS BIGINT) AS dur_ms_sum,
+                     CAST(SUM(start_ms) % 1000000007 AS BIGINT) AS start_checksum
+              FROM agg GROUP BY user_id ORDER BY user_id""")),
+
     // Banded range join ([[TimeJoin.rangeJoin]]): clicks in the two
     // hours before each error, same user. The oracle states the raw
     // inequality join; the Spark plan is the banded equi-join (the

@@ -142,6 +142,49 @@ class TimeJoinSpec extends SparkSpec {
     assert(fast == Set((1L, 11L), (1L, 12L), (2L, 17L), (3L, 16L)))
   }
 
+  test("sessionize: exact-gap stays in session, gap+1ms opens a new one, per-key ordinals") {
+    import spark.implicits._
+    val gap = 60000L // 1 minute
+    val ev = Seq(
+      ("u", new Timestamp(0L)),
+      ("u", new Timestamp(gap)),          // gap == gapMs → same session
+      ("u", new Timestamp(2 * gap + 1)),  // gap+1ms → new session
+      ("u", new Timestamp(2 * gap + 2)),
+      ("v", new Timestamp(5L))            // other key starts at 1 again
+    ).toDF("k", "t")
+    val got = TimeJoin.sessionize(ev, Seq("k"), "t", gap)
+      .select(col("k"), col("t"), col("session_id"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2)))
+      .toSet
+    assert(got == Set(
+      ("u", 0L, 1L), ("u", gap, 1L),
+      ("u", 2 * gap + 1, 2L), ("u", 2 * gap + 2, 2L),
+      ("v", 5L, 1L)))
+  }
+
+  test("batch sessionize segmentation equals the streaming mergeAll fold") {
+    import spark.implicits._
+    import graft.streaming.Sessionize
+    val gap = 1800000L
+    // real per-user event times from the smallest fixture
+    val times = Tables.events(spark, "/root/testdata/sf0.001")
+      .where(col("user_id") === 7).select("ts")
+      .as[Timestamp].collect().map(_.getTime).sorted.toSeq
+    assert(times.size > 5)
+    val batch = TimeJoin.sessionize(
+        times.map(t => (7L, new Timestamp(t))).toDF("user_id", "ts"),
+        Seq("user_id"), "ts", gap)
+      .groupBy("session_id")
+      .agg(min(unix_millis(col("ts"))).as("s"), max(unix_millis(col("ts"))).as("e"),
+        count(lit(1)).as("n"))
+      .select("s", "e", "n")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = Sessionize.mergeAll(
+        times.map(t => Sessionize.SessState(t, t, 1L)), gap)
+      .map(s => (s.start, s.end, s.n)).toSet
+    assert(batch == streamed)
+  }
+
   test("rangeJoin negative window (right before left) and no self pair loss") {
     import spark.implicits._
     val ev = Seq(
