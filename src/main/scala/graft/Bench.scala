@@ -144,8 +144,9 @@ object Bench {
       s""","sf":"$sfDir","failed":$failedArr,"n_failed":${failed.size}""" +
       s""","loadavg_end":${r3(loadavg)},"gc_ms":${gcMs - gcStart},"detail":"$detailPath"}"""
     // belt-and-braces: if the query set ever grows the line past the
-    // driver's tail window, drop to the bare contract fields
-    println(if (line.length <= 1700) line
+    // driver's tail window (~2000 chars minus sbt's ~85-char success
+    // suffix), drop to the bare contract fields
+    println(if (line.length <= 1800) line
       else s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
