@@ -706,6 +706,47 @@ object ExtQueries {
               GROUP BY r_name, p_brand
               ORDER BY r_name, p_brand""")),
 
+    // Pivot (wide crosstab): event-type counts per user decile, via
+    // Spark's native pivot with explicit value list (no extra
+    // distinct-discovery job — the 100 TB discipline); the oracle is
+    // the equivalent FILTER aggregation.
+    Declared(
+      "ext_rel_pivot",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy((col("user_id") % 10).as("bucket"))
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy("bucket"),
+      Some("""SELECT user_id % 10 AS bucket,
+                     COUNT(*) FILTER (event_type = 'click') AS click,
+                     COUNT(*) FILTER (event_type = 'error') AS error,
+                     COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+                     COUNT(*) FILTER (event_type = 'signup') AS signup,
+                     COUNT(*) FILTER (event_type = 'view') AS view
+              FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // CUBE: all 2^2 grouping combinations over (returnflag,
+    // linestatus) — subtotal rows carry NULL group keys on both
+    // engines; ORDER BY pins NULLS FIRST explicitly (Spark's ASC
+    // default) so row order agrees.
+    Declared(
+      "ext_rel_cube",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"),
+            FixedPoint.outCents(FixedPoint.sumCents(col("l_quantity")))
+              .as("qty_sum"))
+          .orderBy(col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                     ROUND(CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0, 2) AS qty_sum
+              FROM lineitem
+              GROUP BY CUBE (l_returnflag, l_linestatus)
+              ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
     // Set operations: INTERSECT / EXCEPT (distinct semantics on both
     // engines).
     Declared(

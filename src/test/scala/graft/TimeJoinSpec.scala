@@ -142,6 +142,44 @@ class TimeJoinSpec extends SparkSpec {
     assert(fast == Set((1L, 11L), (1L, 12L), (2L, 17L), (3L, 16L)))
   }
 
+  test("asofJoin property: random events match the naive join in all four modes") {
+    import spark.implicits._
+    // deterministic pseudo-random corpus with DELIBERATE ts collisions
+    // (coarse time grid) so equal-timestamp tie handling is exercised
+    // across sides; right ids unique per (key, ts) as the contract
+    // requires (at most one right row per key and instant)
+    val rnd = new scala.util.Random(4242L)
+    val keys = Vector("a", "b", "c", "d")
+    val lRows = (0 until 300).map { i =>
+      (keys(rnd.nextInt(keys.size)), ts(rnd.nextInt(50) * 10L), i.toLong)
+    }
+    val rRows = (0 until 500).map { i =>
+      (keys(rnd.nextInt(keys.size)), ts(rnd.nextInt(50) * 10L), 1000L + i)
+    }.groupBy(r => (r._1, r._2)).values.map(_.head).toSeq // unique (key, ts)
+    val l = lRows.toDF("k", "t", "lid")
+    val r = rRows.toDF("k", "t", "rid").withColumn("v", col("rid") * 1.5)
+    for (forward <- Seq(false, true); inclusive <- Seq(false, true)) {
+      val fast = TimeJoin.asofJoin(l, r, Seq("k"), "t", "t", Seq("rid"),
+          forward = forward, inclusive = inclusive)
+        .select(col("lid"), col("asof_rid"))
+        .collect().map(x => (x.getLong(0),
+          if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+      // naive oracle in plain Scala: per left row, scan all right rows
+      val rByKey = rRows.groupBy(_._1)
+      val naive = lRows.map { case (k, lt, lid) =>
+        val adm = rByKey.getOrElse(k, Nil).filter { case (_, rt, _) =>
+          val d = rt.getTime - lt.getTime
+          if (forward) (if (inclusive) d >= 0 else d > 0)
+          else (if (inclusive) d <= 0 else d < 0)
+        }
+        val best = if (adm.isEmpty) None
+          else Some((if (forward) adm.minBy(_._2.getTime) else adm.maxBy(_._2.getTime))._3)
+        lid -> best
+      }.toMap
+      assert(fast == naive, s"forward=$forward inclusive=$inclusive")
+    }
+  }
+
   test("sessionize: exact-gap stays in session, gap+1ms opens a new one, per-key ordinals") {
     import spark.implicits._
     val gap = 60000L // 1 minute
