@@ -116,6 +116,56 @@ object Curation {
     train.join(contaminated, col(idCol) === col("__contam_id"), "left_anti")
   }
 
+  /** Probabilistic [[decontaminate]] for when the eval n-gram set is
+    * too large to broadcast exactly: the eval grams fold into ONE
+    * Bloom filter value (`bloom_filter_agg` — size ∝ capacity/fpp,
+    * independent of the train corpus), and train grams probe it with
+    * `might_contain`, a pure map-side projection. The error is
+    * one-sided, on the safe side for eval integrity: NO false
+    * negatives (every exactly-contaminated doc is dropped — spec-
+    * pinned), while false positives over-drop clean docs at ≈ fpp per
+    * gram. Size `expectedItems` at-or-above the true distinct eval
+    * gram count; `numBits ≈ -n·ln(fpp)/ln(2)²` follows.
+    */
+  def decontaminateBloom(train: DataFrame, idCol: String, textCol: String,
+                         eval: DataFrame, evalTextCol: String,
+                         n: Int = 8, expectedItems: Long = 1000000L,
+                         fpp: Double = 0.001): DataFrame = {
+    require(expectedItems > 0 && fpp > 0 && fpp < 1)
+    val numBits = math.ceil(
+      -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftshim.ColumnShim
+    import org.apache.spark.sql.types.BinaryType
+    val evalGrams = Dedup.rawNgrams(
+        eval.select(lit(0L).as("__eid"), col(evalTextCol)),
+        "__eid", evalTextCol, n, out = "__g")
+      .select(Hashing.h60(col("__g")).as("__g")).distinct()
+    // the filter BUILDS distributed (partial aggregation merges
+    // per-partition sketches); only the finished bloom BYTES come to
+    // the driver — one bounded index artifact (size ∝ capacity/fpp,
+    // ~1.2 MB at 1M items / 1e-3), the same collect discipline as IVF
+    // centroids. It returns to the plan as a LITERAL because
+    // BloomFilterMightContain requires a constant filter side
+    // (bloom_filter_agg / might_contain are not SQL-registered —
+    // constructed via the ColumnShim bridge, still full codegen).
+    val bloomBytes = evalGrams
+      .select(ColumnShim.column(
+        new BloomFilterAggregate(ColumnShim.expression(col("__g")),
+          Literal(expectedItems), Literal(numBits))
+          .toAggregateExpression()).as("__bloom"))
+      .head.getAs[Array[Byte]](0)
+    val trainGrams = Dedup.rawNgrams(train, idCol, textCol, n, out = "__g")
+      .select(col("doc_id"), Hashing.h60(col("__g")).as("__g"))
+    val contaminated = trainGrams
+      .where(ColumnShim.column(BloomFilterMightContain(
+        Literal(bloomBytes, BinaryType),
+        ColumnShim.expression(col("__g")))))
+      .select(col("doc_id").as("__contam_id")).distinct()
+    train.join(contaminated, col(idCol) === col("__contam_id"), "left_anti")
+  }
+
   /** Run the pipeline over `docs`. Near-dup threshold is the rational
     * jaccardNum/jaccardDen (integer cross-multiplication — no float
     * compare anywhere).

@@ -85,6 +85,41 @@ class CurationSpec extends SparkSpec {
     assert(clean == Seq(2L, 3L))
   }
 
+  test("decontaminateBloom never false-negatives; sized sanely it equals exact") {
+    import spark.implicits._
+    // larger synthetic corpus: 200 train docs of which every 10th
+    // embeds an eval 8-gram mid-document
+    val evalSet = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (101L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val train = (0 until 200).map { i =>
+      val filler = (0 until 12).map(j => s"w${i}_$j").mkString(" ")
+      val text =
+        if (i % 10 == 0) s"lead alpha beta gamma delta epsilon zeta eta theta $filler"
+        else if (i % 10 == 5) s"lead one two three four five six seven eight $filler"
+        else filler
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    val exact = Curation.decontaminate(train, "doc_id", "text", evalSet, "text")
+      .select("doc_id").as[Long].collect().toSet
+    val bloomed = Curation.decontaminateBloom(train, "doc_id", "text",
+        evalSet, "text", expectedItems = 1000L, fpp = 1e-6)
+      .select("doc_id").as[Long].collect().toSet
+    // one-sided error: every exactly-contaminated doc is also dropped
+    // by the bloom path (no false negatives)...
+    assert(bloomed.subsetOf(exact))
+    // ...and at fpp=1e-6 over ~2400 probed grams, over-drop is
+    // overwhelmingly unlikely: the two paths agree exactly
+    assert(bloomed == exact)
+    // an undersized/sloppy filter may over-drop but must still never
+    // keep a contaminated doc
+    val sloppy = Curation.decontaminateBloom(train, "doc_id", "text",
+        evalSet, "text", expectedItems = 10L, fpp = 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(sloppy.subsetOf(exact))
+  }
+
   test("optional repetition gate drops phrase-boilerplate that unigram TTR passes") {
     import spark.implicits._
     // 8 distinct 4-word phrases, each repeated 3x consecutively: enough
