@@ -317,9 +317,11 @@ object Dedup {
     * equi-joins and min-aggregates that AQE plans freely at any
     * scale. Each iteration is localCheckpoint-truncated: an iterative
     * loop otherwise compounds its own lineage into an
-    * analysis-time blowup. Convergence is detected by the label sum
-    * (labels only ever decrease, so an unchanged sum IS the
-    * fixpoint), one cheap aggregate per round.
+    * analysis-time blowup. Convergence = a round that changed no
+    * label (the round function is deterministic, so an unchanged
+    * round IS the fixpoint); the previous label rides through the
+    * round so one aggregate counts changes — no extra confirming
+    * round, no init-sum action.
     *
     * Isolated nodes (no edges) don't appear; callers union them back
     * as singleton components if needed.
@@ -342,26 +344,31 @@ object Dedup {
     var labels = sym.groupBy(col("a")).agg(min(col("b")).as("__nb"))
       .select(col("a").as("node"), least(col("a"), col("__nb")).as("label"))
       .localCheckpoint()
-    var prevSum = Option.empty[Long]
     var it = 0
     var converged = labels.isEmpty
     while (!converged && it < maxIters) {
       val nbrMin = sym
         .join(labels.select(col("node").as("b"), col("label").as("bl")), Seq("b"))
         .groupBy(col("a").as("node")).agg(min(col("bl")).as("nl"))
+      // the PREVIOUS label rides through the round as __old so the
+      // per-round aggregate can count changed rows directly: a round
+      // that changes nothing IS the fixpoint (the round function is
+      // deterministic), detected immediately — no label-sum seeding,
+      // no second confirming round
       val stepped = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("label").as("__old"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
       val jumped = stepped
         .join(stepped.select(col("node").as("pl"), col("label").as("pll")),
           stepped("label") === col("pl"), "left")
-        .select(col("node"),
+        .select(col("node"), col("__old"),
           least(stepped("label"), coalesce(col("pll"), stepped("label"))).as("label"))
         .localCheckpoint()
-      val s = jumped.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
-      converged = prevSum.contains(s)
-      prevSum = Some(s)
-      labels = jumped
+      val changed = jumped
+        .agg(coalesce(sum(when(col("label") =!= col("__old"), 1L).otherwise(0L)),
+          lit(0L))).head.getLong(0)
+      converged = changed == 0L
+      labels = jumped.drop("__old")
       it += 1
     }
     labels.select(col("node"), col("label").as("component"))
