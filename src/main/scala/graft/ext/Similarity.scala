@@ -187,6 +187,32 @@ object Similarity {
     }
 
     def clear(): Unit = memo.clear()
+
+    /** Persist an index as one parquet row per centroid
+      * `(centroid_id, center)` — the build-once/serve-many shape:
+      * training happens in the corpus-write pipeline, serving jobs
+      * [[load]] the (k×dim, trivially small) table instead of
+      * re-running Lloyd's over the corpus.
+      */
+    def save(spark: org.apache.spark.sql.SparkSession, index: IvfIndex,
+             path: String): Unit = {
+      import spark.implicits._
+      index.centers.zipWithIndex
+        .map { case (c, i) => (i, c) }.toSeq
+        .toDF("centroid_id", "center")
+        .repartition(1)
+        .write.mode("overwrite").parquet(path)
+    }
+
+    /** Load an index written by [[save]]; centroid order restored from
+      * centroid_id, so the loaded index is bit-identical to the saved
+      * one (list assignment and probe order depend on it).
+      */
+    def load(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex =
+      IvfIndex(spark.read.parquet(path)
+        .orderBy("centroid_id").select("center")
+        .collect()
+        .map(_.getSeq[Double](0)))
   }
 
   /** `array(dot(v, c0), ..., dot(v, ck-1))` for unit-vector column `v`

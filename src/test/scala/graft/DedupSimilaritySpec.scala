@@ -278,6 +278,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ivf == bf)
   }
 
+  test("IvfIndex save/load round-trips bit-identically and serves the same top-k") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val built = Similarity.IvfIndex(
+      Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 8, iters = 2))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    Similarity.IvfIndex.save(spark, built, dir)
+    val loaded = Similarity.IvfIndex.load(spark, dir)
+    // bit-identical centers in the same order (assignment and probe
+    // order depend on both)
+    assert(loaded.centers.length == built.centers.length)
+    built.centers.zip(loaded.centers).foreach { case (a, b) =>
+      assert(a.size == b.size)
+      a.zip(b).foreach { case (x, y) =>
+        assert(java.lang.Double.doubleToLongBits(x) ==
+          java.lang.Double.doubleToLongBits(y))
+      }
+    }
+    val queries = emb.where(col("vec_id") < 3)
+    def serve(ix: Similarity.IvfIndex) =
+      Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+        ix.centers, nprobe = 2)
+        .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)]
+        .collect().toSet
+    assert(serve(loaded) == serve(built))
+  }
+
   test("ivfTopK recovers cluster-mates on a clustered corpus with nprobe = 1") {
     import spark.implicits._
     val dim = 64
