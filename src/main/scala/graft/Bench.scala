@@ -145,9 +145,20 @@ object Bench {
       s""","loadavg_end":${r3(loadavg)},"gc_ms":${gcMs - gcStart},"detail":"$detailPath"}"""
     // belt-and-braces: if the query set ever grows the line past the
     // driver's tail window (~2000 chars minus sbt's ~85-char success
-    // suffix), drop to the bare contract fields
-    println(if (line.length <= 1800) line
-      else s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // suffix), shed weight in stages — fixed fields first, then the
+    // per-query map itself (1-dp, then dropped entirely with a
+    // pointer at the detail file). The map is the unbounded term, so
+    // a fallback that keeps it verbatim would still truncate mid-line
+    // once the query COUNT is what grew the line.
+    val q1 = ok.map(r => jstr(r.name) + ":" +
+      BigDecimal(r.runs.min).setScale(1, BigDecimal.RoundingMode.HALF_UP))
+      .mkString("{", ",", "}")
+    val fallbacks = Seq(
+      line,
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""",
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$q1,"sf":"$sfDir"}""",
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"sf":"$sfDir","detail":"$detailPath"}""")
+    println(fallbacks.find(_.length <= 1800).getOrElse(fallbacks.last))
     spark.stop()
   }
 }

@@ -134,6 +134,22 @@ object Curation {
     require(expectedItems > 0 && fpp > 0 && fpp < 1)
     val numBits = math.ceil(
       -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    // BloomFilterAggregate SILENTLY clamps both parameters to the
+    // runtime-filter session confs (defaults: 4e6 items, 67108864
+    // bits) — an oversized request would quietly degrade the actual
+    // fpp by orders of magnitude and over-drop most of a clean train
+    // corpus. Fail loudly instead; raise the confs for bigger filters.
+    val conf = train.sparkSession.conf
+    val maxItems = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    require(expectedItems <= maxItems && numBits <= maxBits,
+      s"bloom sizing (items=$expectedItems, bits=$numBits) exceeds the session " +
+        s"clamps (maxNumItems=$maxItems, maxNumBits=$maxBits); " +
+        "BloomFilterAggregate would silently clamp and the realized fpp " +
+        "would be far above the requested one — raise " +
+        "spark.sql.optimizer.runtime.bloomFilter.{maxNumItems,maxNumBits}")
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graftshim.ColumnShim

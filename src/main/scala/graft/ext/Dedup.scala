@@ -358,6 +358,11 @@ object Dedup {
       val stepped = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"), col("label").as("__old"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        // materialized: the pointer-jump below reads stepped on BOTH
+        // sides — un-checkpointed, the sym⋈labels aggregation above
+        // would execute twice per round (only its shuffle files are
+        // reusable, not the aggregation over them)
+        .localCheckpoint()
       val jumped = stepped
         .join(stepped.select(col("node").as("pl"), col("label").as("pll")),
           stepped("label") === col("pl"), "left")

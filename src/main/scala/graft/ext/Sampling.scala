@@ -116,8 +116,15 @@ object Sampling {
     * growth in expectation (a new row displaces at most one member,
     * unlike rand()-ranked sampling where everything reshuffles).
     * One shuffle on the strata; the rank window streams each stratum.
-    * Ties are impossible in the rank order (the key itself breaks
-    * hash collisions), so output is exactly reproducible.
+    *
+    * Contract (same class of requirement as [[packBins]]'s order
+    * key): `key` must be UNIQUE within each stratum and non-null.
+    * The (hash, key) sort breaks hash collisions between distinct
+    * keys, but duplicate key values produce identical sort tuples and
+    * row_number picks between them arbitrarily per run — use the row
+    * id, not a repeatable attribute. Null keys hash to null and sort
+    * first, permanently seizing reservoir slots; filter them
+    * upstream.
     */
   def reservoirPerStratum(df: DataFrame, strataCols: Seq[String], key: Column,
                           k: Int, salt: String = "resv"): DataFrame = {

@@ -62,13 +62,6 @@ object TextStats {
     scored.select(keep :+ argmaxLang(refs).as(out): _*)
   }
 
-  /** Quality features per document: token count, distinct-token count,
-    * type/token decile, mean token length ×10 (integer — portable).
-    * The text is split ONCE into a `toks` column; downstream features
-    * reference that column, so the (expensive) split never re-evaluates
-    * — Catalyst keeps the projections separate because `toks` is
-    * non-cheap and multiply-referenced.
-    */
   /** Engine-portable text normalization — the standard pass before
     * hashing/dedup so trivial formatting variants (case, punctuation,
     * whitespace runs) collapse to one canonical form: lower-case,
@@ -80,6 +73,13 @@ object TextStats {
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
 
+  /** Quality features per document: token count, distinct-token count,
+    * type/token decile, mean token length ×10 (integer — portable).
+    * The text is split ONCE into a `toks` column; downstream features
+    * reference that column, so the (expensive) split never re-evaluates
+    * — Catalyst keeps the projections separate because `toks` is
+    * non-cheap and multiply-referenced.
+    */
   def qualityFeatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(
         col(idCol).as("doc_id"),

@@ -70,12 +70,13 @@ object TimeJoin {
       keys.toIndexedSeq.map(col) ++ Seq(
         col(rightTs).as("__t"), lit(0).as("__side"),
         lit(null).cast(lType).as("__l"), rStruct.as("__r")): _*)
-      // join semantics: a null key matches nothing (the window would
-      // otherwise treat NULL as a real partition and pair null-key
-      // rows with each other). Dropping null-key RIGHT rows suffices:
-      // null-key left rows then sit in a partition with no right rows
-      // and survive unmatched, preserving left-join semantics.
-      .where(keys.map(col(_).isNotNull).reduce(_ && _))
+      // join semantics: a null key or null timestamp matches nothing
+      // (the window would otherwise treat NULL as a real partition
+      // value and nulls-first/last ordering would slot a null-ts row
+      // where it carries or receives matches). Dropping such RIGHT
+      // rows suffices for the right side; left rows survive unmatched
+      // under the left-join contract.
+      .where((keys.map(col(_).isNotNull) :+ col("__t").isNotNull).reduce(_ && _))
     // at an equal timestamp the right row is admissible iff
     // `inclusive`: sort it before (inclusive) or after (strict) the
     // left row so the running window has/hasn't seen it
@@ -96,7 +97,13 @@ object TimeJoin {
         // sever the partitioning info
         left.columns.toIndexedSeq.map(c =>
           (if (keys.contains(c)) col(c) else col("__l").getField(c)).as(c)) ++
-          payload.map(p => col("__m").getField(p).as(prefix + p)): _*)
+          // a left row with a null timestamp admits nothing (any
+          // comparison against NULL is false in a join) — mask its
+          // carried payload rather than letting null-ordering pick an
+          // arbitrary "nearest" row for it
+          payload.map(p =>
+            when(col("__t").isNotNull, col("__m").getField(p))
+              .as(prefix + p)): _*)
   }
 
   /** Batch gap-based sessionization: appends a per-key ordinal
@@ -124,11 +131,21 @@ object TimeJoin {
   }
 
   /** Exact floor-division band of a millisecond epoch column —
-    * integer arithmetic only (a double division would round above
-    * 2^53, and truncating `div` mis-bands negative epochs).
+    * integer arithmetic only: the subtraction makes the numerator
+    * exactly divisible, and `div` (IntegralDivide) keeps the quotient
+    * in long arithmetic end to end. `Column./` would be DOUBLE
+    * division — the numerator itself rounds above 2^53 (Spark
+    * timestamps reach ~9.2e15 ms), mis-banding far-range epochs.
+    * Truncating toward zero is safe only BECAUSE of the pmod
+    * subtraction; on a raw negative numerator it would mis-band.
     */
-  private def band(ms: Column, width: Long): Column =
-    ((ms - pmod(ms, lit(width))) / lit(width)).cast("long")
+  private def band(ms: Column, width: Long): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Literal => CatLit}
+    val exact = ms - pmod(ms, lit(width))
+    ColumnShim.column(
+      IntegralDivide(ColumnShim.expression(exact), CatLit(width)))
+  }
 
   /** Banded range join: all (left, right) row pairs with equal `keys`
     * and `rightTs - leftTs` in `[lowerMs, upperMs)` — e.g.

@@ -38,16 +38,24 @@ import org.apache.spark.unsafe.types.CalendarInterval
 object BandedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   /** (attr, shift in microseconds) if `e` is a timestamp attribute
-    * optionally plus a literal interval.
+    * optionally plus a SUB-DAY literal interval. Whole-day components
+    * are deliberately rejected: Spark adds them zone-aware
+    * (`plusDays`, so `+ INTERVAL 1 DAY` spans 23–25 h across DST
+    * transitions) and a constant-microsecond band window would
+    * under-cover those rows — only the fixed-duration sub-day
+    * remainder is pure instant arithmetic the rewrite may rely on.
     */
+  private val DayUs = 86400000000L
+
   private def decompose(e: Expression): Option[(Attribute, Long)] = e match {
     case a: Attribute if a.dataType == TimestampType => Some((a, 0L))
     case TimestampAddInterval(a: Attribute, Literal(v: Long, _: DayTimeIntervalType), _)
-        if a.dataType == TimestampType =>
+        if a.dataType == TimestampType && math.abs(v) < DayUs =>
       Some((a, v))
     case TimestampAddInterval(a: Attribute, Literal(ci: CalendarInterval, _), _)
-        if a.dataType == TimestampType && ci.months == 0 =>
-      Some((a, ci.days * 86400000000L + ci.microseconds))
+        if a.dataType == TimestampType && ci.months == 0 && ci.days == 0 &&
+          math.abs(ci.microseconds) < DayUs =>
+      Some((a, ci.microseconds))
     case _ => None
   }
 

@@ -142,6 +142,30 @@ class TimeJoinSpec extends SparkSpec {
     assert(fast == Set((1L, 11L), (1L, 12L), (2L, 17L), (3L, 16L)))
   }
 
+  test("asofJoin null timestamps are inadmissible on either side, like a join") {
+    import spark.implicits._
+    val l = Seq(
+      ("a", Option(ts(100)), 1L),
+      ("a", Option.empty[Timestamp], 2L) // null left ts: admits nothing
+    ).toDF("k", "t", "lid")
+    val r = Seq(
+      ("a", Option(ts(50)), 10L),
+      ("a", Option.empty[Timestamp], 99L) // null right ts: matches nothing
+    ).toDF("k", "t", "rid")
+    for (forward <- Seq(false, true)) {
+      val got = TimeJoin.asofJoin(l, r, Seq("k"), "t", "t", Seq("rid"),
+          forward = forward)
+        .select(col("lid"), col("asof_rid"))
+        .collect().map(x => (x.getLong(0),
+          if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+      // backward: lid=1 (t=100) matches rid=10 (t=50); forward: nothing
+      // at-or-after 100 — and NEVER the null-ts rid=99; lid=2 (null t)
+      // survives unmatched in both directions
+      val expect1 = if (forward) None else Some(10L)
+      assert(got == Map(1L -> expect1, 2L -> None), s"forward=$forward")
+    }
+  }
+
   test("asofJoin property: random events match the naive join in all four modes") {
     import spark.implicits._
     // deterministic pseudo-random corpus with DELIBERATE ts collisions
