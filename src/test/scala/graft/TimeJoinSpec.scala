@@ -142,6 +142,25 @@ class TimeJoinSpec extends SparkSpec {
     assert(fast == Set((1L, 11L), (1L, 12L), (2L, 17L), (3L, 16L)))
   }
 
+  test("asofJoin with a composite key partitions on all key columns") {
+    import spark.implicits._
+    val l = Seq(
+      ("a", 1L, ts(100), 1L),
+      ("a", 2L, ts(100), 2L) // same first key, different second key
+    ).toDF("k1", "k2", "t", "lid")
+    val r = Seq(
+      ("a", 1L, ts(50), 10L),
+      ("a", 2L, ts(60), 20L),
+      ("b", 1L, ts(70), 30L)
+    ).toDF("k1", "k2", "t", "rid")
+    val got = TimeJoin.asofJoin(l, r, Seq("k1", "k2"), "t", "t", Seq("rid"))
+      .select(col("lid"), col("asof_rid"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    // each left row matches within its FULL composite key — never the
+    // other second-key's row despite the shared first key
+    assert(got == Map(1L -> 10L, 2L -> 20L))
+  }
+
   test("asofJoin null timestamps are inadmissible on either side, like a join") {
     import spark.implicits._
     val l = Seq(
