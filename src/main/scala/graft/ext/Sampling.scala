@@ -137,6 +137,40 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Deterministic token-budget selection: per stratum, keep documents
+    * in salted-hash order until the budget is spent — "give me exactly
+    * ~N tokens of each language", the data-mixture primitive that
+    * turns mixture WEIGHTS into an actual training set. A row is kept
+    * while the tokens BEFORE it (hash order) total under `budget`, so
+    * the first document always survives and overshoot is bounded by
+    * one document.
+    *
+    * Hash-ranked like [[reservoirPerStratum]] (and with the same key
+    * contract: unique within stratum, non-null), so the selection is
+    * reproducible across runs/engines and stable under corpus growth —
+    * a new document only displaces the tail of its stratum, never
+    * reshuffling the whole sample the way rand() ranking would.
+    *
+    * Scale shape: one window partitioned by the strata — each stratum
+    * prefix-sums independently in parallel; there is deliberately no
+    * unpartitioned variant (a global prefix-sum serializes into one
+    * task, same reasoning as [[packBins]]).
+    */
+  def tokenBudget(df: DataFrame, strataCols: Seq[String], key: Column,
+                  tokensCol: Column, budget: Long,
+                  salt: String = "budget"): DataFrame = {
+    require(budget > 0, s"budget=$budget must be positive")
+    require(strataCols.nonEmpty,
+      "tokenBudget requires strata columns: an unpartitioned prefix-sum cannot scale")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCols.map(col): _*)
+      .orderBy(Hashing.h32(concat(key.cast("string"), lit(salt))), key)
+    df.withColumn("__tb_prefix",
+        (sum(tokensCol).over(w) - tokensCol).cast("bigint"))
+      .where(col("__tb_prefix") < budget)
+      .drop("__tb_prefix")
+  }
+
   def packBins(df: DataFrame, partCols: Seq[String], orderCol: Column,
                tokensCol: Column, budget: Int, out: String = "bin"): DataFrame = {
     require(budget > 0, s"budget=$budget must be positive")

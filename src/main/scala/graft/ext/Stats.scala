@@ -86,4 +86,154 @@ object Stats {
     sketches.agg(count(lit(1)).as("n_groups"),
       hll_sketch_estimate(hll_union_agg(col("sketch"), lit(allowDifferentLgK)))
         .as("estimate"))
+
+  // ----- Column profiling -------------------------------------------
+
+  /** Data-quality profile of `cols`: ONE row per column —
+    * `(column, n_rows, n_nulls, n_distinct, min_int, max_int,
+    * max_strlen)` — computed in a single pass over `df`.
+    * `min_int`/`max_int` are populated for integral columns and -1
+    * otherwise (a sentinel, not NULL: the all-BIGINT no-NULL output
+    * crosses engines and dataframe bridges without type coercion
+    * surprises); `max_strlen` is the longest string rendering, the
+    * column-width statistic a sink schema needs.
+    *
+    * This is the "validate a snapshot before training on it" operator:
+    * completeness (n_nulls), key-ness (n_distinct == n_rows), domain
+    * bounds (min/max) per column, one scan.
+    *
+    * Scale note: exact multi-column COUNT(DISTINCT) makes Catalyst
+    * EXPAND each row once per distinct aggregate (×|cols| shuffle
+    * volume). That is the oracle-checkable baseline; at 100 TB use
+    * [[profileApprox]], which swaps in `approx_count_distinct` (HLL++,
+    * partial-aggregated, no Expand — one plain scan for any number of
+    * columns, estimates within ~2%).
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+    profileWith(df, cols, c => countDistinct(col(c)))
+
+  /** [[profile]] with sketched distinct counts — THE 100 TB shape (no
+    * Expand, single scan); spec-pinned against [[profile]].
+    */
+  def profileApprox(df: DataFrame, cols: Seq[String], rsd: Double = 0.02): DataFrame =
+    profileWith(df, cols, c => approx_count_distinct(col(c), rsd))
+
+  private def profileWith(df: DataFrame, cols: Seq[String],
+                          distinctAgg: String => Column): DataFrame = {
+    require(cols.nonEmpty, "profile requires at least one column")
+    val schema = df.schema
+    val aggs = cols.flatMap { c =>
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val integral = schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      def ext(f: Column => Column): Column =
+        if (integral) coalesce(f(col(c)).cast("long"), lit(-1L)) else lit(-1L)
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+        distinctAgg(c).cast("long").as(s"__nd_$c"),
+        ext(min).as(s"__mn_$c"),
+        ext(max).as(s"__mx_$c"),
+        coalesce(max(length(col(c).cast("string"))).cast("long"), lit(-1L))
+          .as(s"__ml_$c"))
+    }
+    val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    // one wide row → |cols| rows: a driver-sized explode, not a shuffle
+    val entries = cols.map { c =>
+      struct(lit(c).as("column"), col("__n").as("n_rows"),
+        col(s"__nn_$c").as("n_nulls"), col(s"__nd_$c").as("n_distinct"),
+        col(s"__mn_$c").as("min_int"), col(s"__mx_$c").as("max_int"),
+        col(s"__ml_$c").as("max_strlen"))
+    }
+    wide.select(explode(array(entries: _*)).as("p")).select("p.*")
+  }
+
+  // ----- Histograms -------------------------------------------------
+
+  /** Equi-width histogram of non-negative integer `value` per group:
+    * `(groupCols..., bucket, bucket_lo, n)` where
+    * `bucket = min(nBuckets-1, value div width)` (the last bucket
+    * absorbs the tail) and `bucket_lo = bucket * width`. Integral
+    * `div` end to end — no float bucket-edge ambiguity, the DuckDB
+    * twin (`//`) bins identically. Empty buckets are absent (sparse
+    * output; at 100 TB a dense 0-filled histogram per group is a
+    * driver-side fill, not a data-side join).
+    *
+    * One partial-aggregated groupBy — shuffle rows bounded by
+    * groups × nBuckets regardless of input size.
+    */
+  def histogram(df: DataFrame, groupCols: Seq[String], value: Column,
+                width: Int, nBuckets: Int): DataFrame = {
+    require(width > 0, s"width=$width must be positive")
+    require(nBuckets > 0, s"nBuckets=$nBuckets must be positive")
+    val b = least(lit(nBuckets - 1L),
+      expr(s"__hv div $width"))
+    df.withColumn("__hv", value.cast("long"))
+      .withColumn("bucket", b)
+      .groupBy((groupCols.map(col) :+ col("bucket")): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bucket_lo", col("bucket") * width)
+  }
+
+  // ----- Key-skew profiling -----------------------------------------
+
+  /** Key-frequency skew profile of `key`: ONE row —
+    * `(n_keys, n_rows, max_key_rows, p50_x100, p99_x100)` over the
+    * per-key count distribution. THE pre-join diagnostic: a max far
+    * above p99 says the shuffle has a hot key and the join wants
+    * [[Skew.saltedJoin]] / AQE skew handling before it runs, which at
+    * 100 TB is the difference between a straggler-free stage and one
+    * task holding the cluster.
+    *
+    * Two aggregations: per-key counts (partial-aggregated — shuffle
+    * carries one row per key), then a single-group fold over the
+    * counts. `approxTail = true` swaps the exact percentile (which
+    * buffers all n_keys counts in one reducer — the oracle baseline)
+    * for `approx_percentile`, the bounded-memory 100 TB path.
+    */
+  def keySkew(df: DataFrame, key: Column, approxTail: Boolean = false): DataFrame = {
+    val pct = if (approxTail) "approx_percentile" else "percentile"
+    df.groupBy(key.as("__k")).agg(count(lit(1)).as("__c"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum("__c").cast("long").as("n_rows"),
+        max("__c").as("max_key_rows"),
+        round(expr(s"$pct(__c, 0.5)") * 100).cast("long").as("p50_x100"),
+        round(expr(s"$pct(__c, 0.99)") * 100).cast("long").as("p99_x100"))
+  }
+
+  // ----- Exact-moment correlation -----------------------------------
+
+  /** Pearson correlation of integer-valued `x`, `y` per group, from
+    * EXACT integer moments: the five sums accumulate as longs (exact,
+    * partial-aggregated), and only the final one-row-per-group formula
+    * touches doubles — so the result is bit-identical on any engine
+    * evaluating the same formula, unlike native `corr()` whose
+    * streaming double accumulation is summation-order-dependent.
+    * Output: `(groupCols..., n, corr_e6)` with corr scaled to 1e-6
+    * integer precision (NULL when either variance is zero).
+    *
+    * Caller contract: |x|,|y| small enough that n·Σx² stays within
+    * long (≈9.2e18) AND within double's exact-integer range (2^53)
+    * for the final division — fine for bounded features (quantities,
+    * percentages, token counts); re-scale wide-range features first.
+    */
+  def corrExact(df: DataFrame, groupCols: Seq[String],
+                x: Column, y: Column): DataFrame = {
+    val moments = df
+      .withColumn("__x", x.cast("long")).withColumn("__y", y.cast("long"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum("__x").as("__sx"), sum("__y").as("__sy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"),
+        sum(col("__x") * col("__y")).as("__sxy"))
+    val cov = col("n") * col("__sxy") - col("__sx") * col("__sy")
+    val vx = col("n") * col("__sxx") - col("__sx") * col("__sx")
+    val vy = col("n") * col("__syy") - col("__sy") * col("__sy")
+    moments.select(groupCols.map(col) :+ col("n") :+
+      when(vx > 0 && vy > 0,
+        round(cov.cast("double") / (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))) * 1e6)
+          .cast("long")).as("corr_e6"): _*)
+  }
 }

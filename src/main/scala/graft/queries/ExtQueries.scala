@@ -589,6 +589,97 @@ object ExtQueries {
                      COUNT(DISTINCT user_id) AS n_distinct
               FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // Per-column data-quality profile ([[Stats.profile]]): one pass,
+    // one row per column — completeness / key-ness / domain bounds,
+    // the "validate the snapshot before training on it" gate. Exact
+    // distinct is the oracle baseline; [[Stats.profileApprox]] (no
+    // Expand, single scan) is the 100 TB path, spec-pinned.
+    Declared(
+      "ext_stats_profile",
+      (s, d) =>
+        Stats.profile(Tables.documents(s, d),
+          Seq("doc_id", "text", "lang", "source", "n_chars"))
+          .orderBy("column"),
+      Some {
+        def one(c: String, integral: Boolean) = {
+          val mn = if (integral) s"COALESCE(CAST(MIN($c) AS BIGINT), -1)"
+                   else "CAST(-1 AS BIGINT)"
+          val mx = if (integral) s"COALESCE(CAST(MAX($c) AS BIGINT), -1)"
+                   else "CAST(-1 AS BIGINT)"
+          s"""SELECT '$c' AS "column", COUNT(*) AS n_rows,
+                     CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                     CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+                     $mn AS min_int, $mx AS max_int,
+                     COALESCE(CAST(MAX(LEN(CAST($c AS VARCHAR))) AS BIGINT), -1) AS max_strlen
+              FROM documents"""
+        }
+        Seq(one("doc_id", true), one("text", false), one("lang", false),
+          one("source", false), one("n_chars", true))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+      }),
+
+    // Equi-width length histogram per language ([[Stats.histogram]]):
+    // integral-div bucketing end to end (bucket edges cannot drift
+    // between engines), last bucket absorbs the tail. Shuffle rows
+    // bounded by groups × buckets at any input size.
+    Declared(
+      "ext_stats_histogram",
+      (s, d) =>
+        Stats.histogram(Tables.documents(s, d), Seq("lang"), col("n_chars"),
+          width = 100, nBuckets = 8)
+          .select(col("lang"), col("bucket"), col("bucket_lo"), col("n"))
+          .orderBy("lang", "bucket"),
+      Some("""SELECT lang, LEAST(7, n_chars // 100) AS bucket,
+                     LEAST(7, n_chars // 100) * 100 AS bucket_lo,
+                     COUNT(*) AS n
+              FROM documents GROUP BY 1, 2, 3 ORDER BY lang, bucket""")),
+
+    // Key-frequency skew profile ([[Stats.keySkew]]) of the fact
+    // table's supplier key — the pre-join shuffle diagnostic (max vs
+    // p99 exposes hot keys BEFORE they become one straggler task).
+    // Exact percentile over per-key counts is the oracle baseline;
+    // approxTail=true is the bounded-memory 100 TB path.
+    Declared(
+      "ext_stats_skew",
+      (s, d) => Stats.keySkew(Tables.lineitem(s, d), col("l_suppkey")),
+      Some("""WITH c AS (
+                SELECT l_suppkey, COUNT(*) AS c FROM lineitem GROUP BY 1)
+              SELECT COUNT(*) AS n_keys, CAST(SUM(c) AS BIGINT) AS n_rows,
+                     MAX(c) AS max_key_rows,
+                     CAST(round(quantile_cont(c, 0.5) * 100) AS BIGINT) AS p50_x100,
+                     CAST(round(quantile_cont(c, 0.99) * 100) AS BIGINT) AS p99_x100
+              FROM c""")),
+
+    // Exact-moment Pearson correlation ([[Stats.corrExact]]): the five
+    // moment sums accumulate as exact longs (partial-aggregated, one
+    // shuffle row per group), doubles appear only in the final
+    // one-row-per-group formula — so both engines compute THE SAME
+    // doubles and the 1e-6 integer projection is noise-free, unlike
+    // native corr() whose streaming accumulation is order-dependent.
+    Declared(
+      "ext_stats_corr",
+      (s, d) =>
+        Stats.corrExact(Tables.lineitem(s, d), Seq("l_returnflag"),
+          round(col("l_quantity")), round(col("l_discount") * 100))
+          .orderBy("l_returnflag"),
+      Some("""WITH m AS (
+                SELECT l_returnflag, COUNT(*) AS n,
+                       CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                       CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy,
+                       CAST(SUM(x*y) AS BIGINT) AS sxy
+                FROM (SELECT l_returnflag,
+                             CAST(round(l_quantity) AS BIGINT) AS x,
+                             CAST(round(l_discount * 100) AS BIGINT) AS y
+                      FROM lineitem)
+                GROUP BY l_returnflag)
+              SELECT l_returnflag, n,
+                     CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 THEN
+                       CAST(round(CAST(n*sxy - sx*sy AS DOUBLE)
+                         / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                            * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) * 1e6) AS BIGINT)
+                     END AS corr_e6
+              FROM m ORDER BY l_returnflag""")),
+
     // --- Multimodal ---------------------------------------------------
     Declared(
       "ext_multimodal_meta",
@@ -1289,6 +1380,34 @@ object ExtQueries {
               SELECT lang, COUNT(*) AS n_kept,
                      CAST(SUM(doc_id) AS BIGINT) AS id_checksum
               FROM rk WHERE rk <= 20
+              GROUP BY lang ORDER BY lang""")),
+
+    // Deterministic token-budget selection ([[Sampling.tokenBudget]]):
+    // keep documents per language, hash order, until ~2000 chars are
+    // spent — mixture weights → an actual training set. The id
+    // checksum pins exact membership (first doc always kept, overshoot
+    // ≤ 1 doc); the oracle replays the identical salted-hash ranking
+    // and exclusive prefix sum.
+    Declared(
+      "ext_pipeline_budget",
+      (s, d) =>
+        Sampling.tokenBudget(Tables.documents(s, d), Seq("lang"),
+            col("doc_id"), col("n_chars"), budget = 2000L)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("n_chars")).as("chars_kept"),
+            sum(col("doc_id")).as("sum_kept_ids"))
+          .orderBy("lang"),
+      Some("""WITH r AS (
+                SELECT lang, doc_id, n_chars,
+                       SUM(n_chars) OVER (PARTITION BY lang ORDER BY
+                         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'budget'), 1, 8) AS BIGINT),
+                         doc_id) - n_chars AS prefix
+                FROM documents)
+              SELECT lang, COUNT(*) AS n_kept,
+                     CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
+                     CAST(SUM(doc_id) AS BIGINT) AS sum_kept_ids
+              FROM r WHERE prefix < 2000
               GROUP BY lang ORDER BY lang""")),
 
     Declared(

@@ -99,6 +99,41 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("tokenBudget keeps the hash-order prefix under budget; growth only evicts") {
+    import spark.implicits._
+    def refRank(i: Long): Long = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest((i.toString + "budget").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val base = spark.range(200).toDF("id")
+      .withColumn("g", (col("id") % 2).cast("string"))
+      .withColumn("toks", col("id") % 17 + 5)
+    def kept(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      Sampling.tokenBudget(df, Seq("g"), col("id"), col("toks"), budget = 100)
+        .select("id").as[Long].collect().toSet
+    val k1 = kept(base)
+    // reference: per group, walk ids by (md5 rank, id); keep while the
+    // EXCLUSIVE token prefix is under budget
+    val exp = (0L until 200L).groupBy(_ % 2).flatMap { case (_, ids) =>
+      val ordered = ids.sortBy(i => (refRank(i), i))
+      val prefix = ordered.scanLeft(0L)((acc, i) => acc + (i % 17 + 5)).init
+      ordered.zip(prefix).collect { case (i, p) if p < 100 => i }
+    }.toSet
+    assert(k1 == exp)
+    assert(k1.nonEmpty && k1.size < 200)
+    // stable under growth: new rows only push tokens IN FRONT of old
+    // rows, so an old row can be evicted but never newly admitted
+    val grown = base.union(spark.range(200, 260).toDF("id")
+      .withColumn("g", (col("id") % 2).cast("string"))
+      .withColumn("toks", col("id") % 17 + 5))
+    assert((kept(grown) & (0L until 200L).toSet).subsetOf(k1))
+    intercept[IllegalArgumentException] {
+      Sampling.tokenBudget(base, Seq.empty, col("id"), col("toks"), 100)
+    }
+  }
+
   test("independent salts decorrelate decisions on the same key") {
     import spark.implicits._
     val both = ids.select(

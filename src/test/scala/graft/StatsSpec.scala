@@ -63,6 +63,71 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("profile: completeness, distinct, bounds, and strlen per column in one pass") {
+    import spark.implicits._
+    val df = Seq((1L, Option("aa"), 10L), (2L, Option.empty[String], 25L),
+      (3L, Option("bbbb"), 10L)).toDF("id", "s", "v")
+    val p = Stats.profile(df, Seq("id", "s", "v")).orderBy("column").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(p.toSeq == Seq(
+      ("id", 3L, 0L, 3L, 1L, 3L, 1L),
+      ("s", 3L, 1L, 2L, -1L, -1L, 4L),
+      ("v", 3L, 0L, 2L, 10L, 25L, 2L)))
+  }
+
+  test("profileApprox tracks the exact profile (the no-Expand 100 TB path)") {
+    import spark.implicits._
+    val df = spark.range(10000).toDF("id")
+      .withColumn("m", col("id") % 321)
+    val exact = Stats.profile(df, Seq("id", "m")).orderBy("column").collect()
+    val approx = Stats.profileApprox(df, Seq("id", "m")).orderBy("column").collect()
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(e.getString(0) == a.getString(0))
+      // only n_distinct is estimated; every other field is exact
+      assert(math.abs(e.getLong(3) - a.getLong(3)) <= 0.05 * e.getLong(3),
+        s"${e.getString(0)}: exact=${e.getLong(3)} approx=${a.getLong(3)}")
+      assert(Seq(1, 2, 4, 5, 6).forall(i => e.getLong(i) == a.getLong(i)))
+    }
+  }
+
+  test("histogram bins by integral division; tail bucket absorbs overflow") {
+    import spark.implicits._
+    val df = Seq(0L, 99L, 100L, 250L, 799L, 5000L).map(("g", _)).toDF("g", "v")
+    val h = Stats.histogram(df, Seq("g"), col("v"), width = 100, nBuckets = 8)
+      .orderBy("bucket")
+      .select("bucket", "bucket_lo", "n").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(h.toSeq == Seq((0L, 0L, 2L), (1L, 100L, 1L), (2L, 200L, 1L),
+      (7L, 700L, 2L)))
+  }
+
+  test("keySkew: max vs percentile of per-key counts exposes the hot key") {
+    import spark.implicits._
+    val df = (Seq.fill(10)("a") ++ Seq.fill(2)("b") ++ Seq.fill(2)("c") ++
+      Seq.fill(2)("d")).toDF("k")
+    val r = Stats.keySkew(df, col("k")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 16L, 10L)))
+    assert(r.getLong(3) == 200L) // p50 of [2,2,2,10] = 2
+    // p99 type-7: h = 0.99*3 = 2.97 → 2 + 0.97*(10-2) = 9.76
+    assert(r.getLong(4) == 976L)
+    val approx = Stats.keySkew(df, col("k"), approxTail = true).head()
+    assert((approx.getLong(0), approx.getLong(2)) == ((4L, 10L)))
+  }
+
+  test("corrExact: ±1e6 on affine data, NULL on zero variance, per group") {
+    import spark.implicits._
+    val df = (1 to 100).flatMap { i =>
+      Seq(("pos", i, 2 * i + 3), ("neg", i, -i), ("flat", i, 7))
+    }.toDF("g", "x", "y")
+    val r = Stats.corrExact(df, Seq("g"), col("x"), col("y"))
+      .orderBy("g").collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("flat", "neg", "pos"))
+    assert(r.forall(_.getLong(1) == 100L))
+    assert(r(0).isNullAt(2), "zero variance must yield NULL, not NaN")
+    assert(r(1).getLong(2) == -1000000L && r(2).getLong(2) == 1000000L)
+  }
+
   test("HLL sketches union losslessly: merged per-group sketches estimate the global distinct") {
     import spark.implicits._
     // overlapping groups: global distinct (2000) < sum of per-group
