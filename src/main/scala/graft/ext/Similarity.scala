@@ -87,6 +87,52 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
+  /** Int8-range quantization of a float embedding: q = clamp(
+    * floor(x·127 + 0.5), −127, 127). `floor(+0.5)` instead of round —
+    * round's half-even vs half-away conventions differ across engines,
+    * floor does not; float→double widening and the double multiply are
+    * IEEE-exact, so the quantized ints are bit-identical everywhere.
+    * At 100 TB this is the storage/bandwidth path: vectors written
+    * once as 1-byte-per-dim columns are 4× smaller to scan, and all
+    * downstream scoring is exact integer arithmetic (no float noise,
+    * no cross-engine threshold games).
+    */
+  def quantizeI8(vec: Column): Column =
+    transform(vec, x =>
+      greatest(lit(-127L), least(lit(127L),
+        floor(x.cast("double") * 127d + 0.5d))))
+
+  /** Exact integer dot product of two quantized vectors. Overflow-free
+    * by construction: |q| ≤ 127, so dim·127² ≤ 2^24 for any dim ≤ 1024.
+    */
+  def quantizedDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Brute-force top-k in the quantized domain: [[bruteForceTopK]]'s
+    * shape (broadcast queries, one corpus scan, per-query rank window)
+    * over [[quantizeI8]] vectors and [[quantizedDot]] scores. Integer
+    * scores make the FULL ranking deterministic (ties broken by
+    * neighbor id) — the listing itself is engine-portable, not just a
+    * margin-cleared projection of it. In a stored pipeline the corpus
+    * side reads pre-quantized vectors; quantizing in the scan here
+    * keeps the operator self-contained against float inputs.
+    */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      quantizeI8(col(vecCol)).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      quantizeI8(col(vecCol)).as("cv"))
+    val scored = q.crossJoin(c)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        quantizedDot(col("qv"), col("cv")).as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
+  }
+
   /** Deterministic pseudo-random hyperplane component for (global
     * plane i, dim j): md5-derived value in [-1, 1], identical to the
     * SQL `(CAST('0x' || substr(md5(i || '_' || j), 1, 8) AS BIGINT)

@@ -171,4 +171,70 @@ object TextStats {
                           k: Int = 8): DataFrame =
     docs.select(col(idCol).as("doc_id"),
       graft.functions.RollingHashMin.rollingHashMin(col(textCol), k).as("roll_fp"))
+
+  /** PII-redaction rules, applied in list order: (name, pattern,
+    * replacement token). Patterns are deliberately restricted to
+    * constructs with identical semantics in Java regex (Spark) and RE2
+    * (DuckDB) — character classes, greedy counted/unbounded repetition,
+    * no lookaround/backrefs — so the oracle reproduces every match
+    * boundary byte-for-byte. Order matters: emails first (their local
+    * parts contain digit runs), then dotted quads, then bare long digit
+    * runs; replacement tokens contain no digits, so a later rule can
+    * never re-match inside an earlier rule's output.
+    */
+  val redactRules: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"),
+    ("number", "[0-9]{9,}", "<NUM>"))
+
+  /** Text with all [[redactRules]] applied in order — the map-side
+    * PII-scrub pass of a curation pipeline. Three codegen'd
+    * regexp_replace passes, no shuffle, no UDF.
+    */
+  def redact(text: Column): Column =
+    redactRules.foldLeft(text) { case (t, (_, pat, tok)) =>
+      regexp_replace(t, pat, tok)
+    }
+
+  /** Per-document redaction audit: match counts per rule plus the
+    * redacted text — what a compliance gate logs before training data
+    * ships. Each rule COUNTS on the same intermediate text it REPLACES
+    * on (rule k sees rule k-1's output), so counts and replacements
+    * can never disagree. One staged projection per rule: the
+    * intermediate text alias is non-cheap and referenced twice (count
+    * + replace), so CollapseProject keeps the stage boundary and each
+    * regex pass runs once per row.
+    */
+  def redactStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val start = docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+    val done = redactRules.foldLeft((start, Seq.empty[String])) {
+      case ((df, counts), (name, pat, tok)) =>
+        val cnt = s"n_$name"
+        (df.select(Seq(col("doc_id")) ++ counts.map(col) ++ Seq(
+          regexp_count(col("__t"), lit(pat)).as(cnt),
+          regexp_replace(col("__t"), pat, tok).as("__t")): _*),
+          counts :+ cnt)
+    }._1
+    done.withColumnRenamed("__t", "redacted")
+  }
+
+  /** URL pattern for [[urlDomains]]: scheme + host charset (path/query
+    * stop at the first `/` or `?`, which the class excludes) — same
+    * Java/RE2-portable discipline as [[redactRules]].
+    */
+  val urlRe: String = "https?://[A-Za-z0-9.-]+"
+
+  /** Per-domain URL census over a corpus: (domain, n_urls, n_docs) —
+    * the domain-level statistics a curation pipeline filters on
+    * (blocklists, per-domain caps, source mix). Shape: map-side
+    * extract-all + explode (rows ∝ URL occurrences, never corpus²),
+    * one partial-aggregated groupBy whose output is bounded by the
+    * number of distinct domains at any input size.
+    */
+  def urlDomains(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(regexp_extract_all(col(textCol), lit(urlRe), lit(0))).as("url"))
+      .select(col("doc_id"), regexp_replace(col("url"), "^https?://", "").as("domain"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_urls"), countDistinct(col("doc_id")).as("n_docs"))
 }

@@ -499,6 +499,107 @@ object ExtQueries {
                        '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nt
                     FROM documents)""")),
 
+    // PII redaction ([[TextStats.redactStats]]): the corpus is scrubbed
+    // word-salad, so both engines synthesize the SAME dirty text per
+    // doc (emails / dotted quads / long digit runs, plus boundary
+    // torture cases: a leading-digit quad that forces backtracking
+    // equivalence, "a@b" with no TLD, an 8-digit run one short of the
+    // threshold). Match counts per rule + an md5 checksum of the
+    // redacted bytes make the oracle a differential test of every
+    // match boundary across Java regex and RE2.
+    Declared(
+      "ext_text_redact",
+      (s, d) => {
+        val dirty = concat(
+          col("text"),
+          lit(" contact user"), col("doc_id").cast("string"), lit("@mail.example.com"),
+          when(col("doc_id") % 3 === 0, lit(" cc ADMIN-1@ex.org")).otherwise(lit("")),
+          lit(" from 10."), (col("doc_id") % 256).cast("string"), lit(".0."),
+          (col("doc_id") % 100).cast("string"),
+          when(col("doc_id") % 2 === 0, lit(" via 1234.5.6.7")).otherwise(lit("")),
+          lit(" ref 91"), lpad((col("doc_id") % 10000000).cast("string"), 7, "0"),
+          lit(" v1.2.3 a@b x.y@z.co 12345678 123456789 end"))
+        TextStats.redactStats(
+            Tables.documents(s, d).select(col("doc_id"), dirty.as("text")),
+            "doc_id", "text")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_email")).as("sum_emails"),
+            sum(col("n_ipv4")).as("sum_ipv4"),
+            sum(col("n_number")).as("sum_numbers"),
+            sum(length(col("redacted"))).as("len_sum"),
+            sum(graft.functions.Md5Prefix.md5Prefix(col("redacted"), 8))
+              .as("md5_checksum"))
+      },
+      Some("""WITH s AS (
+                SELECT doc_id,
+                       text || ' contact user' || doc_id || '@mail.example.com'
+                       || CASE WHEN doc_id % 3 = 0 THEN ' cc ADMIN-1@ex.org' ELSE '' END
+                       || ' from 10.' || (doc_id % 256) || '.0.' || (doc_id % 100)
+                       || CASE WHEN doc_id % 2 = 0 THEN ' via 1234.5.6.7' ELSE '' END
+                       || ' ref 91' || lpad(CAST(doc_id % 10000000 AS VARCHAR), 7, '0')
+                       || ' v1.2.3 a@b x.y@z.co 12345678 123456789 end' AS t
+                FROM documents),
+              r1 AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                       regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+                FROM s),
+              r2 AS (
+                SELECT doc_id, n_email,
+                       len(regexp_extract_all(t, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ipv4,
+                       regexp_replace(t, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS t
+                FROM r1),
+              r3 AS (
+                SELECT doc_id, n_email, n_ipv4,
+                       len(regexp_extract_all(t, '[0-9]{9,}')) AS n_number,
+                       regexp_replace(t, '[0-9]{9,}', '<NUM>', 'g') AS t
+                FROM r2)
+              SELECT COUNT(*) AS n_docs,
+                     CAST(SUM(n_email) AS BIGINT) AS sum_emails,
+                     CAST(SUM(n_ipv4) AS BIGINT) AS sum_ipv4,
+                     CAST(SUM(n_number) AS BIGINT) AS sum_numbers,
+                     CAST(SUM(len(t)) AS BIGINT) AS len_sum,
+                     CAST(SUM(CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)) AS BIGINT)
+                       AS md5_checksum
+              FROM r3""")),
+
+    // Per-domain URL census ([[TextStats.urlDomains]]): same
+    // synthesized-content discipline — every doc carries a
+    // lang/source-derived domain, a shared CDN URL on a doc_id stride,
+    // a same-domain duplicate on another stride (pinning n_urls vs
+    // n_docs), a scheme-less host the pattern must NOT match, and a
+    // trailing-dot host pinning greedy boundary behavior.
+    Declared(
+      "ext_text_domains",
+      (s, d) => {
+        val withUrls = concat(
+          lit("see https://"), col("lang"), lit("-"), col("source"),
+          lit(".example.org/p/"), col("doc_id").cast("string"),
+          when(col("doc_id") % 4 === 0,
+            lit(" plus http://cdn.example.net/x?y=1")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" dup https://"), col("lang"), lit("-"), col("source"),
+              lit(".example.org/other"))).otherwise(lit("")),
+          lit(" bare www.nope.com trail https://dot.example.org."))
+        TextStats.urlDomains(
+            Tables.documents(s, d).select(col("doc_id"), withUrls.as("text")),
+            "doc_id", "text")
+          .orderBy("domain")
+      },
+      Some("""WITH s AS (
+                SELECT doc_id,
+                       'see https://' || lang || '-' || source || '.example.org/p/' || doc_id
+                       || CASE WHEN doc_id % 4 = 0 THEN ' plus http://cdn.example.net/x?y=1' ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0 THEN ' dup https://' || lang || '-' || source || '.example.org/other' ELSE '' END
+                       || ' bare www.nope.com trail https://dot.example.org.' AS t
+                FROM documents),
+              u AS (
+                SELECT doc_id, unnest(regexp_extract_all(t, 'https?://[A-Za-z0-9.-]+')) AS url
+                FROM s)
+              SELECT regexp_replace(url, '^https?://', '') AS domain,
+                     COUNT(*) AS n_urls, COUNT(DISTINCT doc_id) AS n_docs
+              FROM u GROUP BY 1 ORDER BY domain""")),
+
     // Rolling-hash fingerprints: the oracle recomputes every k-byte
     // window NAIVELY (exact double polynomial, k=8·base=31 stays under
     // 2^53), so a hash match also cross-checks the O(n) rolling update
@@ -1169,6 +1270,47 @@ object ExtQueries {
       },
       Some(s"""WITH $bruteTopCte
                $topkChecksumSql""")),
+
+    // Quantized (int8-range) ANN ([[Similarity.quantizedTopK]]): the
+    // 100 TB storage/bandwidth path — clamp(floor(x·127+0.5)) per dim
+    // (floor, not round: half-even vs half-away differs across
+    // engines; floor doesn't), then exact integer dot products. The
+    // integer scores make the ENTIRE ranking portable, so the oracle
+    // pins rank order itself (sum of neighbor_id·rank), strictly
+    // stronger than the margin-cleared checksum the float listings
+    // need.
+    Declared(
+      "ext_sim_quantized_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.quantizedTopK(emb, emb.where(col("vec_id") < 3),
+            "vec_id", "embedding", k = 5)
+          .groupBy("query_id")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("neighbor_id") * col("rank")).as("rank_checksum"),
+            sum(col("score")).as("score_sum"))
+          .orderBy("query_id")
+      },
+      Some("""WITH q AS (
+                SELECT vec_id, list_transform(embedding, x ->
+                  CAST(greatest(-127, least(127,
+                    floor(CAST(x AS DOUBLE) * 127 + 0.5))) AS BIGINT)) AS qv
+                FROM embeddings),
+              sc AS (
+                SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+                         i -> a.qv[i] * b.qv[i])) AS BIGINT) AS score
+                FROM q a JOIN q b ON a.vec_id < 3 AND a.vec_id <> b.vec_id),
+              rk AS (
+                SELECT query_id, neighbor_id, score,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY score DESC, neighbor_id) AS rnk
+                FROM sc),
+              top AS (SELECT * FROM rk WHERE rnk <= 5)
+              SELECT query_id, COUNT(*) AS n_rows,
+                     CAST(SUM(neighbor_id * rnk) AS BIGINT) AS rank_checksum,
+                     CAST(SUM(score) AS BIGINT) AS score_sum
+              FROM top GROUP BY query_id ORDER BY query_id""")),
 
     // --- End-to-end curation pipeline ---------------------------------
     // The capstone composition ([[graft.ext.Curation]]): language gate

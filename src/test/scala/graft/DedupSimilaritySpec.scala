@@ -362,4 +362,35 @@ class DedupSimilaritySpec extends SparkSpec {
       bf.get(q).flatMap(_.get(n)).foreach(bfc => assert(math.abs(bfc - c) < 1e-12))
     }
   }
+
+  test("quantizeI8: floor(+0.5) rounding, clamping, null propagation") {
+    import spark.implicits._
+    val got = Seq(Seq(1.0f, -1.0f, 0.5f, -0.5f, 2.0f, -2.0f, 0.0f, 0.004f))
+      .toDF("v").select(Similarity.quantizeI8(col("v")).as("q"))
+      .as[Seq[Long]].head
+    // 0.5*127+0.5 = 64.0 → 64; -0.5*127+0.5 = -63.0 → -63 (floor, not
+    // round-half-even); ±2 clamps; 0.004*127+0.5 = 1.008 → 1
+    assert(got == Seq(127L, -127L, 64L, -63L, 127L, -127L, 0L, 1L))
+    val n = Seq(Option.empty[Seq[Float]]).toDF("v")
+      .select(Similarity.quantizeI8(col("v")).as("q")).head
+    assert(n.isNullAt(0))
+  }
+
+  test("quantizedTopK ranks by exact integer dot product, id tie-break") {
+    import spark.implicits._
+    // corpus engineered so quantized scores against query 0 are exact
+    // ints with a tie between ids 2 and 3 (same vector) — id order wins
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(1.0f, 1.0f)),   // score 127*127 = 16129
+      (2L, Seq(0.5f, 0.0f)),   // score 127*64 = 8128
+      (3L, Seq(0.5f, 0.0f)),   // tie with 2
+      (4L, Seq(-1.0f, 0.0f))   // score -16129
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.quantizedTopK(emb, emb.where(col("vec_id") === 0),
+        "vec_id", "embedding", k = 3)
+      .select("rank", "neighbor_id", "score")
+      .as[(Int, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1, 1L, 16129L), (2, 2L, 8128L), (3, 3L, 8128L)))
+  }
 }
