@@ -473,18 +473,45 @@ object Dedup {
                         dfCap: Int = 100): DataFrame = {
     val fsh = cappedShingleHashes(docs, idCol, textCol, dfCap)
     val card = fsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // shuffle_hash pins the self-join strategy: once the persisted
-    // relation materializes, its (columnar-compressed) stats can fall
-    // under the broadcast threshold and flip this to a broadcast of
-    // the FULL shingle set — measured 6× slower at sf0.1 (driver
-    // collect + row-expanded build per run) and lethal at scale, where
-    // the posting-list relation is never broadcastable
-    val pairs = fsh.as("a")
+    withUnion(interPairs(fsh), card)
+  }
+
+  /** (doc_a < doc_b, inter) over a capped posting-list relation — the
+    * shared core of the symmetric-pair operators. shuffle_hash pins
+    * the self-join strategy: once the persisted relation materializes,
+    * its (columnar-compressed) stats can fall under the broadcast
+    * threshold and flip this to a broadcast of the FULL shingle set —
+    * measured 6× slower at sf0.1 (driver collect + row-expanded build
+    * per run) and lethal at scale, where the posting-list relation is
+    * never broadcastable.
+    */
+  private def interPairs(fsh: DataFrame): DataFrame =
+    fsh.as("a")
       .join(fsh.as("b").hint("shuffle_hash"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
-    withUnion(pairs, card)
+
+  /** Pairwise shingle CONTAINMENT: (doc_a, doc_b, inter, n_a, n_b)
+    * for every pair sharing ≥1 non-capped shingle — containment of the
+    * smaller set = inter / min(n_a, n_b), the asymmetric near-dup
+    * metric Jaccard misses: a document quoted wholesale inside a much
+    * larger one has tiny Jaccard (union ≈ the big doc) but containment
+    * ≈ 1. Counts stay integer-exact; callers threshold with integer
+    * arithmetic (`inter * 10 >= least(n_a, n_b) * 8` for ≥0.8) so the
+    * decision is engine-portable. Same bounded shape as
+    * [[ngramJaccardPairs]]: only co-occurring pairs materialize, the
+    * df-cap bounds posting lists, never corpus².
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       dfCap: Int = 100): DataFrame = {
+    val fsh = cappedShingleHashes(docs, idCol, textCol, dfCap)
+    val card = fsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    interPairs(fsh)
+      .join(card.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(card.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        col("ca.n").as("n_a"), col("cb.n").as("n_b"))
   }
 
   /** n-gram Jaccard restricted to the given candidate pairs

@@ -317,6 +317,38 @@ object ExtQueries {
                WHERE inter >= 2
                ORDER BY inter DESC, doc_a, doc_b LIMIT 20""")),
 
+    // Asymmetric containment census ([[Dedup.containmentPairs]]): pairs
+    // where ≥80% of the smaller doc's shingles appear in the larger —
+    // the quote/subset detector Jaccard misses (a doc swallowed by a
+    // much larger one has tiny Jaccard but containment ≈ 1). The 0.8
+    // threshold is integer arithmetic on both engines (inter·10 ≥
+    // min(n)·8), so membership can never drift on float noise.
+    Declared(
+      "ext_dedup_containment",
+      (s, d) =>
+        Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text", DfCap)
+          .where(col("inter") * 10 >= least(col("n_a"), col("n_b")) * 8)
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("doc_a") + col("doc_b")).as("id_checksum"),
+            sum(col("inter")).as("inter_sum"),
+            sum(least(col("n_a"), col("n_b"))).as("min_card_sum")),
+      Some(s"""WITH $cappedShingleCte,
+               pairs AS (
+                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+                 FROM fsh a JOIN fsh b
+                   ON a.sh = b.sh AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+               c AS (
+                 SELECT doc_a, doc_b, inter, ca.n AS n_a, cb.n AS n_b
+                 FROM pairs
+                 JOIN card ca ON doc_a = ca.doc_id
+                 JOIN card cb ON doc_b = cb.doc_id)
+               SELECT COUNT(*) AS n_pairs,
+                      CAST(SUM(doc_a + doc_b) AS BIGINT) AS id_checksum,
+                      CAST(SUM(inter) AS BIGINT) AS inter_sum,
+                      CAST(SUM(LEAST(n_a, n_b)) AS BIGINT) AS min_card_sum
+               FROM c WHERE inter * 10 >= LEAST(n_a, n_b) * 8""")),
+
     // The buckets the pairwise path SKIPS, handled the cluster way:
     // over-cap LSH buckets reduced to (representative, size). Together
     // with ext_dedup_lsh_verified this covers every bucket exactly

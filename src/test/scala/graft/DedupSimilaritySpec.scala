@@ -363,6 +363,27 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("containmentPairs flags a quoted sub-span that Jaccard misses") {
+    import spark.implicits._
+    val big = (1 to 24).map(i => s"w$i").mkString(" ")
+    val quote = (5 to 14).map(i => s"w$i").mkString(" ") // contiguous sub-span
+    val df = Seq(
+      (10L, big),
+      (20L, quote),
+      (30L, "totally unrelated content about something else entirely")
+    ).toDF("doc_id", "text")
+    graft.ext.PlanCache.clear()
+    val pairs = Dedup.containmentPairs(df, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((10L, 20L)))
+    val (_, _, inter, nA, nB) = pairs.head
+    // every one of the quote's 8 trigram shingles appears in the big
+    // doc: containment of the smaller = 1.0, while jaccard = 8/22
+    assert(nB == 8 && inter == 8 && nA == 22)
+    assert(inter * 10 >= math.min(nA, nB) * 8)      // containment gate fires
+    assert(inter * 10 < (nA + nB - inter) * 8)      // a 0.8 jaccard gate would not
+  }
+
   test("quantizeI8: floor(+0.5) rounding, clamping, null propagation") {
     import spark.implicits._
     val got = Seq(Seq(1.0f, -1.0f, 0.5f, -0.5f, 2.0f, -2.0f, 0.0f, 0.004f))

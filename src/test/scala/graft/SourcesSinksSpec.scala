@@ -50,6 +50,21 @@ class SourcesSinksSpec extends SparkSpec {
     assert(scanned.contains("lang"), "expected partition filter in scan")
   }
 
+  test("orc roundtrip preserves rows and schema; predicate pushes to the scan") {
+    import spark.implicits._
+    val dir = tmp("graft_orc")
+    sample.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir).select("doc_id", "lang", "n_chars")
+    assert(back.orderBy("doc_id").as[(Long, String, Long)].collect().toSeq ==
+      sample.as[(Long, String, Long)].collect().toSeq)
+    // ORC supports predicate pushdown like parquet: the filter must
+    // reach the scan, not evaluate post-scan only
+    val filtered = spark.read.orc(dir).where(col("n_chars") > 100)
+    val scan = filtered.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters: [") && scan.contains("n_chars"),
+      s"expected n_chars filter pushed to the ORC scan, got: $scan")
+  }
+
   test("text sink + wholetext source roundtrip (the MR parity path)") {
     import spark.implicits._
     val dir = tmp("graft_text")
