@@ -171,7 +171,7 @@ object Curation {
         new BloomFilterAggregate(ColumnShim.expression(col("__g")),
           Literal(expectedItems), Literal(numBits))
           .toAggregateExpression()).as("__bloom"))
-      .head.getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0)
     val trainGrams = Dedup.rawNgrams(train, idCol, textCol, n, out = "__g")
       .select(col("doc_id"), Hashing.h60(col("__g")).as("__g"))
     val contaminated = trainGrams
@@ -180,6 +180,30 @@ object Curation {
         ColumnShim.expression(col("__g")))))
       .select(col("doc_id").as("__contam_id")).distinct()
     train.join(contaminated, col(idCol) === col("__contam_id"), "left_anti")
+  }
+
+  /** Sliding-window chunking of documents into training spans: one row
+    * per (doc_id, chunk_idx) covering tokens [start, start+width) of
+    * the raw single-space split, starts at 0, stride, 2·stride, … while
+    * start < n_tokens (the tail chunk may be short; stride < width
+    * gives overlapping context windows). Purely map-side — a sequence
+    * generate inside the projection, no shuffle, no state — so chunking
+    * 100 TB costs exactly one scan and composes with every downstream
+    * partitioner. Emits (doc_id, chunk_idx, start, chunk_len).
+    */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+            width: Int, stride: Int): DataFrame = {
+    require(width > 0 && stride > 0 && stride <= width,
+      s"need 0 < stride=$stride <= width=$width")
+    docs
+      .select(col(idCol).as("doc_id"),
+        size(split(col(textCol), " ")).as("__n"))
+      .select(col("doc_id"), col("__n"),
+        explode(sequence(lit(0), col("__n") - 1, lit(stride))).as("start"))
+      .select(col("doc_id"),
+        (col("start") / stride).cast("int").as("chunk_idx"),
+        col("start"),
+        least(lit(width), col("__n") - col("start")).as("chunk_len"))
   }
 
   /** Run the pipeline over `docs`. Near-dup threshold is the rational

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Curation, Dedup, Multimodal, Sampling, Similarity, Stats, TextStats, TimeJoin}
+import graft.ext.{Curation, Dedup, Multimodal, Sampling, Search, Similarity, Skew, Stats, TextStats, TimeJoin}
 import org.apache.spark.sql.functions._
 
 /** Declared queries for the LLM-pipeline extension operators
@@ -1614,7 +1614,144 @@ object ExtQueries {
                                                         WHEN 'fr' THEN 250
                                                         ELSE 100 END)
                               THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-              FROM b GROUP BY split, lang ORDER BY split, lang"""))
+              FROM b GROUP BY split, lang ORDER BY split, lang""")),
+
+    // TF-IDF distinctive terms ([[Search.topTerms]]): top-3 terms per
+    // document for the doc_id < 20 panel, idf from the FULL corpus.
+    // Output is integer/string only; the float score is compared
+    // through round(·, 9) + term tie-break (the one cross-engine
+    // hazard is ln's last ulp — a rounded-score tie resolves by term
+    // on both engines).
+    Declared(
+      "ext_text_tfidf",
+      (s, d) =>
+        Search.topTerms(Tables.documents(s, d), "doc_id", "text", k = 3)
+          .where(col("doc_id") < 20)
+          .orderBy("doc_id", "rk"),
+      Some("""WITH t0 AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+              tf AS (
+                SELECT doc_id, term, COUNT(*) AS tf FROM t0
+                WHERE term <> '' GROUP BY doc_id, term),
+              df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+              n AS (SELECT COUNT(*) AS n_docs FROM documents),
+              sc AS (
+                SELECT doc_id, term,
+                       tf * ln(CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) AS tfidf
+                FROM tf JOIN df USING (term) CROSS JOIN n),
+              rk AS (
+                SELECT doc_id, term,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                         ORDER BY round(tfidf, 9) DESC, term) AS rk
+                FROM sc)
+              SELECT doc_id, rk, term FROM rk
+              WHERE rk <= 3 AND doc_id < 20
+              ORDER BY doc_id, rk""")),
+
+    // BM25 search ([[Search.search]]): top-10 documents for a 3-term
+    // query. k1=1.5, b=0.75 — chosen so every derived constant
+    // (k1+1=2.5, 1−b=0.25) is an EXACT double and the oracle's
+    // literals mean identical bits; the per-term partials add in fixed
+    // literal order on both engines (no float SUM aggregation), so
+    // only ln's last ulp differs — absorbed by round(·, 9) + doc_id
+    // tie-break.
+    Declared(
+      "ext_text_bm25",
+      (s, d) =>
+        Search.search(Tables.documents(s, d), "doc_id", "text",
+          Seq("merge", "vector", "window"), k = 10, k1 = 1.5, b = 0.75),
+      Some("""WITH base AS (
+                SELECT doc_id,
+                       len(list_filter(string_split(text, ' '), x -> x <> '')) AS dl,
+                       string_split(text, ' ') AS toks
+                FROM documents),
+              corpus AS (
+                SELECT COUNT(*) AS n_docs,
+                       CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+                FROM base),
+              tf AS (
+                SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+                  SELECT doc_id, dl, unnest(toks) AS term FROM base)
+                WHERE term IN ('merge', 'vector', 'window')
+                GROUP BY doc_id, dl, term),
+              df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+              sc AS (
+                SELECT doc_id, tf.term,
+                       ln(CAST(1.0 AS DOUBLE) + (n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+                         * (tf * CAST(2.5 AS DOUBLE))
+                         / (tf + CAST(1.5 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl)) AS s
+                FROM tf JOIN df USING (term) CROSS JOIN corpus),
+              byDoc AS (
+                SELECT doc_id,
+                       MAX(CASE WHEN term = 'merge' THEN s END) AS s0,
+                       MAX(CASE WHEN term = 'vector' THEN s END) AS s1,
+                       MAX(CASE WHEN term = 'window' THEN s END) AS s2,
+                       COUNT(*) AS n_matched
+                FROM sc GROUP BY doc_id),
+              scored AS (
+                SELECT doc_id, n_matched,
+                       COALESCE(s0, CAST(0 AS DOUBLE)) + COALESCE(s1, CAST(0 AS DOUBLE))
+                         + COALESCE(s2, CAST(0 AS DOUBLE)) AS score
+                FROM byDoc),
+              rk AS (
+                SELECT doc_id, n_matched,
+                       ROW_NUMBER() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rk
+                FROM scored)
+              SELECT rk, doc_id, n_matched FROM rk WHERE rk <= 10 ORDER BY rk""")),
+
+    // Sliding-window chunking ([[Curation.chunk]]): width 64 / stride
+    // 48 training spans, census per chunk index — chunk counts, token
+    // coverage, and an id checksum pin every span boundary. The
+    // operator is a pure map-side generate (one scan at 100 TB).
+    Declared(
+      "ext_pipeline_chunk",
+      (s, d) =>
+        Curation.chunk(Tables.documents(s, d), "doc_id", "text",
+            width = 64, stride = 48)
+          .groupBy("chunk_idx")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(col("chunk_len")).as("sum_len"),
+            sum(col("doc_id")).as("id_checksum"))
+          .orderBy("chunk_idx"),
+      Some("""WITH c AS (
+                SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+              s AS (SELECT doc_id, n, unnest(range(0, n, 48)) AS start FROM c)
+              SELECT start // 48 AS chunk_idx, COUNT(*) AS n_chunks,
+                     CAST(SUM(LEAST(64, n - start)) AS BIGINT) AS sum_len,
+                     CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+              FROM s GROUP BY chunk_idx ORDER BY chunk_idx""")),
+
+    // Salted skew join ([[Skew.saltedJoin]]) surfaced as an
+    // oracle-checked query: events (the big, potentially hot-keyed
+    // side) join a derived event_type dim, salted 8 ways — result is
+    // row-identical to the plain join, which is exactly what the
+    // oracle asserts. The replicated dim stays broadcast-small
+    // (|dim| × salt), so the big side never shuffles for the join.
+    Declared(
+      "ext_rel_skew_salted",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val dim = ev.select("event_type").distinct()
+          .withColumn("type_code", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy("event_type")))
+        Skew.saltedJoin(ev, dim, "event_type", salt = 8, distributeBy = "event_id")
+          .groupBy("event_type", "type_code")
+          .agg(count(lit(1)).as("n"),
+            FixedPoint.sumCents(col("value")).as("__cents"))
+          .select(col("event_type"), col("type_code"), col("n"),
+            FixedPoint.outCents(col("__cents")).as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some("""WITH dim AS (
+                SELECT event_type,
+                       ROW_NUMBER() OVER (ORDER BY event_type) AS type_code
+                FROM (SELECT DISTINCT event_type FROM events)),
+              j AS (
+                SELECT e.event_type, d.type_code, e.value
+                FROM events e JOIN dim d USING (event_type))
+              SELECT event_type, type_code, COUNT(*) AS n,
+                     ROUND(CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_value
+              FROM j GROUP BY event_type, type_code ORDER BY event_type"""))
   )
 
   /** Tie-safe integer projection of a top-k listing (query_id,
