@@ -152,15 +152,31 @@ object TimeJoin {
     * `(-7200000, 0)` = "right events in the two hours before left".
     * Output columns are both sides' in full, disambiguated as
     * `lPrefix + name` / `rPrefix + name`.
+    *
+    * `joinType` "left" keeps left rows with no right row in range,
+    * null-padded — the batch twin of the streaming left-outer interval
+    * join. Because each left row probes ≤2 band rows, "unmatched"
+    * must mean "no band row matched", so the left side is tagged with
+    * a row id and localCheckpoint-pinned (ids must agree between the
+    * match branch and the anti branch even under AQE re-planning —
+    * monotonically_increasing_id is only layout-deterministic). That
+    * materialization is the cost of the outer variant; at scale,
+    * anti-join on a natural unique key upstream if the left is huge.
     */
   def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                 leftTs: String, rightTs: String,
                 lowerMs: Long, upperMs: Long,
-                lPrefix: String = "l_", rPrefix: String = "r_"): DataFrame = {
+                lPrefix: String = "l_", rPrefix: String = "r_",
+                joinType: String = "inner"): DataFrame = {
     require(keys.nonEmpty, "rangeJoin needs at least one equi-key")
     require(upperMs > lowerMs, s"empty range [$lowerMs, $upperMs)")
+    require(Set("inner", "left").contains(joinType),
+      s"joinType=$joinType: rangeJoin supports inner and left")
     val width = upperMs - lowerMs
-    val l = left.select(left.columns.toIndexedSeq.map(c => col(c).as(lPrefix + c)): _*)
+    val l0 = left.select(left.columns.toIndexedSeq.map(c => col(c).as(lPrefix + c)): _*)
+    val l = if (joinType == "inner") l0
+            else l0.withColumn("__lid", monotonically_increasing_id())
+              .localCheckpoint()
     val r = right.select(right.columns.toIndexedSeq.map(c => col(c).as(rPrefix + c)): _*)
     val lms = unix_millis(col(lPrefix + leftTs))
     val rms = unix_millis(col(rPrefix + rightTs))
@@ -174,8 +190,20 @@ object TimeJoin {
     val rb = r.withColumn("__rband", band(rms, width))
     val keyCond = keys.map(k => col(lPrefix + k) === col(rPrefix + k))
       .reduce(_ && _)
-    lb.join(rb, keyCond && col("__lband") === col("__rband") &&
+    val inner = lb.join(rb, keyCond && col("__lband") === col("__rband") &&
         rms >= lms + lit(lowerMs) && rms < lms + lit(upperMs))
       .drop("__lband", "__rband")
+    if (joinType == "inner") inner
+    else {
+      val matched = inner.select("__lid").distinct()
+      val unmatched = l.join(matched, Seq("__lid"), "left_anti")
+      val rNulls = r.schema.fields.toIndexedSeq.map(f =>
+        lit(null).cast(f.dataType).as(f.name))
+      // explicit order: the using-column anti-join reorders __lid to
+      // the front, so a bare col("*") would misalign the union
+      val padded = unmatched.select(
+        (l0.columns.toIndexedSeq.map(col) :+ col("__lid")) ++ rNulls: _*)
+      inner.union(padded).drop("__lid")
+    }
   }
 }

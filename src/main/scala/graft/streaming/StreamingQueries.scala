@@ -66,13 +66,24 @@ object StreamingQueries {
     * watermark passes `l.ts + upperMs`, a right row once it passes
     * `r.ts - lowerMs` — so state is O(rate × window), not O(stream).
     * Columns are prefix-disambiguated like the batch operator.
+    *
+    * `joinType` "left_outer" keeps left rows that never matched:
+    * Spark null-pads and emits such a row when the watermark proves no
+    * future right row can still land in its interval (passes
+    * `l.ts + upperMs`) — the streaming twin of a batch left join, with
+    * the same bounded state. The time-range bound on BOTH sides is
+    * exactly what makes the outer variant legal (an unbounded-buffer
+    * outer join could never declare a row unmatched).
     */
   def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                    leftTs: String, rightTs: String,
                    lowerMs: Long, upperMs: Long,
                    watermark: String = "30 minutes",
-                   lPrefix: String = "l_", rPrefix: String = "r_"): DataFrame = {
+                   lPrefix: String = "l_", rPrefix: String = "r_",
+                   joinType: String = "inner"): DataFrame = {
     require(upperMs > lowerMs, s"empty range [$lowerMs, $upperMs)")
+    require(Set("inner", "left_outer").contains(joinType),
+      s"joinType=$joinType: stream-stream interval joins support inner and left_outer")
     val l = left.select(left.columns.toIndexedSeq.map(c => col(c).as(lPrefix + c)): _*)
       .withWatermark(lPrefix + leftTs, watermark)
     val r = right.select(right.columns.toIndexedSeq.map(c => col(c).as(rPrefix + c)): _*)
@@ -83,7 +94,7 @@ object StreamingQueries {
       .reduce(_ && _)
     l.join(r, keyCond &&
       rts >= lts + expr(s"INTERVAL $lowerMs MILLISECONDS") &&
-      rts < lts + expr(s"INTERVAL $upperMs MILLISECONDS"))
+      rts < lts + expr(s"INTERVAL $upperMs MILLISECONDS"), joinType)
   }
 
   /** Stream–static enrichment: the event stream joined to a static

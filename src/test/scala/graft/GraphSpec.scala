@@ -1,0 +1,59 @@
+package graft
+
+import graft.ext.Graph
+import org.apache.spark.sql.functions._
+
+/** Graph census pinned on hand-drawn graphs: triangle enumeration
+  * order (a<b<c exactly once), wedge counting, canonicalization of
+  * messy edge lists (duplicates, reversed orientation, self-loops,
+  * nulls).
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("canonicalEdges dedups, orients, drops self-loops and nulls") {
+    val messy = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 2L), (2L, 1L),     // same edge, both orientations
+      (2L, 3L), (3L, 3L),     // self-loop dropped
+      (null, 4L), (4L, null)) // null endpoints dropped
+      .toDF("s", "t")
+    val e = Graph.canonicalEdges(messy, "s", "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(e == Set((1L, 2L), (2L, 3L)))
+  }
+
+  test("triangleStats on K4: 4 triangles, 12 wedges, 6 edges") {
+    // complete graph on {1,2,3,4}: C(4,3)=4 triangles; every vertex
+    // has degree 3 → 4·C(3,2)=12 wedges
+    val k4 = (for { a <- 1 to 4; b <- 1 to 4 if a < b } yield (a.toLong, b.toLong))
+      .toDF("s", "t")
+    val r = Graph.triangleStats(k4, "s", "t", cacheTag = "spec/k4").collect().head
+    assert((r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"),
+      r.getAs[Long]("n_wedges"), r.getAs[Long]("n_triangles")) == (4L, 6L, 12L, 4L))
+  }
+
+  test("triangleStats counts a triangle once regardless of input orientation") {
+    // triangle {1,2,3} fed in scrambled orientations + a pendant edge
+    val g = Seq((2L, 1L), (3L, 2L), (1L, 3L), (3L, 1L), (4L, 3L)).toDF("s", "t")
+    val r = Graph.triangleStats(g, "s", "t", cacheTag = "spec/tri1").collect().head
+    assert(r.getAs[Long]("n_triangles") == 1L)
+    assert(r.getAs[Long]("n_edges") == 4L)
+    // degrees: 1→2, 2→2, 3→3, 4→1 → wedges 1+1+3+0 = 5
+    assert(r.getAs[Long]("n_wedges") == 5L)
+    assert(r.getAs[Long]("n_nodes") == 4L)
+  }
+
+  test("triangle-free path graph reports zero triangles, correct wedges") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "t")
+    val r = Graph.triangleStats(path, "s", "t", cacheTag = "spec/path").collect().head
+    assert(r.getAs[Long]("n_triangles") == 0L)
+    assert(r.getAs[Long]("n_wedges") == 2L)
+  }
+
+  test("degrees matches hand counts") {
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("s", "t")
+    val d = Graph.degrees(g, "s", "t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+}

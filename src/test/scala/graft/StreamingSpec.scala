@@ -341,6 +341,60 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("left-outer interval join emits watermark-proven unmatched rows, equals batch left join") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // clicks in the 30 minutes before each error: narrow enough that
+    // many errors have NO click in range — the outer rows under test
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val errs = ev.where(col("event_type") === "error")
+      .select("user_id", "ts", "event_id")
+    val clicks = ev.where(col("event_type") === "click")
+      .select("user_id", "ts", "event_id")
+    val errSeq = errs.as[(Long, Timestamp, Long)].collect()
+      .map(x => KeyedEv(x._1, x._2, x._3)).toSeq.sortBy(_.ts.getTime)
+    val clkSeq = clicks.as[(Long, Timestamp, Long)].collect()
+      .map(x => KeyedEv(x._1, x._2, x._3)).toSeq.sortBy(_.ts.getTime)
+    val lStream = MemoryStream[KeyedEv]
+    val rStream = MemoryStream[KeyedEv]
+    val joined = StreamingQueries.intervalJoin(
+      lStream.toDF(), rStream.toDF(), Seq("user_id"), "ts", "ts",
+      lowerMs = -1800000L, upperMs = 0L, watermark = "10 minutes",
+      joinType = "left_outer")
+    val query = joined
+      .select(col("l_event_id"), col("r_event_id"))
+      .writeStream.format("memory").queryName("ivjo").outputMode("append").start()
+    try {
+      val (l1, l2) = errSeq.splitAt(errSeq.size / 2)
+      val (r1, r2) = clkSeq.splitAt(clkSeq.size / 2)
+      lStream.addData(l1); rStream.addData(r1)
+      query.processAllAvailable()
+      lStream.addData(l2); rStream.addData(r2)
+      query.processAllAvailable()
+      // outer rows only flush once the watermark PROVES no match can
+      // still arrive: advance both inputs a day past the data with a
+      // sentinel (whose own outer emission stays pending — it never
+      // appears in the output, asserted below)
+      val maxTs = (errSeq ++ clkSeq).map(_.ts.getTime).max
+      val sentinel = KeyedEv(-1L, new Timestamp(maxTs + 86400000L), -1L)
+      lStream.addData(Seq(sentinel)); rStream.addData(Seq(sentinel))
+      query.processAllAvailable()
+      val got = spark.table("ivjo")
+        .select(col("l_event_id"), col("r_event_id"))
+        .as[(Long, Option[Long])].collect().toSet
+      val batch = graft.ext.TimeJoin.rangeJoin(errs, clicks, Seq("user_id"),
+          "ts", "ts", -1800000L, 0L, joinType = "left")
+        .select(col("l_event_id"), col("r_event_id"))
+        .as[(Long, Option[Long])].collect().toSet
+      assert(!got.exists(_._1 == -1L), "sentinel must stay pending, not emit")
+      assert(got == batch)
+      val unmatched = batch.count(_._2.isEmpty)
+      assert(unmatched > 0, "differential is vacuous without outer rows")
+      assert(batch.exists(_._2.nonEmpty), "and without matched rows")
+    } finally query.stop()
+  }
+
   test("streaming dedupByKey keeps one row per key across microbatches, state bounded by watermark") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
