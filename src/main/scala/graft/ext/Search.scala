@@ -127,6 +127,50 @@ object Search {
     byDoc.select(col("doc_id"), col("n_matched"), score.as("score"))
   }
 
+  /** Top-`k` term collocations by pointwise mutual information over
+    * DOCUMENT co-occurrence: PMI(a,b) = ln(N·c_ab / (df_a·df_b)) with
+    * c_ab = docs containing both terms. Emits (rk, t1, t2, c_ab) —
+    * rank pinned by round(·,9) + lexicographic tie-break, the float
+    * never emitted (same ln-ulp guard as [[topTerms]]; the log's
+    * argument is ONE division of two exact integer products, so both
+    * engines feed ln identical bits).
+    *
+    * Scale shape: the co-occurrence join is the posting-list self-join
+    * on doc_id — Σ v² work for per-doc filtered vocabulary v, the
+    * reason for the df bounds: `minDf` drops hapax noise, `maxDf`
+    * bounds posting-list length exactly like
+    * [[Dedup.cappedShingleHashes]] caps stop-shingles. Keep
+    * maxDf·|vocab| sane and the join never approaches corpus².
+    */
+  def pmiPairs(docs: DataFrame, idCol: String, textCol: String,
+               k: Int, minDf: Long = 2, maxDf: Long = Long.MaxValue): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    require(minDf >= 1 && maxDf >= minDf, s"need 1 <= minDf=$minDf <= maxDf=$maxDf")
+    val posting = docs
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(split(col(textCol), " "))).as("term"))
+      .where(col("term") =!= "")
+    val df = posting.groupBy("term").agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf && col("df") <= maxDf)
+    val p = posting.join(df, "term")
+    val pairs = p.as("a")
+      .join(p.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.term") < col("b.term"))
+      .groupBy(col("a.term").as("t1"), col("b.term").as("t2"),
+        col("a.df").as("df1"), col("b.df").as("df2"))
+      .agg(count(lit(1)).as("c_ab"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val ord = Seq(round(col("pmi"), 9).desc, col("t1").asc, col("t2").asc)
+    pairs.crossJoin(broadcast(n))
+      .withColumn("pmi",
+        log((col("n_docs") * col("c_ab")).cast("double") /
+          (col("df1") * col("df2")).cast("double")))
+      .orderBy(ord: _*)
+      .limit(k)
+      .withColumn("rk", row_number().over(Window.orderBy(ord: _*)))
+      .select(col("rk"), col("t1"), col("t2"), col("c_ab"))
+  }
+
   /** Top-`k` documents for query `terms` by BM25, ties broken by
     * doc_id — integer-only output (rk, doc_id, n_matched), same
     * round(·, 9) guard as [[topTerms]]. The heavy cut is

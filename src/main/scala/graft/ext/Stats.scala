@@ -236,4 +236,40 @@ object Stats {
         round(cov.cast("double") / (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))) * 1e6)
           .cast("long")).as("corr_e6"): _*)
   }
+
+  /** Exact per-group z-score outlier flags over an integer-valued
+    * column (`ints` — e.g. FixedPoint cents of a money column):
+    * appends `__is_outlier` = |value − μ| > z·σ, evaluated WITHOUT
+    * ever forming a float. Population moments give
+    * z² > k² ⟺ (n·x − s)² > k²·(n·q − s²) with s = Σx, q = Σx² —
+    * both sides exact DECIMAL(38,0) products, so Spark and a SQL
+    * oracle agree bit-for-bit and no engine's division/sqrt rounding
+    * can flip a borderline row (the classic failure of float z-score
+    * gates). σ = 0 groups flag nothing (both sides 0, strict >).
+    *
+    * Shape: one partial-aggregated groupBy for the 3 moments, then a
+    * join back — group-cardinality rows, broadcast by the planner when
+    * small (profiling dims always are). Long-sum headroom: Σx² needs
+    * n·B² < 2^63 for |x| ≤ B — at B = 10^5 cents that is ~9·10^8 rows
+    * per group; past it, accumulate the moments in DECIMAL upstream.
+    */
+  def zOutlierFlags(df: DataFrame, groupCols: Seq[String], ints: Column,
+                    z: Int = 3): DataFrame = {
+    require(z > 0, s"z=$z must be positive")
+    require(groupCols.nonEmpty, "zOutlierFlags needs grouping columns")
+    val D = org.apache.spark.sql.types.DecimalType(38, 0)
+    val vals = df.withColumn("__c", ints.cast("long"))
+    val stats = vals.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"), sum("__c").as("__s"),
+        sum(col("__c") * col("__c")).as("__q"))
+    // every product in DECIMAL (not long·long then cast): the long
+    // path would wrap first at extreme n×B, and the oracle's HUGEINT
+    // arithmetic must mean the same bits at every magnitude
+    val dev = col("__n").cast(D) * col("__c").cast(D) - col("__s").cast(D)
+    val varN3 = col("__n").cast(D) * col("__q").cast(D) -
+      col("__s").cast(D) * col("__s").cast(D)
+    vals.join(stats, groupCols)
+      .withColumn("__is_outlier", dev * dev > lit(z * z) * varN3)
+      .drop("__n", "__s", "__q")
+  }
 }

@@ -1793,7 +1793,83 @@ object ExtQueries {
                SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
                       (SELECT COUNT(*) FROM e) AS n_edges,
                       (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
-                      (SELECT n_triangles FROM tri) AS n_triangles"""))
+                      (SELECT n_triangles FROM tri) AS n_triangles""")),
+
+    // Exact z-score anomaly gate ([[Stats.zOutlierFlags]]) over event
+    // values in cents: |x−μ| > 3σ decided by integer cross-
+    // multiplication ((n·x−s)² > 9·(n·q−s²), DECIMAL/HUGEINT exact on
+    // both engines) — no division, no sqrt, no float, so a borderline
+    // event cannot flip across engines. Per-type outlier counts + id
+    // checksums pin exact membership.
+    Declared(
+      "ext_stats_outliers",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("event_type"),
+            round(col("value") * 100).cast("long").as("cents"))
+        Stats.zOutlierFlags(ev, Seq("event_type"), col("cents"), z = 3)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("__is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
+            sum(when(col("__is_outlier"), col("event_id")).otherwise(0L)).as("id_checksum"))
+          .orderBy("event_type")
+      },
+      Some("""WITH v AS (
+                SELECT event_id, event_type,
+                       CAST(round(value * 100) AS BIGINT) AS c
+                FROM events),
+              m AS (
+                SELECT event_type, COUNT(*) AS n,
+                       CAST(SUM(c) AS BIGINT) AS s,
+                       CAST(SUM(c * c) AS BIGINT) AS q
+                FROM v GROUP BY event_type),
+              f AS (
+                SELECT v.event_id, v.event_type,
+                       (CAST(n AS HUGEINT) * CAST(c AS HUGEINT) - CAST(s AS HUGEINT))
+                         * (CAST(n AS HUGEINT) * CAST(c AS HUGEINT) - CAST(s AS HUGEINT))
+                         > 9 * (CAST(n AS HUGEINT) * CAST(q AS HUGEINT)
+                                - CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS is_out
+                FROM v JOIN m USING (event_type))
+              SELECT event_type, COUNT(*) AS n,
+                     CAST(SUM(CASE WHEN is_out THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+                     CAST(SUM(CASE WHEN is_out THEN event_id ELSE 0 END) AS BIGINT) AS id_checksum
+              FROM f GROUP BY event_type ORDER BY event_type""")),
+
+    // PMI collocations ([[Search.pmiPairs]]): top-20 term pairs by
+    // document-co-occurrence pointwise mutual information. The
+    // co-occurrence count comes from the posting-list self-join on
+    // doc_id (Σ v² per doc, df-bounded); ln's argument is one division
+    // of exact integer products, rank pinned by round(·,9) +
+    // lexicographic tie-break.
+    Declared(
+      "ext_text_pmi",
+      (s, d) =>
+        Search.pmiPairs(Tables.documents(s, d), "doc_id", "text",
+          k = 20, minDf = 2),
+      Some("""WITH p AS (
+                SELECT DISTINCT doc_id, w AS term FROM (
+                  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+                WHERE w <> ''),
+              df AS (
+                SELECT term, COUNT(*) AS df FROM p
+                GROUP BY term HAVING COUNT(*) >= 2),
+              p2 AS (SELECT p.doc_id, p.term, df.df FROM p JOIN df USING (term)),
+              pr AS (
+                SELECT a.term AS t1, b.term AS t2,
+                       a.df AS df1, b.df AS df2, COUNT(*) AS c_ab
+                FROM p2 a JOIN p2 b
+                  ON a.doc_id = b.doc_id AND a.term < b.term
+                GROUP BY 1, 2, 3, 4),
+              n AS (SELECT COUNT(*) AS n_docs FROM documents),
+              sc AS (
+                SELECT t1, t2, c_ab,
+                       ln(CAST(n_docs * c_ab AS DOUBLE) / CAST(df1 * df2 AS DOUBLE)) AS pmi
+                FROM pr CROSS JOIN n),
+              rk AS (
+                SELECT t1, t2, c_ab,
+                       ROW_NUMBER() OVER (ORDER BY round(pmi, 9) DESC, t1, t2) AS rk
+                FROM sc)
+              SELECT rk, t1, t2, c_ab FROM rk WHERE rk <= 20 ORDER BY rk"""))
   )
 
   /** Tie-safe integer projection of a top-k listing (query_id,

@@ -79,6 +79,20 @@ class SearchSpec extends SparkSpec {
     assert(out.head.getAs[Long]("doc_id") == 2L)
   }
 
+  test("pmiPairs ranks by hand-computed PMI; minDf prunes hapax terms") {
+    val docs = Seq(
+      (1L, "x y"), (2L, "x y"), (3L, "x z"), (4L, "z q"))
+      .toDF("doc_id", "text")
+    // df: x=3, y=2, z=2, q=1 (dropped by minDf=2); N=4
+    // PMI(x,y) = ln(4·2/(3·2)) > 0 > PMI(x,z) = ln(4·1/(3·2))
+    val out = Search.pmiPairs(docs, "doc_id", "text", k = 10, minDf = 2)
+      .collect()
+      .map(r => (r.getAs[Int]("rk"), r.getAs[String]("t1"),
+        r.getAs[String]("t2"), r.getAs[Long]("c_ab")))
+    assert(out.toSeq == Seq((1, "x", "y", 2L), (2, "x", "z", 1L)),
+      s"got ${out.toSeq}")
+  }
+
   test("chunk covers every token once per stride lattice, tail chunk short") {
     val docs = Seq(
       (1L, Seq.fill(10)("w").mkString(" ")), // 10 tokens

@@ -128,6 +128,39 @@ class StatsSpec extends SparkSpec {
     assert(r(1).getLong(2) == -1000000L && r(2).getLong(2) == 1000000L)
   }
 
+  test("zOutlierFlags matches a BigInt brute force on random grouped data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // heavy-tailed: mostly uniform noise plus rare spikes — uniform
+    // alone never clears 3σ (max dev ≈ 1.73σ), leaving the test vacuous
+    val rows = (1 to 600).map { i =>
+      val c = if (i % 97 == 0) 50000L else (rnd.nextInt(2001) - 1000).toLong
+      ("g" + (i % 3), i.toLong, c)
+    }
+    val got = Stats.zOutlierFlags(rows.toDF("g", "id", "c"), Seq("g"), col("c"))
+      .collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Long]("id")) ->
+        r.getAs[Boolean]("__is_outlier")).toMap
+    val byG = rows.groupBy(_._1)
+    val want = rows.map { case (g, id, c) =>
+      val cs = byG(g).map(_._3.toLong)
+      val (n, s, q) = (BigInt(cs.size), BigInt(cs.sum), cs.map(x => BigInt(x) * x).sum)
+      val dev = n * c - s
+      (g, id) -> (dev * dev > 9 * (n * q - s * s))
+    }.toMap
+    assert(got == want)
+    assert(want.values.exists(identity), "fixture should contain some outlier")
+    assert(!want.values.forall(identity))
+  }
+
+  test("zOutlierFlags: constant group (sigma = 0) flags nothing") {
+    import spark.implicits._
+    val df = (1 to 50).map(i => ("k", i.toLong, 42L)).toDF("g", "id", "c")
+    val flags = Stats.zOutlierFlags(df, Seq("g"), col("c"))
+      .agg(sum(when(col("__is_outlier"), 1L).otherwise(0L))).head().getLong(0)
+    assert(flags == 0L)
+  }
+
   test("HLL sketches union losslessly: merged per-group sketches estimate the global distinct") {
     import spark.implicits._
     // overlapping groups: global distinct (2000) < sum of per-group
