@@ -1,0 +1,105 @@
+package graft
+
+/** Physical-plan shape pins for the declared queries: the properties
+  * that make each plan scale — broadcast where a side is dim-sized,
+  * TakeOrdered instead of a global sort, partial aggregation before
+  * the exchange, pushed filters and pruned scans — asserted on the
+  * EXECUTED plan string so a regression (a new Spark version flipping
+  * a join strategy, an edit dropping a pushdown) fails a test instead
+  * of silently multiplying shuffle bytes at scale.
+  *
+  * Counting operator occurrences in the plan string is deliberately
+  * coarse: the pins state "no more than N exchanges" / "this strategy,
+  * not that one", not byte-exact plans — they should survive cosmetic
+  * Spark changes while catching structural ones.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Executed-plan string after running the query (AQE final plan). */
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def count(plan: String, op: String): Int =
+    op.r.findAllIn(plan).length
+
+  test("dq05_topk: TakeOrderedAndProject, no global sort") {
+    val plan = planOf("dq05_topk")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be a bounded heap, not sort-the-world:\n$plan")
+  }
+
+  test("dq10_join_agg: dimension joins broadcast; no shuffle of the fact side for the join") {
+    val plan = planOf("dq10_join_agg")
+    assert(count(plan, "BroadcastHashJoin") >= 2,
+      s"customer and nation should broadcast:\n$plan")
+    assert(count(plan, "SortMergeJoin") == 0,
+      s"no dim join should fall back to sort-merge at this scale:\n$plan")
+  }
+
+  test("ext_rel_star_join: all four dimensions broadcast") {
+    val plan = planOf("ext_rel_star_join")
+    assert(count(plan, "BroadcastHashJoin") >= 4,
+      s"4-dim star join must broadcast every dimension:\n$plan")
+    assert(count(plan, "SortMergeJoin") == 0, s"unexpected SMJ:\n$plan")
+  }
+
+  test("dq12_exact_dedup: the exchange partitions on the md5 hash, not raw text") {
+    val plan = planOf("dq12_exact_dedup")
+    // the md5 must be computed in the partial aggregate BELOW the
+    // exchange so only 16-byte digests cross the wire; partitioning
+    // directly on the text attribute would ship document bytes
+    assert(plan.contains("hashpartitioning(md5"),
+      s"expected the shuffle keyed on the map-side md5:\n$plan")
+    assert(!"hashpartitioning\\(text#".r.findFirstIn(plan).isDefined,
+      s"raw text column as shuffle key:\n$plan")
+  }
+
+  test("ext_pipeline_chunk: map-side generate — no exchange below the aggregation") {
+    val plan = planOf("ext_pipeline_chunk")
+    // exactly the two required exchanges: partial→final agg, and the
+    // range partitioning for the final orderBy
+    assert(count(plan, "Exchange") <= 2,
+      s"chunking must not shuffle before aggregation:\n$plan")
+    assert(plan.contains("Generate"), s"expected explode generate:\n$plan")
+  }
+
+  test("dq04_grep: predicate pushed into the parquet scan, schema pruned") {
+    val df = SparkEntry.queries("dq04_grep")(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    val scan = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("Scan parquet")).getOrElse("")
+    val full = df.queryExecution.toString
+    assert(full.contains("PushedFilters: [IsNotNull(text)")
+      || full.contains("StringContains"),
+      s"contains-filter should push to the reader:\n$full")
+    assert(!full.contains("n_chars") || !scan.contains("n_chars"),
+      s"unused columns must prune from ReadSchema:\n$scan")
+  }
+
+  test("ext_pipeline_decontam: eval-gram side broadcasts (train side never shuffles for the join)") {
+    val plan = planOf("ext_pipeline_decontam")
+    assert(count(plan, "BroadcastHashJoin") >= 2,
+      s"contamination semi-join and final anti-join should broadcast:\n$plan")
+  }
+
+  test("ext_sim_cosine_topk: one corpus scan, queries broadcast, no cartesian") {
+    val plan = planOf("ext_sim_cosine_topk")
+    assert(!plan.contains("CartesianProduct"),
+      s"brute-force top-k must be broadcast, not cartesian:\n$plan")
+    assert(count(plan, "BroadcastNestedLoopJoin") <= 1,
+      s"at most the bounded query-panel loop join:\n$plan")
+  }
+
+  test("dq09_numeric_agg: long-cents sums, partial aggregation before the exchange") {
+    val plan = planOf("dq09_numeric_agg")
+    assert(plan.contains("partial_sum"),
+      s"map-side combine missing:\n$plan")
+    assert(!plan.toLowerCase.contains("decimal(38"),
+      s"cents path must not fall back to wide decimal:\n$plan")
+  }
+}
