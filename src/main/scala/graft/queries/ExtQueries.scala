@@ -1869,7 +1869,66 @@ object ExtQueries {
                 SELECT t1, t2, c_ab,
                        ROW_NUMBER() OVER (ORDER BY round(pmi, 9) DESC, t1, t2) AS rk
                 FROM sc)
-              SELECT rk, t1, t2, c_ab FROM rk WHERE rk <= 20 ORDER BY rk"""))
+              SELECT rk, t1, t2, c_ab FROM rk WHERE rk <= 20 ORDER BY rk""")),
+
+    // Sliding event-time windows (batch): 2-hour windows every hour —
+    // each event contributes to exactly width/slide = 2 overlapping
+    // windows. Spark's native window(ts, width, slide) generates the
+    // window structs map-side (a Generate, no join, no shuffle beyond
+    // the aggregation); the oracle reproduces the window lattice by
+    // unnesting the 2 per-event window starts. Complements
+    // dq14_tumbling_window (slide = width) — the overlap is what a
+    // rolling-rate monitor needs.
+    Declared(
+      "ext_rel_sliding_window",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            FixedPoint.sumCents(col("value")).as("__cents"))
+          .select(
+            date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+            col("event_type"), col("n"),
+            FixedPoint.outCents(col("__cents")).as("v"))
+          .orderBy("ws", "event_type"),
+      Some("""WITH x AS (
+                SELECT event_type, value,
+                       date_trunc('hour', ts) - unnest([INTERVAL 0 HOUR, INTERVAL 1 HOUR]) AS w
+                FROM events)
+              SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS ws, event_type,
+                     COUNT(*) AS n,
+                     ROUND(CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS v
+              FROM x GROUP BY ws, event_type ORDER BY ws, event_type""")),
+
+    // Per-group bounded top-k ([[graft.functions.TopK]]): top-5 events
+    // by value within each event_type through the k-heap typed
+    // Aggregator — the buffer never exceeds k, partials merge
+    // map-side, k rows per group cross the shuffle (the window-rank
+    // formulation the ORACLE uses sorts whole groups instead — fine
+    // for DuckDB at sf0.1, the thing this operator exists to avoid at
+    // 100 TB).
+    Declared(
+      "ext_rel_group_topk",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), col("event_id"),
+            round(col("value") * 100).cast("long").as("cents"))
+        ev.groupBy("event_type")
+          .agg(graft.functions.TopK.topK(5)(col("cents"), col("event_id")).as("top"))
+          .select(col("event_type"), posexplode(col("top")))
+          .select(col("event_type"), (col("pos") + 1).cast("long").as("rk"),
+            col("col.id").as("event_id"), col("col.score").as("cents"))
+          .orderBy("event_type", "rk")
+      },
+      Some("""WITH v AS (
+                SELECT event_type, event_id,
+                       CAST(round(value * 100) AS BIGINT) AS cents,
+                       ROW_NUMBER() OVER (PARTITION BY event_type
+                         ORDER BY CAST(round(value * 100) AS BIGINT) DESC, event_id) AS rk
+                FROM events)
+              SELECT event_type, rk, event_id, cents FROM v
+              WHERE rk <= 5 ORDER BY event_type, rk"""))
   )
 
   /** Tie-safe integer projection of a top-k listing (query_id,
