@@ -127,6 +127,36 @@ object Search {
     byDoc.select(col("doc_id"), col("n_matched"), score.as("score"))
   }
 
+  /** Fuzzy probe→vocabulary matching by edit distance — the spell-
+    * correction / entity-resolution primitive: each probe string
+    * matches every corpus term within `maxDist` Levenshtein edits,
+    * annotated with the term's document frequency (the signal that
+    * ranks correction candidates).
+    *
+    * Scale shape: the corpus side is reduced to its VOCABULARY first
+    * (Heaps' law — millions of terms at 100 TB, not corpus-sized),
+    * probes broadcast, and a length-band predicate (|len(t) −
+    * len(p)| ≤ maxDist) prunes inside the join before the O(|t|·|p|)
+    * distance runs — the standard blocking that keeps fuzzy joins
+    * from evaluating the full DP table on every (term, probe) pair.
+    */
+  def fuzzyVocabMatch(docs: DataFrame, idCol: String, textCol: String,
+                      probes: Seq[String], maxDist: Int): DataFrame = {
+    require(probes.nonEmpty && probes.distinct == probes,
+      s"probes must be non-empty and distinct, got $probes")
+    require(maxDist >= 0, s"maxDist=$maxDist must be non-negative")
+    val vocab = termFrequencies(docs, idCol, textCol)
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val probeDf = docs.sparkSession
+      .createDataFrame(probes.map(Tuple1(_))).toDF("probe")
+    vocab
+      .join(broadcast(probeDf),
+        abs(length(col("term")) - length(col("probe"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("term"), col("probe")))
+      .where(col("dist") <= maxDist)
+      .select(col("probe"), col("dist"), col("term"), col("df"))
+  }
+
   /** Top-`k` term collocations by pointwise mutual information over
     * DOCUMENT co-occurrence: PMI(a,b) = ln(N·c_ab / (df_a·df_b)) with
     * c_ab = docs containing both terms. Emits (rk, t1, t2, c_ab) —

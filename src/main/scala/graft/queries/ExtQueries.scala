@@ -1928,7 +1928,32 @@ object ExtQueries {
                          ORDER BY CAST(round(value * 100) AS BIGINT) DESC, event_id) AS rk
                 FROM events)
               SELECT event_type, rk, event_id, cents FROM v
-              WHERE rk <= 5 ORDER BY event_type, rk"""))
+              WHERE rk <= 5 ORDER BY event_type, rk""")),
+
+    // Fuzzy probe→vocabulary matching ([[Search.fuzzyVocabMatch]]):
+    // spell-correction over the corpus vocabulary by Levenshtein ≤ 2
+    // with length-band blocking, candidates ranked by document
+    // frequency. Both engines implement the identical DP distance, so
+    // the full match set is exact; one probe ("zzz") is a deliberate
+    // no-match pinning that blocking prunes rather than fabricates.
+    Declared(
+      "ext_text_fuzzy",
+      (s, d) =>
+        Search.fuzzyVocabMatch(Tables.documents(s, d), "doc_id", "text",
+            Seq("joni", "tabel", "vectr", "qery", "zzz"), maxDist = 2)
+          .orderBy("probe", "dist", "term"),
+      Some("""WITH p AS (
+                SELECT DISTINCT doc_id, w AS term FROM (
+                  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+                WHERE w <> ''),
+              vocab AS (SELECT term, COUNT(*) AS df FROM p GROUP BY term),
+              probes AS (
+                SELECT unnest(['joni', 'tabel', 'vectr', 'qery', 'zzz']) AS probe)
+              SELECT probe, levenshtein(term, probe) AS dist, term, df
+              FROM vocab CROSS JOIN probes
+              WHERE abs(len(term) - len(probe)) <= 2
+                AND levenshtein(term, probe) <= 2
+              ORDER BY probe, dist, term"""))
   )
 
   /** Tie-safe integer projection of a top-k listing (query_id,

@@ -25,9 +25,20 @@ object StreamingQueries {
     */
   def tumblingWindow(events: DataFrame, every: String = "1 hour",
                      watermark: String = "30 minutes"): DataFrame =
+    slidingWindow(events, every, every, watermark)
+
+  /** Sliding (overlapping) event-time windows: each event lands in
+    * width/slide windows — same state story as tumbling (windows
+    * evict once the watermark passes their end), with state and
+    * per-batch shuffle rows multiplied by the overlap factor; the
+    * window-struct generate itself is map-side. Streaming twin of
+    * the batch ext_rel_sliding_window query.
+    */
+  def slidingWindow(events: DataFrame, width: String, slide: String,
+                    watermark: String = "30 minutes"): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), every).as("w"), col("event_type"))
+      .groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         round(sum(col("value").cast(Dec)).cast("double"), 2).as("v"))
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("h"),

@@ -74,4 +74,44 @@ class SourcesSinksSpec extends SparkSpec {
       .as[String].collect().head
     assert(back.split("\n").toSet == Set("alpha beta", "gamma"))
   }
+
+  test("binaryFile source ingests opaque media files into the multimodal pipeline") {
+    import java.nio.file.{Files, Paths}
+    val dir = tmp("graft_bin")
+    Files.createDirectories(Paths.get(dir))
+    val payloads = Map(
+      "a.img" -> Array.tabulate(300)(_.toByte),
+      "b.img" -> Array.tabulate(17)(i => (i * 3).toByte))
+    payloads.foreach { case (name, bytes) =>
+      Files.write(Paths.get(dir, name), bytes)
+    }
+    // the real-world ingestion path for image/audio blobs: one row per
+    // file with (path, modificationTime, length, content)
+    val media = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.img").load(dir)
+    assert(media.columns.toSet ==
+      Set("path", "modificationTime", "length", "content"))
+    val byName = media.collect().map { r =>
+      val p = r.getAs[String]("path")
+      p.substring(p.lastIndexOf('/') + 1) ->
+        (r.getAs[Long]("length"), r.getAs[Array[Byte]]("content"))
+    }.toMap
+    assert(byName.keySet == payloads.keySet)
+    payloads.foreach { case (name, bytes) =>
+      assert(byName(name)._1 == bytes.length.toLong)
+      assert(java.util.Arrays.equals(byName(name)._2, bytes),
+        s"$name content must round-trip byte-exact")
+    }
+    // downstream: the binary column feeds the same decode projection
+    // the synthetic multimodal queries use — plumbing, not codecs
+    val meta = graft.ext.Multimodal.decodeImageMeta(
+      media.select(
+        org.apache.spark.sql.functions.abs(
+          org.apache.spark.sql.functions.hash(col("path"))).cast("long").as("media_id"),
+        org.apache.spark.sql.functions.lit("image").as("media_type"),
+        col("content").as("payload")))
+    assert(meta.count() == 2)
+    assert(meta.collect().forall(r =>
+      r.getAs[Int]("width") > 0 && r.getAs[Long]("n_bytes") > 0))
+  }
 }

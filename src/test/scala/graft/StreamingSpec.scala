@@ -54,6 +54,39 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming sliding window (2h/1h) equals the batch overlapping aggregation") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs = realEvents
+    val (b1, b2) = evs.splitAt(evs.size / 2)
+    val stream = MemoryStream[Ev]
+    val query = StreamingQueries.slidingWindow(stream.toDF(), "2 hours", "1 hour")
+      .writeStream.format("memory").queryName("sw_complete")
+      .outputMode("complete").start()
+    try {
+      stream.addData(b1)
+      query.processAllAvailable()
+      stream.addData(b2)
+      query.processAllAvailable()
+      val got = spark.table("sw_complete")
+        .as[(String, String, Long, Double)].collect().toSeq.sorted
+      // batch oracle: every event contributes to BOTH hourly-aligned
+      // 2h windows covering it — the same lattice the batch
+      // ext_rel_sliding_window query uses
+      val want = evs.toDF()
+        .select(col("event_type"), col("value"),
+          explode(array(date_trunc("hour", col("ts")),
+            date_trunc("hour", col("ts")) - expr("INTERVAL 1 HOUR"))).as("w"))
+        .groupBy(date_format(col("w"), "yyyy-MM-dd HH:mm:ss").as("h"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2).as("v"))
+        .as[(String, String, Long, Double)].collect().toSeq.sorted
+      assert(got == want)
+      assert(got.map(_._3).sum == 2L * evs.size, "each event in exactly 2 windows")
+    } finally query.stop()
+  }
+
   test("streaming tumbling window (append mode) emits watermark-closed windows equal to batch") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
