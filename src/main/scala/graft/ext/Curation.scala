@@ -206,6 +206,38 @@ object Curation {
         least(lit(width), col("__n") - col("start")).as("chunk_len"))
   }
 
+  /** Export a curated corpus as training shards: hive-partitioned by
+    * `partCols` (split/lang/source — the dirs a trainer's data loader
+    * globs), `shardsPerPart` files per partition with rows assigned by
+    * a deterministic hash of `keyCol` and each file internally sorted
+    * by `keyCol` — so a re-run of the same corpus produces
+    * byte-identical shard membership and order (resumable exports,
+    * diffable datasets), unlike the default round-robin task
+    * assignment which reshuffles every run.
+    *
+    * Scale shape: one hash repartition + per-partition sort (no global
+    * sort), then the parquet committer's atomic rename per file — the
+    * same output discipline as the engine's text sink (E9).
+    */
+  def exportShards(df: DataFrame, outDir: String, partCols: Seq[String],
+                   keyCol: String, shardsPerPart: Int = 1): Unit = {
+    require(partCols.nonEmpty, "exportShards needs partition columns")
+    require(shardsPerPart > 0, s"shardsPerPart=$shardsPerPart must be positive")
+    // the shard bucket joins the repartition key (so a partition dir
+    // splits into ≤ shardsPerPart deterministic files) while the task
+    // count stays the session's parallelism — shardsPerPart is a file
+    // LAYOUT knob, not a parallelism cap
+    df
+      .withColumn("__shard",
+        pmod(Hashing.h32(col(keyCol).cast("string")), lit(shardsPerPart)))
+      .repartition((partCols.map(col) :+ col("__shard")): _*)
+      .drop("__shard")
+      .sortWithinPartitions(partCols.map(col) :+ col(keyCol): _*)
+      .write.mode("overwrite")
+      .partitionBy(partCols: _*)
+      .parquet(outDir)
+  }
+
   /** Run the pipeline over `docs`. Near-dup threshold is the rational
     * jaccardNum/jaccardDen (integer cross-multiplication — no float
     * compare anywhere).

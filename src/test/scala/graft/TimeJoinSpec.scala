@@ -266,6 +266,35 @@ class TimeJoinSpec extends SparkSpec {
     assert(batch == streamed)
   }
 
+  test("sessionize agrees with Spark's native session_window on every user") {
+    import spark.implicits._
+    val gap = 1800000L
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("user_id", "ts")
+    // ours: per-user gap segmentation → (user, session start/end/n)
+    val ours = TimeJoin.sessionize(ev, Seq("user_id"), "ts", gap)
+      .groupBy("user_id", "session_id")
+      .agg(min(unix_millis(col("ts"))).as("s"),
+        max(unix_millis(col("ts"))).as("e"), count(lit(1)).as("n"))
+      .select("user_id", "s", "e", "n")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // native: session_window merges events within gap into one window.
+    // The two formulations must segment identically — gap boundary
+    // semantics included (session_window's window is [start, last+gap),
+    // but the EVENT extent min/max is what both report here).
+    val native = ev
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(min(unix_millis(col("ts"))).as("s"),
+        max(unix_millis(col("ts"))).as("e"), count(lit(1)).as("n"))
+      .select("user_id", "s", "e", "n")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(ours == native)
+    assert(ours.size > ev.select("user_id").distinct().count(),
+      "fixture should contain multi-session users or the check is weak")
+  }
+
   test("rangeJoin negative window (right before left) and no self pair loss") {
     import spark.implicits._
     val ev = Seq(
