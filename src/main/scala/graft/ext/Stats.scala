@@ -237,6 +237,20 @@ object Stats {
           .cast("long")).as("corr_e6"): _*)
   }
 
+  /** Count-min sketch of a column — the bounded-memory frequency
+    * sketch completing the family (HLL = distinct counts, Bloom =
+    * membership, CMS = per-item counts): width ⌈e/eps⌉ × depth
+    * ⌈ln(1/(1−confidence))⌉ counters regardless of cardinality,
+    * mergeable across partitions (built distributed by Spark's stat
+    * machinery, only the finished sketch reaches the driver). Error is
+    * one-sided: estimate(x) ≥ true(x) always, and ≤ true(x) + eps·N
+    * with the configured confidence — over-estimation only, the safe
+    * direction for heavy-hitter screening (no hitter is missed).
+    */
+  def countMin(df: DataFrame, column: String, eps: Double = 0.001,
+               confidence: Double = 0.99, seed: Int = 42): org.apache.spark.util.sketch.CountMinSketch =
+    df.stat.countMinSketch(column, eps, confidence, seed)
+
   /** Exact per-group z-score outlier flags over an integer-valued
     * column (`ints` — e.g. FixedPoint cents of a money column):
     * appends `__is_outlier` = |value − μ| > z·σ, evaluated WITHOUT

@@ -128,6 +128,25 @@ class StatsSpec extends SparkSpec {
     assert(r(1).getLong(2) == -1000000L && r(2).getLong(2) == 1000000L)
   }
 
+  test("count-min sketch: one-sided error, within eps*N of exact word counts") {
+    import spark.implicits._
+    val words = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+    val exact = words.groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val eps = 0.01
+    val cms = Stats.countMin(words, "w", eps = eps)
+    exact.foreach { case (w, c) =>
+      val est = cms.estimateCount(w)
+      assert(est >= c, s"$w: CMS must never under-count ($est < $c)")
+      assert(est <= c + (eps * n).toLong,
+        s"$w: $est exceeds $c + eps*N (${(eps * n).toLong})")
+    }
+    assert(cms.totalCount() == n)
+  }
+
   test("zOutlierFlags matches a BigInt brute force on random grouped data") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
