@@ -26,16 +26,22 @@ object Graph {
   def canonicalEdges(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
     edges
       .where(col(srcCol).isNotNull && col(dstCol).isNotNull)
-      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
-        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      // cast BEFORE ordering: least/greatest on a raw string column
+      // compare lexicographically ("9" > "10"), which would leave
+      // both orientations of one edge alive through distinct()
+      .select(least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
       .where(col("a") =!= col("b"))
       .distinct()
 
+  /** Degree frame of an ALREADY-canonical edge list. */
+  private def degreesOf(canonical: DataFrame, out: String): DataFrame =
+    canonical.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as(out))
+
   /** Per-node degree of the canonical edge list: (node, degree). */
   def degrees(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
-    canonicalEdges(edges, srcCol, dstCol)
-      .select(explode(array(col("a"), col("b"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("degree"))
+    degreesOf(canonicalEdges(edges, srcCol, dstCol), "degree")
 
   /** One-row triangle/wedge census: n_nodes, n_edges, n_wedges
     * (open + closed paths of length 2 = Σ d(d−1)/2), n_triangles.
@@ -55,11 +61,12 @@ object Graph {
     val e = PlanCache.cached(s"$cacheTag/$srcCol/$dstCol", edges) { d =>
       canonicalEdges(d, srcCol, dstCol)
     }
-    val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("d"))
+    val deg = degreesOf(e, "d")
+    // coalesce: sum over an empty degree frame is NULL, and the census
+    // contract is all-integer (callers divide by n_wedges)
     val nodesWedges = deg.agg(
       count(lit(1)).as("n_nodes"),
-      sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+      coalesce(sum(expr("d * (d - 1) div 2")), lit(0L)).as("n_wedges"))
     val nEdges = e.agg(count(lit(1)).as("n_edges"))
     val triangles = e.as("e1")
       .join(e.as("e2"), col("e1.b") === col("e2.a"))

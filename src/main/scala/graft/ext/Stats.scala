@@ -282,8 +282,15 @@ object Stats {
     val dev = col("__n").cast(D) * col("__c").cast(D) - col("__s").cast(D)
     val varN3 = col("__n").cast(D) * col("__q").cast(D) -
       col("__s").cast(D) * col("__s").cast(D)
-    vals.join(stats, groupCols)
+    // null-SAFE join back: groupBy keeps a null group, and a plain
+    // equi-join would silently DROP its rows — a flag-appending
+    // operator must preserve row count
+    val cond = groupCols.map(c => vals(c) <=> stats(c)).reduce(_ && _)
+    groupCols
+      .foldLeft(vals.join(stats, cond))((d, c) => d.drop(stats(c)))
       .withColumn("__is_outlier", dev * dev > lit(z * z) * varN3)
-      .drop("__n", "__s", "__q")
+      // explicit select: the join+drop shuffles column order around;
+      // the contract is the INPUT schema plus the flag, in that order
+      .select(df.columns.toIndexedSeq.map(col) :+ col("__is_outlier"): _*)
   }
 }

@@ -50,6 +50,22 @@ class GraphSpec extends SparkSpec {
     assert(r.getAs[Long]("n_wedges") == 2L)
   }
 
+  test("canonicalEdges orders numerically on string-typed ids") {
+    // lexicographic least("9","10") = "10" would keep both orientations
+    val messy = Seq(("9", "10"), ("10", "9")).toDF("s", "t")
+    val e = Graph.canonicalEdges(messy, "s", "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(e.toSeq == Seq((9L, 10L)), s"got ${e.toSeq}")
+  }
+
+  test("triangleStats on an empty graph is all zeros, never NULL") {
+    val none = Seq((1L, 1L)).toDF("s", "t") // only a self-loop → no edges
+    val r = Graph.triangleStats(none, "s", "t", cacheTag = "spec/empty").collect().head
+    assert(!r.anyNull, s"census must be all-integer: $r")
+    assert((r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"),
+      r.getAs[Long]("n_wedges"), r.getAs[Long]("n_triangles")) == (0L, 0L, 0L, 0L))
+  }
+
   test("degrees matches hand counts") {
     val g = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("s", "t")
     val d = Graph.degrees(g, "s", "t")

@@ -17,11 +17,22 @@ class PlanShapeSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  /** Executed-plan string after running the query (AQE final plan). */
+  /** Executed-plan string after running the query (AQE FINAL plan).
+    * The action must go through df's own QueryExecution — a
+    * noop-sink write plans a separate execution and leaves
+    * df.queryExecution stuck at isFinalPlan=false, so the pins would
+    * read the pre-AQE initial plan.
+    */
   private def planOf(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sfDir)
-    df.write.format("noop").mode("overwrite").save()
-    df.queryExecution.executedPlan.toString
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true") || !plan.contains("AdaptiveSparkPlan"),
+      s"$name: expected the finalized adaptive plan:\n$plan")
+    // the finalized string prints BOTH "== Final Plan ==" and
+    // "== Initial Plan ==" sections — count operators in the final
+    // section only or every pin double-counts
+    plan.split("== Initial Plan ==").head
   }
 
   private def count(plan: String, op: String): Int =
@@ -70,7 +81,7 @@ class PlanShapeSpec extends SparkSpec {
 
   test("dq04_grep: predicate pushed into the parquet scan, schema pruned") {
     val df = SparkEntry.queries("dq04_grep")(spark, sfDir)
-    df.write.format("noop").mode("overwrite").save()
+    df.collect()
     val scan = df.queryExecution.executedPlan.toString
       .linesIterator.find(_.contains("Scan parquet")).getOrElse("")
     val full = df.queryExecution.toString

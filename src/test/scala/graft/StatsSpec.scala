@@ -180,6 +180,18 @@ class StatsSpec extends SparkSpec {
     assert(flags == 0L)
   }
 
+  test("zOutlierFlags preserves rows with a NULL group key and emits a clean schema") {
+    import spark.implicits._
+    val df = Seq((Some("k"), 1L, 10L), (None, 2L, 20L), (None, 3L, 30L))
+      .toDF("g", "id", "c")
+    val out = Stats.zOutlierFlags(df, Seq("g"), col("c"))
+    // a flag-appending operator must not change the row count — the
+    // null group is a group, not a discard
+    assert(out.count() == 3)
+    assert(out.columns.toSeq == Seq("g", "id", "c", "__is_outlier"),
+      s"no working columns may leak: ${out.columns.toSeq}")
+  }
+
   test("HLL sketches union losslessly: merged per-group sketches estimate the global distinct") {
     import spark.implicits._
     // overlapping groups: global distinct (2000) < sum of per-group
