@@ -1953,7 +1953,41 @@ object ExtQueries {
               FROM vocab CROSS JOIN probes
               WHERE abs(len(term) - len(probe)) <= 2
                 AND levenshtein(term, probe) <= 2
-              ORDER BY probe, dist, term"""))
+              ORDER BY probe, dist, term""")),
+
+    // Training-sequence materialization: concatenate each packed bin's
+    // documents in deterministic order and fingerprint the BYTES —
+    // ext_pipeline_pack pins the doc→bin assignment, this pins the
+    // assembled sequence itself (the md5 of the concatenation matches
+    // only if both engines agree on membership, order, separator, and
+    // every byte). collect_list is order-nondeterministic under
+    // partial aggregation, so the list is array_sort'ed on the
+    // (doc_id, text) struct before assembly — the engine-portable way
+    // to make an aggregated concatenation deterministic.
+    Declared(
+      "ext_pipeline_concat",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("lang"), col("doc_id"), col("text"), col("n_chars"))
+        Sampling.packBins(docs, Seq("lang"), col("doc_id"), col("n_chars"),
+            budget = 4000)
+          .groupBy("lang", "bin")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
+            graft.ext.Hashing.h60(concat_ws(" ",
+              transform(
+                array_sort(collect_list(struct(col("doc_id"), col("text")))),
+                x => x.getField("text")))).as("text_h"))
+          .orderBy("lang", "bin")
+      },
+      Some("""WITH b AS (
+                SELECT lang, doc_id, text, n_chars,
+                       (SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id)
+                         - n_chars) // 4000 AS bin
+                FROM documents)
+              SELECT lang, bin, COUNT(*) AS n_docs,
+                     CAST(SUM(n_chars) AS BIGINT) AS chars,
+                     CAST('0x' || substr(md5(string_agg(text, ' ' ORDER BY doc_id)), 1, 15) AS BIGINT) AS text_h
+              FROM b GROUP BY lang, bin ORDER BY lang, bin"""))
   )
 
   /** Tie-safe integer projection of a top-k listing (query_id,
