@@ -42,6 +42,21 @@ def canon_hash(cols, rows):
     return h.hexdigest()
 
 
+# Oracle output types whose driver-side coercion diverges from Spark's
+# (HUGEINT via pandas goes through float64/object and hashes as "123.0";
+# uncast DECIMAL sums drift similarly). Spark can't emit these, so any
+# hit is an oracle-SQL bug: add a CAST. This is the class check for the
+# r5 failure mode (4 queries hash-red on the driver, green locally).
+PORTABILITY_BAD = ("HUGEINT", "UHUGEINT", "INT128", "DECIMAL")
+
+
+def lint_types(con, name, sql):
+    """DESCRIBE the oracle SQL; return non-portable output columns."""
+    cols = con.execute(f"DESCRIBE {sql}").fetchall()
+    return [(c[0], c[1]) for c in cols
+            if any(b in c[1].upper() for b in PORTABILITY_BAD)]
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -51,6 +66,16 @@ def main(sf_dir, out_dir):
         oracle = json.load(f)
     ok = bad = 0
     for name, sql in sorted(oracle.items()):
+        try:
+            bad_cols = lint_types(con, name, sql)
+        except Exception as e:
+            bad_cols = []
+            print(f"WARN {name}: type lint failed: {e}")
+        if bad_cols:
+            print(f"FAIL {name}: non-portable oracle output types "
+                  f"(CAST them): {bad_cols}")
+            bad += 1
+            continue
         try:
             tbl = pq.read_table(f"{out_dir}/{name}")
             spark_cols = list(tbl.column_names)

@@ -1029,8 +1029,10 @@ object ExtQueries {
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
               )
               SELECT user_id, COUNT(*) AS n_clicks, COUNT(m_id) AS n_matched,
-                     COALESCE(SUM(event_id * m_id), 0) AS pair_checksum,
-                     COALESCE(SUM(epoch_ms(ts) - m_ms), 0) AS gap_ms_sum
+                     CAST(COALESCE(SUM(event_id * m_id), 0) AS BIGINT)
+                       AS pair_checksum,
+                     CAST(COALESCE(SUM(epoch_ms(ts) - m_ms), 0) AS BIGINT)
+                       AS gap_ms_sum
               FROM w WHERE is_l = 1
               GROUP BY user_id ORDER BY user_id""")),
 
@@ -1073,8 +1075,10 @@ object ExtQueries {
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
               )
               SELECT user_id, COUNT(*) AS n_clicks, COUNT(m_id) AS n_matched,
-                     COALESCE(SUM(event_id * m_id), 0) AS pair_checksum,
-                     COALESCE(SUM(m_ms - epoch_ms(ts)), 0) AS gap_ms_sum
+                     CAST(COALESCE(SUM(event_id * m_id), 0) AS BIGINT)
+                       AS pair_checksum,
+                     CAST(COALESCE(SUM(m_ms - epoch_ms(ts)), 0) AS BIGINT)
+                       AS gap_ms_sum
               FROM w WHERE is_l = 1
               GROUP BY user_id ORDER BY user_id""")),
 
@@ -1145,7 +1149,8 @@ object ExtQueries {
       Some("""SELECT e.user_id,
                      COUNT(DISTINCT e.event_id) AS n_errors_matched,
                      COUNT(*) AS n_pairs,
-                     SUM(e.event_id * c.event_id) AS pair_checksum
+                     CAST(SUM(e.event_id * c.event_id) AS BIGINT)
+                       AS pair_checksum
               FROM events e JOIN events c
                 ON c.user_id = e.user_id AND c.event_type = 'click'
                AND c.ts >= e.ts - INTERVAL 120 MINUTE AND c.ts < e.ts
@@ -1981,8 +1986,8 @@ object ExtQueries {
       },
       Some("""WITH b AS (
                 SELECT lang, doc_id, text, n_chars,
-                       (SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id)
-                         - n_chars) // 4000 AS bin
+                       CAST((SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id)
+                         - n_chars) // 4000 AS BIGINT) AS bin
                 FROM documents)
               SELECT lang, bin, COUNT(*) AS n_docs,
                      CAST(SUM(n_chars) AS BIGINT) AS chars,
