@@ -22,15 +22,20 @@ object Graph {
 
   /** Canonical undirected edges: distinct (a < b), self-loops and
     * null endpoints dropped. Accepts edges in either orientation.
+    *
+    * Ids keep their NATIVE type: least/greatest are symmetric in
+    * their arguments, so both orientations of an edge collapse to
+    * the same (min, max) pair under ANY orderable type — numeric ids
+    * order numerically, string/hash/URL ids lexicographically (the
+    * ordering only needs to be consistent, and "9" vs "09" stay
+    * distinct ids rather than silently merging through a cast). No
+    * endpoint is ever dropped or null'ed by coercion.
     */
   def canonicalEdges(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
     edges
       .where(col(srcCol).isNotNull && col(dstCol).isNotNull)
-      // cast BEFORE ordering: least/greatest on a raw string column
-      // compare lexicographically ("9" > "10"), which would leave
-      // both orientations of one edge alive through distinct()
-      .select(least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
-        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
       .where(col("a") =!= col("b"))
       .distinct()
 

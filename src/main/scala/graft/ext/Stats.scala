@@ -266,11 +266,26 @@ object Stats {
     * small (profiling dims always are). Long-sum headroom: Σx² needs
     * n·B² < 2^63 for |x| ≤ B — at B = 10^5 cents that is ~9·10^8 rows
     * per group; past it, accumulate the moments in DECIMAL upstream.
+    *
+    * Past the headroom this operator fails LOUDLY, never silently:
+    * under Spark 4's default ANSI mode the overflowing arithmetic
+    * itself throws; in a non-ANSI session, where DECIMAL(38,0)
+    * products overflow to NULL (which a downstream
+    * `when(__is_outlier, …)` would silently read as "not an
+    * outlier"), a guard raises on any null flag for a non-null value,
+    * and a Cauchy-Schwarz check (n·q − s² ≥ 0 must hold for true
+    * moments) catches long-sum wraparound that nulls nothing.
+    * Reserved working names (`__c/__n/__s/__q/__is_outlier`) are
+    * rejected on input rather than clobbered.
     */
   def zOutlierFlags(df: DataFrame, groupCols: Seq[String], ints: Column,
                     z: Int = 3): DataFrame = {
     require(z > 0, s"z=$z must be positive")
     require(groupCols.nonEmpty, "zOutlierFlags needs grouping columns")
+    val reserved = Seq("__c", "__n", "__s", "__q", "__is_outlier")
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"zOutlierFlags reserves column names ${clash.mkString(", ")} — rename them upstream")
     val D = org.apache.spark.sql.types.DecimalType(38, 0)
     val vals = df.withColumn("__c", ints.cast("long"))
     val stats = vals.groupBy(groupCols.map(col): _*)
@@ -286,9 +301,14 @@ object Stats {
     // equi-join would silently DROP its rows — a flag-appending
     // operator must preserve row count
     val cond = groupCols.map(c => vals(c) <=> stats(c)).reduce(_ && _)
+    val rawFlag = dev * dev > lit(z * z) * varN3
     groupCols
       .foldLeft(vals.join(stats, cond))((d, c) => d.drop(stats(c)))
-      .withColumn("__is_outlier", dev * dev > lit(z * z) * varN3)
+      .withColumn("__is_outlier",
+        when(col("__c").isNotNull && (rawFlag.isNull || varN3 < 0),
+          raise_error(lit("zOutlierFlags: moment overflow (n*B^2 headroom " +
+            "exceeded) - accumulate moments in DECIMAL upstream")))
+          .otherwise(rawFlag))
       // explicit select: the join+drop shuffles column order around;
       // the contract is the INPUT schema plus the flag, in that order
       .select(df.columns.toIndexedSeq.map(col) :+ col("__is_outlier"): _*)

@@ -156,27 +156,40 @@ object TimeJoin {
     * `joinType` "left" keeps left rows with no right row in range,
     * null-padded — the batch twin of the streaming left-outer interval
     * join. Because each left row probes ≤2 band rows, "unmatched"
-    * must mean "no band row matched", so the left side is tagged with
-    * a row id and localCheckpoint-pinned (ids must agree between the
-    * match branch and the anti branch even under AQE re-planning —
-    * monotonically_increasing_id is only layout-deterministic). That
-    * materialization is the cost of the outer variant; at scale,
-    * anti-join on a natural unique key upstream if the left is huge.
+    * must mean "no band row matched", which needs a per-row identity:
+    *
+    *  - pass `leftIdCol = Some(c)` naming a column of `left` that is
+    *    unique per row (an event id, a doc id): the anti-join runs on
+    *    it directly — fully lazy, lineage-recoverable, NO
+    *    materialization. This is the 100 TB path.
+    *  - with no `leftIdCol`, the left side is tagged with
+    *    monotonically_increasing_id and pinned via a LAZY
+    *    localCheckpoint (ids are only layout-deterministic, so they
+    *    must be frozen to agree between the match branch and the anti
+    *    branch under AQE re-planning). The pin materializes the full
+    *    left relation at FIRST execution (not at construction) to
+    *    executor-local storage, and the result is not
+    *    lineage-recoverable past executor loss — convenient for
+    *    ad-hoc use, wrong for huge left sides.
     */
   def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                 leftTs: String, rightTs: String,
                 lowerMs: Long, upperMs: Long,
                 lPrefix: String = "l_", rPrefix: String = "r_",
-                joinType: String = "inner"): DataFrame = {
+                joinType: String = "inner",
+                leftIdCol: Option[String] = None): DataFrame = {
     require(keys.nonEmpty, "rangeJoin needs at least one equi-key")
     require(upperMs > lowerMs, s"empty range [$lowerMs, $upperMs)")
     require(Set("inner", "left").contains(joinType),
       s"joinType=$joinType: rangeJoin supports inner and left")
+    leftIdCol.foreach(c => require(left.columns.contains(c),
+      s"leftIdCol=$c is not a column of the left side"))
     val width = upperMs - lowerMs
     val l0 = left.select(left.columns.toIndexedSeq.map(c => col(c).as(lPrefix + c)): _*)
-    val l = if (joinType == "inner") l0
+    val lid = leftIdCol.map(lPrefix + _).getOrElse("__lid")
+    val l = if (joinType == "inner" || leftIdCol.isDefined) l0
             else l0.withColumn("__lid", monotonically_increasing_id())
-              .localCheckpoint()
+              .localCheckpoint(eager = false)
     val r = right.select(right.columns.toIndexedSeq.map(c => col(c).as(rPrefix + c)): _*)
     val lms = unix_millis(col(lPrefix + leftTs))
     val rms = unix_millis(col(rPrefix + rightTs))
@@ -195,15 +208,17 @@ object TimeJoin {
       .drop("__lband", "__rband")
     if (joinType == "inner") inner
     else {
-      val matched = inner.select("__lid").distinct()
-      val unmatched = l.join(matched, Seq("__lid"), "left_anti")
+      val matched = inner.select(lid).distinct()
+      val unmatched = l.join(matched, Seq(lid), "left_anti")
       val rNulls = r.schema.fields.toIndexedSeq.map(f =>
         lit(null).cast(f.dataType).as(f.name))
-      // explicit order: the using-column anti-join reorders __lid to
+      // explicit order: the using-column anti-join reorders `lid` to
       // the front, so a bare col("*") would misalign the union
-      val padded = unmatched.select(
-        (l0.columns.toIndexedSeq.map(col) :+ col("__lid")) ++ rNulls: _*)
-      inner.union(padded).drop("__lid")
+      val lCols = l.columns.toIndexedSeq.map(col)
+      val padded = unmatched.select(lCols ++ rNulls: _*)
+      val joined = inner.select(lCols ++ r.columns.toIndexedSeq.map(col): _*)
+      if (leftIdCol.isDefined) joined.union(padded)
+      else joined.union(padded).drop("__lid")
     }
   }
 }

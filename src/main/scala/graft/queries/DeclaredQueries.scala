@@ -25,15 +25,18 @@ final case class Declared(
   * codegen'd long arithmetic. Emission divides back and rounds, same
   * formula on the DuckDB twin.
   *
-  * 100 TB note: a long cents sum wraps SILENTLY (non-ANSI Spark)
-  * past Long.MaxValue ≈ 9.2e18 cents ≈ 9.2e16 currency units per
-  * group — and a DuckDB oracle would NOT catch it (SUM(BIGINT)
-  * promotes to HUGEINT, so only the Spark side wraps). DQ9-shaped
-  * groups at 100 TB TPC-H scale reach ~1e18 cents: inside the range
-  * but only ~8× headroom, not "orders of magnitude". When per-group
-  * sums can approach ~1e18 cents, use [[sumCentsExact]]
-  * (DECIMAL(38,0) accumulation — overflow-proof, ~20× slower) or
-  * run with spark.sql.ansi.enabled=true so overflow fails loudly.
+  * 100 TB note: the long cents sum overflows past Long.MaxValue ≈
+  * 9.2e18 cents ≈ 9.2e16 currency units per group. DQ9-shaped groups
+  * at 100 TB TPC-H scale reach ~1e18 cents: inside the range but only
+  * ~8× headroom, not "orders of magnitude". Under Spark 4's default
+  * ANSI mode (this library never disables it) overflow FAILS LOUDLY
+  * (ARITHMETIC_OVERFLOW) — no silent divergence from the
+  * HUGEINT-promoting DuckDB oracle is possible. Only a session run
+  * with spark.sql.ansi.enabled=false wraps silently; never combine
+  * that with this path. When per-group sums can approach ~1e18
+  * cents, use [[sumCentsExact]] (DECIMAL(38,0) accumulation —
+  * overflow-proof, ~20× slower). Both behaviors are pinned by
+  * FixedPointSpec.
   */
 private[queries] object FixedPoint {
   /** Long-cents SUM of a 2-decimal fixed-point double column.

@@ -1157,6 +1157,44 @@ object ExtQueries {
               WHERE e.event_type = 'error'
               GROUP BY e.user_id ORDER BY e.user_id""")),
 
+    // Left-outer banded range join ([[TimeJoin.rangeJoin]]
+    // joinType="left") on the real events table: every error keeps a
+    // row even with no click in its 2-hour window. Runs the
+    // `leftIdCol` (natural-unique-key) variant — the fully lazy,
+    // no-materialization 100 TB path — with event_id as the identity
+    // the anti-join needs; n_unmatched pins the null-padded rows the
+    // inner query can't see.
+    Declared(
+      "ext_rel_range_join_left",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val errors = ev.where(col("event_type") === "error")
+          .select("user_id", "ts", "event_id")
+        val clicks = ev.where(col("event_type") === "click")
+          .select("user_id", "ts", "event_id")
+        TimeJoin.rangeJoin(errors, clicks, Seq("user_id"), "ts", "ts",
+            lowerMs = -7200000L, upperMs = 0L, joinType = "left",
+            leftIdCol = Some("event_id"))
+          .groupBy(col("l_user_id").as("user_id"))
+          .agg(countDistinct(col("l_event_id")).as("n_errors"),
+            sum(when(col("r_event_id").isNull, 1L).otherwise(0L))
+              .as("n_unmatched"),
+            coalesce(sum(col("l_event_id") * col("r_event_id")), lit(0L))
+              .as("pair_checksum"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT e.user_id,
+                     COUNT(DISTINCT e.event_id) AS n_errors,
+                     CAST(SUM(CASE WHEN c.event_id IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_unmatched,
+                     CAST(COALESCE(SUM(e.event_id * c.event_id), 0) AS BIGINT)
+                       AS pair_checksum
+              FROM (SELECT * FROM events WHERE event_type = 'error') e
+              LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+                ON c.user_id = e.user_id
+               AND c.ts >= e.ts - INTERVAL 120 MINUTE AND c.ts < e.ts
+              GROUP BY e.user_id ORDER BY e.user_id""")),
+
     // --- Similarity search --------------------------------------------
 
     // Integer-projected LSH bucket census per table: the correctness
@@ -1307,6 +1345,45 @@ object ExtQueries {
       },
       Some(s"""WITH $bruteTopCte
                $topkChecksumSql""")),
+
+    // IVF at the ACTUAL serving configuration — nprobe = 4 of 16
+    // lists, the 4× candidate-scan reduction a 100 TB ANN deployment
+    // runs — pinned by a recall floor against the brute-force top-10
+    // over a 20-query panel. The pipeline is fully deterministic
+    // (hash-seeded k-means init, fixed iterations), so `recall_ok`
+    // either always holds at a given corpus or the row goes red; the
+    // oracle states the floor as the expected TRUE alongside the
+    // brute-force pair count it can compute itself. Floor 0.40 vs a
+    // measured 0.515 at sf0.01 — margin for corpus growth, while a
+    // broken probe expansion (recall ≈ nprobe/k-ish or zero) still
+    // trips it.
+    Declared(
+      "ext_sim_ivf_nprobe",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.where(col("vec_id") < 20)
+        val index = Similarity.IvfIndex.build(emb, "vec_id", "embedding", k = 16, iters = 3)
+        val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+            k = 10, index.centers, nprobe = 4)
+          .select("query_id", "neighbor_id")
+        val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10)
+          .select("query_id", "neighbor_id")
+        val total = bf.agg(count(lit(1)).as("n_bf"))
+        val hits = bf.join(ivf, Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("__h"))
+        total.crossJoin(hits)
+          .select(col("n_bf"), (col("__h") * 5 >= col("n_bf") * 2).as("recall_ok"))
+      },
+      Some("""WITH bf AS (
+                 SELECT qid, nid FROM (
+                   SELECT q.vec_id AS qid, c.vec_id AS nid,
+                          ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                            list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                            c.vec_id) AS rk
+                   FROM embeddings q JOIN embeddings c
+                     ON q.vec_id < 20 AND q.vec_id <> c.vec_id)
+                 WHERE rk <= 10)
+               SELECT COUNT(*) AS n_bf, TRUE AS recall_ok FROM bf""")),
 
     // Quantized (int8-range) ANN ([[Similarity.quantizedTopK]]): the
     // 100 TB storage/bandwidth path — clamp(floor(x·127+0.5)) per dim

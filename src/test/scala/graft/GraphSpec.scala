@@ -50,12 +50,23 @@ class GraphSpec extends SparkSpec {
     assert(r.getAs[Long]("n_wedges") == 2L)
   }
 
-  test("canonicalEdges orders numerically on string-typed ids") {
-    // lexicographic least("9","10") = "10" would keep both orientations
+  test("canonicalEdges keeps string ids native: orientations collapse, nothing dropped") {
+    // least/greatest are orientation-symmetric on strings too — both
+    // orientations of ("9","10") land on the same lexicographic
+    // (min,max) pair, so distinct() leaves exactly one edge
     val messy = Seq(("9", "10"), ("10", "9")).toDF("s", "t")
     val e = Graph.canonicalEdges(messy, "s", "t")
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(e.toSeq == Seq((9L, 10L)), s"got ${e.toSeq}")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(e.toSeq == Seq(("10", "9")), s"got ${e.toSeq}")
+    // non-numeric ids (hash/URL) survive — a long cast would null
+    // them out and silently drop every such edge
+    val hashes = Seq(("sha:ab", "sha:cd"), ("sha:cd", "sha:ab")).toDF("s", "t")
+    val h = Graph.canonicalEdges(hashes, "s", "t")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(h.toSeq == Seq(("sha:ab", "sha:cd")), s"got ${h.toSeq}")
+    // "9" and "09" are DIFFERENT string ids, not one numeric node
+    val zeros = Seq(("09", "9")).toDF("s", "t")
+    assert(Graph.canonicalEdges(zeros, "s", "t").count() == 1L)
   }
 
   test("triangleStats on an empty graph is all zeros, never NULL") {

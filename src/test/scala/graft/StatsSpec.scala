@@ -192,6 +192,37 @@ class StatsSpec extends SparkSpec {
       s"no working columns may leak: ${out.columns.toSeq}")
   }
 
+  test("zOutlierFlags rejects inputs that already carry its reserved column names") {
+    import spark.implicits._
+    val df = Seq(("k", 1L)).toDF("g", "__is_outlier")
+    val e = intercept[IllegalArgumentException] {
+      Stats.zOutlierFlags(df, Seq("g"), col("__is_outlier"))
+    }
+    assert(e.getMessage.contains("__is_outlier"))
+  }
+
+  test("zOutlierFlags fails loudly on moment overflow instead of flagging NULL as non-outlier") {
+    import spark.implicits._
+    // values near Long.Max: Σx² overflows DECIMAL(38,0)'s product
+    // precision headroom (x² ≈ 8.5e37 each, n·q product exceeds 38
+    // digits). Under default ANSI the arithmetic throws; in a
+    // non-ANSI session the products go NULL and the operator's guard
+    // must raise rather than let when(__is_outlier,…) read NULL as
+    // "not an outlier".
+    val big = Seq(("k", Long.MaxValue / 2), ("k", Long.MaxValue / 2 - 1),
+      ("k", Long.MaxValue / 3)).toDF("g", "v")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val e = intercept[Exception] {
+        Stats.zOutlierFlags(big, Seq("g"), col("v")).collect()
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | ")
+      assert(msgs.contains("zOutlierFlags") || msgs.contains("overflow"),
+        s"expected a loud overflow failure, got: $msgs")
+    } finally spark.conf.set("spark.sql.ansi.enabled", "true")
+  }
+
   test("HLL sketches union losslessly: merged per-group sketches estimate the global distinct") {
     import spark.implicits._
     // overlapping groups: global distinct (2000) < sum of per-group

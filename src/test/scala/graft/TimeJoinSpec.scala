@@ -306,4 +306,33 @@ class TimeJoinSpec extends SparkSpec {
       .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
     assert(pairs == Set((2L, 1L), (3L, 2L)))
   }
+
+  test("rangeJoin left-outer: leftIdCol path equals synthetic-id path, no checkpoint") {
+    import spark.implicits._
+    val l = Seq(("a", ts(100), 1L), ("a", ts(500), 2L), ("b", ts(100), 3L),
+      ("c", ts(100), 4L)).toDF("k", "t", "id")
+    val r = Seq(("a", ts(120), 10L), ("b", ts(700), 11L)).toDF("k", "t", "id")
+    def asSet(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("l_id"), col("r_id"))
+      .as[(Long, Option[Long])].collect().toSet
+    val viaSynthetic = TimeJoin.rangeJoin(l, r, Seq("k"), "t", "t",
+      0L, 100000L, joinType = "left")
+    val viaNatural = TimeJoin.rangeJoin(l, r, Seq("k"), "t", "t",
+      0L, 100000L, joinType = "left", leftIdCol = Some("id"))
+    val want = Set[(Long, Option[Long])](
+      (1L, Some(10L)), (2L, None), (3L, None), (4L, None))
+    assert(asSet(viaSynthetic) == want)
+    assert(asSet(viaNatural) == want)
+    assert(viaSynthetic.columns.toSeq == viaNatural.columns.toSeq)
+    // the natural-key variant must stay fully lazy and
+    // lineage-recoverable: no checkpoint, no synthetic row id
+    val plan = viaNatural.queryExecution.analyzed.toString
+    assert(!plan.contains("LogicalRDD") && !plan.contains("__lid"),
+      s"natural-key path must not materialize the left side:\n$plan")
+    // unknown leftIdCol fails loudly
+    intercept[IllegalArgumentException] {
+      TimeJoin.rangeJoin(l, r, Seq("k"), "t", "t", 0L, 100000L,
+        joinType = "left", leftIdCol = Some("nope"))
+    }
+  }
 }
