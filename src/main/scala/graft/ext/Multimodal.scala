@@ -1,6 +1,11 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -8,16 +13,18 @@ import org.apache.spark.sql.types._
   * as opaque `binary` payloads with typed metadata, processed in
   * batches per partition.
   *
-  * The real decode step (JPEG/WAV/H.264) needs native libraries this
-  * container doesn't ship, so the decoders below are DETERMINISTIC
-  * STUBS — clearly marked — that fabricate plausible features from the
-  * payload bytes. Everything around them is real and tested: the
-  * schema, the binary column handling, the per-partition batch shape
-  * (`mapPartitions`, the Scala analogue of `mapInPandas` batches), and
-  * the partitioning strategy (payloads hash-partitioned by id so a
-  * decode fleet load-balances; at 100 TB you'd also cap
-  * `files.maxPartitionBytes` so one partition's payloads fit in an
-  * executor's working memory).
+  * The IMAGE family is REAL: payloads are genuine encoded images and
+  * [[decodeImageMeta]] / [[resizeImages]] run `javax.imageio` — a
+  * pure-JVM, headless decoder/encoder (PNG/JPEG/GIF/BMP), no native
+  * deps — on the executors. Audio/video decode (WAV/H.264) still
+  * needs native libraries this container doesn't ship, so
+  * [[sampleFrames]] and [[extractFeatures]] remain DETERMINISTIC
+  * STUBS — clearly marked — with real Spark-side plumbing: schema,
+  * binary column handling, per-partition batch shape
+  * (`mapPartitions`, the Scala analogue of `mapInPandas` batches),
+  * and hash-partitioning by id so a decode fleet load-balances (at
+  * 100 TB you'd also cap `files.maxPartitionBytes` so one
+  * partition's payloads fit in an executor's working memory).
   */
 object Multimodal {
 
@@ -26,16 +33,21 @@ object Multimodal {
     StructField("media_type", StringType, nullable = false),
     StructField("payload", BinaryType, nullable = false)))
 
+  /** width/height are nullable: an undecodable payload yields NULL
+    * dims rather than an exception or a dropped row, so a curation
+    * pipeline can quarantine corrupt blobs with a plain filter — the
+    * same stance as the corrupt-record handling on the text sources.
+    */
   val imageMetaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
-    StructField("width", IntegerType, nullable = false),
-    StructField("height", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
     StructField("n_bytes", LongType, nullable = false)))
 
   /** Fabricate a media table from any (id, text) source: payload =
     * UTF-8 bytes, media_type round-robins image/audio/video. Lets the
-    * multimodal path run on the stock testdata without inventing new
-    * input files.
+    * STUB audio/video paths run on the stock testdata; for the real
+    * image path use [[syntheticImages]] (genuine PNG payloads).
     */
   def fromText(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(
@@ -44,39 +56,132 @@ object Multimodal {
         (col(idCol) % 3 + 1).cast("int")).as("media_type"),
       col(textCol).cast("binary").as("payload"))
 
-  /** STUB image decode ??? — stands in for a real JPEG decoder.
-    * Deterministic fake: dimensions derived from payload length. The
-    * Spark-side shape is the real one: a codegen'd projection over the
-    * binary column, no data leaves the executor.
+  /** Deterministic dimensions for [[syntheticImages]]: small enough
+    * that a whole table encodes in seconds, varied enough that a
+    * decoder returning a constant would be caught. An arithmetic
+    * (id-only) formula so a SQL oracle can state the expected dims
+    * without being able to decode.
     */
-  def decodeImageMeta(media: DataFrame): DataFrame =
-    media.where(col("media_type") === "image")
-      .select(
-        col("media_id"),
-        (octet_length(col("payload")) % 640 + 1).cast("int").as("width"),
-        (octet_length(col("payload")) * 7 % 480 + 1).cast("int").as("height"),
-        octet_length(col("payload")).cast("long").as("n_bytes"))
+  def synthWidth(id: Long): Int = (id % 61 + 4).toInt
+  def synthHeight(id: Long): Int = (id * 7 % 43 + 4).toInt
 
-  /** STUB image resize ??? — stands in for a real scaler. The fake
-    * keeps the first ceil(w·h/16) payload bytes (a deterministic
-    * "thumbnail"); the Spark-side shape is the real one — a binary→
-    * binary codegen'd projection with the new typed dimensions, no
-    * data leaving the executor.
+  /** A REAL image table built from any id source: one genuine PNG
+    * payload per row, encoded on the executors with `javax.imageio`,
+    * dimensions [[synthWidth]]×[[synthHeight]] and pixels both
+    * deterministic in the id. The fixture for the real decode path —
+    * a decoder that doesn't actually parse PNG cannot recover the
+    * dims from these bytes.
     */
-  def resizeImages(media: DataFrame, w: Int, h: Int): DataFrame = {
-    val budget = (w * h + 15) / 16
-    media.where(col("media_type") === "image")
-      .select(
-        col("media_id"),
-        lit(w).as("width"),
-        lit(h).as("height"),
-        expr(s"substring(payload, 1, $budget)").as("payload"))
+  def syntheticImages(df: DataFrame, idCol: String): DataFrame = {
+    val encoder = org.apache.spark.sql.Encoders.row(mediaSchema)
+    df.select(col(idCol).cast("long").as("media_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val w = synthWidth(id)
+        val h = synthHeight(id)
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y, (((id + x * 31L + y * 17L) * 2654435761L) & 0xFFFFFF).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        Row(id, "image", encodePng(img))
+      }
+    }(encoder)
   }
 
-  /** STUB frame sampler ??? — stands in for video frame extraction.
-    * Emits `n` byte-range "frames" per video payload via binary
-    * substring: the real operator's exact plumbing (one row in, n
-    * typed binary rows out) with a fake extractor.
+  /** REAL image metadata decode: `javax.imageio` header read (format
+    * sniffed from the bytes, dimensions parsed without decoding the
+    * pixel raster — constant work per blob regardless of image size).
+    * Batch shape: one `mapPartitions` pass, payload bytes never leave
+    * the executor; undecodable payloads surface as NULL dims (see
+    * [[imageMetaSchema]]).
+    */
+  def decodeImageMeta(media: DataFrame): DataFrame = {
+    val encoder = org.apache.spark.sql.Encoders.row(imageMetaSchema)
+    media.where(col("media_type") === "image")
+      .select("media_id", "payload").mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          readDims(bytes) match {
+            case Some((w, h)) => Row(id, w, h, bytes.length.toLong)
+            case None         => Row(id, null, null, bytes.length.toLong)
+          }
+        }
+      }(encoder)
+  }
+
+  /** REAL image resize: decode → `Graphics2D` scale to exactly w×h →
+    * PNG re-encode, per partition on the executors. Output rows keep
+    * the media contract (`media_id, media_type, payload` + the typed
+    * new dims), so the result feeds [[decodeImageMeta]] or another
+    * resize — undecodable payloads are dropped (they carry no image
+    * to scale; run [[decodeImageMeta]] first to census them).
+    */
+  def resizeImages(media: DataFrame, w: Int, h: Int): DataFrame = {
+    require(w > 0 && h > 0, s"resize target ${w}x$h must be positive")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("media_type", StringType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    media.where(col("media_type") === "image")
+      .select("media_id", "payload").mapPartitions { it =>
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val src =
+            try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+            catch { case _: Exception => None }
+          src.map { img =>
+            val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+            val g = dst.createGraphics()
+            try g.drawImage(img, 0, 0, w, h, null) finally g.dispose()
+            Row(id, "image", w, h, encodePng(dst))
+          }
+        }
+      }(encoder)
+  }
+
+  private def encodePng(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Header-only (width, height) via the ImageIO reader registry;
+    * None when no installed reader recognizes the bytes or the header
+    * is corrupt.
+    */
+  private def readDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          Some((reader.getWidth(0), reader.getHeight(0)))
+        } catch {
+          case _: Exception => None
+        } finally reader.dispose()
+      }
+    } finally iis.close()
+  }
+
+  /** STUB frame sampler ??? — stands in for video frame extraction
+    * (H.264 needs native codecs). Emits `n` byte-range "frames" per
+    * video payload via binary substring: the real operator's exact
+    * plumbing (one row in, n typed binary rows out) with a fake
+    * extractor.
     */
   def sampleFrames(media: DataFrame, n: Int): DataFrame = {
     val frames = broadcast(media.sparkSession.range(n)

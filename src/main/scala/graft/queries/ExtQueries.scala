@@ -814,20 +814,30 @@ object ExtQueries {
               FROM m ORDER BY l_returnflag""")),
 
     // --- Multimodal ---------------------------------------------------
+
+    // REAL image decode end to end: one genuine PNG per document
+    // (dims = arithmetic functions of doc_id, pixels encoded with
+    // javax.imageio on the executors), then a real header decode
+    // recovers width/height. The oracle states the dims from the
+    // id formulas alone — it cannot decode, so a green row proves the
+    // PNG encode→decode round trip genuinely parsed the bytes.
+    // n_undecodable = 0 pins that NO payload fell back to NULL dims.
     Declared(
       "ext_multimodal_meta",
       (s, d) =>
         Multimodal.decodeImageMeta(
-          Multimodal.fromText(Tables.documents(s, d), "doc_id", "text"))
+          Multimodal.syntheticImages(Tables.documents(s, d), "doc_id"))
           .agg(count(lit(1)).as("n_images"),
-            sum(col("n_bytes")).as("sum_bytes"),
+            sum(when(col("width").isNull, 1L).otherwise(0L)).as("n_undecodable"),
             sum(col("width")).as("sum_width"),
-            sum(col("height")).as("sum_height")),
+            sum(col("height")).as("sum_height"),
+            sum(col("media_id") * col("width")).as("dim_checksum")),
       Some("""SELECT COUNT(*) AS n_images,
-                     CAST(SUM(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
-                     CAST(SUM(octet_length(encode(text)) % 640 + 1) AS BIGINT) AS sum_width,
-                     CAST(SUM(octet_length(encode(text)) * 7 % 480 + 1) AS BIGINT) AS sum_height
-              FROM documents WHERE doc_id % 3 = 0""")),
+                     CAST(0 AS BIGINT) AS n_undecodable,
+                     CAST(SUM(doc_id % 61 + 4) AS BIGINT) AS sum_width,
+                     CAST(SUM(doc_id * 7 % 43 + 4) AS BIGINT) AS sum_height,
+                     CAST(SUM(doc_id * (doc_id % 61 + 4)) AS BIGINT) AS dim_checksum
+              FROM documents""")),
 
     // Frame sampling (video payloads = doc_id % 3 = 2): the oracle
     // derives frame counts/bytes arithmetically from payload length —
@@ -843,23 +853,27 @@ object ExtQueries {
                      CAST(SUM(LEAST(octet_length(encode(text)), 32)) AS BIGINT) AS sum_frame_bytes
               FROM documents WHERE doc_id % 3 = 2""")),
 
-    // Image resize (stub scaler, real binary->binary plumbing): the
-    // oracle derives the resized payload size arithmetically —
-    // min(orig_bytes, ceil(64*48/16)=192).
+    // REAL image resize round trip: genuine PNGs → javax.imageio
+    // decode → Graphics2D scale to exactly 12×9 → PNG re-encode →
+    // decode AGAIN. The re-decoded dims can only equal the target if
+    // every stage truly parsed, scaled, and re-wrote image bytes; the
+    // oracle predicts them from the row count alone.
     Declared(
       "ext_multimodal_resize",
       (s, d) =>
-        Multimodal.resizeImages(
-          Multimodal.fromText(Tables.documents(s, d), "doc_id", "text"), w = 64, h = 48)
+        Multimodal.decodeImageMeta(
+          Multimodal.resizeImages(
+            Multimodal.syntheticImages(Tables.documents(s, d), "doc_id"),
+            w = 12, h = 9))
           .agg(count(lit(1)).as("n_images"),
-            sum(octet_length(col("payload"))).as("sum_resized_bytes"),
             sum(col("width")).as("sum_width"),
-            sum(col("height")).as("sum_height")),
+            sum(col("height")).as("sum_height"),
+            sum(when(col("n_bytes") > 0, 1L).otherwise(0L)).as("n_nonempty")),
       Some("""SELECT COUNT(*) AS n_images,
-                     CAST(SUM(LEAST(octet_length(encode(text)), 192)) AS BIGINT) AS sum_resized_bytes,
-                     CAST(COUNT(*) * 64 AS BIGINT) AS sum_width,
-                     CAST(COUNT(*) * 48 AS BIGINT) AS sum_height
-              FROM documents WHERE doc_id % 3 = 0""")),
+                     COUNT(*) * 12 AS sum_width,
+                     COUNT(*) * 9 AS sum_height,
+                     COUNT(*) AS n_nonempty
+              FROM documents""")),
 
     // Batch featurizer (mapPartitions, the mapInPandas shape): the
     // oracle pins the structural contract — one dim-4 feature row per

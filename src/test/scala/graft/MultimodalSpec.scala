@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Multimodal
+
+/** The REAL image path (javax.imageio) pinned end to end: synthetic
+  * PNGs are genuine (an independent decode recovers the formula
+  * dims), resize round-trips through decode→scale→re-encode, and
+  * corrupt payloads quarantine as NULL dims instead of failing the
+  * job or dropping rows.
+  */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ids = Seq(0L, 1L, 7L, 59L, 61L, 1234L)
+
+  test("syntheticImages emit genuine PNGs whose decoded dims match the id formulas") {
+    val media = Multimodal.syntheticImages(ids.toDF("id"), "id")
+    val rows = media.collect()
+    assert(rows.length == ids.length)
+    rows.foreach { r =>
+      val bytes = r.getAs[Array[Byte]]("payload")
+      // PNG magic: a decoder could not fake this from text bytes
+      assert(bytes.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+      // independent decode (not the library's own reader path)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val id = r.getLong(0)
+      assert(img.getWidth == Multimodal.synthWidth(id))
+      assert(img.getHeight == Multimodal.synthHeight(id))
+    }
+  }
+
+  test("decodeImageMeta recovers real dims; corrupt payloads yield NULL dims, not failures") {
+    val media = Multimodal.syntheticImages(ids.toDF("id"), "id")
+    val good = Multimodal.decodeImageMeta(media).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(good == ids.map(id =>
+      id -> (Multimodal.synthWidth(id), Multimodal.synthHeight(id))).toMap)
+    // corrupt: truncated PNG header + plain text bytes
+    val corrupt = Seq(
+      (100L, "image", Array[Byte](0x89.toByte, 'P', 'N')),
+      (101L, "image", "not an image at all".getBytes("UTF-8")))
+      .toDF("media_id", "media_type", "payload")
+    val bad = Multimodal.decodeImageMeta(corrupt).collect()
+    assert(bad.length == 2, "quarantine keeps rows")
+    assert(bad.forall(r => r.isNullAt(1) && r.isNullAt(2) && r.getLong(3) > 0))
+  }
+
+  test("resizeImages truly rescales: re-decoded dims equal the target, corrupt rows drop") {
+    val media = Multimodal.syntheticImages(ids.toDF("id"), "id")
+      .union(Seq((999L, "image", "junk".getBytes("UTF-8")))
+        .toDF("media_id", "media_type", "payload"))
+    val resized = Multimodal.resizeImages(media, w = 5, h = 3)
+    val redecoded = Multimodal.decodeImageMeta(resized).collect()
+    assert(redecoded.map(_.getLong(0)).toSet == ids.toSet,
+      "undecodable input has no image to scale and is dropped")
+    assert(redecoded.forall(r => r.getInt(1) == 5 && r.getInt(2) == 3))
+    // non-images pass through the media_type filter untouched
+    val audio = Seq((7L, "audio", Array[Byte](1, 2))).toDF("media_id", "media_type", "payload")
+    assert(Multimodal.resizeImages(audio, 5, 3).count() == 0)
+  }
+}
