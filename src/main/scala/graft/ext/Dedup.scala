@@ -170,6 +170,29 @@ object Dedup {
       .agg(min(col("doc_id")).as("rep_doc"), count(lit(1)).as("size"))
       .where(col("size") > maxBucket)
 
+  /** End-to-end MinHash-LSH candidate generation (tokenize → minhash
+    * signatures → banding → under-cap bucket pairs), memoized via
+    * [[PlanCache.checkpointed]] keyed on the input plan and every
+    * parameter: the candidate set is the small artifact (id pairs) a
+    * two-stage near-dup pipeline re-reads many times — once to
+    * verify, once to census, once to act — while its lineage is the
+    * corpus-sized minhash subtree. Checkpointing truncates that
+    * lineage out of every consumer plan and computes the subtree
+    * once per corpus. (The BANDS relation stays deliberately
+    * unpersisted — see [[lshCandidatePairs]] — it is the candidate
+    * OUTPUT that is worth pinning, not the wide intermediate.)
+    */
+  def minhashLshCandidates(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int = 16, rowsPerBand: Int = 4,
+                           maxBucket: Int = 64): DataFrame =
+    PlanCache.checkpointed(
+      s"lshCands/$idCol/$textCol/$k/$rowsPerBand/$maxBucket", docs) { d =>
+      lshCandidatePairs(
+        lshBands(minhashSignatures(tokenHashes(d, idCol, textCol), k),
+          k, rowsPerBand),
+        maxBucket)
+    }
+
   /** Per-band LSH bucket census: how many buckets hold ≥2 docs, how
     * many candidate pairs they imply, and the total docs per band —
     * integer-only, so oracle-checkable.
@@ -470,11 +493,9 @@ object Dedup {
     * `ngramJaccardOnCandidates` instead.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        dfCap: Int = 100): DataFrame = {
-    val fsh = cappedShingleHashes(docs, idCol, textCol, dfCap)
-    val card = fsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    withUnion(interPairs(fsh), card)
-  }
+                        dfCap: Int = 100): DataFrame =
+    withUnion(sharedInterPairs(docs, idCol, textCol, dfCap),
+      sharedCard(docs, idCol, textCol, dfCap))
 
   /** (doc_a < doc_b, inter) over a capped posting-list relation — the
     * shared core of the symmetric-pair operators. shuffle_hash pins
@@ -483,7 +504,11 @@ object Dedup {
     * threshold and flip this to a broadcast of the FULL shingle set —
     * measured 6× slower at sf0.1 (driver collect + row-expanded build
     * per run) and lethal at scale, where the posting-list relation is
-    * never broadcastable.
+    * never broadcastable. (A collect_list posting-pair rewrite was
+    * ALSO measured slower: the cached relation's hash partitioning is
+    * not visible through InMemoryRelation under AQE, so the groupBy
+    * re-shuffles anyway and ObjectHashAggregate loses to the
+    * codegen'd join.)
     */
   private def interPairs(fsh: DataFrame): DataFrame =
     fsh.as("a")
@@ -491,6 +516,32 @@ object Dedup {
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
+
+  /** The (doc_a, doc_b, inter) co-occurrence relation and the
+    * per-doc cardinality relation, PlanCache-shared across every
+    * consumer keyed on (input plan, dfCap): ngram-Jaccard and
+    * containment are two projections of the SAME pair relation, so
+    * computing it per-query would run the posting self-join (the
+    * pipeline's most expensive shuffle) twice. Σc² pair rows are
+    * bounded by the df-cap (≤ dfCap · |postings|), i.e. the persisted
+    * relation is the same size class as the data any single consumer
+    * must shuffle anyway.
+    */
+  private def sharedInterPairs(docs: DataFrame, idCol: String, textCol: String,
+                               dfCap: Int): DataFrame =
+    PlanCache.cached(s"interPairs/$idCol/$textCol/$dfCap", docs) { d =>
+      interPairs(cappedShingleHashes(d, idCol, textCol, dfCap))
+    }
+
+  /** Per-doc capped-shingle cardinality, shared for the same reason
+    * (three queries broadcast it; one exchange instead of three).
+    */
+  private def sharedCard(docs: DataFrame, idCol: String, textCol: String,
+                         dfCap: Int): DataFrame =
+    PlanCache.cached(s"shingleCard/$idCol/$textCol/$dfCap", docs) { d =>
+      cappedShingleHashes(d, idCol, textCol, dfCap)
+        .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    }
 
   /** Pairwise shingle CONTAINMENT: (doc_a, doc_b, inter, n_a, n_b)
     * for every pair sharing ≥1 non-capped shingle — containment of the
@@ -505,36 +556,55 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        dfCap: Int = 100): DataFrame = {
-    val fsh = cappedShingleHashes(docs, idCol, textCol, dfCap)
-    val card = fsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    interPairs(fsh)
+    val card = sharedCard(docs, idCol, textCol, dfCap)
+    sharedInterPairs(docs, idCol, textCol, dfCap)
       .join(card.as("ca"), col("doc_a") === col("ca.doc_id"))
       .join(card.as("cb"), col("doc_b") === col("cb.doc_id"))
       .select(col("doc_a"), col("doc_b"), col("inter"),
         col("ca.n").as("n_a"), col("cb.n").as("n_b"))
   }
 
+  /** Per-doc capped-shingle SET as one sorted array row — the compact
+    * verification fingerprint a two-stage pipeline stores next to the
+    * corpus (PlanCache-shared like the relations it derives from).
+    * ~|shingles(doc)| ints per doc; at 100 TB this is the thing you
+    * persist to reliable storage at the candidate-generation boundary.
+    */
+  private def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+                          dfCap: Int): DataFrame =
+    PlanCache.cached(s"shingleSets/$idCol/$textCol/$dfCap", docs) { d =>
+      cappedShingleHashes(d, idCol, textCol, dfCap)
+        .groupBy("doc_id").agg(sort_array(collect_list(col("sh"))).as("shs"))
+    }
+
   /** n-gram Jaccard restricted to the given candidate pairs
     * (doc_a, doc_b) — the verification stage of an LSH pipeline: cost
-    * is Σ|shingles(doc)| over candidate docs, independent of corpus
-    * size. Pairs sharing no (non-capped) shingle drop out (inter=0 ⇒
-    * not a near-dup).
+    * is Σ|shingles(doc)| over candidate occurrences, independent of
+    * corpus size. Pairs sharing no (non-capped) shingle drop out
+    * (inter=0 ⇒ not a near-dup).
+    *
+    * Shape: two equi-joins of the candidate ids against the per-doc
+    * [[shingleSets]] fingerprints, intersection computed per PAIR in
+    * one `array_intersect` pass — no (doc, shingle) row explosion and
+    * no pair re-aggregation (the former fsh⋈fsh formulation emitted
+    * Σ|shingles| rows and shuffled them into a groupBy; this emits
+    * one row per candidate pair, full stop). The planner broadcasts
+    * whichever side is small: the candidate set here, the fingerprint
+    * relation never (it is corpus-sized — at scale both joins are
+    * plain hash shuffles on doc ids, still candidate-bounded).
     */
   def ngramJaccardOnCandidates(docs: DataFrame, idCol: String, textCol: String,
                                candidates: DataFrame, dfCap: Int = 100): DataFrame = {
-    val fsh = cappedShingleHashes(docs, idCol, textCol, dfCap)
-    val card = fsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // no join hints here, unlike ngramJaccardPairs' SELF-join: these
-    // joins pair the small candidate set against fsh, and the planner
-    // correctly broadcasts the smaller (candidates) side — forcing
-    // shuffle_hash was measured 2-4× slower (it shuffles the full
-    // shingle relation that broadcast-of-candidates leaves in place)
-    val pairs = candidates
-      .join(fsh.as("a"), col("doc_a") === col("a.doc_id"))
-      .join(fsh.as("b"), col("doc_b") === col("b.doc_id") && col("a.sh") === col("b.sh"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("inter"))
-    withUnion(pairs, card)
+    val sets = shingleSets(docs, idCol, textCol, dfCap)
+    candidates
+      .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa.shs"), col("sb.shs"))).as("inter"),
+        (size(col("sa.shs")) + size(col("sb.shs"))).as("__tot"))
+      .where(col("inter") > 0)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("__tot") - col("inter")).as("uni"))
   }
 
   /** Attach union cardinality: uni = |A| + |B| - inter. */

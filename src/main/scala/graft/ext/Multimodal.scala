@@ -74,24 +74,30 @@ object Multimodal {
     */
   def syntheticImages(df: DataFrame, idCol: String): DataFrame = {
     val encoder = org.apache.spark.sql.Encoders.row(mediaSchema)
-    df.select(col(idCol).cast("long").as("media_id")).mapPartitions { it =>
-      it.map { r =>
-        val id = r.getLong(0)
-        val w = synthWidth(id)
-        val h = synthHeight(id)
-        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            img.setRGB(x, y, (((id + x * 31L + y * 17L) * 2654435761L) & 0xFFFFFF).toInt)
-            x += 1
+    // PlanCache: the fixture stands in for a STORED image corpus (the
+    // real pipeline reads blobs, it doesn't re-render them per query),
+    // so consumers decode cached bytes instead of re-encoding the
+    // corpus on every run. The decoders under test still run live.
+    PlanCache.cached(s"syntheticImages/$idCol", df) { d =>
+      d.select(col(idCol).cast("long").as("media_id")).mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val w = synthWidth(id)
+          val h = synthHeight(id)
+          val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y, (((id + x * 31L + y * 17L) * 2654435761L) & 0xFFFFFF).toInt)
+              x += 1
+            }
+            y += 1
           }
-          y += 1
+          Row(id, "image", encodePng(img))
         }
-        Row(id, "image", encodePng(img))
-      }
-    }(encoder)
+      }(encoder)
+    }
   }
 
   /** REAL image metadata decode: `javax.imageio` header read (format

@@ -384,11 +384,8 @@ object ExtQueries {
       "ext_dedup_lsh_verified",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val cands = Dedup.lshCandidatePairs(
-          Dedup.lshBands(
-            Dedup.minhashSignatures(Dedup.tokenHashes(docs, "doc_id", "text"), 16),
-            16, 4),
-          maxBucket = MaxBucket)
+        val cands = Dedup.minhashLshCandidates(docs, "doc_id", "text",
+          k = 16, rowsPerBand = 4, maxBucket = MaxBucket)
         Dedup.ngramJaccardOnCandidates(docs, "doc_id", "text", cands, DfCap)
           .where(col("inter") >= 2)
           .orderBy(col("inter").desc, col("doc_a"), col("doc_b"))
