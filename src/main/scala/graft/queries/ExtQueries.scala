@@ -1856,12 +1856,11 @@ object ExtQueries {
     Declared(
       "ext_graph_triangles",
       (s, d) => {
-        val cands = Dedup.lshCandidatePairs(
-          Dedup.lshBands(
-            Dedup.minhashSignatures(
-              Dedup.tokenHashes(Tables.documents(s, d), "doc_id", "text"), 16),
-            16, 4),
-          maxBucket = MaxBucket)
+        // same checkpointed candidate relation the verified-pairs
+        // pipeline uses (ext_dedup_lsh_verified): the census and the
+        // verify stage are two consumers of ONE candidate generation
+        val cands = Dedup.minhashLshCandidates(Tables.documents(s, d),
+          "doc_id", "text", k = 16, rowsPerBand = 4, maxBucket = MaxBucket)
         Graph.triangleStats(cands, "doc_a", "doc_b",
           cacheTag = "query/graph_triangles")
       },
