@@ -533,15 +533,16 @@ object Dedup {
       interPairs(cappedShingleHashes(d, idCol, textCol, dfCap))
     }
 
-  /** Per-doc capped-shingle cardinality, shared for the same reason
-    * (three queries broadcast it; one exchange instead of three).
+  /** Per-doc capped-shingle cardinality — a free projection of the
+    * persisted [[shingleSets]] relation (n = size of the set array),
+    * NOT its own aggregate: a separate groupBy+count would re-shuffle
+    * the posting relation and persist a second copy of per-doc
+    * information the set relation already holds.
     */
   private def sharedCard(docs: DataFrame, idCol: String, textCol: String,
                          dfCap: Int): DataFrame =
-    PlanCache.cached(s"shingleCard/$idCol/$textCol/$dfCap", docs) { d =>
-      cappedShingleHashes(d, idCol, textCol, dfCap)
-        .groupBy("doc_id").agg(count(lit(1)).as("n"))
-    }
+    shingleSets(docs, idCol, textCol, dfCap)
+      .select(col("doc_id"), size(col("shs")).cast("long").as("n"))
 
   /** Pairwise shingle CONTAINMENT: (doc_a, doc_b, inter, n_a, n_b)
     * for every pair sharing ≥1 non-capped shingle — containment of the

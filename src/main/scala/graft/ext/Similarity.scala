@@ -282,6 +282,16 @@ object Similarity {
     * one posexplode + groupBy. Centers (k×dim doubles) collect to the
     * driver each iteration — tiny at any corpus size; the O(N·k·d)
     * assignment work stays on the executors.
+    *
+    * Determinism is real, not assumed: the per-dimension mean is an
+    * EXACT DECIMAL(38,18) sum divided once — a double `avg` would
+    * merge partial sums in shuffle-arrival order, and double addition
+    * is non-associative, so centers could drift a ulp between runs
+    * and flip a borderline assignment (cascading through iterations
+    * into different lists — precisely what a recall-floor oracle row
+    * must not depend on). Unit-vector components are ≤1, so the
+    * 18-fraction-digit truncation per value is itself deterministic
+    * and the sum cannot overflow 38 digits below ~1e20 rows/cluster.
     */
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
                       k: Int, iters: Int = 5): Array[Seq[Double]] = {
@@ -302,9 +312,11 @@ object Similarity {
     for (_ <- 1 to iters) {
       val assigned = v.select(col("__v"),
         nearestCentroid(col("__v"), centers.toSeq).as("c"))
+      val D = org.apache.spark.sql.types.DecimalType(38, 18)
       val means = assigned
         .select(col("c"), posexplode(col("__v")).as(Seq("j", "x")))
-        .groupBy("c", "j").agg(avg("x").as("m"))
+        .groupBy("c", "j")
+        .agg((sum(col("x").cast(D)) / count(lit(1))).cast("double").as("m"))
         .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
       val dim = centers.head.size
       centers = centers.zipWithIndex.map { case (old, ci) =>

@@ -288,8 +288,12 @@ object Stats {
       s"zOutlierFlags reserves column names ${clash.mkString(", ")} — rename them upstream")
     val D = org.apache.spark.sql.types.DecimalType(38, 0)
     val vals = df.withColumn("__c", ints.cast("long"))
+    // moments over the NON-NULL population: count(__c), not count(*) —
+    // s and q skip nulls, so an all-rows n would bias μ/σ low and
+    // silently misflag whenever the measure column has nulls (null
+    // rows themselves get a null flag, never a verdict)
     val stats = vals.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("__n"), sum("__c").as("__s"),
+      .agg(count(col("__c")).as("__n"), sum("__c").as("__s"),
         sum(col("__c") * col("__c")).as("__q"))
     // every product in DECIMAL (not long·long then cast): the long
     // path would wrap first at extreme n×B, and the oracle's HUGEINT

@@ -159,9 +159,15 @@ object TimeJoin {
     * must mean "no band row matched", which needs a per-row identity:
     *
     *  - pass `leftIdCol = Some(c)` naming a column of `left` that is
-    *    unique per row (an event id, a doc id): the anti-join runs on
-    *    it directly — fully lazy, lineage-recoverable, NO
-    *    materialization. This is the 100 TB path.
+    *    UNIQUE and NON-NULL per row (an event id, a doc id): the
+    *    anti-join runs on it directly — fully lazy,
+    *    lineage-recoverable, NO materialization. This is the 100 TB
+    *    path. Null ids fail loudly at runtime (a null key never
+    *    matches an anti-join, so a matched null-id row would emit
+    *    twice — once joined, once padded); duplicate ids are the
+    *    caller's contract (not checkable without an extra aggregate):
+    *    a duplicated id whose twin matches would have its unmatched
+    *    row silently dropped.
     *  - with no `leftIdCol`, the left side is tagged with
     *    monotonically_increasing_id and pinned via a LAZY
     *    localCheckpoint (ids are only layout-deterministic, so they
@@ -185,8 +191,17 @@ object TimeJoin {
     leftIdCol.foreach(c => require(left.columns.contains(c),
       s"leftIdCol=$c is not a column of the left side"))
     val width = upperMs - lowerMs
-    val l0 = left.select(left.columns.toIndexedSeq.map(c => col(c).as(lPrefix + c)): _*)
+    val l0raw = left.select(left.columns.toIndexedSeq.map(c => col(c).as(lPrefix + c)): _*)
     val lid = leftIdCol.map(lPrefix + _).getOrElse("__lid")
+    // loud null-id guard (outer + natural-key path only): a null key
+    // never matches the anti-join, so a matched null-id row would be
+    // BOTH joined and null-padded — corrupt output, not an edge case
+    val l0 = if (joinType == "left" && leftIdCol.isDefined)
+      l0raw.withColumn(lid,
+        when(col(lid).isNull, raise_error(lit(
+          s"rangeJoin leftIdCol=${leftIdCol.get} must be non-null")))
+          .otherwise(col(lid)))
+    else l0raw
     val l = if (joinType == "inner" || leftIdCol.isDefined) l0
             else l0.withColumn("__lid", monotonically_increasing_id())
               .localCheckpoint(eager = false)

@@ -1911,7 +1911,7 @@ object ExtQueries {
                        CAST(round(value * 100) AS BIGINT) AS c
                 FROM events),
               m AS (
-                SELECT event_type, COUNT(*) AS n,
+                SELECT event_type, COUNT(c) AS n,
                        CAST(SUM(c) AS BIGINT) AS s,
                        CAST(SUM(c * c) AS BIGINT) AS q
                 FROM v GROUP BY event_type),

@@ -192,6 +192,23 @@ class StatsSpec extends SparkSpec {
       s"no working columns may leak: ${out.columns.toSeq}")
   }
 
+  test("zOutlierFlags moments use the NON-NULL population; null measures get null flags") {
+    import spark.implicits._
+    // 2 real values (10, 0) + 9 null rows in one group: all-rows n=11
+    // would bias the moments (dev² 10000 > 9·(11·100−100)=9000 flags
+    // 10 as an outlier); correct n=2 gives μ=5, σ=5 → 10 is at 1σ
+    val rows = Seq((1L, Some(10L)), (2L, Some(0L))) ++
+      (3L to 11L).map(i => (i, Option.empty[Long]))
+    val df = rows.toDF("id", "v").withColumn("g", lit("k"))
+    val out = Stats.zOutlierFlags(df, Seq("g"), col("v")).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (if (r.isNullAt(r.fieldIndex("__is_outlier"))) None
+         else Some(r.getBoolean(r.fieldIndex("__is_outlier"))))).toMap
+    assert(out(1L) == Some(false) && out(2L) == Some(false),
+      s"non-null values judged against the non-null population: $out")
+    (3L to 11L).foreach(i => assert(out(i).isEmpty, "null measure -> null flag"))
+  }
+
   test("zOutlierFlags rejects inputs that already carry its reserved column names") {
     import spark.implicits._
     val df = Seq(("k", 1L)).toDF("g", "__is_outlier")
