@@ -193,6 +193,35 @@ object Dedup {
         maxBucket)
     }
 
+  /** Ingest-time near-dup candidates: (new doc, corpus doc) pairs
+    * sharing any LSH bucket between a NEW batch's banding and a
+    * standing corpus BAND STORE — the incremental twin of
+    * [[lshCandidatePairs]] and the near-dup sibling of
+    * [[incrementalExact]]. At 100 TB the store is a parquet table
+    * written at corpus-build time (one narrow row per (doc, band));
+    * ingest re-LSHes ONLY the delta and equi-joins it against the
+    * store — the corpus text is never re-read and nothing quadratic
+    * in corpus size runs.
+    *
+    * Store buckets larger than `maxBucket` are skipped, mirroring
+    * [[lshCandidatePairs]]: a batch doc landing in a degenerate
+    * bucket is a cluster-dup of its representative (handle via
+    * [[lshDegenerateClusters]] policy), not pairwise work. Batch-
+    * internal duplicates are a separate [[lshCandidatePairs]] call on
+    * the batch banding alone.
+    */
+  def incrementalLshCandidates(batchBands: DataFrame, storeBands: DataFrame,
+                               maxBucket: Int = 64): DataFrame = {
+    val ok = storeBands.groupBy("band", "sig").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") <= maxBucket).select("band", "sig")
+    batchBands.as("n")
+      .join(storeBands.join(ok, Seq("band", "sig")).as("s"),
+        col("n.band") === col("s.band") && col("n.sig") === col("s.sig") &&
+          col("n.doc_id") =!= col("s.doc_id"))
+      .select(col("n.doc_id").as("doc_new"), col("s.doc_id").as("doc_corpus"))
+      .distinct()
+  }
+
   /** Per-band LSH bucket census: how many buckets hold ≥2 docs, how
     * many candidate pairs they imply, and the total docs per band —
     * integer-only, so oracle-checkable.

@@ -153,6 +153,77 @@ object ExtQueries {
                      CAST(SUM(doc_id) AS BIGINT) AS id_checksum
               FROM keep""")),
 
+    // Incremental NEAR-dedup ([[Dedup.incrementalLshCandidates]]): a
+    // 5% ingest batch is LSH-banded and joined against the standing
+    // corpus's band store (PlanCache'd — at 100 TB it is a parquet
+    // artifact written at corpus-build time, never recomputed), then
+    // candidates are exact-verified at Jaccard ≥ 0.8 via the shared
+    // shingle-set fingerprints. Only the delta is ever re-hashed; the
+    // checksums pin exactly WHICH corpus docs each new doc collides
+    // with and which survive verification.
+    Declared(
+      "ext_dedup_incremental_lsh",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        def bandsOf(part: org.apache.spark.sql.DataFrame) =
+          Dedup.lshBands(
+            Dedup.minhashSignatures(
+              Dedup.tokenHashes(part, "doc_id", "text"), 16), 16, 4)
+        val storeBands = graft.ext.PlanCache.cached(
+          "incLsh/store/16/4", docs)(dd =>
+            bandsOf(dd.where(col("doc_id") % 20 =!= 7)))
+        // the per-ingest candidate artifact: census and verify both
+        // consume it, and a real pipeline writes it once per batch —
+        // checkpoint-memoized exactly like lsh_verified's candidates
+        val cands = graft.ext.PlanCache.checkpointed(
+          "incLsh/cands/16/4", docs) { dd =>
+          Dedup.incrementalLshCandidates(
+            bandsOf(dd.where(col("doc_id") % 20 === 7)), storeBands,
+            maxBucket = MaxBucket)
+        }
+        val verified = Dedup.ngramJaccardOnCandidates(docs, "doc_id", "text",
+            cands.select(col("doc_new").as("doc_a"), col("doc_corpus").as("doc_b")),
+            DfCap)
+          .where(col("inter") * 5 >= col("uni") * 4)
+        cands.agg(count(lit(1)).as("n_cands"),
+            coalesce(sum(col("doc_new") + col("doc_corpus")), lit(0L))
+              .as("cand_checksum"))
+          .crossJoin(verified.agg(count(lit(1)).as("n_dups"),
+            coalesce(sum(col("doc_a") + col("doc_b")), lit(0L))
+              .as("dup_checksum")))
+      },
+      Some(s"""WITH $minhashSigCte,
+               $cappedShingleCte,
+               batch AS (SELECT * FROM sigs WHERE doc_id % 20 = 7),
+               store AS (SELECT * FROM sigs WHERE doc_id % 20 <> 7),
+               okb AS (SELECT band, sig FROM store
+                       GROUP BY band, sig HAVING COUNT(*) <= $MaxBucket),
+               s2 AS (SELECT store.* FROM store JOIN okb USING (band, sig)),
+               cand AS (
+                 SELECT DISTINCT b.doc_id AS doc_a, s2.doc_id AS doc_b
+                 FROM batch b JOIN s2
+                   ON b.band = s2.band AND b.sig = s2.sig
+                  AND b.doc_id <> s2.doc_id),
+               inter AS (
+                 SELECT doc_a, doc_b, COUNT(*) AS inter
+                 FROM cand
+                 JOIN fsh fa ON fa.doc_id = doc_a
+                 JOIN fsh fb ON fb.doc_id = doc_b AND fa.sh = fb.sh
+                 GROUP BY doc_a, doc_b),
+               v AS (
+                 SELECT i.doc_a, i.doc_b, inter, ca.n + cb.n - inter AS uni
+                 FROM inter i
+                 JOIN card ca ON i.doc_a = ca.doc_id
+                 JOIN card cb ON i.doc_b = cb.doc_id)
+               SELECT (SELECT COUNT(*) FROM cand) AS n_cands,
+                      CAST((SELECT COALESCE(SUM(doc_a + doc_b), 0) FROM cand)
+                        AS BIGINT) AS cand_checksum,
+                      (SELECT COUNT(*) FROM v WHERE inter * 5 >= uni * 4)
+                        AS n_dups,
+                      CAST((SELECT COALESCE(SUM(doc_a + doc_b), 0)
+                            FROM v WHERE inter * 5 >= uni * 4) AS BIGINT)
+                        AS dup_checksum""")),
+
     Declared(
       "ext_dedup_fingerprint",
       (s, d) => {

@@ -53,6 +53,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Dedup.incrementalExact(batch, "doc_id", "text", rolled).count() == 0)
   }
 
+  test("incrementalLshCandidates: batch-vs-store bucket collisions, cap skips, no batch-batch pairs") {
+    import spark.implicits._
+    // hand-built band relations: (doc_id, band, sig)
+    val store = (Seq(
+      (100L, 0, "a"), (101L, 0, "a"),          // small store bucket
+      (102L, 1, "z")) ++                        // bucket untouched by batch
+      (200L to 203L).map(i => (i, 2, "hot")))   // degenerate bucket (cap 3)
+      .toDF("doc_id", "band", "sig")
+    val batch = Seq(
+      (10L, 0, "a"),   // collides with 100, 101
+      (10L, 2, "hot"), // over-cap store bucket: skipped
+      (11L, 0, "a"),   // also collides with 100, 101 — but NOT with 10
+      (12L, 3, "q"))   // no store bucket
+      .toDF("doc_id", "band", "sig")
+    val got = Dedup.incrementalLshCandidates(batch, store, maxBucket = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 100L), (10L, 101L), (11L, 100L), (11L, 101L)),
+      s"got $got")
+  }
+
   test("ngramJaccardOnCandidates agrees with the full pairwise join on given pairs") {
     import spark.implicits._
     val full = Dedup.ngramJaccardPairs(docs, "doc_id", "text", dfCap = 100)
