@@ -79,7 +79,13 @@ object Multimodal {
     // so consumers decode cached bytes instead of re-encoding the
     // corpus on every run. The decoders under test still run live.
     PlanCache.cached(s"syntheticImages/$idCol", df) { d =>
-      d.select(col(idCol).cast("long").as("media_id")).mapPartitions { it =>
+      // hash-repartition by id BEFORE the per-row codec work: the doc
+      // table often arrives as one parquet file = ONE partition, which
+      // would serialize every downstream decode pass onto a single
+      // core (measured 4× on the resize path) — the same reason a real
+      // blob corpus is stored pre-partitioned
+      d.select(col(idCol).cast("long").as("media_id"))
+        .repartition(col("media_id")).mapPartitions { it =>
         it.map { r =>
           val id = r.getLong(0)
           val w = synthWidth(id)
