@@ -13,18 +13,21 @@ import org.apache.spark.sql.types._
   * as opaque `binary` payloads with typed metadata, processed in
   * batches per partition.
   *
-  * The IMAGE family is REAL: payloads are genuine encoded images and
-  * [[decodeImageMeta]] / [[resizeImages]] run `javax.imageio` — a
-  * pure-JVM, headless decoder/encoder (PNG/JPEG/GIF/BMP), no native
-  * deps — on the executors. Audio/video decode (WAV/H.264) still
-  * needs native libraries this container doesn't ship, so
-  * [[sampleFrames]] and [[extractFeatures]] remain DETERMINISTIC
-  * STUBS — clearly marked — with real Spark-side plumbing: schema,
-  * binary column handling, per-partition batch shape
-  * (`mapPartitions`, the Scala analogue of `mapInPandas` batches),
-  * and hash-partitioning by id so a decode fleet load-balances (at
-  * 100 TB you'd also cap `files.maxPartitionBytes` so one
-  * partition's payloads fit in an executor's working memory).
+  * The IMAGE and AUDIO families are REAL: image payloads are genuine
+  * encoded images run through `javax.imageio` (pure-JVM, headless
+  * PNG/JPEG/GIF/BMP codec — [[decodeImageMeta]], [[resizeImages]],
+  * [[imageChannelStats]]); audio payloads are genuine RIFF/WAV PCM
+  * run through `javax.sound.sampled` ([[syntheticWavs]],
+  * [[audioSampleStats]]) — no native deps, all on the executors.
+  * Video decode (H.264) still needs native codecs this container
+  * doesn't ship, so [[sampleFrames]] and the generic
+  * [[extractFeatures]] remain DETERMINISTIC STUBS — clearly marked —
+  * with real Spark-side plumbing: schema, binary column handling,
+  * per-partition batch shape (`mapPartitions`, the Scala analogue of
+  * `mapInPandas` batches), and hash-partitioning by id so a decode
+  * fleet load-balances (at 100 TB you'd also cap
+  * `files.maxPartitionBytes` so one partition's payloads fit in an
+  * executor's working memory).
   */
 object Multimodal {
 
@@ -236,6 +239,96 @@ object Multimodal {
         } finally reader.dispose()
       }
     } finally iis.close()
+  }
+
+  /** Deterministic sample count / value formulas for
+    * [[syntheticWavs]] — arithmetic in the id (and sample index) so a
+    * SQL oracle can state expected decoded statistics without an
+    * audio decoder. 16-bit signed PCM range by construction.
+    */
+  def synthSampleCount(id: Long): Int = (id % 1500 + 300).toInt
+  def synthSample(id: Long, i: Long): Int =
+    ((((id + i * 7L) * 2654435761L) & 0xFFFF) - 32768L).toInt
+
+  /** A REAL audio table: one genuine WAV payload per row (RIFF header
+    * + 16-bit little-endian mono PCM at 8 kHz), written on the
+    * executors with `javax.sound.sampled` — the pure-JVM audio codec
+    * path, no native libs. Sample values and counts are [[synthSample]]
+    * / [[synthSampleCount]] formulas of the id, the audio twin of
+    * [[syntheticImages]].
+    */
+  def syntheticWavs(df: DataFrame, idCol: String): DataFrame = {
+    val encoder = org.apache.spark.sql.Encoders.row(mediaSchema)
+    PlanCache.cached(s"syntheticWavs/$idCol", df) { d =>
+      d.select(col(idCol).cast("long").as("media_id"))
+        .repartition(col("media_id")).mapPartitions { it =>
+          it.map { r =>
+            val id = r.getLong(0)
+            val n = synthSampleCount(id)
+            val pcm = new Array[Byte](n * 2)
+            var i = 0
+            while (i < n) {
+              val s = synthSample(id, i)
+              pcm(2 * i) = (s & 0xFF).toByte
+              pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+              i += 1
+            }
+            val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+            val ais = new javax.sound.sampled.AudioInputStream(
+              new ByteArrayInputStream(pcm), fmt, n.toLong)
+            val bos = new ByteArrayOutputStream()
+            javax.sound.sampled.AudioSystem.write(ais,
+              javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+            Row(id, "audio", bos.toByteArray)
+          }
+        }(encoder)
+    }
+  }
+
+  /** REAL audio decode: `javax.sound.sampled` parses the container
+    * (format sniffed from the bytes) and streams PCM frames; one pass
+    * sums the 16-bit samples as exact longs — n_samples, sum, and
+    * sum of absolute values (the integer core of loudness/silence
+    * gating). WAV PCM is lossless, so over [[syntheticWavs]] these
+    * sums prove SAMPLE-level encode→decode fidelity. Undecodable
+    * payloads quarantine as NULL stats with the row preserved.
+    */
+  def audioSampleStats(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = true),
+      StructField("sum_s", LongType, nullable = true),
+      StructField("sum_abs", LongType, nullable = true)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    media.where(col("media_type") === "audio")
+      .select("media_id", "payload").mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new ByteArrayInputStream(bytes))
+            try {
+              val fmt = ais.getFormat
+              require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1)
+              val data = ais.readAllBytes()
+              var n = 0L; var sum = 0L; var sumAbs = 0L
+              var i = 0
+              while (i + 1 < data.length) {
+                val lo = data(i) & 0xFF
+                val hi = data(i + 1).toInt
+                val s = if (fmt.isBigEndian) ((data(i).toInt << 8) | (data(i + 1) & 0xFF))
+                        else ((hi << 8) | lo)
+                n += 1; sum += s; sumAbs += math.abs(s)
+                i += 2
+              }
+              Row(id, n, sum, sumAbs)
+            } finally ais.close()
+          } catch {
+            case _: Exception => Row(id, null, null, null)
+          }
+        }
+      }(encoder)
   }
 
   /** STUB frame sampler ??? — stands in for video frame extraction

@@ -956,6 +956,39 @@ object ExtQueries {
                      CAST(SUM(doc_id) AS BIGINT) AS px_checksum
               FROM px""")),
 
+    // REAL audio decode end to end: one genuine WAV (RIFF + 16-bit LE
+    // mono PCM) per document, written and re-decoded with
+    // javax.sound.sampled on the executors; exact long sums of the
+    // decoded samples. Samples are an arithmetic formula of
+    // (doc_id, i), so the oracle recomputes the identical sums
+    // WITHOUT an audio decoder — green proves every sample survives
+    // the WAV container round trip bit-for-bit (the audio twin of
+    // ext_multimodal_channels).
+    Declared(
+      "ext_multimodal_audio",
+      (s, d) =>
+        Multimodal.audioSampleStats(
+          Multimodal.syntheticWavs(Tables.documents(s, d), "doc_id"))
+          .agg(count(lit(1)).as("n_clips"),
+            sum(when(col("n_samples").isNull, 1L).otherwise(0L))
+              .as("n_undecodable"),
+            sum(col("n_samples")).as("total_samples"),
+            sum(col("sum_s")).as("total_s"),
+            sum(col("sum_abs")).as("total_abs"),
+            sum(col("media_id") * col("n_samples")).as("clip_checksum")),
+      Some("""WITH sp AS (
+                SELECT doc_id,
+                       (((doc_id + i * 7) * 2654435761) & 65535) - 32768 AS v
+                FROM documents, range(1800) t(i)
+                WHERE i < doc_id % 1500 + 300)
+              SELECT (SELECT COUNT(*) FROM documents) AS n_clips,
+                     CAST(0 AS BIGINT) AS n_undecodable,
+                     COUNT(*) AS total_samples,
+                     CAST(SUM(v) AS BIGINT) AS total_s,
+                     CAST(SUM(ABS(v)) AS BIGINT) AS total_abs,
+                     CAST(SUM(doc_id) AS BIGINT) AS clip_checksum
+              FROM sp""")),
+
     // REAL image resize round trip: genuine PNGs → javax.imageio
     // decode → Graphics2D scale to exactly 12×9 → PNG re-encode →
     // decode AGAIN. The re-decoded dims can only equal the target if

@@ -68,6 +68,33 @@ class MultimodalSpec extends SparkSpec {
     assert(bad.getLong(0) == 7L && bad.isNullAt(1) && bad.isNullAt(2))
   }
 
+  test("syntheticWavs are genuine RIFF/WAV; audioSampleStats recovers the sample formula exactly") {
+    val media = Multimodal.syntheticWavs(ids.toDF("id"), "id")
+    media.collect().foreach { r =>
+      val bytes = r.getAs[Array[Byte]]("payload")
+      assert(new String(bytes.take(4), "US-ASCII") == "RIFF" &&
+        new String(bytes.slice(8, 12), "US-ASCII") == "WAVE")
+    }
+    val got = Multimodal.audioSampleStats(media).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    ids.foreach { id =>
+      val n = Multimodal.synthSampleCount(id)
+      var sum = 0L; var sumAbs = 0L
+      (0 until n).foreach { i =>
+        val s = Multimodal.synthSample(id, i)
+        sum += s; sumAbs += math.abs(s)
+      }
+      assert(got(id) == ((n.toLong, sum, sumAbs)), s"id=$id")
+    }
+    // corrupt payload: row kept, stats null; non-audio rows filtered
+    val corrupt = Seq((5L, "audio", "not a wav".getBytes("UTF-8")))
+      .toDF("media_id", "media_type", "payload")
+    val bad = Multimodal.audioSampleStats(corrupt).collect().head
+    assert(bad.getLong(0) == 5L && bad.isNullAt(1))
+    val img = Seq((6L, "image", Array[Byte](1))).toDF("media_id", "media_type", "payload")
+    assert(Multimodal.audioSampleStats(img).count() == 0)
+  }
+
   test("resizeImages truly rescales: re-decoded dims equal the target, corrupt rows drop") {
     val media = Multimodal.syntheticImages(ids.toDF("id"), "id")
       .union(Seq((999L, "image", "junk".getBytes("UTF-8")))
