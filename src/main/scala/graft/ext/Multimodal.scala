@@ -19,15 +19,21 @@ import org.apache.spark.sql.types._
   * [[imageChannelStats]]); audio payloads are genuine RIFF/WAV PCM
   * run through `javax.sound.sampled` ([[syntheticWavs]],
   * [[audioSampleStats]]) — no native deps, all on the executors.
-  * Video decode (H.264) still needs native codecs this container
-  * doesn't ship, so [[sampleFrames]] and the generic
-  * [[extractFeatures]] remain DETERMINISTIC STUBS — clearly marked —
-  * with real Spark-side plumbing: schema, binary column handling,
-  * per-partition batch shape (`mapPartitions`, the Scala analogue of
-  * `mapInPandas` batches), and hash-partitioning by id so a decode
-  * fleet load-balances (at 100 TB you'd also cap
-  * `files.maxPartitionBytes` so one partition's payloads fit in an
-  * executor's working memory).
+  * The VIDEO family is REAL too, via the one multi-frame container
+  * the pure-JVM codec stack can both write and read: animated GIF
+  * ([[syntheticGifs]] encodes formula-pixel frames,
+  * [[sampleFrames]] parses the container, strided-samples frames,
+  * and re-encodes each as PNG). H.264 would need native codecs this
+  * container doesn't ship — the GIF path exercises the identical
+  * operator shape (container parse → frame index → per-frame
+  * decode → 1-row-in/n-rows-out) with a codec that actually runs.
+  * [[extractFeatures]] is likewise real: the feature vector is
+  * per-channel moments of DECODED pixels. All paths share the batch
+  * discipline: `mapPartitions` (the Scala analogue of `mapInPandas`
+  * batches), payload bytes never leave the executors, and
+  * hash-partitioning by id so a decode fleet load-balances (at
+  * 100 TB you'd also cap `files.maxPartitionBytes` so one
+  * partition's payloads fit in an executor's working memory).
   */
 object Multimodal {
 
@@ -46,18 +52,6 @@ object Multimodal {
     StructField("width", IntegerType, nullable = true),
     StructField("height", IntegerType, nullable = true),
     StructField("n_bytes", LongType, nullable = false)))
-
-  /** Fabricate a media table from any (id, text) source: payload =
-    * UTF-8 bytes, media_type round-robins image/audio/video. Lets the
-    * STUB audio/video paths run on the stock testdata; for the real
-    * image path use [[syntheticImages]] (genuine PNG payloads).
-    */
-  def fromText(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(
-      col(idCol).cast("long").as("media_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (col(idCol) % 3 + 1).cast("int")).as("media_type"),
-      col(textCol).cast("binary").as("payload"))
 
   /** Deterministic dimensions for [[syntheticImages]]: small enough
     * that a whole table encodes in seconds, varied enough that a
@@ -331,57 +325,204 @@ object Multimodal {
       }(encoder)
   }
 
-  /** STUB frame sampler ??? — stands in for video frame extraction
-    * (H.264 needs native codecs). Emits `n` byte-range "frames" per
-    * video payload via binary substring: the real operator's exact
-    * plumbing (one row in, n typed binary rows out) with a fake
-    * extractor.
+  /** Deterministic shape formulas for [[syntheticGifs]] — arithmetic
+    * in the id (and frame/pixel indices) so a SQL oracle can state
+    * expected decoded frame pixels without a video decoder. Frames
+    * are 8-bit GRAY (GIF is palette-indexed; an explicit 256-gray
+    * palette makes the encode lossless, so decoded pixels must equal
+    * the formula bit-for-bit).
     */
-  def sampleFrames(media: DataFrame, n: Int): DataFrame = {
-    val frames = broadcast(media.sparkSession.range(n)
-      .select(col("id").cast("int").as("frame_no")))
-    media.where(col("media_type") === "video")
-      .crossJoin(frames)
-      .select(col("media_id"), col("frame_no"),
-        expr("substring(payload, frame_no * 8 + 1, 8)").as("frame_bytes"))
-      .where(octet_length(col("frame_bytes")) > 0)
+  def synthFrameCount(id: Long): Int = (id % 5 + 2).toInt
+  def synthFrameWidth(id: Long): Int = (id % 13 + 4).toInt
+  def synthFrameHeight(id: Long): Int = (id * 3 % 11 + 4).toInt
+  def synthGray(id: Long, f: Long, x: Long, y: Long): Int =
+    (((id + f * 101L + x * 31L + y * 17L) * 2654435761L) & 0xFF).toInt
+
+  /** Identity 256-entry gray palette: GIF stores palette indices, so
+    * with index == gray value the encode is exact, not quantized.
+    */
+  private lazy val grayPalette: java.awt.image.IndexColorModel = {
+    val g = Array.tabulate(256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, g, g, g)
   }
 
-  /** STUB batch feature extractor ??? — stands in for a native/model
-    * featurizer that wants whole batches (the `mapInPandas` shape).
-    * Processes each partition as one batch through an iterator —
-    * constant memory, no collect — and emits a fixed-width feature
-    * vector fabricated from payload bytes.
+  /** A REAL multi-frame video table: one genuine animated-GIF
+    * container per row ([[synthFrameCount]] full-size frames of
+    * [[synthFrameWidth]]×[[synthFrameHeight]] gray pixels from the
+    * [[synthGray]] formula), encoded on the executors with the JDK's
+    * GIF `ImageWriter` sequence API — the video twin of
+    * [[syntheticImages]]/[[syntheticWavs]]. A frame sampler that
+    * doesn't truly parse the container cannot recover per-frame
+    * pixels from these bytes.
     */
-  def extractFeatures(media: DataFrame, dim: Int = 4, batchSize: Int = 64): DataFrame = {
+  def syntheticGifs(df: DataFrame, idCol: String): DataFrame = {
+    val encoder = org.apache.spark.sql.Encoders.row(mediaSchema)
+    PlanCache.cached(s"syntheticGifs/$idCol", df) { d =>
+      // repartition before codec work: one-file parquet = ONE
+      // partition otherwise (same rationale as syntheticImages)
+      d.select(col(idCol).cast("long").as("media_id"))
+        .repartition(col("media_id")).mapPartitions { it =>
+          it.map { r =>
+            val id = r.getLong(0)
+            val nf = synthFrameCount(id)
+            val w = synthFrameWidth(id)
+            val h = synthFrameHeight(id)
+            val bos = new ByteArrayOutputStream()
+            val ios = ImageIO.createImageOutputStream(bos)
+            val writer = ImageIO.getImageWritersByFormatName("gif").next()
+            // interlace (GIF "progressive") OFF: the JDK pair
+            // mis-round-trips interlaced row order at small heights —
+            // sequential scan order is bit-exact
+            val param = writer.getDefaultWriteParam
+            param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+            try {
+              writer.setOutput(ios)
+              writer.prepareWriteSequence(null)
+              var f = 0
+              while (f < nf) {
+                val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+                val raster = img.getRaster
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    raster.setSample(x, y, 0, synthGray(id, f, x, y))
+                    x += 1
+                  }
+                  y += 1
+                }
+                writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
+                f += 1
+              }
+              writer.endWriteSequence()
+            } finally {
+              writer.dispose()
+              ios.close()
+            }
+            Row(id, "video", bos.toByteArray)
+          }
+        }(encoder)
+    }
+  }
+
+  /** REAL video frame extraction: parse the multi-frame container
+    * (`ImageIO` reader registry — GIF here; the operator shape is
+    * codec-agnostic), count frames, STRIDED-sample
+    * `m = min(n, frames)` of them at indices `k * frames / m`
+    * (what a real video sampler does — spread over the clip, not
+    * just the head), decode each sampled frame, and re-encode it as
+    * PNG under the media contract — so sampled frames feed straight
+    * into [[decodeImageMeta]] / [[imageChannelStats]] /
+    * [[resizeImages]]. One row in, ≤n typed rows out, all inside one
+    * `mapPartitions` pass; payload bytes never leave the executor.
+    * Undecodable containers yield zero frames (they carry no frame
+    * to extract — census corrupt blobs upstream, as with
+    * [[resizeImages]]).
+    */
+  def sampleFrames(media: DataFrame, n: Int): DataFrame = {
+    require(n > 0, s"frame sample size $n must be positive")
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
-      StructField("feature", ArrayType(DoubleType, containsNull = false), nullable = false)))
+      StructField("frame_no", IntegerType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("media_type", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
-    media.select("media_id", "payload").mapPartitions { it =>
-      // explicit batches of `batchSize` rows — the shape a native/model
-      // featurizer wants (one inference call per batch, the mapInPandas
-      // arrow-batch analogue); grouped() keeps memory at one batch
-      it.grouped(batchSize).flatMap { batch =>
-        // ??? real batched featurizer goes here; fake: mean of byte
-        // strides, one pass over the payload, no per-(row,dim)
-        // collection allocation
-        batch.map { r =>
+    media.where(col("media_type") === "video")
+      .select("media_id", "payload").mapPartitions { it =>
+        it.flatMap { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
-          val sums = new Array[Double](dim)
-          val counts = new Array[Int](dim)
-          var i = 0
-          while (i < bytes.length) {
-            sums(i % dim) += (bytes(i) & 0xff)
-            counts(i % dim) += 1
-            i += 1
+          try {
+            val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+            try {
+              val readers = ImageIO.getImageReaders(iis)
+              if (!readers.hasNext) Vector.empty
+              else {
+                val reader = readers.next()
+                try {
+                  reader.setInput(iis)
+                  val nf = reader.getNumImages(true)
+                  val m = math.min(n, nf)
+                  // materialized before reader.dispose(): the rows own
+                  // re-encoded bytes, not reader state; ≤ n small
+                  // frames per input row, so memory stays bounded
+                  (0 until m).map { k =>
+                    val idx = k * nf / m
+                    val raw = reader.read(idx)
+                    // normalize indexed/gray frames to RGB before the
+                    // PNG re-encode: an indexed-gray source would be
+                    // written as a GRAYSCALE png, and the CS_GRAY ↔
+                    // sRGB conversion on re-decode SHIFTS pixel values
+                    // (gamma) — palette→RGB lookup here is exact
+                    val rgb = new BufferedImage(raw.getWidth, raw.getHeight,
+                      BufferedImage.TYPE_INT_RGB)
+                    val g = rgb.createGraphics()
+                    try g.drawImage(raw, 0, 0, null) finally g.dispose()
+                    Row(id, idx, nf, "image", encodePng(rgb))
+                  }.toVector
+                } finally reader.dispose()
+              }
+            } finally iis.close()
+          } catch {
+            case _: Exception => Vector.empty
           }
-          val feature = Array.tabulate(dim)(d =>
-            if (counts(d) == 0) 0.0 else sums(d) / counts(d))
-          Row(id, feature.toSeq)
         }
-      }
-    }(encoder)
+      }(encoder)
+  }
+
+  /** REAL batch feature extractor: decodes each image and emits a
+    * 6-dim feature vector of per-channel pixel moments —
+    * `[mean_r, mean_g, mean_b, m2_r, m2_g, m2_b]` (mean and mean of
+    * squares per channel; variance = m2 − mean², left to the caller
+    * so each component stays a single exact division). Batch shape
+    * is the `mapInPandas` analogue a native/model featurizer wants:
+    * explicit `grouped(batchSize)` batches through one partition
+    * iterator — constant memory, no collect. Undecodable payloads
+    * quarantine as a NULL feature with the row preserved (same
+    * stance as [[decodeImageMeta]]).
+    */
+  def extractFeatures(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("feature", ArrayType(DoubleType, containsNull = false), nullable = true)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    media.where(col("media_type") === "image")
+      .select("media_id", "payload").mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // one "inference call" per batch: decode all, then emit —
+          // the arrow-batch shape, with memory capped at one batch
+          batch.map { r =>
+            val id = r.getLong(0)
+            val bytes = r.getAs[Array[Byte]](1)
+            val img =
+              try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+              catch { case _: Exception => None }
+            img match {
+              case None => Row(id, null)
+              case Some(im) =>
+                var sr = 0L; var sg = 0L; var sb = 0L
+                var qr = 0L; var qg = 0L; var qb = 0L
+                val w = im.getWidth; val h = im.getHeight
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    val rgb = im.getRGB(x, y)
+                    val cr = (rgb >> 16) & 0xFF
+                    val cg = (rgb >> 8) & 0xFF
+                    val cb = rgb & 0xFF
+                    sr += cr; sg += cg; sb += cb
+                    qr += cr.toLong * cr; qg += cg.toLong * cg; qb += cb.toLong * cb
+                    x += 1
+                  }
+                  y += 1
+                }
+                val n = w.toDouble * h
+                Row(id, Seq(sr / n, sg / n, sb / n, qr / n, qg / n, qb / n))
+            }
+          }
+        }
+      }(encoder)
   }
 }

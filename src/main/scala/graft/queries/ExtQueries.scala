@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Curation, Dedup, Graph, Multimodal, Sampling, Search, Similarity, Skew, Stats, TextStats, TimeJoin}
+import graft.ext.{Curation, Dedup, Graph, Multimodal, PlanCache, Sampling, Search, Similarity, Skew, Stats, TextStats, TimeJoin}
 import org.apache.spark.sql.functions._
 
 /** Declared queries for the LLM-pipeline extension operators
@@ -907,19 +907,61 @@ object ExtQueries {
                      CAST(SUM(doc_id * (doc_id % 61 + 4)) AS BIGINT) AS dim_checksum
               FROM documents""")),
 
-    // Frame sampling (video payloads = doc_id % 3 = 2): the oracle
-    // derives frame counts/bytes arithmetically from payload length —
-    // frame f of n=4 is bytes [8f, 8f+8) of the payload.
+    // REAL video frame extraction end to end: one genuine animated
+    // GIF per document (frame count / dims / gray pixels all
+    // arithmetic formulas of (doc_id, frame, x, y), encoded with the
+    // JDK GIF sequence writer), then sampleFrames truly parses the
+    // container, strided-samples min(4, n_frames) frames at
+    // k*n_frames/m, decodes each, and re-encodes it as PNG — which
+    // feeds the SAME imageChannelStats used by ext_multimodal_channels
+    // for a second full decode. The oracle restates sampled-frame
+    // indices and per-frame pixel sums from the formulas alone (it
+    // cannot decode), so a green row proves genuine container parse +
+    // frame indexing + two lossless codec round trips. (Formula
+    // arithmetic stays in BIGINT range for doc_id up to ~3.4e9 —
+    // DuckDB raises on overflow where Spark ANSI also raises, so the
+    // ceiling is loud, not silent.)
     Declared(
       "ext_multimodal_frames",
-      (s, d) =>
-        Multimodal.sampleFrames(
-          Multimodal.fromText(Tables.documents(s, d), "doc_id", "text"), n = 4)
-          .agg(count(lit(1)).as("n_frames"),
-            sum(octet_length(col("frame_bytes"))).as("sum_frame_bytes")),
-      Some("""SELECT CAST(SUM(LEAST(CAST(ceil(octet_length(encode(text)) / 8.0) AS BIGINT), 4)) AS BIGINT) AS n_frames,
-                     CAST(SUM(LEAST(octet_length(encode(text)), 32)) AS BIGINT) AS sum_frame_bytes
-              FROM documents WHERE doc_id % 3 = 2""")),
+      (s, d) => {
+        val frames = PlanCache.cached("gifFrames/doc_id/4",
+          Multimodal.syntheticGifs(Tables.documents(s, d), "doc_id"))(
+          Multimodal.sampleFrames(_, n = 4))
+        val meta = frames.agg(
+          count(lit(1)).as("n_frames_sampled"),
+          sum(col("frame_no")).as("frame_no_checksum"),
+          sum(col("n_frames")).as("container_frames"))
+        val px = Multimodal.imageChannelStats(frames).agg(
+          sum(when(col("n_pixels").isNull, 1L).otherwise(0L))
+            .as("n_unreadable_frames"),
+          sum(col("n_pixels")).as("total_pixels"),
+          sum(col("sum_r")).as("total_r"),
+          sum(col("sum_g")).as("total_g"),
+          sum(col("sum_b")).as("total_b"),
+          sum(col("media_id") * col("n_pixels")).as("px_checksum"))
+        meta.crossJoin(px)
+      },
+      Some("""WITH f AS (
+                SELECT doc_id,
+                       (doc_id % 5 + 2) AS nf,
+                       (k * (doc_id % 5 + 2)) // LEAST(4, doc_id % 5 + 2) AS fr
+                FROM documents, range(4) t(k)
+                WHERE k < LEAST(4, doc_id % 5 + 2)),
+              px AS (
+                SELECT doc_id,
+                       ((doc_id + fr * 101 + x * 31 + y * 17) * 2654435761) & 255 AS g
+                FROM f, range(16) tx(x), range(14) ty(y)
+                WHERE x < doc_id % 13 + 4 AND y < doc_id * 3 % 11 + 4)
+              SELECT (SELECT COUNT(*) FROM f) AS n_frames_sampled,
+                     (SELECT CAST(SUM(fr) AS BIGINT) FROM f) AS frame_no_checksum,
+                     (SELECT CAST(SUM(nf) AS BIGINT) FROM f) AS container_frames,
+                     CAST(0 AS BIGINT) AS n_unreadable_frames,
+                     COUNT(*) AS total_pixels,
+                     CAST(SUM(g) AS BIGINT) AS total_r,
+                     CAST(SUM(g) AS BIGINT) AS total_g,
+                     CAST(SUM(g) AS BIGINT) AS total_b,
+                     CAST(SUM(doc_id) AS BIGINT) AS px_checksum
+              FROM px""")),
 
     // REAL pixel-level fidelity: full decode of every PNG, exact
     // long sums of the R/G/B channel bytes over the raster (the
@@ -1011,22 +1053,54 @@ object ExtQueries {
                      COUNT(*) AS n_nonempty
               FROM documents""")),
 
-    // Batch featurizer (mapPartitions, the mapInPandas shape): the
-    // oracle pins the structural contract — one dim-4 feature row per
-    // media row, every component a byte mean in [0, 255].
+    // REAL batch featurizer (mapPartitions in grouped batches, the
+    // mapInPandas shape): each feature is per-channel moments
+    // [mean, mean-of-squares]×RGB of the DECODED pixels. Means are
+    // exact divisions sum/n, so multiplying each component back by
+    // the formula pixel count and rounding reconstructs the integer
+    // channel sums EXACTLY (sums ≤ 2e8 ≪ 2^53, double round-trip
+    // error ≪ 0.5) — the oracle restates those sums from the pixel
+    // formula without decoding, pinning that the features really are
+    // moments of genuinely decoded pixels, not payload-byte hashes.
     Declared(
       "ext_multimodal_features",
       (s, d) =>
         Multimodal.extractFeatures(
-          Multimodal.fromText(Tables.documents(s, d), "doc_id", "text"), dim = 4)
+          Multimodal.syntheticImages(Tables.documents(s, d), "doc_id"))
+          .select(col("media_id"), col("feature"),
+            ((col("media_id") % 61 + 4) * (col("media_id") * 7 % 43 + 4))
+              .as("n_px"))
           .agg(count(lit(1)).as("n_media"),
+            sum(when(col("feature").isNull, 1L).otherwise(0L))
+              .as("n_undecodable"),
             sum(size(col("feature"))).as("sum_dims"),
-            sum(when(forall(col("feature"), v => v >= 0 && v <= 255), 1).otherwise(0))
-              .as("n_valid")),
-      Some("""SELECT COUNT(*) AS n_media,
-                     CAST(COUNT(*) * 4 AS BIGINT) AS sum_dims,
-                     COUNT(*) AS n_valid
-              FROM documents""")),
+            sum(round(element_at(col("feature"), 1) * col("n_px")).cast("long"))
+              .as("sum_r"),
+            sum(round(element_at(col("feature"), 2) * col("n_px")).cast("long"))
+              .as("sum_g"),
+            sum(round(element_at(col("feature"), 3) * col("n_px")).cast("long"))
+              .as("sum_b"),
+            sum(round(element_at(col("feature"), 4) * col("n_px")).cast("long"))
+              .as("sumsq_r"),
+            sum(round(element_at(col("feature"), 5) * col("n_px")).cast("long"))
+              .as("sumsq_g"),
+            sum(round(element_at(col("feature"), 6) * col("n_px")).cast("long"))
+              .as("sumsq_b")),
+      Some("""WITH px AS (
+                SELECT doc_id,
+                       ((doc_id + x * 31 + y * 17) * 2654435761) & 16777215 AS v
+                FROM documents, range(64) tx(x), range(46) ty(y)
+                WHERE x < doc_id % 61 + 4 AND y < doc_id * 7 % 43 + 4)
+              SELECT (SELECT COUNT(*) FROM documents) AS n_media,
+                     CAST(0 AS BIGINT) AS n_undecodable,
+                     (SELECT CAST(COUNT(*) * 6 AS BIGINT) FROM documents) AS sum_dims,
+                     CAST(SUM((v >> 16) & 255) AS BIGINT) AS sum_r,
+                     CAST(SUM((v >> 8) & 255) AS BIGINT) AS sum_g,
+                     CAST(SUM(v & 255) AS BIGINT) AS sum_b,
+                     CAST(SUM(((v >> 16) & 255) * ((v >> 16) & 255)) AS BIGINT) AS sumsq_r,
+                     CAST(SUM(((v >> 8) & 255) * ((v >> 8) & 255)) AS BIGINT) AS sumsq_g,
+                     CAST(SUM((v & 255) * (v & 255)) AS BIGINT) AS sumsq_b
+              FROM px""")),
 
     // --- Relational extensions (SURVEY §2.3.4 / §2.3.7: categories
     // absent from the reference, free in Spark) ------------------------

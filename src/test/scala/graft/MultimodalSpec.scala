@@ -95,6 +95,63 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.audioSampleStats(img).count() == 0)
   }
 
+  test("syntheticGifs are genuine multi-frame containers; sampleFrames decodes the formula pixels") {
+    val media = Multimodal.syntheticGifs(ids.toDF("id"), "id")
+    media.collect().foreach { r =>
+      val bytes = r.getAs[Array[Byte]]("payload")
+      assert(new String(bytes.take(3), "US-ASCII") == "GIF", "real GIF magic")
+    }
+    val frames = Multimodal.sampleFrames(media, n = 4).collect()
+    // strided sampling contract: m = min(4, nf) frames at k*nf/m
+    val expectIdx = ids.flatMap { id =>
+      val nf = Multimodal.synthFrameCount(id)
+      val m = math.min(4, nf)
+      (0 until m).map(k => (id, k * nf / m, nf))
+    }.toSet
+    assert(frames.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet == expectIdx)
+    // each sampled frame is a REAL decodable PNG of formula gray pixels
+    frames.foreach { r =>
+      val id = r.getLong(0); val f = r.getInt(1)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+      assert(img.getWidth == Multimodal.synthFrameWidth(id) &&
+        img.getHeight == Multimodal.synthFrameHeight(id))
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val g = Multimodal.synthGray(id, f, x, y)
+        assert((img.getRGB(x, y) & 0xFFFFFF) == (g << 16 | g << 8 | g),
+          s"id=$id frame=$f ($x,$y)")
+      }
+    }
+    // undecodable containers emit zero frames; non-video rows filtered
+    val corrupt = Seq((55L, "video", "not a gif".getBytes("UTF-8")))
+      .toDF("media_id", "media_type", "payload")
+    assert(Multimodal.sampleFrames(corrupt, 4).count() == 0)
+    val img = Seq((6L, "image", Array[Byte](1))).toDF("media_id", "media_type", "payload")
+    assert(Multimodal.sampleFrames(img, 4).count() == 0)
+  }
+
+  test("extractFeatures emits exact per-channel moments of genuinely decoded pixels") {
+    val media = Multimodal.syntheticImages(ids.toDF("id"), "id")
+    val got = Multimodal.extractFeatures(media, batchSize = 2).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    ids.foreach { id =>
+      val w = Multimodal.synthWidth(id); val h = Multimodal.synthHeight(id)
+      var sr = 0L; var sg = 0L; var sb = 0L; var qr = 0L; var qg = 0L; var qb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = ((id + x * 31L + y * 17L) * 2654435761L) & 0xFFFFFF
+        val cr = (v >> 16) & 0xFF; val cg = (v >> 8) & 0xFF; val cb = v & 0xFF
+        sr += cr; sg += cg; sb += cb; qr += cr * cr; qg += cg * cg; qb += cb * cb
+      }
+      val n = w.toDouble * h
+      assert(got(id) == Seq(sr / n, sg / n, sb / n, qr / n, qg / n, qb / n), s"id=$id")
+    }
+    // corrupt payload: row kept, feature null (quarantine)
+    val corrupt = Seq((9L, "image", "junk".getBytes("UTF-8")))
+      .toDF("media_id", "media_type", "payload")
+    val bad = Multimodal.extractFeatures(corrupt).collect().head
+    assert(bad.getLong(0) == 9L && bad.isNullAt(1))
+  }
+
   test("resizeImages truly rescales: re-decoded dims equal the target, corrupt rows drop") {
     val media = Multimodal.syntheticImages(ids.toDF("id"), "id")
       .union(Seq((999L, "image", "junk".getBytes("UTF-8")))
