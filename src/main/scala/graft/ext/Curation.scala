@@ -97,20 +97,25 @@ object Curation {
     * anti-join, cost linear in the train scan. Matching on hashes can
     * only OVER-drop (a hash collision drops a clean doc, never keeps
     * a contaminated one) — the safe direction for decontamination;
-    * 60-bit hashes keep even that negligible (a 32-bit variant was
-    * measured dropping one clean doc at sf0.1 — the birthday bound
+    * 64-bit gram hashes ([[Dedup.hashedNgrams]]: one codegen'd
+    * `xxhash64` per position, no per-gram string ever built) keep
+    * even that negligible — a 32-bit variant was measured dropping
+    * one clean doc at sf0.1; the birthday bound
     * ~|train grams|·|eval grams|/2^32 ≈ 0.7 predicted exactly that,
-    * and the string-matching oracle caught it).
+    * and the string-matching oracle caught it.
+    *
+    * When the eval gram set outgrows broadcast size (a full eval
+    * SUITE at 100 TB), [[decontaminateBloom]] is the default: the
+    * gram set folds into one bounded-size filter probed map-side.
     */
   def decontaminate(train: DataFrame, idCol: String, textCol: String,
                     eval: DataFrame, evalTextCol: String,
                     n: Int = 8): DataFrame = {
-    val evalGrams = Dedup.rawNgrams(
+    val evalGrams = Dedup.hashedNgrams(
         eval.select(lit(0L).as("__eid"), col(evalTextCol)),
-        "__eid", evalTextCol, n, out = "__g")
-      .select(Hashing.h60(col("__g")).as("__g")).distinct()
-    val trainGrams = Dedup.rawNgrams(train, idCol, textCol, n, out = "__g")
-      .select(col("doc_id"), Hashing.h60(col("__g")).as("__g"))
+        "__eid", evalTextCol, n)
+      .select("__g").distinct()
+    val trainGrams = Dedup.hashedNgrams(train, idCol, textCol, n)
     val contaminated = trainGrams.join(evalGrams, "__g")
       .select(col("doc_id").as("__contam_id")).distinct()
     train.join(contaminated, col(idCol) === col("__contam_id"), "left_anti")
@@ -154,10 +159,10 @@ object Curation {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graftshim.ColumnShim
     import org.apache.spark.sql.types.BinaryType
-    val evalGrams = Dedup.rawNgrams(
+    val evalGrams = Dedup.hashedNgrams(
         eval.select(lit(0L).as("__eid"), col(evalTextCol)),
-        "__eid", evalTextCol, n, out = "__g")
-      .select(Hashing.h60(col("__g")).as("__g")).distinct()
+        "__eid", evalTextCol, n)
+      .select("__g").distinct()
     // the filter BUILDS distributed (partial aggregation merges
     // per-partition sketches); only the finished bloom BYTES come to
     // the driver — one bounded index artifact (size ∝ capacity/fpp,
@@ -172,8 +177,7 @@ object Curation {
           Literal(expectedItems), Literal(numBits))
           .toAggregateExpression()).as("__bloom"))
       .head().getAs[Array[Byte]](0)
-    val trainGrams = Dedup.rawNgrams(train, idCol, textCol, n, out = "__g")
-      .select(col("doc_id"), Hashing.h60(col("__g")).as("__g"))
+    val trainGrams = Dedup.hashedNgrams(train, idCol, textCol, n)
     val contaminated = trainGrams
       .where(ColumnShim.column(BloomFilterMightContain(
         Literal(bloomBytes, BinaryType),

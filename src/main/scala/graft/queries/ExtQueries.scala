@@ -1794,9 +1794,12 @@ object ExtQueries {
     // Eval-set decontamination: the eval slice is a deterministic 5%
     // hash sample; training docs sharing any word 8-gram with it are
     // dropped. The oracle matches on raw n-gram STRINGS while Spark
-    // matches 32-bit hashes — a hash-collision mismatch would surface
-    // here as a checksum diff, so the green row also bounds collision
-    // over-dropping at this scale.
+    // matches 64-bit xxhash64 gram hashes (never building gram
+    // strings at all) — a hash-collision mismatch would surface here
+    // as a checksum diff, so the green row also bounds collision
+    // over-dropping at this scale. Remaining Spark-vs-DuckDB gap at
+    // sf0.1 is per-stage launch overhead (the same plan's core is
+    // sub-second warm), not plan cost.
     Declared(
       "ext_pipeline_decontam",
       (s, d) => {
@@ -1805,8 +1808,58 @@ object ExtQueries {
         val ev = b.where(col("__eb") < 5).select("doc_id", "text")
         val tr = b.where(col("__eb") >= 5).select("doc_id", "text")
         val clean = Curation.decontaminate(tr, "doc_id", "text", ev, "text", n = 8)
-        tr.agg(count(lit(1)).as("n_train"))
-          .crossJoin(ev.agg(count(lit(1)).as("n_eval")))
+        b.agg(sum(when(col("__eb") >= 5, 1L).otherwise(0L)).as("n_train"),
+            sum(when(col("__eb") < 5, 1L).otherwise(0L)).as("n_eval"))
+          .crossJoin(clean.agg(count(lit(1)).as("n_clean"),
+            sum(col("doc_id")).as("id_checksum")))
+      },
+      Some("""WITH b AS (
+                SELECT doc_id, text,
+                  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'eval'), 1, 8) AS BIGINT) % 100 AS eb
+                FROM documents),
+              ev AS (SELECT doc_id, text FROM b WHERE eb < 5),
+              tr AS (SELECT doc_id, text FROM b WHERE eb >= 5),
+              evg AS (
+                SELECT DISTINCT unnest(list_transform(range(1, len(string_split(text,' ')) - 6),
+                  i -> array_to_string(string_split(text,' ')[i:i+7], ' '))) AS g
+                FROM ev),
+              trg AS (
+                SELECT doc_id, unnest(list_transform(range(1, len(string_split(text,' ')) - 6),
+                  i -> array_to_string(string_split(text,' ')[i:i+7], ' '))) AS g
+                FROM tr),
+              contam AS (SELECT DISTINCT doc_id FROM trg JOIN evg USING (g)),
+              clean AS (SELECT t.* FROM tr t ANTI JOIN contam c ON t.doc_id = c.doc_id)
+              SELECT (SELECT COUNT(*) FROM tr) AS n_train,
+                     (SELECT COUNT(*) FROM ev) AS n_eval,
+                     COUNT(*) AS n_clean,
+                     CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+              FROM clean""")),
+
+    // The 100 TB decontamination default: the eval gram set folds
+    // into ONE Bloom filter (bounded bytes, independent of corpus
+    // size) and train grams probe it map-side — no broadcast join,
+    // no shuffle of the train side. The error contract is one-sided
+    // (might_contain has NO false negatives, so every exactly-
+    // contaminated doc is dropped; false positives over-drop at the
+    // realized fpp). Here the filter is sized at 1M capacity for a
+    // ~12k-gram eval set, so the realized per-probe fpp is ~(k·m/bits)^k
+    // ≈ 1e-21 — over-dropping a single clean doc is a ~1e-16 event,
+    // which is why the oracle can assert the bloom clean set EQUALS
+    // the exact string-matched one (same SQL twin as
+    // ext_pipeline_decontam; the sketch build itself is work the
+    // oracle side never does). A genuine false positive would surface
+    // loudly as a row/checksum diff.
+    Declared(
+      "ext_pipeline_decontam_bloom",
+      (s, d) => {
+        val b = Tables.documents(s, d)
+          .withColumn("__eb", Sampling.hashBucket(col("doc_id"), 100, "eval"))
+        val ev = b.where(col("__eb") < 5).select("doc_id", "text")
+        val tr = b.where(col("__eb") >= 5).select("doc_id", "text")
+        val clean = Curation.decontaminateBloom(tr, "doc_id", "text", ev, "text",
+          n = 8, expectedItems = 1000000L, fpp = 0.001)
+        b.agg(sum(when(col("__eb") >= 5, 1L).otherwise(0L)).as("n_train"),
+            sum(when(col("__eb") < 5, 1L).otherwise(0L)).as("n_eval"))
           .crossJoin(clean.agg(count(lit(1)).as("n_clean"),
             sum(col("doc_id")).as("id_checksum")))
       },
