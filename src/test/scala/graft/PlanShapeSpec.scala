@@ -106,6 +106,61 @@ class PlanShapeSpec extends SparkSpec {
       s"at most the bounded query-panel loop join:\n$plan")
   }
 
+  test("ext_dedup_incremental_lsh: band probe is an equi-join — no nested-loop, no cartesian") {
+    val plan = planOf("ext_dedup_incremental_lsh")
+    assert(!plan.contains("CartesianProduct"),
+      s"band/signature probe must never go all-pairs:\n$plan")
+    // the probe and verify joins must all be equi (hash) joins; the
+    // single permitted nested loop is the final 1-row×1-row census
+    // cross join
+    assert(count(plan, "BroadcastNestedLoopJoin") <= 1,
+      s"store probe must stay an equi hash join on (band, sig):\n$plan")
+    assert(count(plan, "ShuffledHashJoin|BroadcastHashJoin|SortMergeJoin") >= 2,
+      s"expected equi joins for band probe and shingle verification:\n$plan")
+  }
+
+  test("ext_rel_range_join_left: outer path without localCheckpoint, banded equi-join (no BNLJ)") {
+    val plan = planOf("ext_rel_range_join_left")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"banded rewrite must keep the range join equi-keyed:\n$plan")
+    // the left-outer completion is a lazy anti-join on the natural
+    // key — a localCheckpoint here would truncate lineage and pin
+    // executor-local blocks, the thing the 100 TB path avoids
+    assert(!plan.contains("localCheckpoint"),
+      s"left-outer path must not materialize via localCheckpoint:\n$plan")
+  }
+
+  test("ext_multimodal_channels: codec work runs in one mapPartitions pass after the fixture repartition") {
+    val plan = planOf("ext_multimodal_channels")
+    assert(plan.contains("MapPartitions"),
+      s"decode must be per-partition batch work:\n$plan")
+    assert(count(plan, "ShuffledHashJoin|SortMergeJoin") == 0,
+      s"no join belongs in a straight decode pass:\n$plan")
+    // exchanges: the fixture's one explicit repartition (inside the
+    // cached relation) + partial→final agg; anything more means a
+    // shuffle crept between decode stages and would ship image BYTES
+    assert(count(plan, "Exchange") <= 3,
+      s"decode pipeline must not shuffle payload bytes:\n$plan")
+  }
+
+  test("ext_multimodal_frames: container parse + two decode passes, no shuffle of frame bytes") {
+    val plan = planOf("ext_multimodal_frames")
+    assert(count(plan, "MapPartitions") >= 2,
+      s"gif sampling and png channel stats are both per-partition passes:\n$plan")
+    assert(count(plan, "ShuffledHashJoin|SortMergeJoin") == 0,
+      s"frame pipeline has no join work:\n$plan")
+    assert(count(plan, "BroadcastNestedLoopJoin") <= 1,
+      s"only the bounded 1-row×1-row census cross join may loop:\n$plan")
+  }
+
+  test("ext_multimodal_audio: wav decode is one mapPartitions pass over the cached fixture") {
+    val plan = planOf("ext_multimodal_audio")
+    assert(plan.contains("MapPartitions"),
+      s"decode must be per-partition batch work:\n$plan")
+    assert(count(plan, "Exchange") <= 3,
+      s"audio bytes must not cross an extra shuffle:\n$plan")
+  }
+
   test("dq09_numeric_agg: long-cents sums, partial aggregation before the exchange") {
     val plan = planOf("dq09_numeric_agg")
     assert(plan.contains("partial_sum"),
