@@ -881,6 +881,48 @@ object ExtQueries {
                      END AS corr_e6
               FROM m ORDER BY l_returnflag""")),
 
+    // Count-min heavy-hitter screen ([[Stats.countMin]]): the sketch
+    // builds distributed (treeAggregate merge; only the finished
+    // width×depth table reaches the driver), then the true top-10
+    // tokens probe it. The oracle states the exact top-10 and their
+    // true counts (deterministic count-desc/token tie-break); the
+    // sketch columns pin the CMS contract — `over_ok`: estimate ≥
+    // truth ALWAYS (structural, never fails), `bound_ok`: estimate ≤
+    // truth + eps·N. bound_ok is probabilistic by theory but
+    // deterministic given the fixed seed, and at depth 10
+    // (confidence 0.9999) the per-key failure odds are ~5e-5 — the
+    // ivf_nprobe recall-floor pattern: Spark flipping false
+    // hash-mismatches loudly.
+    Declared(
+      "ext_stats_countmin",
+      (s, d) => {
+        import s.implicits._
+        val words = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("w"))
+        val eps = 0.01
+        val sketch = Stats.countMin(words, "w", eps = eps,
+          confidence = 0.9999, seed = 42)
+        val bound = math.ceil(eps * sketch.totalCount).toLong
+        // top-10 probe keys: k driver rows, the bounded-artifact
+        // collect discipline (same as IVF centroids / bloom bytes)
+        val top = words.groupBy("w").agg(count(lit(1)).as("true_cnt"))
+          .orderBy(desc("true_cnt"), asc("w")).limit(10).collect()
+        top.map { r =>
+          val est = sketch.estimateCount(r.getString(0))
+          (r.getString(0), r.getLong(1),
+            est >= r.getLong(1), est <= r.getLong(1) + bound)
+        }.toSeq
+          .toDF("token", "true_cnt", "over_ok", "bound_ok")
+          .orderBy(desc("true_cnt"), asc("token"))
+      },
+      Some("""WITH w AS (
+                SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+              c AS (
+                SELECT token, COUNT(*) AS true_cnt FROM w GROUP BY token
+                ORDER BY true_cnt DESC, token LIMIT 10)
+              SELECT token, true_cnt, TRUE AS over_ok, TRUE AS bound_ok
+              FROM c ORDER BY true_cnt DESC, token""")),
+
     // --- Multimodal ---------------------------------------------------
 
     // REAL image decode end to end: one genuine PNG per document
@@ -1884,6 +1926,42 @@ object ExtQueries {
                      COUNT(*) AS n_clean,
                      CAST(SUM(doc_id) AS BIGINT) AS id_checksum
               FROM clean""")),
+
+    // Shard-export census ([[Curation.exportShards]]): the corpus is
+    // actually WRITTEN as a hive-partitioned training layout
+    // (lang=<l>/ dirs, 2 deterministic hash shards per dir, files
+    // internally sorted) into a temp dir, then read back through the
+    // partition-discovery reader. The oracle replays the md5 shard
+    // routing in SQL and states every (lang, shard) cell's row count
+    // and id checksum — row-for-row routing determinism — plus
+    // n_files = 1: a shard bucket always lands in exactly one file
+    // (hash repartition sends each (lang, shard) combo to one task).
+    Declared(
+      "ext_pipeline_shard_export",
+      (s, d) => {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_shard_census").toString
+        Curation.exportShards(
+          Tables.documents(s, d).select("doc_id", "lang", "text"),
+          out, Seq("lang"), "doc_id", shardsPerPart = 2)
+        s.read.parquet(out)
+          .withColumn("__file", input_file_name())
+          .withColumn("shard",
+            pmod(graft.ext.Hashing.h32(col("doc_id").cast("string")), lit(2)))
+          .groupBy("lang", "shard")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("doc_id")).as("id_checksum"),
+            countDistinct(col("__file")).as("n_files"))
+          .orderBy("lang", "shard")
+      },
+      Some("""WITH r AS (
+                SELECT lang, doc_id,
+                       CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 2 AS shard
+                FROM documents)
+              SELECT lang, shard, COUNT(*) AS n_rows,
+                     CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+                     CAST(1 AS BIGINT) AS n_files
+              FROM r GROUP BY lang, shard ORDER BY lang, shard""")),
 
     // Deterministic split + stratified-downsampling census: every row
     // is assigned val/test/train by a salted hash of its id, and
