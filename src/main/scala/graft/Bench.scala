@@ -77,12 +77,23 @@ object Bench {
       try Tables.load(spark, sfDir, t).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] warmup $t: $e") }
     }
+    // per-query warm-up seconds double as an outlier reference: at
+    // sf0.001 a query's time is dominated by the same fixed per-stage
+    // overhead as its sub-second sf0.1 run, so a timed pair far above
+    // it is box contention, not plan cost
     val warmDir = "/root/testdata/sf0.001"
-    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] warmup $name: $e") }
-      }
+    val warm: Map[String, Double] =
+      if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
+        SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+            Some(name -> (System.nanoTime() - t0) / 1e9)
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] warmup $name: $e"); None
+          }
+        }.toMap
+      else Map.empty
     // min of two measured executions: rare single-run JVM stalls (JIT
     // recompile storms) otherwise add 10-20s to one random query per
     // run. The noop sink materializes every result row (count() would
@@ -102,14 +113,21 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val base = (1 to 2).map(_ => run())
-      // adaptive retries: a slow or unstable pair gets two more runs.
-      // Past artifacts carried transient stalls that poisoned BOTH
-      // baseline runs of one query (17 s twice on a 0.5 s query, clean
-      // immediately after) — min-of-2 can't save that, min-of-4 of the
-      // affected queries usually does. Fast stable queries (the common
-      // case) pay nothing.
+      // adaptive retries: a slow, unstable, or above-warm-up-floor
+      // pair gets two more runs. Past artifacts carried transient
+      // stalls that poisoned BOTH baseline runs of one query (17 s
+      // twice on a 0.5 s query, clean immediately after; r6 shipped
+      // 2.4 s for a query that reproduces at 0.40 s) — min-of-2
+      // can't save that, min-of-4 of the affected queries usually
+      // does. The warm-up comparison (min-of-2 > 3× the query's own
+      // sf0.001 time, floored at 150 ms) is what catches contended
+      // runs of SUB-second queries the absolute 2 s gate never sees.
+      // Fast stable queries (the common case) pay nothing.
+      val aboveWarmFloor =
+        warm.get(name).exists(w => base.min > 3.0 * math.max(w, 0.15))
       val runs =
-        if (err.isEmpty && (base.min > 2.0 || base.max / base.min.max(1e-9) > 2.5))
+        if (err.isEmpty && (base.min > 2.0 ||
+            base.max / base.min.max(1e-9) > 2.5 || aboveWarmFloor))
           base ++ (1 to 2).map(_ => run())
         else base
       QRes(name, runs, load0, err)
@@ -123,6 +141,7 @@ object Bench {
     val diag = results.map { r =>
       jstr(r.name) + ":{" +
         s""""runs":[${r.runs.mkString(",")}],"loadavg":${r.load},"failed":${r.err.isDefined}""" +
+        warm.get(r.name).map(w => s""","warm_s":$w""").getOrElse("") +
         r.err.map(e => s""","error":${jstr(e)}""").getOrElse("") + "}"
     }.mkString("{", ",", "}")
     val failedArr = failed.map(r => jstr(r.name)).mkString("[", ",", "]")
