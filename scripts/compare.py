@@ -43,18 +43,25 @@ def canon_hash(cols, rows):
 
 
 # Oracle output types whose driver-side coercion diverges from Spark's
-# (HUGEINT via pandas goes through float64/object and hashes as "123.0";
-# uncast DECIMAL sums drift similarly). Spark can't emit these, so any
-# hit is an oracle-SQL bug: add a CAST. This is the class check for the
-# r5 failure mode (4 queries hash-red on the driver, green locally).
-PORTABILITY_BAD = ("HUGEINT", "UHUGEINT", "INT128", "DECIMAL")
+# (HUGEINT via pandas goes through float64/object and hashes as "123.0").
+# Spark can't emit HUGEINT at all, so any hit is an oracle-SQL bug: add
+# a CAST. This is the class check for the r5 failure mode (4 queries
+# hash-red on the driver, green locally). DECIMAL is only a WARNING:
+# an uncast aggregate drifting to DECIMAL is usually the same bug, but
+# a deliberate decimal-typed query pair (Spark decimal column + oracle
+# DECIMAL) is legitimate and must stay representable.
+PORTABILITY_BAD = ("HUGEINT", "UHUGEINT", "INT128")
+PORTABILITY_WARN = ("DECIMAL",)
 
 
 def lint_types(con, name, sql):
-    """DESCRIBE the oracle SQL; return non-portable output columns."""
+    """DESCRIBE the oracle SQL; return (hard-fail, warn) output columns."""
     cols = con.execute(f"DESCRIBE {sql}").fetchall()
-    return [(c[0], c[1]) for c in cols
+    hard = [(c[0], c[1]) for c in cols
             if any(b in c[1].upper() for b in PORTABILITY_BAD)]
+    warn = [(c[0], c[1]) for c in cols
+            if any(b in c[1].upper() for b in PORTABILITY_WARN)]
+    return hard, warn
 
 
 def main(sf_dir, out_dir):
@@ -67,10 +74,14 @@ def main(sf_dir, out_dir):
     ok = bad = 0
     for name, sql in sorted(oracle.items()):
         try:
-            bad_cols = lint_types(con, name, sql)
+            bad_cols, warn_cols = lint_types(con, name, sql)
         except Exception as e:
-            bad_cols = []
+            bad_cols, warn_cols = [], []
             print(f"WARN {name}: type lint failed: {e}")
+        if warn_cols:
+            print(f"WARN {name}: DECIMAL oracle output columns {warn_cols} — "
+                  "fine if the Spark side is deliberately decimal, a bug if "
+                  "an uncast aggregate drifted")
         if bad_cols:
             print(f"FAIL {name}: non-portable oracle output types "
                   f"(CAST them): {bad_cols}")

@@ -284,15 +284,23 @@ object Multimodal {
     * sums the 16-bit samples as exact longs — n_samples, sum, and
     * sum of absolute values (the integer core of loudness/silence
     * gating). WAV PCM is lossless, so over [[syntheticWavs]] these
-    * sums prove SAMPLE-level encode→decode fidelity. Undecodable
-    * payloads quarantine as NULL stats with the row preserved.
+    * sums prove SAMPLE-level encode→decode fidelity.
+    *
+    * The stats contract covers 16-bit signed mono PCM; everything
+    * else quarantines as NULL stats with the row preserved and a
+    * `status` column separating the two quarantine causes —
+    * `unsupported_format` (a VALID container the summing pass doesn't
+    * cover: stereo, 8/24-bit, float PCM) vs `undecodable` (no parser
+    * recognizes the bytes) — so a census can tell corpus corruption
+    * from coverage gaps.
     */
   def audioSampleStats(media: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("n_samples", LongType, nullable = true),
       StructField("sum_s", LongType, nullable = true),
-      StructField("sum_abs", LongType, nullable = true)))
+      StructField("sum_abs", LongType, nullable = true),
+      StructField("status", StringType, nullable = false)))
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
     media.where(col("media_type") === "audio")
       .select("media_id", "payload").mapPartitions { it =>
@@ -304,22 +312,26 @@ object Multimodal {
               new ByteArrayInputStream(bytes))
             try {
               val fmt = ais.getFormat
-              require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1)
-              val data = ais.readAllBytes()
-              var n = 0L; var sum = 0L; var sumAbs = 0L
-              var i = 0
-              while (i + 1 < data.length) {
-                val lo = data(i) & 0xFF
-                val hi = data(i + 1).toInt
-                val s = if (fmt.isBigEndian) ((data(i).toInt << 8) | (data(i + 1) & 0xFF))
-                        else ((hi << 8) | lo)
-                n += 1; sum += s; sumAbs += math.abs(s)
-                i += 2
+              if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+                  fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+                Row(id, null, null, null, "unsupported_format")
+              else {
+                val data = ais.readAllBytes()
+                var n = 0L; var sum = 0L; var sumAbs = 0L
+                var i = 0
+                while (i + 1 < data.length) {
+                  val lo = data(i) & 0xFF
+                  val hi = data(i + 1).toInt
+                  val s = if (fmt.isBigEndian) ((data(i).toInt << 8) | (data(i + 1) & 0xFF))
+                          else ((hi << 8) | lo)
+                  n += 1; sum += s; sumAbs += math.abs(s)
+                  i += 2
+                }
+                Row(id, n, sum, sumAbs, "ok")
               }
-              Row(id, n, sum, sumAbs)
             } finally ais.close()
           } catch {
-            case _: Exception => Row(id, null, null, null)
+            case _: Exception => Row(id, null, null, null, "undecodable")
           }
         }
       }(encoder)

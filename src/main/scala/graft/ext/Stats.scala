@@ -263,18 +263,19 @@ object Stats {
     *
     * Shape: one partial-aggregated groupBy for the 3 moments, then a
     * join back — group-cardinality rows, broadcast by the planner when
-    * small (profiling dims always are). Long-sum headroom: Σx² needs
-    * n·B² < 2^63 for |x| ≤ B — at B = 10^5 cents that is ~9·10^8 rows
-    * per group; past it, accumulate the moments in DECIMAL upstream.
+    * small (profiling dims always are). The moment sums Σx and Σx²
+    * accumulate in DECIMAL(38,0) from the first multiply — NOT
+    * long·long then cast, whose wraparound in a non-ANSI session is a
+    * FINITE wrong value that can slip past every guard — so overflow
+    * is impossible below 10^38, far beyond any n·B² a real corpus
+    * reaches.
     *
-    * Past the headroom this operator fails LOUDLY, never silently:
-    * under Spark 4's default ANSI mode the overflowing arithmetic
-    * itself throws; in a non-ANSI session, where DECIMAL(38,0)
-    * products overflow to NULL (which a downstream
-    * `when(__is_outlier, …)` would silently read as "not an
-    * outlier"), a guard raises on any null flag for a non-null value,
-    * and a Cauchy-Schwarz check (n·q − s² ≥ 0 must hold for true
-    * moments) catches long-sum wraparound that nulls nothing.
+    * Defense in depth, both modes: under Spark 4's default ANSI mode
+    * any overflow throws; in a non-ANSI session decimal overflow
+    * yields NULL (which a downstream `when(__is_outlier, …)` would
+    * silently read as "not an outlier"), so a guard raises on any
+    * null flag for a non-null value, and a Cauchy-Schwarz check
+    * (n·q − s² ≥ 0 must hold for true moments) stays as a tripwire.
     * Reserved working names (`__c/__n/__s/__q/__is_outlier`) are
     * rejected on input rather than clobbered.
     */
@@ -293,8 +294,14 @@ object Stats {
     // silently misflag whenever the measure column has nulls (null
     // rows themselves get a null flag, never a verdict)
     val stats = vals.groupBy(groupCols.map(col): _*)
-      .agg(count(col("__c")).as("__n"), sum("__c").as("__s"),
-        sum(col("__c") * col("__c")).as("__q"))
+      // __q squares and accumulates in DECIMAL(38,0), not long·long:
+      // a wrapped long square is a FINITE wrong value that can slip
+      // past both the null guard and the Cauchy-Schwarz check in a
+      // non-ANSI session — decimal arithmetic overflows to NULL there
+      // (and throws under ANSI), so the loud-failure contract holds
+      // in BOTH modes instead of by-default-ANSI only
+      .agg(count(col("__c")).as("__n"), sum(col("__c").cast(D)).as("__s"),
+        sum(col("__c").cast(D) * col("__c").cast(D)).as("__q"))
     // every product in DECIMAL (not long·long then cast): the long
     // path would wrap first at extreme n×B, and the oracle's HUGEINT
     // arithmetic must mean the same bits at every magnitude

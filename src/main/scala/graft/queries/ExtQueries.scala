@@ -176,7 +176,7 @@ object ExtQueries {
         // consume it, and a real pipeline writes it once per batch —
         // checkpoint-memoized exactly like lsh_verified's candidates
         val cands = graft.ext.PlanCache.checkpointed(
-          "incLsh/cands/16/4", docs) { dd =>
+          s"incLsh/cands/16/4/$MaxBucket", docs) { dd =>
           Dedup.incrementalLshCandidates(
             bandsOf(dd.where(col("doc_id") % 20 === 7)), storeBands,
             maxBucket = MaxBucket)
@@ -1012,7 +1012,10 @@ object ExtQueries {
     // recomputes the identical sums WITHOUT decoding — a green row
     // proves every pixel of every image survives the PNG
     // encode→decode round trip bit-for-bit, strictly stronger than
-    // the header check above.
+    // the header check above. (Formula ceiling: the hash multiply
+    // stays in BIGINT only for doc_id ≲ 3.4e9 — past it DuckDB
+    // raises and Spark ANSI raises too, so the ceiling is loud on
+    // both sides, never a silent divergence.)
     Declared(
       "ext_multimodal_channels",
       (s, d) =>
@@ -1047,7 +1050,8 @@ object ExtQueries {
     // (doc_id, i), so the oracle recomputes the identical sums
     // WITHOUT an audio decoder — green proves every sample survives
     // the WAV container round trip bit-for-bit (the audio twin of
-    // ext_multimodal_channels).
+    // ext_multimodal_channels, sharing its ~3.4e9 doc_id formula
+    // ceiling — loud on both engines, never silent).
     Declared(
       "ext_multimodal_audio",
       (s, d) =>
@@ -1614,15 +1618,17 @@ object ExtQueries {
 
     // IVF at the ACTUAL serving configuration — nprobe = 4 of 16
     // lists, the 4× candidate-scan reduction a 100 TB ANN deployment
-    // runs — pinned by a recall floor against the brute-force top-10
-    // over a 20-query panel. The pipeline is fully deterministic
-    // (hash-seeded k-means init, fixed iterations), so `recall_ok`
-    // either always holds at a given corpus or the row goes red; the
-    // oracle states the floor as the expected TRUE alongside the
-    // brute-force pair count it can compute itself. Floor 0.40 vs a
-    // measured 0.515 at sf0.01 — margin for corpus growth, while a
-    // broken probe expansion (recall ≈ nprobe/k-ish or zero) still
-    // trips it.
+    // runs — pinned PER QUERY against the brute-force top-10 over a
+    // 20-query panel: each query row carries its brute-force count
+    // (oracle-exact) and a ≥1-hit floor, and the query_id = -1 total
+    // row carries the 0.40 aggregate recall floor. The pipeline is
+    // fully deterministic (hash-seeded k-means init, fixed
+    // iterations), so every boolean either always holds at a given
+    // corpus or its row goes red. Floors: per-query ≥1 of 10 vs a
+    // measured min of 2 across sf0.001/0.01/0.1; aggregate 0.40 vs
+    // measured 0.515-0.59 — margin for corpus growth, while a broken
+    // probe expansion (or one query's bucket routing going dark)
+    // still trips its own row.
     Declared(
       "ext_sim_ivf_nprobe",
       (s, d) => {
@@ -1634,11 +1640,17 @@ object ExtQueries {
           .select("query_id", "neighbor_id")
         val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10)
           .select("query_id", "neighbor_id")
-        val total = bf.agg(count(lit(1)).as("n_bf"))
         val hits = bf.join(ivf, Seq("query_id", "neighbor_id"))
-          .agg(count(lit(1)).as("__h"))
-        total.crossJoin(hits)
-          .select(col("n_bf"), (col("__h") * 5 >= col("n_bf") * 2).as("recall_ok"))
+          .groupBy("query_id").agg(count(lit(1)).as("__h"))
+        val perQ = bf.groupBy("query_id").agg(count(lit(1)).as("n_bf"))
+          .join(hits, Seq("query_id"), "left")
+          .withColumn("__h", coalesce(col("__h"), lit(0L)))
+        val per = perQ.select(col("query_id").cast("long").as("query_id"),
+          col("n_bf"), (col("__h") >= 1).as("recall_ok"))
+        val total = perQ.agg(sum(col("n_bf")).as("n_bf"), sum(col("__h")).as("__h"))
+          .select(lit(-1L).as("query_id"), col("n_bf"),
+            (col("__h") * 5 >= col("n_bf") * 2).as("recall_ok"))
+        per.unionAll(total).orderBy("query_id")
       },
       Some("""WITH bf AS (
                  SELECT qid, nid FROM (
@@ -1649,7 +1661,12 @@ object ExtQueries {
                    FROM embeddings q JOIN embeddings c
                      ON q.vec_id < 20 AND q.vec_id <> c.vec_id)
                  WHERE rk <= 10)
-               SELECT COUNT(*) AS n_bf, TRUE AS recall_ok FROM bf""")),
+               SELECT CAST(qid AS BIGINT) AS query_id, COUNT(*) AS n_bf,
+                      TRUE AS recall_ok
+               FROM bf GROUP BY qid
+               UNION ALL
+               SELECT CAST(-1 AS BIGINT), (SELECT COUNT(*) FROM bf), TRUE
+               ORDER BY query_id""")),
 
     // Quantized (int8-range) ANN ([[Similarity.quantizedTopK]]): the
     // 100 TB storage/bandwidth path — clamp(floor(x·127+0.5)) per dim

@@ -86,13 +86,27 @@ class MultimodalSpec extends SparkSpec {
       }
       assert(got(id) == ((n.toLong, sum, sumAbs)), s"id=$id")
     }
-    // corrupt payload: row kept, stats null; non-audio rows filtered
+    // corrupt payload: row kept, stats null, status = undecodable;
+    // non-audio rows filtered
     val corrupt = Seq((5L, "audio", "not a wav".getBytes("UTF-8")))
       .toDF("media_id", "media_type", "payload")
     val bad = Multimodal.audioSampleStats(corrupt).collect().head
     assert(bad.getLong(0) == 5L && bad.isNullAt(1))
+    assert(bad.getString(4) == "undecodable")
     val img = Seq((6L, "image", Array[Byte](1))).toDF("media_id", "media_type", "payload")
     assert(Multimodal.audioSampleStats(img).count() == 0)
+    // a VALID but stereo WAV: distinguished from corruption
+    val stereoPcm = new Array[Byte](16)
+    val sfmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val sais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(stereoPcm), sfmt, 4L)
+    val sbos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(sais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, sbos)
+    val stereo = Seq((8L, "audio", sbos.toByteArray))
+      .toDF("media_id", "media_type", "payload")
+    val srow = Multimodal.audioSampleStats(stereo).collect().head
+    assert(srow.isNullAt(1) && srow.getString(4) == "unsupported_format")
   }
 
   test("syntheticGifs are genuine multi-frame containers; sampleFrames decodes the formula pixels") {
