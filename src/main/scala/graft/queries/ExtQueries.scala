@@ -1980,6 +1980,60 @@ object ExtQueries {
                      CAST(1 AS BIGINT) AS n_files
               FROM r GROUP BY lang, shard ORDER BY lang, shard""")),
 
+    // Z-order layout census ([[Layout.writeZOrdered]]): lineitem is
+    // actually WRITTEN range-partitioned + sorted on the Morton
+    // interleave of two 6-bit dims, then read back. The oracle
+    // replays the Morton bit-math in SQL and states the exact row
+    // count, z checksum, and global z range — pinning the interleave
+    // computation and lossless routing. File boundaries come from
+    // range-partitioner sampling (not run-deterministic), so the
+    // layout contract is pinned structurally instead: exactly 16
+    // files whose recomputed [min_z, max_z] spans are pairwise
+    // DISJOINT — the property that makes parquet min-max stats prune
+    // box predicates to O(box volume) files at 100 TB.
+    Declared(
+      "ext_pipeline_zorder",
+      (s, d) => {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_zorder_census").toString
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+          (col("l_partkey") % 64).as("x"), (col("l_suppkey") % 64).as("y"))
+        graft.ext.Layout.writeZOrdered(li, out, "x", "y", bits = 6, nFiles = 16)
+        val back = s.read.parquet(out)
+          .withColumn("__file", input_file_name())
+          .withColumn("__z", graft.ext.Layout.morton2(col("x"), col("y"), 6))
+        val w = org.apache.spark.sql.expressions.Window.orderBy("zmin")
+        // 16 file-summary rows — the single-partition window is over
+        // file count, never data
+        val files = back.groupBy("__file")
+          .agg(min("__z").as("zmin"), max("__z").as("zmax"))
+          .withColumn("__prev_max", lag("zmax", 1).over(w))
+          .agg(count(lit(1)).as("n_files"),
+            sum(when(col("__prev_max").isNotNull &&
+              col("__prev_max") >= col("zmin"), 1L).otherwise(0L)).as("__ovl"))
+        back.agg(count(lit(1)).as("n_rows"),
+            sum(col("__z")).as("z_checksum"),
+            min(col("__z")).as("z_min"), max(col("__z")).as("z_max"))
+          .crossJoin(files)
+          .select(col("n_rows"), col("z_checksum"), col("z_min"), col("z_max"),
+            col("n_files"), (col("__ovl") === 0).as("files_disjoint"))
+      },
+      Some("""WITH z AS (
+                -- bitwise ops all share one precedence tier in DuckDB
+                -- (left-to-right), so every term is fully parenthesized
+                SELECT ((((l_partkey % 64) >> 0) & 1) << 0)  | ((((l_suppkey % 64) >> 0) & 1) << 1)
+                     | ((((l_partkey % 64) >> 1) & 1) << 2)  | ((((l_suppkey % 64) >> 1) & 1) << 3)
+                     | ((((l_partkey % 64) >> 2) & 1) << 4)  | ((((l_suppkey % 64) >> 2) & 1) << 5)
+                     | ((((l_partkey % 64) >> 3) & 1) << 6)  | ((((l_suppkey % 64) >> 3) & 1) << 7)
+                     | ((((l_partkey % 64) >> 4) & 1) << 8)  | ((((l_suppkey % 64) >> 4) & 1) << 9)
+                     | ((((l_partkey % 64) >> 5) & 1) << 10) | ((((l_suppkey % 64) >> 5) & 1) << 11)
+                       AS z
+                FROM lineitem)
+              SELECT COUNT(*) AS n_rows, CAST(SUM(z) AS BIGINT) AS z_checksum,
+                     CAST(MIN(z) AS BIGINT) AS z_min, CAST(MAX(z) AS BIGINT) AS z_max,
+                     CAST(16 AS BIGINT) AS n_files, TRUE AS files_disjoint
+              FROM z""")),
+
     // Deterministic split + stratified-downsampling census: every row
     // is assigned val/test/train by a salted hash of its id, and
     // independently marked kept/dropped by a per-language per-mille
