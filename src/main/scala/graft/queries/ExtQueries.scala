@@ -1642,15 +1642,23 @@ object ExtQueries {
           .select("query_id", "neighbor_id")
         val hits = bf.join(ivf, Seq("query_id", "neighbor_id"))
           .groupBy("query_id").agg(count(lit(1)).as("__h"))
+        // ONE execution of the bf+ivf subtree, then the 20-row panel
+        // summary comes to the driver (bounded-artifact collect
+        // discipline) — deriving the per-query rows and the total row
+        // as separate plan branches re-ran the whole pipeline per
+        // branch (measured 3×)
         val perQ = bf.groupBy("query_id").agg(count(lit(1)).as("n_bf"))
           .join(hits, Seq("query_id"), "left")
-          .withColumn("__h", coalesce(col("__h"), lit(0L)))
-        val per = perQ.select(col("query_id").cast("long").as("query_id"),
-          col("n_bf"), (col("__h") >= 1).as("recall_ok"))
-        val total = perQ.agg(sum(col("n_bf")).as("n_bf"), sum(col("__h")).as("__h"))
-          .select(lit(-1L).as("query_id"), col("n_bf"),
-            (col("__h") * 5 >= col("n_bf") * 2).as("recall_ok"))
-        per.unionAll(total).orderBy("query_id")
+          .select(col("query_id").cast("long"), col("n_bf"),
+            coalesce(col("__h"), lit(0L)))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        val totalBf = perQ.map(_._2).sum
+        val totalH = perQ.map(_._3).sum
+        import s.implicits._
+        (perQ.map { case (q, nbf, h) => (q, nbf, h >= 1) }.toSeq :+
+          ((-1L, totalBf, totalH * 5 >= totalBf * 2)))
+          .toDF("query_id", "n_bf", "recall_ok")
+          .orderBy("query_id")
       },
       Some("""WITH bf AS (
                  SELECT qid, nid FROM (
