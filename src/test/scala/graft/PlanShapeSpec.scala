@@ -161,6 +161,36 @@ class PlanShapeSpec extends SparkSpec {
       s"audio bytes must not cross an extra shuffle:\n$plan")
   }
 
+  test("ext_pipeline_decontam_bloom: gram probe is a map-side filter, never a join") {
+    val plan = planOf("ext_pipeline_decontam_bloom")
+    // the whole point of the bloom path: eval grams reach the train
+    // side as a LITERAL filter probed in the scan pipeline — the only
+    // hash join allowed is the final doc-id anti-join
+    assert(plan.contains("might_contain"),
+      s"bloom probe must appear as a map-side predicate:\n$plan")
+    assert(count(plan, "BroadcastHashJoin") <= 1,
+      s"only the final anti-join may hash-join:\n$plan")
+    assert(count(plan, "SortMergeJoin") == 0, s"unexpected SMJ:\n$plan")
+  }
+
+  test("ext_multimodal_features: featurizer is one mapPartitions pass, no join work") {
+    val plan = planOf("ext_multimodal_features")
+    assert(plan.contains("MapPartitions"),
+      s"decode+featurize must be per-partition batch work:\n$plan")
+    assert(count(plan, "ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin") == 0,
+      s"no join belongs in the featurize pass:\n$plan")
+    assert(count(plan, "Exchange") <= 3,
+      s"image bytes must not cross an extra shuffle:\n$plan")
+  }
+
+  test("ext_pipeline_shard_export: read-back census is two exchanges, no join") {
+    val plan = planOf("ext_pipeline_shard_export")
+    assert(count(plan, "ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin") == 0,
+      s"shard census is a straight groupBy over the read-back scan:\n$plan")
+    assert(count(plan, "Exchange") <= 3,
+      s"census needs only the groupBy and orderBy exchanges:\n$plan")
+  }
+
   test("dq09_numeric_agg: long-cents sums, partial aggregation before the exchange") {
     val plan = planOf("dq09_numeric_agg")
     assert(plan.contains("partial_sum"),
