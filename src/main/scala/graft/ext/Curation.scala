@@ -227,10 +227,14 @@ object Curation {
                    keyCol: String, shardsPerPart: Int = 1): Unit = {
     require(partCols.nonEmpty, "exportShards needs partition columns")
     require(shardsPerPart > 0, s"shardsPerPart=$shardsPerPart must be positive")
-    // the shard bucket joins the repartition key (so a partition dir
-    // splits into ≤ shardsPerPart deterministic files) while the task
-    // count stays the session's parallelism — shardsPerPart is a file
-    // LAYOUT knob, not a parallelism cap
+    // the shard bucket joins the repartition key, so a partition dir
+    // splits into ≤ shardsPerPart deterministic files — and each
+    // (partCols, shard) combo lands in exactly ONE task, which is
+    // what makes n_files-per-shard deterministic. That means write
+    // parallelism = #combos (capped by shuffle partitions):
+    // shardsPerPart is BOTH the file-layout and the parallelism knob,
+    // and a 100 TB export must size it so combos ≫ executor cores
+    // (e.g. 1000 shards per lang), which also caps file size
     df
       .withColumn("__shard",
         pmod(Hashing.h32(col(keyCol).cast("string")), lit(shardsPerPart)))
