@@ -140,6 +140,14 @@ class MultimodalSpec extends SparkSpec {
     val corrupt = Seq((55L, "video", "not a gif".getBytes("UTF-8")))
       .toDF("media_id", "media_type", "payload")
     assert(Multimodal.sampleFrames(corrupt, 4).count() == 0)
+    // TRUNCATED mid-container (valid magic + header, frame data cut):
+    // frame reads past the cut throw inside the reader — the row must
+    // quarantine to zero frames, never fail the job
+    val full = media.where($"media_id" === 1234L)
+      .collect().head.getAs[Array[Byte]]("payload")
+    val truncated = Seq((56L, "video", full.take(full.length / 3)))
+      .toDF("media_id", "media_type", "payload")
+    assert(Multimodal.sampleFrames(truncated, 4).count() < 4)
     val img = Seq((6L, "image", Array[Byte](1))).toDF("media_id", "media_type", "payload")
     assert(Multimodal.sampleFrames(img, 4).count() == 0)
   }

@@ -191,6 +191,24 @@ class PropertySpec extends SparkSpec {
     assert(!two.isNullAt(0) && !two.isNullAt(1) && two.getLong(0) != two.getLong(1))
   }
 
+  test("hashedNgrams emits exactly one hash per rawNgrams position on generated text") {
+    import spark.implicits._
+    // parity of the two n-gram pipelines' POSITION semantics: the
+    // hash-domain path must filter tail positions by hand (xxhash64
+    // skips nulls where concat nulls out), so equal counts per doc on
+    // messy generated text pin exactly that filter
+    sample(Gen.listOfN(8, docGen), 4).foreach { docs =>
+      val df = docs.zipWithIndex.map { case (d, i) => (i.toLong, d) }.toDF("doc_id", "text")
+      for (n <- Seq(1, 2, 8)) {
+        val raw = Dedup.rawNgrams(df, "doc_id", "text", n, "g")
+          .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+        val hashed = Dedup.hashedNgrams(df, "doc_id", "text", n)
+          .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+        assert(hashed == raw, s"n=$n docs=$docs")
+      }
+    }
+  }
+
   test("jaccard inter/uni bounds: 0 < inter <= uni, symmetric under id swap") {
     import spark.implicits._
     sample(Gen.listOfN(5, docGen.suchThat(_.split(" ").length >= 4)), 5).foreach { docs =>
