@@ -231,6 +231,38 @@ object TextStats {
     * one partial-aggregated groupBy whose output is bounded by the
     * number of distinct domains at any input size.
     */
+  /** Perplexity-style quality scoring under the corpus's own unigram
+    * model: per-token surprisal −ln(c(w)/N) summed per document — the
+    * classic LM-filtering gate (very low average surprisal ≈
+    * boilerplate/repetition, very high ≈ noise/garbled text), here
+    * with the corpus itself as the model so no external LM is needed.
+    *
+    * Portability discipline: surprisal is computed ONCE PER DISTINCT
+    * WORD (vocabulary-sized, so float rounding happens ~|V| times,
+    * not once per token) as `round(ln(N/c)·1e9)` — a single double
+    * division and one ln on identical inputs in both engines, scaled
+    * and rounded to an exact BIGINT that then sums associatively.
+    * Per-doc output is all-integer: (n_tokens, surprisal_e9 sum).
+    *
+    * 100 TB shape: one vocabulary-sized groupBy (Heaps-law bounded),
+    * one scalar total, then tokens equi-join the vocabulary —
+    * vocabulary relations shuffle, the corpus scans once; no floats
+    * cross any exchange.
+    */
+  def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("__w"))
+    val counts = words.groupBy("__w").agg(count(lit(1)).as("__c"))
+    val total = counts.agg(sum(col("__c")).as("__n"))
+    val vocab = counts.crossJoin(broadcast(total))
+      .select(col("__w"),
+        round(log(col("__n").cast("double") / col("__c")) * 1e9)
+          .cast("long").as("__sp"))
+    words.join(vocab, "__w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__sp")).as("surprisal_e9"))
+  }
+
   def urlDomains(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
         explode(regexp_extract_all(col(textCol), lit(urlRe), lit(0))).as("url"))

@@ -750,6 +750,32 @@ object ExtQueries {
                      COUNT(*) AS n_docs, CAST(SUM(n_grams) AS BIGINT) AS sum_grams
               FROM d GROUP BY rep_decile ORDER BY rep_decile""")),
 
+    // Perplexity-style quality gate ([[TextStats.unigramSurprisal]]):
+    // per-doc summed unigram surprisal under the corpus's own model —
+    // the LM-filtering screen (low ≈ boilerplate, high ≈ garbled).
+    // Surprisal is rounded to an exact e9-scaled BIGINT once per
+    // DISTINCT word (one ln on identical doubles both engines, ~|V|
+    // roundings instead of per-token), then sums associatively — the
+    // top-10 listing is fully integer with a doc_id tie-break.
+    Declared(
+      "ext_text_surprisal",
+      (s, d) =>
+        TextStats.unigramSurprisal(Tables.documents(s, d), "doc_id", "text")
+          .orderBy(desc("surprisal_e9"), asc("doc_id"))
+          .limit(10),
+      Some("""WITH w AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+              c AS (SELECT w, COUNT(*) AS c FROM w GROUP BY w),
+              n AS (SELECT COUNT(*) AS n FROM w),
+              v AS (SELECT c.w,
+                           CAST(round(ln(CAST(n.n AS DOUBLE) / c.c) * 1e9) AS BIGINT) AS sp
+                    FROM c CROSS JOIN n),
+              d AS (SELECT w.doc_id, COUNT(*) AS n_tokens,
+                           CAST(SUM(v.sp) AS BIGINT) AS surprisal_e9
+                    FROM w JOIN v USING (w) GROUP BY w.doc_id)
+              SELECT doc_id, n_tokens, surprisal_e9 FROM d
+              ORDER BY surprisal_e9 DESC, doc_id LIMIT 10""")),
+
     // Per-language token-count quantiles (corpus length profile — what
     // sets curation thresholds). Exact type-7 interpolation on BOTH
     // engines; ×100 integer projection is mathematically integral

@@ -209,6 +209,23 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("unigramSurprisal equals a naive in-memory model on generated docs") {
+    import spark.implicits._
+    sample(Gen.listOfN(6, docGen.suchThat(_.nonEmpty)), 3).foreach { docs =>
+      val df = docs.zipWithIndex.map { case (d, i) => (i.toLong, d) }.toDF("doc_id", "text")
+      val toks = docs.map(_.split(" ", -1).toSeq)
+      val counts = toks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = toks.map(_.size).sum.toDouble
+      val want = toks.zipWithIndex.map { case (ws, i) =>
+        i.toLong -> ((ws.size.toLong,
+          ws.map(w => math.round(math.log(n / counts(w)) * 1e9)).sum))
+      }.toMap
+      val got = graft.ext.TextStats.unigramSurprisal(df, "doc_id", "text")
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == want, s"docs=$docs")
+    }
+  }
+
   test("jaccard inter/uni bounds: 0 < inter <= uni, symmetric under id swap") {
     import spark.implicits._
     sample(Gen.listOfN(5, docGen.suchThat(_.split(" ").length >= 4)), 5).foreach { docs =>
