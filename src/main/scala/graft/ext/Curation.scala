@@ -111,15 +111,41 @@ object Curation {
   def decontaminate(train: DataFrame, idCol: String, textCol: String,
                     eval: DataFrame, evalTextCol: String,
                     n: Int = 8): DataFrame = {
-    val evalGrams = Dedup.hashedNgrams(
-        eval.select(lit(0L).as("__eid"), col(evalTextCol)),
-        "__eid", evalTextCol, n)
-      .select("__g").distinct()
-    val trainGrams = Dedup.hashedNgrams(train, idCol, textCol, n)
+    val evalGrams = sharedEvalGrams(eval, evalTextCol, n)
+    val trainGrams = sharedTrainGrams(train, idCol, textCol, n)
     val contaminated = trainGrams.join(evalGrams, "__g")
       .select(col("doc_id").as("__contam_id")).distinct()
     train.join(contaminated, col(idCol) === col("__contam_id"), "left_anti")
   }
+
+  /** The train-side gram relation, PlanCache-shared keyed on (input
+    * plan, n): the exact and Bloom decontamination paths both probe
+    * THE SAME (doc_id, gram-hash) relation — a pipeline that runs
+    * both (exact for a core eval set, Bloom for the full suite) would
+    * otherwise re-scan and re-gram the whole corpus per variant,
+    * which IS each variant's dominant cost (the probe itself is a
+    * broadcast semi-join / map-side filter). 16-byte rows, spillable;
+    * same persistence discipline as [[Dedup.cappedShingleHashes]].
+    */
+  private def sharedTrainGrams(train: DataFrame, idCol: String,
+                               textCol: String, n: Int): DataFrame =
+    PlanCache.cached(s"decontam/trainGrams/$idCol/$textCol/$n", train) {
+      Dedup.hashedNgrams(_, idCol, textCol, n)
+    }
+
+  /** The distinct eval gram-hash set, likewise shared: eval sets are
+    * tiny next to the corpus, but both variants need the distinct set
+    * (one to broadcast-join, one to fold into the Bloom build) and
+    * the dedup exchange is the non-trivial part of that subtree.
+    */
+  private def sharedEvalGrams(eval: DataFrame, evalTextCol: String,
+                              n: Int): DataFrame =
+    PlanCache.cached(s"decontam/evalGrams/$evalTextCol/$n", eval) { e =>
+      Dedup.hashedNgrams(
+          e.select(lit(0L).as("__eid"), col(evalTextCol)),
+          "__eid", evalTextCol, n)
+        .select("__g").distinct()
+    }
 
   /** Probabilistic [[decontaminate]] for when the eval n-gram set is
     * too large to broadcast exactly: the eval grams fold into ONE
@@ -159,10 +185,7 @@ object Curation {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graftshim.ColumnShim
     import org.apache.spark.sql.types.BinaryType
-    val evalGrams = Dedup.hashedNgrams(
-        eval.select(lit(0L).as("__eid"), col(evalTextCol)),
-        "__eid", evalTextCol, n)
-      .select("__g").distinct()
+    val evalGrams = sharedEvalGrams(eval, evalTextCol, n)
     // the filter BUILDS distributed (partial aggregation merges
     // per-partition sketches); only the finished bloom BYTES come to
     // the driver — one bounded index artifact (size ∝ capacity/fpp,
@@ -177,7 +200,7 @@ object Curation {
           Literal(expectedItems), Literal(numBits))
           .toAggregateExpression()).as("__bloom"))
       .head().getAs[Array[Byte]](0)
-    val trainGrams = Dedup.hashedNgrams(train, idCol, textCol, n)
+    val trainGrams = sharedTrainGrams(train, idCol, textCol, n)
     val contaminated = trainGrams
       .where(ColumnShim.column(BloomFilterMightContain(
         Literal(bloomBytes, BinaryType),

@@ -277,6 +277,21 @@ object Dedup {
       .select(col("doc_id"), sig.as("simhash"))
   }
 
+  /** [[simhash]] as a PlanCache-shared relation keyed on (input plan,
+    * bits): the signature table is the artifact every SimHash consumer
+    * starts from — the bucket census, the near-pair multi-index, and
+    * the component closure each need (doc_id, simhash), and computing
+    * it per consumer re-runs the corpus scan + tokenize + per-bit
+    * aggregation (the family's dominant cost) up to three times per
+    * session. 16-byte rows — one per doc — so the persisted relation
+    * is as small as a relation over the corpus can be.
+    */
+  def simhashShared(docs: DataFrame, idCol: String, textCol: String,
+                    bits: Int = 16): DataFrame =
+    PlanCache.cached(s"simhash/$idCol/$textCol/$bits", docs) {
+      simhash(_, idCol, textCol, bits)
+    }
+
   /** Hamming distance between two simhash signatures — the similarity
     * measure for SimHash-based near-dup (bit_count is codegen'd).
     */
@@ -306,23 +321,29 @@ object Dedup {
       s"bits=$bits must be divisible by maxDist+1=$nSeg segments")
     val segBits = bits / nSeg
     val mask = (1L << segBits) - 1
-    // persisted diamond: the self-join below reads this relation on
-    // BOTH sides — without the cache the whole scan→tokenize→simhash
-    // aggregation executes twice (measured 2× the query's runtime)
-    val allSegs = PlanCache.cached(
-      s"simhashSegs/$idCol/$textCol/$bits/$nSeg", docs) { d =>
-      val sh = simhash(d, idCol, textCol, bits)
-      val segStructs = (0 until nSeg).map { i =>
-        struct(lit(i).as("seg"),
-          expr(s"shiftright(simhash, ${i * segBits}) & $mask").as("segv"))
-      }
-      // signatures ride along (8 bytes) so verification needs no
-      // join-back to the signature table
-      sh.select(col("doc_id"), col("simhash"),
-          explode(array(segStructs: _*)).as("sv"))
-        .select(col("doc_id"), col("simhash"),
-          col("sv.seg").as("seg"), col("sv.segv").as("segv"))
+    // the persisted diamond anchor is the SHARED signature relation
+    // ([[simhashShared]] — one 16-byte row per doc, also consumed by
+    // the bucket census and any other SimHash query in the session):
+    // the self-join below reads the segment explosion on BOTH sides,
+    // and without a cache underneath it the whole scan→tokenize→
+    // simhash aggregation executes twice (measured 2× the query's
+    // runtime). The segment explosion itself stays UNCACHED — it is a
+    // pure map-side shift/mask projection of the cached signatures
+    // (recomputing it per join side costs ~nothing), and caching the
+    // wider 4-rows/doc form instead would quadruple the storage while
+    // denying the census its narrow shared anchor.
+    val sh = simhashShared(docs, idCol, textCol, bits)
+    val segStructs = (0 until nSeg).map { i =>
+      struct(lit(i).as("seg"),
+        expr(s"shiftright(simhash, ${i * segBits}) & $mask").as("segv"))
     }
+    // signatures ride along (8 bytes) so verification needs no
+    // join-back to the signature table
+    val allSegs = sh
+      .select(col("doc_id"), col("simhash"),
+        explode(array(segStructs: _*)).as("sv"))
+      .select(col("doc_id"), col("simhash"),
+        col("sv.seg").as("seg"), col("sv.segv").as("segv"))
     // optional skew guard for the 100 TB case: a (seg, segv) bucket of
     // m docs implies m²/2 candidate pairs, and a boilerplate cluster
     // of near-identical simhashes lands whole in one bucket. Capping

@@ -239,15 +239,25 @@ object TextStats {
     *
     * Portability discipline: surprisal is computed ONCE PER DISTINCT
     * WORD (vocabulary-sized, so float rounding happens ~|V| times,
-    * not once per token) as `round(ln(N/c)·1e9)` — a single double
+    * not once per token) as `round(ln(N/c)·1e6)` — a single double
     * division and one ln on identical inputs in both engines, scaled
     * and rounded to an exact BIGINT that then sums associatively.
-    * Per-doc output is all-integer: (n_tokens, surprisal_e9 sum).
+    * The 1e6 scale leaves ~9 decimal digits of headroom between a
+    * double's ~1e-15 relative ln error and the 0.5 rounding margin
+    * (an e9 scale left only ~3 — a 1-ulp engine disagreement near a
+    * half-integer could flip a word's BIGINT and grow riskier with
+    * |V|), while still resolving counts apart to one part in 1e6 —
+    * far finer than any real surprisal tie. Per-doc output is
+    * all-integer: (n_tokens, surprisal_e6 sum).
     *
     * 100 TB shape: one vocabulary-sized groupBy (Heaps-law bounded),
-    * one scalar total, then tokens equi-join the vocabulary —
-    * vocabulary relations shuffle, the corpus scans once; no floats
-    * cross any exchange.
+    * one scalar total, then tokens equi-join the vocabulary with an
+    * EXPLICIT broadcast hint — the vocabulary is Heaps-law bounded
+    * (always broadcastable) but sits under an aggregate whose size
+    * estimate is unreliable, and a sort-merge fallback would shuffle
+    * the full token stream keyed by WORD, the corpus's worst skew key
+    * ("the"). Broadcast makes the join map-side: the corpus scans
+    * once and no token row ever crosses an exchange.
     */
   def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val words = docs.select(col(idCol).as("doc_id"),
@@ -256,11 +266,11 @@ object TextStats {
     val total = counts.agg(sum(col("__c")).as("__n"))
     val vocab = counts.crossJoin(broadcast(total))
       .select(col("__w"),
-        round(log(col("__n").cast("double") / col("__c")) * 1e9)
+        round(log(col("__n").cast("double") / col("__c")) * 1e6)
           .cast("long").as("__sp"))
-    words.join(vocab, "__w")
+    words.join(broadcast(vocab), "__w")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), sum(col("__sp")).as("surprisal_e9"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__sp")).as("surprisal_e6"))
   }
 
   def urlDomains(docs: DataFrame, idCol: String, textCol: String): DataFrame =

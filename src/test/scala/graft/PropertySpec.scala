@@ -218,7 +218,7 @@ class PropertySpec extends SparkSpec {
       val n = toks.map(_.size).sum.toDouble
       val want = toks.zipWithIndex.map { case (ws, i) =>
         i.toLong -> ((ws.size.toLong,
-          ws.map(w => math.round(math.log(n / counts(w)) * 1e9)).sum))
+          ws.map(w => math.round(math.log(n / counts(w)) * 1e6)).sum))
       }.toMap
       val got = graft.ext.TextStats.unigramSurprisal(df, "doc_id", "text")
         .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
