@@ -69,6 +69,28 @@ object PlanCache {
     cache.getOrElseUpdate(key, build(input).localCheckpoint(eager = false))
   }
 
+  private val artifacts = TrieMap.empty[
+    (String, org.apache.spark.sql.SparkSession,
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), Any]
+
+  /** Memoize a BOUNDED driver-side artifact derived from `input` —
+    * collected index bytes (a Bloom filter), sampled centroids, probe
+    * panels — keyed exactly like [[cached]] (tag must encode every
+    * build parameter). Rationale: such artifacts are built by their
+    * own Spark job ending in a driver collect, so even when the
+    * relations underneath are PlanCache'd, every re-execution of the
+    * query re-runs the build job; the artifact is the "build once per
+    * corpus, probe many times" half of an index operator and at
+    * production scale would be written to reliable storage exactly
+    * once (the IvfIndex parquet artifact is the same discipline).
+    * Only for artifacts that are deterministic functions of (input
+    * plan, tag) and small enough to live on the driver.
+    */
+  def artifact[T](tag: String, input: DataFrame)(build: DataFrame => T): T = {
+    val key = (tag, input.sparkSession, input.queryExecution.analyzed.canonicalized)
+    artifacts.getOrElseUpdate(key, build(input)).asInstanceOf[T]
+  }
+
   /** Unpersist and drop every cached relation (blocking=false: lazy
     * executor-side release). Checkpointed entries release their RDD
     * storage via the ContextCleaner once unreferenced.
@@ -76,6 +98,7 @@ object PlanCache {
   def clear(): Unit = {
     cache.values.foreach(_.unpersist(false))
     cache.clear()
+    artifacts.clear()
   }
 
   /** Number of live cached relations (for specs/diagnostics). */
