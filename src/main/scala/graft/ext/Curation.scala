@@ -255,7 +255,19 @@ object Curation {
     * same output discipline as the engine's text sink (E9).
     */
   def exportShards(df: DataFrame, outDir: String, partCols: Seq[String],
-                   keyCol: String, shardsPerPart: Int = 1): Unit = {
+                   keyCol: String, shardsPerPart: Int = 1): Unit =
+    shardPlan(df, partCols, keyCol, shardsPerPart)
+      .write.mode("overwrite")
+      .partitionBy(partCols: _*)
+      .parquet(outDir)
+
+  /** The planned (pre-write) frame of [[exportShards]], exposed so the
+    * export's plan shape is pinnable: ONE hash exchange keyed on
+    * (partCols, shard) and a partition-LOCAL sort on (partCols, key)
+    * — no global sort, no second shuffle.
+    */
+  def shardPlan(df: DataFrame, partCols: Seq[String],
+                keyCol: String, shardsPerPart: Int = 1): DataFrame = {
     require(partCols.nonEmpty, "exportShards needs partition columns")
     require(shardsPerPart > 0, s"shardsPerPart=$shardsPerPart must be positive")
     // the shard bucket joins the repartition key, so a partition dir
@@ -272,9 +284,6 @@ object Curation {
       .repartition((partCols.map(col) :+ col("__shard")): _*)
       .drop("__shard")
       .sortWithinPartitions(partCols.map(col) :+ col(keyCol): _*)
-      .write.mode("overwrite")
-      .partitionBy(partCols: _*)
-      .parquet(outDir)
   }
 
   /** Run the pipeline over `docs`. Near-dup threshold is the rational

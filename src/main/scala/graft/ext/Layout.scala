@@ -37,12 +37,23 @@ object Layout {
     * prunes on.
     */
   def writeZOrdered(df: DataFrame, outDir: String, xCol: String, yCol: String,
-                    bits: Int, nFiles: Int): Unit = {
+                    bits: Int, nFiles: Int): Unit =
+    zOrderPlan(df, xCol, yCol, bits, nFiles)
+      .write.mode("overwrite").parquet(outDir)
+
+  /** The planned (pre-write) frame of [[writeZOrdered]], exposed so
+    * the layout's plan shape is pinnable: ONE range-partitioning
+    * exchange on the Morton code (the sampling pass is the range
+    * partitioner's, not an extra job of ours) and a partition-LOCAL
+    * sort — never a global sort, whose single ordered shuffle would
+    * serialize a 100 TB rewrite through one task wave.
+    */
+  def zOrderPlan(df: DataFrame, xCol: String, yCol: String,
+                 bits: Int, nFiles: Int): DataFrame = {
     require(nFiles > 0, s"nFiles=$nFiles must be positive")
     df.withColumn("__z", morton2(col(xCol), col(yCol), bits))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-      .write.mode("overwrite").parquet(outDir)
   }
 }

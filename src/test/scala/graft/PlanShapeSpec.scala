@@ -171,6 +171,11 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(plan, "BroadcastHashJoin") <= 1,
       s"only the final anti-join may hash-join:\n$plan")
     assert(count(plan, "SortMergeJoin") == 0, s"unexpected SMJ:\n$plan")
+    // the train grams probed here are the SAME PlanCache'd relation
+    // the exact decontamination path joins — the bloom query must
+    // read it back, not re-scan and re-gram the corpus
+    assert(plan.contains("InMemoryTableScan"),
+      s"bloom probe must consume the shared train-gram relation:\n$plan")
   }
 
   test("ext_multimodal_features: featurizer is one mapPartitions pass, no join work") {
@@ -197,5 +202,105 @@ class PlanShapeSpec extends SparkSpec {
       s"map-side combine missing:\n$plan")
     assert(!plan.toLowerCase.contains("decimal(38"),
       s"cents path must not fall back to wide decimal:\n$plan")
+  }
+
+  /** Executed-plan string (final AQE section) of an arbitrary frame —
+    * for pinning operator sub-plans that are not whole declared
+    * queries (write-side plans, probe sub-plans).
+    */
+  private def planOfFrame(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+  }
+
+  test("ext_text_surprisal: vocabulary broadcasts; the token stream never shuffles by word") {
+    val plan = planOf("ext_text_surprisal")
+    // the token⋈vocabulary join must be a broadcast: the vocabulary is
+    // Heaps-law bounded but hides behind an aggregate whose size
+    // estimate is unreliable, and a sort-merge/shuffle fallback would
+    // hash-partition the full token stream on the corpus's worst skew
+    // key ("the")
+    assert(count(plan, "BroadcastHashJoin") >= 1,
+      s"vocabulary must broadcast to the token join:\n$plan")
+    assert(count(plan, "SortMergeJoin|ShuffledHashJoin") == 0,
+      s"token join fell back to a word-keyed shuffle join:\n$plan")
+    // the only exchanges keyed on the word column are the vocabulary
+    // aggregations' own (the count branch and the total branch — both
+    // vocabulary-sized after partial agg; raw token rows are reduced
+    // map-side before either exchange)
+    assert(count(plan, "hashpartitioning\\(__w") <= 2,
+      s"token rows must not hash-partition by word:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"vocabulary count must partial-aggregate map-side:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-10 must be a bounded heap:\n$plan")
+  }
+
+  test("ext_dedup_simhash: census consumes the shared signature relation") {
+    val plan = planOf("ext_dedup_simhash")
+    // the SimHash family (census, near-pairs, components) anchors on
+    // ONE PlanCache'd (doc_id, simhash) relation — the census must
+    // read it back, not re-run the corpus scan + per-bit aggregation
+    assert(plan.contains("InMemoryTableScan"),
+      s"census must read the shared cached signatures:\n$plan")
+  }
+
+  test("ext_stats_countmin: result is a bounded driver artifact; the probe is a heap top-k") {
+    import org.apache.spark.sql.functions.{asc, col, desc, explode, lit, split}
+    import org.apache.spark.sql.functions.{count => fcount}
+    val plan = planOf("ext_stats_countmin")
+    // the sketch builds via treeAggregate and only the finished probe
+    // panel (top-10 + absent keys) returns — the result plan must be
+    // driver-local rows, never a corpus scan
+    assert(plan.contains("LocalTableScan"),
+      s"probe panel should be bounded driver-local rows:\n$plan")
+    assert(!plan.contains("Scan parquet"),
+      s"the returned artifact must not embed a corpus scan:\n$plan")
+    // the top-10 probe sub-plan (the query's only corpus-sized Spark
+    // job besides the sketch build): one partial-aggregated exchange
+    // keyed on the token, bounded-heap top-k — never a global sort
+    val probe = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(fcount(lit(1)).as("true_cnt"))
+      .orderBy(desc("true_cnt"), asc("w")).limit(10)
+    val pplan = planOfFrame(probe)
+    assert(pplan.contains("TakeOrderedAndProject"),
+      s"probe must use a bounded heap:\n$pplan")
+    assert(this.count(pplan, "Exchange") <= 1,
+      s"probe needs only the token-count exchange:\n$pplan")
+    assert(pplan.contains("partial_count"),
+      s"token counts must partial-aggregate map-side:\n$pplan")
+  }
+
+  test("exportShards write plan: one hash exchange on (partCols, shard), local sort only") {
+    import org.apache.spark.sql.functions.col
+    val sp = graft.ext.Curation.shardPlan(
+      Tables.documents(spark, sfDir).select("doc_id", "lang", "text"),
+      Seq("lang"), "doc_id", shardsPerPart = 2)
+    val plan = planOfFrame(sp)
+    assert(plan.contains("hashpartitioning(lang"),
+      s"export must shuffle once on (partition cols, shard):\n$plan")
+    assert(count(plan, "Exchange") == 1,
+      s"export is exactly one exchange:\n$plan")
+    assert(count(plan, "Sort \\[[^\\]]*\\], true") == 0,
+      s"files sort WITHIN partitions — a global sort would serialize the write:\n$plan")
+    assert(count(plan, "Sort \\[") == 1,
+      s"expected the single partition-local sort:\n$plan")
+  }
+
+  test("zorder write plan: one range exchange on the Morton code, local sort only") {
+    import org.apache.spark.sql.functions.col
+    val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"),
+      (col("l_partkey") % 64).as("x"), (col("l_suppkey") % 64).as("y"))
+    val zp = graft.ext.Layout.zOrderPlan(li, "x", "y", bits = 6, nFiles = 16)
+    val plan = planOfFrame(zp)
+    assert(plan.contains("rangepartitioning"),
+      s"z-order layout must range-partition on the interleave:\n$plan")
+    assert(count(plan, "Exchange") == 1,
+      s"layout is exactly one exchange:\n$plan")
+    assert(count(plan, "Sort \\[[^\\]]*\\], true") == 0,
+      s"z-sort is partition-local — a global sort would serialize the rewrite:\n$plan")
+    assert(count(plan, "Sort \\[") == 1,
+      s"expected the single partition-local z sort:\n$plan")
   }
 }
