@@ -16,8 +16,7 @@ import sys
 import duckdb
 import pyarrow.parquet as pq
 
-TABLES = ["region", "nation", "customer", "supplier", "part",
-          "orders", "lineitem", "events", "documents", "embeddings"]
+from scaled_views import create_views
 
 
 def canon(v):
@@ -66,9 +65,7 @@ def lint_types(con, name, sql):
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    create_views(con, sf_dir)  # honors a scaled "<base>@<k>" dir
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
     ok = bad = 0

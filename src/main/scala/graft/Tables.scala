@@ -38,7 +38,64 @@ object Tables {
     * logic is standard. DuckDB reads the same file as µs TIMESTAMP, so
     * the two engines agree after this normalization.
     */
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+  /** Scaled-dir convention: `"<base>@<k>"` loads the base sf dir with
+    * every FACT table unioned k× — the scale-proof harness (SURVEY's
+    * "would this hold at 10×?" turned into a measurement). Copy 0 is
+    * the base data byte-for-byte; copy c shifts every join/identity
+    * key by c·10⁹ (far beyond any base key, so copies never collide
+    * or cross-join), Caesar-rotates document text by c (per-copy
+    * token/shingle/simhash spaces stay DISJOINT — without this every
+    * doc has k−1 exact near-duplicates and all pair-family work grows
+    * k², a property of the synthetic union, not of the engine), and
+    * circularly rotates embeddings by c positions (norm-preserving,
+    * but decorrelated from copy 0 — no k-way cosine ties, no LSH
+    * bucket pile-up). Dimension tables stay unscaled: 10× facts over
+    * the same dims is how real stars grow. The DuckDB twin of this
+    * mapping lives in `scripts/scaled_views.py`; `compare.py` on a
+    * scaled dir proves both engines see the SAME scaled rows
+    * (hash-identical results), so scaled bench ratios compare
+    * identical workloads.
+    */
+  private val ScaledDir = "^(.*)@(\\d+)$".r
+  private val KeyShift = 1000000000L
+  private val Lower = "abcdefghijklmnopqrstuvwxyz"
+  private val Upper = Lower.toUpperCase
+  private def rotAlpha(c: Int): String = {
+    val r = c % 26
+    (Lower.drop(r) + Lower.take(r)) + (Upper.drop(r) + Upper.take(r))
+  }
+
+  private def scaledCopy(df: DataFrame, name: String, c: Int): DataFrame = name match {
+    case "documents" =>
+      df.withColumn("doc_id", col("doc_id") + lit(c * KeyShift))
+        .withColumn("text", translate(col("text"), Lower + Upper, rotAlpha(c)))
+    case "embeddings" =>
+      // rotation by c < dim (64); k is capped far below that
+      df.withColumn("vec_id", col("vec_id") + lit(c * KeyShift))
+        .withColumn("embedding", concat(
+          slice(col("embedding"), c + 1, 64 - c),
+          slice(col("embedding"), 1, c)))
+    case "lineitem" => df.withColumn("l_orderkey", col("l_orderkey") + lit(c * KeyShift))
+    case "orders" => df.withColumn("o_orderkey", col("o_orderkey") + lit(c * KeyShift))
+    case "events" =>
+      df.withColumn("event_id", col("event_id") + lit(c * KeyShift))
+        .withColumn("user_id", col("user_id") + lit(c * KeyShift))
+    case _ => df // dimension tables stay unscaled
+  }
+
+  private val scaledTables = Set("documents", "embeddings", "lineitem", "orders", "events")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = dir match {
+    case ScaledDir(base, kStr) =>
+      val k = kStr.toInt
+      require(k >= 1 && k <= 32, s"scale factor @$k out of range (1..32)")
+      val base0 = loadPlain(spark, base, name)
+      if (k == 1 || !scaledTables(name)) base0
+      else (0 until k).map(scaledCopy(base0, name, _)).reduce(_.unionByName(_))
+    case _ => loadPlain(spark, dir, name)
+  }
+
+  private def loadPlain(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
     if (name == "events") {
       // set once per session (the graft mains set it at session build;

@@ -1339,7 +1339,11 @@ object ExtQueries {
           .groupBy("user_id")
           .agg(count(lit(1)).as("n_clicks"),
             count(col("asof_event_id")).as("n_matched"),
-            coalesce(sum(col("event_id") * col("asof_event_id")), lit(0L))
+            // ids reduce mod a prime BEFORE the product: raw ids carry
+            // the scale-copy shift (c·10⁹), whose products overflow
+            // BIGINT — the checksum must survive any @k
+            coalesce(sum((col("event_id") % 1000003L) *
+              (col("asof_event_id") % 1000003L)), lit(0L))
               .as("pair_checksum"),
             coalesce(sum(unix_millis(col("ts")) - unix_millis(col("asof_ts"))),
               lit(0L)).as("gap_ms_sum"))
@@ -1360,8 +1364,8 @@ object ExtQueries {
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
               )
               SELECT user_id, COUNT(*) AS n_clicks, COUNT(m_id) AS n_matched,
-                     CAST(COALESCE(SUM(event_id * m_id), 0) AS BIGINT)
-                       AS pair_checksum,
+                     CAST(COALESCE(SUM((event_id % 1000003) * (m_id % 1000003)), 0)
+                       AS BIGINT) AS pair_checksum,
                      CAST(COALESCE(SUM(epoch_ms(ts) - m_ms), 0) AS BIGINT)
                        AS gap_ms_sum
               FROM w WHERE is_l = 1
@@ -1385,7 +1389,9 @@ object ExtQueries {
           .groupBy("user_id")
           .agg(count(lit(1)).as("n_clicks"),
             count(col("asof_event_id")).as("n_matched"),
-            coalesce(sum(col("event_id") * col("asof_event_id")), lit(0L))
+            // mod-prime before the product — see ext_rel_asof
+            coalesce(sum((col("event_id") % 1000003L) *
+              (col("asof_event_id") % 1000003L)), lit(0L))
               .as("pair_checksum"),
             coalesce(sum(unix_millis(col("asof_ts")) - unix_millis(col("ts"))),
               lit(0L)).as("gap_ms_sum"))
@@ -1406,8 +1412,8 @@ object ExtQueries {
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
               )
               SELECT user_id, COUNT(*) AS n_clicks, COUNT(m_id) AS n_matched,
-                     CAST(COALESCE(SUM(event_id * m_id), 0) AS BIGINT)
-                       AS pair_checksum,
+                     CAST(COALESCE(SUM((event_id % 1000003) * (m_id % 1000003)), 0)
+                       AS BIGINT) AS pair_checksum,
                      CAST(COALESCE(SUM(m_ms - epoch_ms(ts)), 0) AS BIGINT)
                        AS gap_ms_sum
               FROM w WHERE is_l = 1
@@ -1474,14 +1480,16 @@ object ExtQueries {
           .groupBy(col("l_user_id").as("user_id"))
           .agg(countDistinct(col("l_event_id")).as("n_errors_matched"),
             count(lit(1)).as("n_pairs"),
-            sum(col("l_event_id") * col("r_event_id")).as("pair_checksum"))
+            // mod-prime before the product — see ext_rel_asof
+            sum((col("l_event_id") % 1000003L) *
+              (col("r_event_id") % 1000003L)).as("pair_checksum"))
           .orderBy("user_id")
       },
       Some("""SELECT e.user_id,
                      COUNT(DISTINCT e.event_id) AS n_errors_matched,
                      COUNT(*) AS n_pairs,
-                     CAST(SUM(e.event_id * c.event_id) AS BIGINT)
-                       AS pair_checksum
+                     CAST(SUM((e.event_id % 1000003) * (c.event_id % 1000003))
+                       AS BIGINT) AS pair_checksum
               FROM events e JOIN events c
                 ON c.user_id = e.user_id AND c.event_type = 'click'
                AND c.ts >= e.ts - INTERVAL 120 MINUTE AND c.ts < e.ts
@@ -1510,7 +1518,9 @@ object ExtQueries {
           .agg(countDistinct(col("l_event_id")).as("n_errors"),
             sum(when(col("r_event_id").isNull, 1L).otherwise(0L))
               .as("n_unmatched"),
-            coalesce(sum(col("l_event_id") * col("r_event_id")), lit(0L))
+            // mod-prime before the product — see ext_rel_asof
+            coalesce(sum((col("l_event_id") % 1000003L) *
+              (col("r_event_id") % 1000003L)), lit(0L))
               .as("pair_checksum"))
           .orderBy("user_id")
       },
@@ -1518,8 +1528,8 @@ object ExtQueries {
                      COUNT(DISTINCT e.event_id) AS n_errors,
                      CAST(SUM(CASE WHEN c.event_id IS NULL THEN 1 ELSE 0 END)
                        AS BIGINT) AS n_unmatched,
-                     CAST(COALESCE(SUM(e.event_id * c.event_id), 0) AS BIGINT)
-                       AS pair_checksum
+                     CAST(COALESCE(SUM((e.event_id % 1000003) * (c.event_id % 1000003)), 0)
+                       AS BIGINT) AS pair_checksum
               FROM (SELECT * FROM events WHERE event_type = 'error') e
               LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
                 ON c.user_id = e.user_id

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins the scaled-dir convention (`"<base>@<k>"`, [[Tables.load]]) —
+  * the harness behind the scale-proof bench. The contract: k disjoint
+  * copies whose per-copy statistics match the base byte-for-byte
+  * (copy 0 IS the base), with keys shifted consistently across tables
+  * so joins scale exactly k×, text Caesar-rotated so copies are never
+  * near-duplicates of each other, and embeddings rotated
+  * norm-preservingly so no cosine ties appear. The DuckDB twin
+  * (`scripts/scaled_views.py`) is pinned by running the full
+  * compare gate on a scaled dir.
+  */
+class ScaleSpec extends SparkSpec {
+  private val base = "/root/testdata/sf0.001"
+  private val scaled = s"$base@3"
+
+  test("scaled documents: 3x rows, disjoint ids, copy 0 identical, lengths preserved") {
+    val b = Tables.documents(spark, base)
+    val s = Tables.documents(spark, scaled)
+    val nb = b.count()
+    assert(s.count() === 3 * nb)
+    assert(s.select("doc_id").distinct().count() === 3 * nb)
+    // copy 0 is the base data untransformed
+    assert(s.filter(col("doc_id") < 1000000000L).exceptAll(b).count() === 0)
+    // Caesar rotation preserves every length; lang/source untouched
+    val lb = b.agg(sum(length(col("text")))).head.getLong(0)
+    assert(s.agg(sum(length(col("text")))).head.getLong(0) === 3 * lb)
+    val langs = b.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Tables.documents(spark, scaled).groupBy("lang").count().collect()
+      .foreach(r => assert(r.getLong(1) === 3 * langs(r.getString(0))))
+  }
+
+  test("scaled copies are not near-duplicates: cross-copy token spaces disjoint") {
+    val s = Tables.documents(spark, scaled)
+    val words = s.select((col("doc_id") / 1000000000L).cast("long").as("copy"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").rlike("[a-zA-Z]"))
+    // any letter-bearing token appears in exactly one copy's vocabulary
+    val shared = words.groupBy("w").agg(countDistinct("copy").as("n"))
+      .filter(col("n") > 1).count()
+    assert(shared === 0, "Caesar-rotated copies must not share letter tokens")
+  }
+
+  test("scaled embeddings: rotation preserves norms, ids disjoint") {
+    val b = Tables.embeddings(spark, base)
+    val s = Tables.embeddings(spark, scaled)
+    assert(s.count() === 3 * b.count())
+    val normOf = expr("aggregate(embedding, cast(0.0 as double), (a, x) -> a + cast(x as double) * cast(x as double))")
+    val nb = b.agg(sum(normOf)).head.getDouble(0)
+    val ns = s.agg(sum(normOf)).head.getDouble(0)
+    assert(math.abs(ns - 3 * nb) / (3 * nb) < 1e-9,
+      s"rotation must preserve norms: base $nb scaled $ns")
+    // rotation really happened: copy 1's vectors differ from copy 0's
+    val c0 = b.select(col("embedding")).head.getSeq[Float](0)
+    val c1 = s.filter(col("vec_id") === lit(1000000000L) + b.select(min("vec_id")).head.getLong(0))
+      .select("embedding").head.getSeq[Float](0)
+    assert(c0 !== c1, "copy 1 embedding must be rotated, not identical")
+    assert(c0.sorted === c1.sorted, "rotation permutes, never alters, components")
+  }
+
+  test("scaled facts join consistently: lineitem⋈orders scales exactly 3x") {
+    val jb = Tables.lineitem(spark, base)
+      .join(Tables.orders(spark, base), col("l_orderkey") === col("o_orderkey")).count()
+    val js = Tables.lineitem(spark, scaled)
+      .join(Tables.orders(spark, scaled), col("l_orderkey") === col("o_orderkey")).count()
+    assert(js === 3 * jb, "orderkey shift must stay aligned across lineitem and orders")
+  }
+
+  test("dimension tables stay unscaled; plain dirs bypass the scaler") {
+    assert(Tables.region(spark, scaled).count() === Tables.region(spark, base).count())
+    assert(Tables.customer(spark, scaled).count() === Tables.customer(spark, base).count())
+    // events: ids shift, timestamps don't (k× density per window)
+    val s = Tables.events(spark, scaled)
+    val b = Tables.events(spark, base)
+    assert(s.count() === 3 * b.count())
+    assert(s.agg(max("ts")).head.getTimestamp(0) === b.agg(max("ts")).head.getTimestamp(0))
+  }
+}
