@@ -57,6 +57,17 @@ object Tables {
     * identical workloads.
     */
   private val ScaledDir = "^(.*)@(\\d+)$".r
+
+  /** Scale factor of a (possibly scaled) sf dir — 1 for plain dirs.
+    * Bench uses this to widen its sf0.001 warm-up floor: at `@k` a
+    * data-proportional query legitimately runs up to ~k× its 1×
+    * time, so an unscaled floor would flag every such query as a
+    * contended outlier.
+    */
+  def scaleOf(dir: String): Int = dir match {
+    case ScaledDir(_, k) => k.toInt
+    case _ => 1
+  }
   private val KeyShift = 1000000000L
   private val Lower = "abcdefghijklmnopqrstuvwxyz"
   private val Upper = Lower.toUpperCase
