@@ -92,7 +92,7 @@ object Multimodal {
           while (y < h) {
             var x = 0
             while (x < w) {
-              img.setRGB(x, y, (((id + x * 31L + y * 17L) * 2654435761L) & 0xFFFFFF).toInt)
+              img.setRGB(x, y, (((id % 1000003L + x * 31L + y * 17L) * 2654435761L) & 0xFFFFFF).toInt)
               x += 1
             }
             y += 1
@@ -242,7 +242,7 @@ object Multimodal {
     */
   def synthSampleCount(id: Long): Int = (id % 1500 + 300).toInt
   def synthSample(id: Long, i: Long): Int =
-    ((((id + i * 7L) * 2654435761L) & 0xFFFF) - 32768L).toInt
+    ((((id % 1000003L + i * 7L) * 2654435761L) & 0xFFFF) - 32768L).toInt
 
   /** A REAL audio table: one genuine WAV payload per row (RIFF header
     * + 16-bit little-endian mono PCM at 8 kHz), written on the
@@ -348,7 +348,7 @@ object Multimodal {
   def synthFrameWidth(id: Long): Int = (id % 13 + 4).toInt
   def synthFrameHeight(id: Long): Int = (id * 3 % 11 + 4).toInt
   def synthGray(id: Long, f: Long, x: Long, y: Long): Int =
-    (((id + f * 101L + x * 31L + y * 17L) * 2654435761L) & 0xFF).toInt
+    (((id % 1000003L + f * 101L + x * 31L + y * 17L) * 2654435761L) & 0xFF).toInt
 
   /** Identity 256-entry gray palette: GIF stores palette indices, so
     * with index == gray value the encode is exact, not quantized.

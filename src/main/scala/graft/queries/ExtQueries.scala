@@ -1052,7 +1052,7 @@ object ExtQueries {
                 WHERE k < LEAST(4, doc_id % 5 + 2)),
               px AS (
                 SELECT doc_id,
-                       ((doc_id + fr * 101 + x * 31 + y * 17) * 2654435761) & 255 AS g
+                       ((doc_id % 1000003 + fr * 101 + x * 31 + y * 17) * 2654435761) & 255 AS g
                 FROM f, range(16) tx(x), range(14) ty(y)
                 WHERE x < doc_id % 13 + 4 AND y < doc_id * 3 % 11 + 4)
               SELECT (SELECT COUNT(*) FROM f) AS n_frames_sampled,
@@ -1092,7 +1092,7 @@ object ExtQueries {
             sum(col("media_id") * col("n_pixels")).as("px_checksum")),
       Some("""WITH px AS (
                 SELECT doc_id,
-                       ((doc_id + x * 31 + y * 17) * 2654435761) & 16777215 AS v
+                       ((doc_id % 1000003 + x * 31 + y * 17) * 2654435761) & 16777215 AS v
                 FROM documents, range(64) tx(x), range(46) ty(y)
                 WHERE x < doc_id % 61 + 4 AND y < doc_id * 7 % 43 + 4)
               SELECT (SELECT COUNT(*) FROM documents) AS n_images,
@@ -1127,7 +1127,7 @@ object ExtQueries {
             sum(col("media_id") * col("n_samples")).as("clip_checksum")),
       Some("""WITH sp AS (
                 SELECT doc_id,
-                       (((doc_id + i * 7) * 2654435761) & 65535) - 32768 AS v
+                       (((doc_id % 1000003 + i * 7) * 2654435761) & 65535) - 32768 AS v
                 FROM documents, range(1800) t(i)
                 WHERE i < doc_id % 1500 + 300)
               SELECT (SELECT COUNT(*) FROM documents) AS n_clips,
@@ -1195,7 +1195,7 @@ object ExtQueries {
               .as("sumsq_b")),
       Some("""WITH px AS (
                 SELECT doc_id,
-                       ((doc_id + x * 31 + y * 17) * 2654435761) & 16777215 AS v
+                       ((doc_id % 1000003 + x * 31 + y * 17) * 2654435761) & 16777215 AS v
                 FROM documents, range(64) tx(x), range(46) ty(y)
                 WHERE x < doc_id % 61 + 4 AND y < doc_id * 7 % 43 + 4)
               SELECT (SELECT COUNT(*) FROM documents) AS n_media,

@@ -55,7 +55,7 @@ class MultimodalSpec extends SparkSpec {
       val w = Multimodal.synthWidth(id); val h = Multimodal.synthHeight(id)
       var sr = 0L; var sg = 0L; var sb = 0L
       for (y <- 0 until h; x <- 0 until w) {
-        val v = ((id + x * 31L + y * 17L) * 2654435761L) & 0xFFFFFF
+        val v = ((id % 1000003L + x * 31L + y * 17L) * 2654435761L) & 0xFFFFFF
         sr += (v >> 16) & 0xFF; sg += (v >> 8) & 0xFF; sb += v & 0xFF
       }
       assert(got(id) == ((w.toLong * h, sr, sg, sb)), s"id=$id")
@@ -160,7 +160,7 @@ class MultimodalSpec extends SparkSpec {
       val w = Multimodal.synthWidth(id); val h = Multimodal.synthHeight(id)
       var sr = 0L; var sg = 0L; var sb = 0L; var qr = 0L; var qg = 0L; var qb = 0L
       for (y <- 0 until h; x <- 0 until w) {
-        val v = ((id + x * 31L + y * 17L) * 2654435761L) & 0xFFFFFF
+        val v = ((id % 1000003L + x * 31L + y * 17L) * 2654435761L) & 0xFFFFFF
         val cr = (v >> 16) & 0xFF; val cg = (v >> 8) & 0xFF; val cb = v & 0xFF
         sr += cr; sg += cg; sb += cb; qr += cr * cr; qg += cg * cg; qb += cb * cb
       }
