@@ -81,10 +81,11 @@ object Tables {
       df.withColumn("doc_id", col("doc_id") + lit(c * KeyShift))
         .withColumn("text", translate(col("text"), Lower + Upper, rotAlpha(c)))
     case "embeddings" =>
-      // rotation by c < dim (64); k is capped far below that
+      // rotation by c < dim; k is capped far below any real dim, and
+      // the slice bounds follow size() like the DuckDB twin's len()
       df.withColumn("vec_id", col("vec_id") + lit(c * KeyShift))
         .withColumn("embedding", concat(
-          slice(col("embedding"), c + 1, 64 - c),
+          slice(col("embedding"), c + 1, size(col("embedding")) - c),
           slice(col("embedding"), 1, c)))
     case "lineitem" => df.withColumn("l_orderkey", col("l_orderkey") + lit(c * KeyShift))
     case "orders" => df.withColumn("o_orderkey", col("o_orderkey") + lit(c * KeyShift))
