@@ -85,7 +85,7 @@ object Tables {
       // the slice bounds follow size() like the DuckDB twin's len()
       df.withColumn("vec_id", col("vec_id") + lit(c * KeyShift))
         .withColumn("embedding", concat(
-          slice(col("embedding"), c + 1, size(col("embedding")) - c),
+          slice(col("embedding"), lit(c + 1), size(col("embedding")) - c),
           slice(col("embedding"), 1, c)))
     case "lineitem" => df.withColumn("l_orderkey", col("l_orderkey") + lit(c * KeyShift))
     case "orders" => df.withColumn("o_orderkey", col("o_orderkey") + lit(c * KeyShift))
