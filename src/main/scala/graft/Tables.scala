@@ -31,12 +31,18 @@ object Tables {
     * own — multi-GB tables split into ≥ parallelism row groups.
     */
 
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader only surfaces as a nanosecond LONG (via
-    * `spark.sql.legacy.parquet.nanosAsLong`). We normalize to Spark's
-    * native microsecond TimestampType so all downstream window/trunc
-    * logic is standard. DuckDB reads the same file as µs TIMESTAMP, so
-    * the two engines agree after this normalization.
+  /** `events.ts` normalization: the oracle's data writer has produced
+    * BOTH parquet TIMESTAMP(NANOS) (surfaced by Spark's vectorized
+    * reader only as a nanosecond LONG, via
+    * `spark.sql.legacy.parquet.nanosAsLong`) and, since the 2026-08-12
+    * refresh, plain `timestamp[us]` with no timezone (surfaced as
+    * TIMESTAMP_NTZ). We normalize every encoding to Spark's native
+    * microsecond TimestampType so all downstream window/trunc/
+    * unix_millis logic is standard. All graft sessions run with
+    * `spark.sql.session.timeZone=UTC`, so the NTZ→LTZ cast
+    * reinterprets the wall-clock micros 1:1 — exactly how DuckDB reads
+    * the same tz-less file — and the two engines agree after this
+    * normalization whichever encoding the writer used.
     */
   /** Scaled-dir convention: `"<base>@<k>"` loads the base sf dir with
     * every FACT table unioned k× — the scale-proof harness (SURVEY's
@@ -121,7 +127,11 @@ object Tables {
           // integer division: ns epochs (~1.7e18) exceed double's 2^53
           // exact range, so `/ 1000` via double would be off by ~µs
           raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        case _ => raw // engine already surfaced a native timestamp
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // UTC session: wall-clock micros == instant micros, 1:1
+          raw.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => raw // engine already surfaced a native instant timestamp
       }
     } else spark.read.parquet(path)
   }

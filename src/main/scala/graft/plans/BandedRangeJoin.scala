@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DayTimeIntervalType, LongType, TimestampType}
+import org.apache.spark.sql.types.{DataType, DayTimeIntervalType, LongType, TimestampNTZType, TimestampType}
 import org.apache.spark.unsafe.types.CalendarInterval
 
 /** Optimizer rule: rewrite a KEYLESS time-range join into the banded
@@ -47,13 +47,33 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     */
   private val DayUs = 86400000000L
 
+  /** Both Spark timestamp types are physically µs-since-epoch longs;
+    * the rule must fire whichever one a source surfaces (the driver's
+    * parquet writer has produced TIMESTAMP(NANOS)→LTZ-normalized AND
+    * tz-less `timestamp[us]`→TIMESTAMP_NTZ across refreshes — an NTZ
+    * attribute silently degrading the join to BroadcastNestedLoopJoin
+    * is a scale cliff, not a type nicety).
+    */
+  private def isTs(t: DataType): Boolean =
+    t == TimestampType || t == TimestampNTZType
+
+  /** NTZ attrs are reinterpreted as instants under explicit UTC — a
+    * linear (DST-free) µs-preserving map applied identically to both
+    * sides, so band equality and window coverage carry over verbatim.
+    * The original predicate is kept as the exact filter in the
+    * rewritten join, so this cast only ever affects candidate
+    * generation, never the final row set.
+    */
+  private def asInstant(a: Attribute): Expression =
+    if (a.dataType == TimestampNTZType) Cast(a, TimestampType, Some("UTC")) else a
+
   private def decompose(e: Expression): Option[(Attribute, Long)] = e match {
-    case a: Attribute if a.dataType == TimestampType => Some((a, 0L))
+    case a: Attribute if isTs(a.dataType) => Some((a, 0L))
     case TimestampAddInterval(a: Attribute, Literal(v: Long, _: DayTimeIntervalType), _)
-        if a.dataType == TimestampType && math.abs(v) < DayUs =>
+        if isTs(a.dataType) && math.abs(v) < DayUs =>
       Some((a, v))
     case TimestampAddInterval(a: Attribute, Literal(ci: CalendarInterval, _), _)
-        if a.dataType == TimestampType && ci.months == 0 && ci.days == 0 &&
+        if isTs(a.dataType) && ci.months == 0 && ci.days == 0 &&
           math.abs(ci.microseconds) < DayUs =>
       Some((a, ci.microseconds))
     case _ => None
@@ -145,7 +165,7 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
             // built after analysis, nothing will resolve them for us
             val tz = Some(conf.sessionLocalTimeZone)
             def shifted(us: Long): Expression =
-              TimestampAddInterval(lo.l, Literal(us, DayTimeIntervalType()), tz)
+              TimestampAddInterval(asInstant(lo.l), Literal(us, DayTimeIntervalType()), tz)
             // left rows explode to every band their window intersects
             // (≤2 since width == window length); right rows band once
             val lbAttr = AttributeReference("__lband", LongType, nullable = true)()
@@ -156,7 +176,7 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
                 None, tz)),
               unrequiredChildIndex = Nil, outer = false, qualifier = None,
               generatorOutput = Seq(lbAttr), child = left)
-            val rBand = Alias(band(hi.r, width), "__rband")()
+            val rBand = Alias(band(asInstant(hi.r), width), "__rband")()
             val rightBanded = Project(right.output :+ rBand, right)
             val newCond = And(EqualTo(lbAttr, rBand.toAttribute), cond)
             Project(j.output,

@@ -74,9 +74,23 @@ object Sessionize {
   /** Streaming sessionize: `events` must have (key: string,
     * ts: timestamp) columns. Returns watermark-sealed sessions
     * (append mode).
+    *
+    * `ts` must be an INSTANT timestamp (TimestampType). TIMESTAMP_NTZ
+    * is rejected loudly here because the state handler extracts
+    * epochs (`ts.getTime`) — Spark 4's encoder would otherwise
+    * resolve the NTZ deserializer silently, reinterpreting wall-clock
+    * values as session-zone instants, which shifts every epoch under
+    * a non-UTC session. Normalize first (as `Tables.loadPlain` does).
+    * `intervalJoin` deliberately has no such guard: it only compares
+    * same-encoding timestamps against each other, which is
+    * tz-invariant.
     */
   def sessions(events: Dataset[_], gapMs: Long,
                watermark: String = "30 minutes"): Dataset[Session] = {
+    val tsType = events.toDF().schema("ts").dataType
+    require(tsType == org.apache.spark.sql.types.TimestampType,
+      s"sessions: `ts` must be an instant TIMESTAMP, got ${tsType.simpleString} " +
+        "— normalize (e.g. cast under an explicit zone) before sessionizing")
     implicit val evEnc = Encoders.product[Ev]
     implicit val sessEnc = Encoders.product[Session]
     implicit val stEnc = Encoders.product[SessList]

@@ -86,6 +86,41 @@ class BandedRangeJoinRuleSpec extends SparkSpec {
     }
   }
 
+  test("TIMESTAMP_NTZ range join: rule still fires, rows identical") {
+    // read the parquet RAW (no Tables normalization): the tz-less
+    // `timestamp[us]` fixture surfaces as TIMESTAMP_NTZ — exactly the
+    // encoding that silently disabled the rule in round 8 and
+    // regressed the keyless join to BroadcastNestedLoopJoin
+    def sides(s: SparkSession): (DataFrame, DataFrame) = {
+      val ev = s.read.parquet("/root/testdata/sf0.001/events.parquet")
+      assert(ev.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampNTZType)
+      (ev.where(col("event_type") === "error")
+        .select(col("ts").as("lts"), col("event_id").as("lid")),
+        ev.where(col("event_type") === "click")
+          .select(col("ts").as("rts"), col("event_id").as("rid")))
+    }
+    val oracle = {
+      val (l, r) = sides(spark)
+      l.join(r, col("rts") >= col("lts") - expr("INTERVAL 2 HOURS") &&
+          col("rts") < col("lts"))
+        .select("lid", "rid")
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    }
+    assert(oracle.nonEmpty)
+    withExtSession { s =>
+      val (l, r) = sides(s)
+      val j = l.join(r, col("rts") >= col("lts") - expr("INTERVAL 2 HOURS") &&
+          col("rts") < col("lts"))
+        .select("lid", "rid")
+      val physical = j.queryExecution.executedPlan.toString
+      assert(!physical.contains("BroadcastNestedLoopJoin"), physical.take(800))
+      assert(j.queryExecution.optimizedPlan.toString.contains("__lband"))
+      val got = j.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(got == oracle)
+    }
+  }
+
   test("equi-keyed range join is left untouched by the rule") {
     withExtSession { s =>
       val ev = Tables.events(s, "/root/testdata/sf0.001")

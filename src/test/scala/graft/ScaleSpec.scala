@@ -76,6 +76,9 @@ class ScaleSpec extends SparkSpec {
     val s = Tables.events(spark, scaled)
     val b = Tables.events(spark, base)
     assert(s.count() === 3 * b.count())
-    assert(s.agg(max("ts")).head.getTimestamp(0) === b.agg(max("ts")).head.getTimestamp(0))
+    // compare epochs engine-side (unix_millis) rather than JVM-side
+    // getTimestamp: robust to however the fixture writer encodes ts
+    assert(s.agg(max(unix_millis(col("ts")))).head.getLong(0) ===
+      b.agg(max(unix_millis(col("ts")))).head.getLong(0))
   }
 }

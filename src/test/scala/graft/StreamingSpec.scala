@@ -480,4 +480,22 @@ class StreamingSpec extends SparkSpec {
       assert(got == want)
     } finally query.stop()
   }
+
+  test("TIMESTAMP_NTZ event time fails loudly at construction, never silently shifts epochs") {
+    // raw read, bypassing Tables' normalization: the tz-less fixture
+    // surfaces ts as TIMESTAMP_NTZ (the round-8 writer refresh).
+    // Spark 4's encoder would resolve the NTZ deserializer silently
+    // (verified: `.as[Ev]` analyzes fine), reinterpreting wall-clock
+    // as session-zone instants — epoch-shifting under non-UTC. The
+    // typed sessionize path therefore guards explicitly; this pins
+    // the loud failure.
+    val ntz = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_type").as("key"), col("ts"))
+    assert(ntz.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.Sessionize.sessions(ntz, gapMs = 3600000L)
+    }
+    assert(e.getMessage.contains("timestamp_ntz"), e.getMessage.take(300))
+  }
 }
