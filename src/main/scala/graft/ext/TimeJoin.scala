@@ -10,6 +10,15 @@ import org.apache.spark.sql.functions._
   * hash exchanges — no non-equi join (which Spark executes as
   * BroadcastNestedLoopJoin, an |L|×|R| scan per key at worst).
   *
+  * Timestamp contract: ts columns must be INSTANT timestamps
+  * (TimestampType). A TIMESTAMP_NTZ column fails loudly at analysis
+  * (`unix_millis` rejects it) rather than being silently
+  * reinterpreted — normalize tz-less sources at load, as
+  * [[graft.Tables]] does for the fixture tables. (The keyless-join
+  * optimizer rewrite [[graft.plans.BandedRangeJoinRule]] does accept
+  * NTZ, because there it only generates band candidates and keeps
+  * the user's own predicate as the exact filter.)
+  *
   * Scale shapes (the reason these are worth a dedicated operator):
   *
   *  - [[asofJoin]]: ONE hash shuffle of each side on the equi-keys,
