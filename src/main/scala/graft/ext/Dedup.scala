@@ -469,6 +469,44 @@ object Dedup {
       .where(col("node") =!= col("component"))
       .select(col("node"))
 
+  /** Canonical-survivor selection: the production completion of the
+    * duplicate-class machinery. [[connectedComponents]] answers "which
+    * docs are the same"; this answers the question a pipeline actually
+    * ships on — "which copy do we KEEP". Every document of `docs`
+    * (including ones in no pair — their class is themselves) is
+    * assigned to its duplicate class, and each class keeps exactly one
+    * survivor: the row with the maximum `qualityCol`, ties broken by
+    * the SMALLEST `idCol` — a total, engine-independent order, so the
+    * kept set is reproducible bit-for-bit across runs and engines.
+    *
+    * Returns one row per class:
+    * `(cls, <idCol>, <qualityCol>, class_size)` — the survivor's id
+    * and quality plus how many docs the class absorbed
+    * (`class_size - 1` = rows dropped).
+    *
+    * Scale shape: one equi-join of docs to the component labels (the
+    * labels relation is |pair-graph nodes| rows, far smaller than the
+    * corpus) and ONE hash aggregate whose state per class is a single
+    * (quality, -id) struct — max over structs is associative, so the
+    * map-side combine reduces each partition to |classes| rows before
+    * the shuffle. No text bytes move; at 100 TB the shuffle carries
+    * 24-byte rows. `idCol` and `qualityCol` must be numeric (the
+    * tie-break negates the id inside the ordering struct).
+    */
+  def keepCanonical(docs: DataFrame, idCol: String, qualityCol: String,
+                    edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val comp = connectedComponents(edges, srcCol, dstCol)
+    val labeled = docs
+      .join(comp, docs(idCol).cast("long") === comp("node"), "left")
+      .select(docs(idCol).cast("long").as("__id"), col(qualityCol).as("__q"),
+        coalesce(col("component"), docs(idCol).cast("long")).as("cls"))
+    labeled.groupBy("cls")
+      .agg(max(struct(col("__q"), (-col("__id")).as("__nid"))).as("__w"),
+        count(lit(1)).as("class_size"))
+      .select(col("cls"), (-col("__w.__nid")).as(idCol),
+        col("__w.__q").as(qualityCol), col("class_size"))
+  }
+
   /** Word n-grams per doc, entirely map-side: the token array is
     * zipped with its n−1 self-shifts (`arrays_zip` pads the shorter
     * arrays with null) and exploded; `concat` — not concat_ws — makes

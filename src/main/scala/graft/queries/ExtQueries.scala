@@ -380,6 +380,71 @@ object ExtQueries {
                       CAST(MAX(sz) AS BIGINT) AS max_size
                FROM sizes""")),
 
+    // Canonical-survivor selection ([[Dedup.keepCanonical]]) over the
+    // same simhash duplicate classes: the step a production dedup
+    // actually ships — each class (singletons included) keeps its
+    // best-quality doc (max n_chars, ties → min doc_id, a total
+    // engine-independent order). All-integer projections so the kept
+    // set is hash-pinned, not just counted. The oracle replays the
+    // same closure then joins back on per-class max quality.
+    Declared(
+      "ext_dedup_canonical",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.simhashNearPairs(docs, "doc_id", "text",
+          bits = 60, maxDist = 3)
+        Dedup.keepCanonical(docs.select("doc_id", "n_chars"),
+            "doc_id", "n_chars", pairs, "doc_a", "doc_b")
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("doc_id")).as("kept_id_checksum"),
+            sum(col("n_chars")).as("kept_chars"),
+            sum(col("class_size") - 1).as("n_dropped"),
+            max(col("class_size")).as("max_class"))
+      },
+      Some("""WITH RECURSIVE tok AS (
+                 SELECT DISTINCT doc_id, w FROM (
+                   SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+                 WHERE w <> ''),
+               h AS (
+                 SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS hv FROM tok),
+               bits AS (
+                 SELECT doc_id, b,
+                        SUM(CASE WHEN ((hv >> b) & 1) = 1 THEN 1 ELSE -1 END) AS s
+                 FROM h, range(60) t(b) GROUP BY doc_id, b),
+               simh AS (
+                 SELECT doc_id,
+                        SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+                 FROM bits GROUP BY doc_id),
+               p AS (
+                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM simh a JOIN simh b ON a.doc_id < b.doc_id
+                 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+               edges AS (
+                 SELECT doc_a AS a, doc_b AS b FROM p
+                 UNION SELECT doc_b, doc_a FROM p),
+               reach(node, label) AS (
+                 SELECT a, a FROM edges
+                 UNION
+                 SELECT e.b, r.label FROM reach r
+                 JOIN edges e ON e.a = r.node WHERE r.label < e.b),
+               cc AS (SELECT node, MIN(label) AS comp FROM reach GROUP BY node),
+               lab AS (
+                 SELECT d.doc_id, d.n_chars, COALESCE(cc.comp, d.doc_id) AS cls
+                 FROM documents d LEFT JOIN cc ON d.doc_id = cc.node),
+               mx AS (
+                 SELECT cls, MAX(n_chars) AS mq, COUNT(*) AS class_size
+                 FROM lab GROUP BY cls),
+               keep AS (
+                 SELECT l.cls, MIN(l.doc_id) AS kid, mx.mq, mx.class_size
+                 FROM lab l JOIN mx ON l.cls = mx.cls AND l.n_chars = mx.mq
+                 GROUP BY l.cls, mx.mq, mx.class_size)
+               SELECT COUNT(*) AS n_kept,
+                      CAST(SUM(kid) AS BIGINT) AS kept_id_checksum,
+                      CAST(SUM(mq) AS BIGINT) AS kept_chars,
+                      CAST(SUM(class_size - 1) AS BIGINT) AS n_dropped,
+                      CAST(MAX(class_size) AS BIGINT) AS max_class
+               FROM keep""")),
+
     Declared(
       "ext_dedup_ngram_jaccard",
       (s, d) =>

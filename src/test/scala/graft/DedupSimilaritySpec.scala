@@ -190,6 +190,37 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Dedup.connectedComponents(empty, "src", "dst").count() == 0)
   }
 
+  test("keepCanonical keeps max quality per class, ties to min id, singletons kept") {
+    import spark.implicits._
+    // class {1,2,3} via a chain (1-2, 2-3): quality tie 9 between 2
+    // and 3 → 2 survives (min id among max quality), 1's higher id
+    // never matters; class {5,6}: 6 wins on quality alone; 4 is in no
+    // pair and must survive as its own class of size 1
+    val docs = Seq(
+      (1L, 5L), (2L, 9L), (3L, 9L), (4L, 1L), (5L, 7L), (6L, 8L)
+    ).toDF("doc_id", "n_chars")
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val got = Dedup.keepCanonical(docs, "doc_id", "n_chars",
+        edges, "doc_a", "doc_b")
+      .select("cls", "doc_id", "n_chars", "class_size")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 2L, 9L, 3L), // survivor 2: quality 9, tie vs 3 → min id
+      (4L, 4L, 1L, 1L), // singleton keeps itself
+      (5L, 6L, 8L, 2L)))
+  }
+
+  test("keepCanonical on an empty edge list keeps every doc as its own class") {
+    import spark.implicits._
+    val docs = Seq((1L, 5L), (2L, 9L)).toDF("doc_id", "n_chars")
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val got = Dedup.keepCanonical(docs, "doc_id", "n_chars",
+        empty, "doc_a", "doc_b")
+      .select("cls", "doc_id", "n_chars", "class_size")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 5L, 1L), (2L, 2L, 9L, 1L)))
+  }
+
   test("componentDrops closes chains the per-pair doc_b policy leaves open") {
     import spark.implicits._
     // pairs (B,C) and (A,C): B is never a doc_b, so the doc_b policy
