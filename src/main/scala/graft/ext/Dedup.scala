@@ -458,6 +458,20 @@ object Dedup {
     labels.select(col("node"), col("label").as("component"))
   }
 
+  /** [[connectedComponents]] memoized per (edge plan, session) via
+    * [[PlanCache]] — the labels relation is consumed by BOTH the
+    * class-census query and canonical-survivor selection; unshared,
+    * each would re-run the whole O(log n)-round loop (~3 s at sf0.1,
+    * and at 100 TB a full re-shuffle of the pair graph per consumer).
+    * Same lifecycle policy as [[simhashShared]]: one persisted copy
+    * per session, released by `PlanCache.clear()`.
+    */
+  def connectedComponentsShared(edges: DataFrame, srcCol: String,
+                                dstCol: String): DataFrame =
+    PlanCache.cached(s"components/$srcCol/$dstCol", edges) {
+      connectedComponents(_, srcCol, dstCol)
+    }
+
   /** Drop list of a component-representative dedup policy: every node
     * of the pair graph EXCEPT each component's min-id representative.
     * Subsumes per-pair doc_b-dropping, which under-merges on chains —
@@ -494,8 +508,9 @@ object Dedup {
     * tie-break negates the id inside the ordering struct).
     */
   def keepCanonical(docs: DataFrame, idCol: String, qualityCol: String,
-                    edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val comp = connectedComponents(edges, srcCol, dstCol)
+                    edges: DataFrame, srcCol: String, dstCol: String,
+                    components: Option[DataFrame] = None): DataFrame = {
+    val comp = components.getOrElse(connectedComponents(edges, srcCol, dstCol))
     val labeled = docs
       .join(comp, docs(idCol).cast("long") === comp("node"), "left")
       .select(docs(idCol).cast("long").as("__id"), col(qualityCol).as("__q"),

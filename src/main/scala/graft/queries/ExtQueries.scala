@@ -339,7 +339,7 @@ object ExtQueries {
       (s, d) => {
         val pairs = Dedup.simhashNearPairs(Tables.documents(s, d), "doc_id", "text",
           bits = 60, maxDist = 3)
-        Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        Dedup.connectedComponentsShared(pairs, "doc_a", "doc_b")
           .groupBy("component").agg(count(lit(1)).as("sz"))
           .agg(count(lit(1)).as("n_components"),
             sum(col("sz")).as("n_docs"),
@@ -394,7 +394,9 @@ object ExtQueries {
         val pairs = Dedup.simhashNearPairs(docs, "doc_id", "text",
           bits = 60, maxDist = 3)
         Dedup.keepCanonical(docs.select("doc_id", "n_chars"),
-            "doc_id", "n_chars", pairs, "doc_a", "doc_b")
+            "doc_id", "n_chars", pairs, "doc_a", "doc_b",
+            components = Some(
+              Dedup.connectedComponentsShared(pairs, "doc_a", "doc_b")))
           .agg(count(lit(1)).as("n_kept"),
             sum(col("doc_id")).as("kept_id_checksum"),
             sum(col("n_chars")).as("kept_chars"),
