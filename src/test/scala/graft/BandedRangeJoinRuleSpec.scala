@@ -121,6 +121,57 @@ class BandedRangeJoinRuleSpec extends SparkSpec {
     }
   }
 
+  test("property: random windows/strictness/operand-order/encoding match the naive join") {
+    import org.apache.spark.sql.Column
+    // deterministic pseudo-random sweep over everything the rewrite
+    // normalizes: window offset sign, band width, strict vs inclusive
+    // bounds, flipped comparison operand order, and LTZ vs NTZ ts
+    // encoding. Timestamps sit on a coarse 250 ms grid so rows land
+    // exactly ON band boundaries (the off-by-one-µs territory).
+    val rnd = new scala.util.Random(20260814L)
+    val base = 1700000000000L
+    withExtSession { s =>
+      import s.implicits._
+      for (trial <- 0 until 10) {
+        val ntz = trial % 2 == 1
+        val lRows = (0 until 120).map(i => (base + rnd.nextInt(40) * 250L, i.toLong))
+        val rRows = (0 until 160).map(i => (base + rnd.nextInt(40) * 250L, 1000L + i))
+        val loMs = (rnd.nextInt(41) - 20) * 250L
+        val hiMs = loMs + (1 + rnd.nextInt(16)) * 250L
+        val strictLo = rnd.nextBoolean()
+        val strictHi = rnd.nextBoolean()
+        def mkDf(rows: Seq[(Long, Long)], tsName: String, idName: String) = {
+          val df = rows.toDF("ms", idName)
+            .select(timestamp_millis(col("ms")).as(tsName), col(idName))
+          if (ntz) df.withColumn(tsName, col(tsName).cast("timestamp_ntz")) else df
+        }
+        val l = mkDf(lRows, "lts", "lid")
+        val r = mkDf(rRows, "rts", "rid")
+        val loB = col("lts") + expr(s"INTERVAL $loMs MILLISECONDS")
+        val hiB = col("lts") + expr(s"INTERVAL $hiMs MILLISECONDS")
+        // flip operand order randomly — classify() must normalize both
+        def ge(a: Column, b: Column, strict: Boolean) =
+          if (rnd.nextBoolean()) { if (strict) a > b else a >= b }
+          else { if (strict) b < a else b <= a }
+        val cond = ge(col("rts"), loB, strictLo) && ge(hiB, col("rts"), strictHi)
+        val j = l.join(r, cond).select("lid", "rid")
+        assert(j.queryExecution.optimizedPlan.toString.contains("__lband"),
+          s"trial $trial (ntz=$ntz lo=$loMs hi=$hiMs) did not rewrite")
+        val got = j.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+        val naive = (for {
+          (lms, lid) <- lRows
+          (rms, rid) <- rRows
+          d = rms - lms
+          if (if (strictLo) d > loMs else d >= loMs) &&
+            (if (strictHi) d < hiMs else d <= hiMs)
+        } yield (lid, rid)).toSet
+        assert(got == naive,
+          s"trial $trial (ntz=$ntz lo=$loMs hi=$hiMs strict=$strictLo/$strictHi): " +
+            s"${(got -- naive).size} extra, ${(naive -- got).size} missing")
+      }
+    }
+  }
+
   test("equi-keyed range join is left untouched by the rule") {
     withExtSession { s =>
       val ev = Tables.events(s, "/root/testdata/sf0.001")
