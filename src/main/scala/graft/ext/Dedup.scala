@@ -222,6 +222,49 @@ object Dedup {
       .distinct()
   }
 
+  /** Ingest-time SimHash near-dup: (new doc, corpus doc, dist) pairs
+    * within hamming ≤ `maxDist` between a NEW batch's signatures and
+    * a standing corpus SIGNATURE STORE — the SimHash sibling of
+    * [[incrementalLshCandidates]], completing the incremental family
+    * (exact fingerprints / MinHash-LSH bands / SimHash signatures all
+    * dedup a delta against a store artifact without re-reading corpus
+    * text). SimHash signatures are doc-local, so the store is exactly
+    * the persisted [[simhashShared]] relation (8+8 bytes per doc)
+    * written at corpus-build time; ingest hashes ONLY the batch.
+    *
+    * Candidates come from the same pigeonhole multi-index as
+    * [[simhashNearPairs]] — segment-value equality on any of
+    * `maxDist + 1` disjoint segments (exact, no recall loss) — but
+    * joined batch-against-store instead of self-joined, so the work
+    * is |batch| × bucket density, independent of corpus size. Store
+    * segment buckets larger than `maxSegBucket` can be dropped
+    * (boilerplate clusters: handle as clusters, not pairwise);
+    * default is exact.
+    */
+  def incrementalSimhashCandidates(batchSigs: DataFrame, storeSigs: DataFrame,
+                                   bits: Int = 60, maxDist: Int = 3,
+                                   maxSegBucket: Int = Int.MaxValue): DataFrame = {
+    val nSeg = maxDist + 1
+    require(bits % nSeg == 0,
+      s"bits=$bits must be divisible by maxDist+1=$nSeg segments")
+    val storeSegs0 = segExplode(storeSigs, bits, nSeg)
+    val storeSegs =
+      if (maxSegBucket == Int.MaxValue) storeSegs0
+      else {
+        val ok = storeSegs0.groupBy("seg", "segv").agg(count(lit(1)).as("cnt"))
+          .where(col("cnt") <= maxSegBucket).select("seg", "segv")
+        storeSegs0.join(ok, Seq("seg", "segv"))
+      }
+    segExplode(batchSigs, bits, nSeg).as("n")
+      .join(storeSegs.as("s"),
+        col("n.seg") === col("s.seg") && col("n.segv") === col("s.segv") &&
+          col("n.doc_id") =!= col("s.doc_id"))
+      .select(col("n.doc_id").as("doc_new"), col("s.doc_id").as("doc_corpus"),
+        hamming(col("n.simhash"), col("s.simhash")).as("dist"))
+      .where(col("dist") <= maxDist)
+      .distinct()
+  }
+
   /** Per-band LSH bucket census: how many buckets hold ≥2 docs, how
     * many candidate pairs they imply, and the total docs per band —
     * integer-only, so oracle-checkable.
@@ -313,14 +356,33 @@ object Dedup {
     * skew case — at 100 TB, cap or salt hot (seg, segv) buckets the
     * same way [[lshCandidatePairs]] caps hot LSH buckets.
     */
+  /** Multi-index segment explosion of a (doc_id, simhash) relation:
+    * one row per (doc, segment index, segment value) — the equi-join
+    * key space of the pigeonhole candidate generation used by both
+    * the full self-join ([[simhashNearPairs]]) and the incremental
+    * batch-vs-store join ([[incrementalSimhashCandidates]]). A pure
+    * map-side shift/mask projection — never cache it; cache the
+    * 16-byte signature relation it projects from.
+    */
+  private def segExplode(sigs: DataFrame, bits: Int, nSeg: Int): DataFrame = {
+    val segBits = bits / nSeg
+    val mask = (1L << segBits) - 1
+    val segStructs = (0 until nSeg).map { i =>
+      struct(lit(i).as("seg"),
+        expr(s"shiftright(simhash, ${i * segBits}) & $mask").as("segv"))
+    }
+    sigs.select(col("doc_id"), col("simhash"),
+        explode(array(segStructs: _*)).as("sv"))
+      .select(col("doc_id"), col("simhash"),
+        col("sv.seg").as("seg"), col("sv.segv").as("segv"))
+  }
+
   def simhashNearPairs(docs: DataFrame, idCol: String, textCol: String,
                        bits: Int = 60, maxDist: Int = 3,
                        maxSegBucket: Int = Int.MaxValue): DataFrame = {
     val nSeg = maxDist + 1
     require(bits % nSeg == 0,
       s"bits=$bits must be divisible by maxDist+1=$nSeg segments")
-    val segBits = bits / nSeg
-    val mask = (1L << segBits) - 1
     // the persisted diamond anchor is the SHARED signature relation
     // ([[simhashShared]] — one 16-byte row per doc, also consumed by
     // the bucket census and any other SimHash query in the session):
@@ -333,17 +395,9 @@ object Dedup {
     // wider 4-rows/doc form instead would quadruple the storage while
     // denying the census its narrow shared anchor.
     val sh = simhashShared(docs, idCol, textCol, bits)
-    val segStructs = (0 until nSeg).map { i =>
-      struct(lit(i).as("seg"),
-        expr(s"shiftright(simhash, ${i * segBits}) & $mask").as("segv"))
-    }
     // signatures ride along (8 bytes) so verification needs no
     // join-back to the signature table
-    val allSegs = sh
-      .select(col("doc_id"), col("simhash"),
-        explode(array(segStructs: _*)).as("sv"))
-      .select(col("doc_id"), col("simhash"),
-        col("sv.seg").as("seg"), col("sv.segv").as("segv"))
+    val allSegs = segExplode(sh, bits, nSeg)
     // optional skew guard for the 100 TB case: a (seg, segv) bucket of
     // m docs implies m²/2 candidate pairs, and a boilerplate cluster
     // of near-identical simhashes lands whole in one bucket. Capping

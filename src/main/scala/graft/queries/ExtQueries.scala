@@ -35,6 +35,26 @@ object ExtQueries {
        h AS (
          SELECT doc_id, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS hv FROM tok)"""
 
+  /** Shared DuckDB CTE text: 60-bit SimHash signature per doc — the
+    * oracle twin of [[graft.ext.Dedup.simhash]] at bits = 60 (token
+    * hashes from the top 15 hex chars of md5, majority vote per bit).
+    */
+  private val simh60Cte =
+    """tok60 AS (
+         SELECT DISTINCT doc_id, w FROM (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         WHERE w <> ''),
+       h60 AS (
+         SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS hv FROM tok60),
+       sbits AS (
+         SELECT doc_id, b,
+                SUM(CASE WHEN ((hv >> b) & 1) = 1 THEN 1 ELSE -1 END) AS s
+         FROM h60, range(60) t(b) GROUP BY doc_id, b),
+       simh AS (
+         SELECT doc_id,
+                SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+         FROM sbits GROUP BY doc_id)"""
+
   /** Shared DuckDB CTE text: distinct word-trigram shingles per doc.
     * The token position comes from zip-unnesting the split list with
     * `range(len(...))` in the SELECT list (DuckDB runs parallel
@@ -223,6 +243,42 @@ object ExtQueries {
                       CAST((SELECT COALESCE(SUM(doc_a + doc_b), 0)
                             FROM v WHERE inter * 5 >= uni * 4) AS BIGINT)
                         AS dup_checksum""")),
+
+    // Incremental SimHash near-dup ([[Dedup.incrementalSimhashCandidates]]):
+    // the same 5% ingest batch dedups against the standing corpus's
+    // SIGNATURE store (the persisted simhashShared relation — 16
+    // bytes/doc, written at corpus-build time), via the pigeonhole
+    // segment multi-index joined batch-vs-store. Completes the
+    // incremental family: exact fingerprints, MinHash-LSH bands, and
+    // SimHash signatures all dedup a delta without re-reading corpus
+    // text. The oracle brute-forces batch×store hamming — exact, so
+    // the candidate set (not just its size) is hash-pinned.
+    Declared(
+      "ext_dedup_incremental_simhash",
+      (s, d) => {
+        val sh = Dedup.simhashShared(Tables.documents(s, d), "doc_id", "text",
+          bits = 60)
+        Dedup.incrementalSimhashCandidates(
+            sh.where(col("doc_id") % 20 === 7),
+            sh.where(col("doc_id") % 20 =!= 7),
+            bits = 60, maxDist = 3)
+          .agg(count(lit(1)).as("n_pairs"),
+            coalesce(sum(col("doc_new") + col("doc_corpus")), lit(0L))
+              .as("id_checksum"),
+            coalesce(sum(col("dist")), lit(0L)).as("sum_dist"))
+      },
+      Some(s"""WITH $simh60Cte,
+               batch AS (SELECT * FROM simh WHERE doc_id % 20 = 7),
+               store AS (SELECT * FROM simh WHERE doc_id % 20 <> 7),
+               p AS (
+                 SELECT b.doc_id AS doc_new, s.doc_id AS doc_corpus,
+                        bit_count(xor(b.simhash, s.simhash)) AS dist
+                 FROM batch b JOIN store s ON b.doc_id <> s.doc_id)
+               SELECT COUNT(*) AS n_pairs,
+                      CAST(COALESCE(SUM(doc_new + doc_corpus), 0) AS BIGINT)
+                        AS id_checksum,
+                      CAST(COALESCE(SUM(dist), 0) AS BIGINT) AS sum_dist
+               FROM p WHERE dist <= 3""")),
 
     Declared(
       "ext_dedup_fingerprint",

@@ -190,6 +190,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Dedup.connectedComponents(empty, "src", "dst").count() == 0)
   }
 
+  test("incrementalSimhashCandidates finds hamming<=maxDist batch-vs-store pairs exactly") {
+    import spark.implicits._
+    // signature-level fixture (bits=8, maxDist=1 → 2 segments of 4
+    // bits): store doc 1 = 0b00000000. Batch 10 differs in 1 bit
+    // (admit), 11 in 2 bits both in ONE segment (other segment agrees
+    // → candidate surfaces, then dist filter rejects), 12 differs in
+    // 2 bits across BOTH segments (no segment agrees — never even a
+    // candidate), 13 equals the store doc (dist 0, admit).
+    val store = Seq((1L, 0x00L)).toDF("doc_id", "simhash")
+    val batch = Seq((10L, 0x01L), (11L, 0x03L), (12L, 0x11L), (13L, 0x00L))
+      .toDF("doc_id", "simhash")
+    val got = Dedup.incrementalSimhashCandidates(batch, store,
+        bits = 8, maxDist = 1)
+      .select("doc_new", "doc_corpus", "dist")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((10L, 1L, 1), (13L, 1L, 0)))
+  }
+
   test("keepCanonical keeps max quality per class, ties to min id, singletons kept") {
     import spark.implicits._
     // class {1,2,3} via a chain (1-2, 2-3): quality tie 9 between 2
