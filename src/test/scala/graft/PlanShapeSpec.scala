@@ -119,6 +119,27 @@ class PlanShapeSpec extends SparkSpec {
       s"expected equi joins for band probe and shingle verification:\n$plan")
   }
 
+  test("ext_dedup_incremental_simhash: segment probe is an equi-join — no nested-loop, no cartesian") {
+    val plan = planOf("ext_dedup_incremental_simhash")
+    assert(!plan.contains("CartesianProduct"),
+      s"batch-vs-store probe must never go all-pairs:\n$plan")
+    assert(count(plan, "BroadcastNestedLoopJoin") == 0,
+      s"segment probe must stay an equi join on (seg, segv):\n$plan")
+    assert(count(plan, "ShuffledHashJoin|BroadcastHashJoin|SortMergeJoin") >= 1,
+      s"expected an equi join for the segment probe:\n$plan")
+  }
+
+  test("ext_dedup_canonical: id-join plus one struct-max aggregate, no text shuffle") {
+    val plan = planOf("ext_dedup_canonical")
+    assert(!plan.contains("CartesianProduct") &&
+      count(plan, "BroadcastNestedLoopJoin") == 0,
+      s"docs-to-labels assignment must be an equi join:\n$plan")
+    // the survivor argmax must partial-aggregate before its exchange
+    // (map-side combine: per-partition state is one struct per class)
+    assert(plan.contains("partial_max") || plan.contains("partial_count"),
+      s"expected map-side partial aggregation of the survivor struct:\n$plan")
+  }
+
   test("ext_rel_range_join_left: outer path without localCheckpoint, banded equi-join (no BNLJ)") {
     val plan = planOf("ext_rel_range_join_left")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
