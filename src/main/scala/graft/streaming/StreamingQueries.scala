@@ -119,4 +119,37 @@ object StreamingQueries {
     */
   def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
     stream.join(broadcast(dim), keys, "left")
+
+  /** Streaming ingest dedup: the streaming twin of
+    * [[graft.ext.Dedup.incrementalExact]]. Each document of the
+    * stream is fingerprinted map-side (60-bit content hash, the same
+    * [[graft.ext.Hashing.h60]] the batch store uses), anti-joined
+    * against the static corpus fingerprint STORE (content already in
+    * the corpus is dropped), then deduplicated against rows seen
+    * earlier IN the stream via watermark-bounded state — so a
+    * duplicate arriving in a later microbatch is still dropped, and
+    * state for fingerprints older than the watermark is released
+    * instead of growing with the stream.
+    *
+    * No join-strategy hint on the store, deliberately: Spark
+    * re-plans the static side per microbatch, so a small store
+    * broadcasts and a 100 TB-corpus store (~0.3% of corpus bytes)
+    * falls back to a shuffled equi-join of the 8-byte column — the
+    * batch path's exact scale shape.
+    *
+    * Survivor policy: FIRST ARRIVAL per fingerprint (the only policy
+    * a stream can implement without buffering the watermark window);
+    * the batch twin keeps min-id. The kept fingerprint SET is
+    * identical — differential specs compare that invariant.
+    */
+  def incrementalDedup(stream: DataFrame, store: DataFrame,
+                       textCol: String = "text", tsCol: String = "ts",
+                       watermark: String = "30 minutes"): DataFrame = {
+    val fp = graft.ext.Hashing.h60(col(textCol))
+    stream.withColumn("__fp", fp)
+      .withWatermark(tsCol, watermark)
+      .join(store, col("__fp") === store("fp"), "left_anti")
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+  }
 }

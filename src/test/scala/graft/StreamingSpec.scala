@@ -481,6 +481,46 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming incremental dedup keeps exactly the batch twin's new-fingerprint set") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.ext.{Dedup, Hashing}
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val corpus = docs.filter(_._1 % 20 != 7)
+    // the ingest: the 5% slice PLUS deliberate collisions — two corpus
+    // texts re-ingested under fresh ids (must drop against the store)
+    // and an in-batch duplicate pair SPLIT ACROSS microbatches (must
+    // drop against stream state, one survivor)
+    val probe = "graft stream dup probe"
+    val batch = docs.filter(_._1 % 20 == 7) ++ Seq(
+      (900001L, corpus.head._2), (900002L, corpus(1)._2), (900003L, probe))
+    val late = Seq((900004L, probe))
+    val store = Dedup.fingerprintStore(corpus.toDF("doc_id", "text"), "text")
+      .collect().map(_.getLong(0)).toSeq.toDF("fp") // static, fully materialized
+    val expected = Dedup.incrementalExact(
+        (batch ++ late).toDF("doc_id", "text"), "doc_id", "text", store)
+      .select(Hashing.h60(col("text"))).as[Long].collect().toSet
+    val stream = MemoryStream[(Long, String)]
+    val src = stream.toDF().select(col("_1").as("doc_id"), col("_2").as("text"),
+      timestamp_millis(col("_1")).as("ts")) // synthetic event time
+    val query = StreamingQueries.incrementalDedup(src, store,
+        watermark = "365 days") // nothing expires inside the test
+      .writeStream.format("memory").queryName("inc_dedup")
+      .outputMode("append").start()
+    try {
+      stream.addData(batch); query.processAllAvailable()
+      stream.addData(late); query.processAllAvailable()
+      val got = spark.table("inc_dedup")
+        .select(Hashing.h60(col("text"))).as[Long].collect().toSeq
+      assert(got.size == got.toSet.size, "a fingerprint was emitted twice")
+      assert(got.toSet == expected,
+        s"${(got.toSet -- expected).size} extra, ${(expected -- got.toSet).size} missing")
+      assert(expected.nonEmpty && got.size < batch.size + late.size,
+        "the dedup must actually drop the injected collisions")
+    } finally query.stop()
+  }
+
   test("TIMESTAMP_NTZ event time fails loudly at construction, never silently shifts epochs") {
     // raw read, bypassing Tables' normalization: the tz-less fixture
     // surfaces ts as TIMESTAMP_NTZ (the round-8 writer refresh).
