@@ -128,12 +128,56 @@ object Tables {
           // exact range, so `/ 1000` via double would be off by ~µs
           raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
         case org.apache.spark.sql.types.TimestampNTZType =>
-          // UTC session: wall-clock micros == instant micros, 1:1
+          // NTZ wall-clock micros reinterpreted as UTC instants via a
+          // Cast pinned to the UTC zone — NOT the session zone: the
+          // graft mains all run UTC sessions, but a library consumer
+          // with a non-UTC session must read the same epochs (this is
+          // how DuckDB reads the same tz-less file, and it matches
+          // BandedRangeJoinRule.asInstant's hard-coded UTC)
           raw.withColumn("ts",
-            col("ts").cast(org.apache.spark.sql.types.TimestampType))
+            org.apache.spark.sql.graftshim.ColumnShim.column(
+              org.apache.spark.sql.catalyst.expressions.Cast(
+                org.apache.spark.sql.graftshim.ColumnShim.expression(col("ts")),
+                org.apache.spark.sql.types.TimestampType, Some("UTC"))))
         case _ => raw // engine already surfaced a native instant timestamp
       }
     } else spark.read.parquet(path)
+  }
+
+  /** Streaming twin of [[load]]: the same table as a file-source
+    * STREAM (`spark.readStream`), for the gated streaming queries and
+    * any ingest pipeline that replays a fixture directory. The schema
+    * is taken from the batch reader (file streams cannot infer), and
+    * the `@k` scaled-dir convention applies unchanged — every
+    * [[scaledCopy]] transform is a stateless projection, so it maps
+    * 1:1 onto a streaming DataFrame and the k copies union exactly as
+    * in the batch path. `events` ts-normalization is NOT replicated
+    * here (the nanos-as-long surface is batch-reader-specific);
+    * streaming consumers of `events` should derive event time
+    * explicitly. maxFilesPerTrigger is left default: with
+    * `Trigger.AvailableNow` the whole fixture lands in bounded
+    * microbatches and the query self-terminates — the replay shape
+    * the gated row uses.
+    */
+  def loadStream(spark: SparkSession, dir: String, name: String): DataFrame = dir match {
+    case ScaledDir(base, kStr) =>
+      val k = kStr.toInt
+      require(k >= 1 && k <= 32, s"scale factor @$k out of range (1..32)")
+      val base0 = loadStreamPlain(spark, base, name)
+      if (k == 1 || !scaledTables(name)) base0
+      else (0 until k).map(scaledCopy(base0, name, _)).reduce(_.unionByName(_))
+    case _ => loadStreamPlain(spark, dir, name)
+  }
+
+  private def loadStreamPlain(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = spark.read.parquet(path).schema
+    // the fixture table is a single FILE; FileStreamSource requires
+    // its basePath to be a directory, and for a non-glob path the
+    // basePath IS the path. A brace-glob matching exactly that file
+    // makes the source take the glob's directory prefix as basePath
+    // (no partition columns — the table files sit directly in it)
+    spark.readStream.schema(schema).parquet(s"$dir/{$name.parquet}")
   }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")

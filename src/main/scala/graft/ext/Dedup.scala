@@ -340,22 +340,6 @@ object Dedup {
     */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Near-duplicate pairs by SimHash hamming distance: distinct pairs
-    * (doc_a < doc_b) whose `bits`-bit signatures differ in ≤ `maxDist`
-    * bits, with the distance attached.
-    *
-    * The pair join stays bucketed via the multi-index trick: the
-    * signature splits into `maxDist + 1` disjoint segments, and any
-    * pair within `maxDist` must agree EXACTLY on at least one segment
-    * (pigeonhole: ≤ maxDist differing bits cannot touch all
-    * maxDist + 1 segments) — so candidates are pairs sharing
-    * (segment index, segment value), an equijoin co-partitioned on
-    * the segment key, and the hamming verification runs on candidates
-    * only. Exact (no recall loss), never all-pairs; degenerate
-    * segments (e.g. all-zero high bits across the corpus) are the
-    * skew case — at 100 TB, cap or salt hot (seg, segv) buckets the
-    * same way [[lshCandidatePairs]] caps hot LSH buckets.
-    */
   /** Multi-index segment explosion of a (doc_id, simhash) relation:
     * one row per (doc, segment index, segment value) — the equi-join
     * key space of the pigeonhole candidate generation used by both
@@ -377,6 +361,22 @@ object Dedup {
         col("sv.seg").as("seg"), col("sv.segv").as("segv"))
   }
 
+  /** Near-duplicate pairs by SimHash hamming distance: distinct pairs
+    * (doc_a < doc_b) whose `bits`-bit signatures differ in ≤ `maxDist`
+    * bits, with the distance attached.
+    *
+    * The pair join stays bucketed via the multi-index trick: the
+    * signature splits into `maxDist + 1` disjoint segments, and any
+    * pair within `maxDist` must agree EXACTLY on at least one segment
+    * (pigeonhole: ≤ maxDist differing bits cannot touch all
+    * maxDist + 1 segments) — so candidates are pairs sharing
+    * (segment index, segment value), an equijoin co-partitioned on
+    * the segment key, and the hamming verification runs on candidates
+    * only. Exact (no recall loss), never all-pairs; degenerate
+    * segments (e.g. all-zero high bits across the corpus) are the
+    * skew case — at 100 TB, cap or salt hot (seg, segv) buckets the
+    * same way [[lshCandidatePairs]] caps hot LSH buckets.
+    */
   def simhashNearPairs(docs: DataFrame, idCol: String, textCol: String,
                        bits: Int = 60, maxDist: Int = 3,
                        maxSegBucket: Int = Int.MaxValue): DataFrame = {
