@@ -1,0 +1,505 @@
+package graft.queries
+
+import graft.Tables
+import graft.ext.{Curation, Dedup, Graph, Multimodal, PlanCache, Sampling, Search, Similarity, Skew, Stats, TextStats, TimeJoin}
+import org.apache.spark.sql.functions._
+
+import ExtShared._
+
+/** Pipeline family: end-to-end curation, packing, decontam,
+  * shard export, Z-order, sampling, splits, chunking, concat.
+  *
+  * Declared-query registry split out of the former monolithic
+  * ExtQueries.scala (round 10, mechanical — blocks moved verbatim);
+  * shared caps/CTE text/checksum helpers live in [[ExtShared]].
+  */
+object ExtPipelineQueries {
+
+  val all: Seq[Declared] = Seq(
+
+    // --- End-to-end curation pipeline ---------------------------------
+    // The capstone composition ([[graft.ext.Curation]]): language gate
+    // → quality gate → exact dedup → LSH near-dedup (verified pairs +
+    // degenerate clusters), emitted as one row of per-stage attrition
+    // counts plus id/token checksums of the FINAL corpus — the
+    // checksums pin exactly WHICH documents survive, so the oracle
+    // verifies the whole pipeline end to end, not just cardinalities.
+    Declared(
+      "ext_pipeline_curation",
+      (s, d) => {
+        val c = Curation.curate(Tables.documents(s, d), "doc_id", "text")
+        c.gateStats
+          .crossJoin(c.exactKept.agg(count(lit(1)).as("n_exact")))
+          .crossJoin(c.nearDupPairs.agg(count(lit(1)).as("n_near_pairs")))
+          .crossJoin(c.finalDocs.agg(count(lit(1)).as("n_final"),
+            sum(col("doc_id")).as("id_checksum"),
+            sum(col("n_tokens")).as("token_checksum")))
+      },
+      Some(s"""WITH lid AS (
+                 SELECT doc_id, text,
+                   len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to'))) AS en,
+                   len(list_filter(string_split(text,' '), x -> x IN ('el','la','de','que','y'))) AS es,
+                   len(list_filter(string_split(text,' '), x -> x IN ('der','die','und','ist','das'))) AS de,
+                   len(list_filter(string_split(text,' '), x -> x IN ('le','la','et','les','des'))) AS fr
+                 FROM documents),
+               lang_kept AS (
+                 SELECT doc_id, text FROM lid
+                 WHERE en > 0 AND en >= es AND en >= de AND en >= fr),
+               qual AS (
+                 SELECT doc_id, text, len(string_split(text,' ')) AS n_tokens,
+                        (len(list_distinct(string_split(text,' '))) * 10)
+                          // len(string_split(text,' ')) AS ttr
+                 FROM lang_kept),
+               qual_kept AS (
+                 SELECT doc_id, text, n_tokens FROM qual
+                 WHERE n_tokens >= 30 AND ttr >= 3),
+               ex AS (SELECT MIN(doc_id) AS doc_id FROM qual_kept GROUP BY md5(text)),
+               surv AS (SELECT q.* FROM qual_kept q JOIN ex USING (doc_id)),
+               tok AS (
+                 SELECT DISTINCT doc_id, w FROM (
+                   SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM surv)
+                 WHERE w <> ''),
+               h AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS hv FROM tok),
+               mh AS (
+                 SELECT doc_id, i, MIN(((2*i + 3) * hv + (5*i + 7)) % 2147483647) AS minh
+                 FROM h, range(16) t(i) GROUP BY doc_id, i),
+               sigs AS (
+                 SELECT doc_id, CAST(i // 4 AS INT) AS band,
+                        string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i) AS sig
+                 FROM mh GROUP BY doc_id, band),
+               okb AS (SELECT band, sig FROM sigs GROUP BY band, sig HAVING COUNT(*) <= $MaxBucket),
+               bigc AS (
+                 SELECT DISTINCT s.doc_id FROM sigs s
+                 JOIN (SELECT band, sig, MIN(doc_id) AS rep FROM sigs
+                       GROUP BY band, sig HAVING COUNT(*) > $MaxBucket) b
+                   ON s.band = b.band AND s.sig = b.sig AND s.doc_id <> b.rep),
+               sig2 AS (SELECT sigs.* FROM sigs JOIN okb USING (band, sig)),
+               cand AS (
+                 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM sig2 a JOIN sig2 b
+                   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+               tp AS (
+                 SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                        unnest(range(len(string_split(text, ' ')))) AS pos
+                 FROM surv),
+               sh0 AS (
+                 SELECT doc_id,
+                        w || ' ' || LEAD(w, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+                          || ' ' || LEAD(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS shingle
+                 FROM tp),
+               sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL),
+               shh AS (
+                 SELECT DISTINCT doc_id,
+                        CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS sh
+                 FROM sh),
+               kept AS (SELECT sh FROM shh GROUP BY sh HAVING COUNT(*) <= $DfCap),
+               fsh AS (SELECT doc_id, sh FROM shh JOIN kept USING (sh)),
+               card AS (SELECT doc_id, COUNT(*) AS n FROM fsh GROUP BY doc_id),
+               inter AS (
+                 SELECT doc_a, doc_b, COUNT(*) AS inter FROM cand
+                 JOIN fsh fa ON fa.doc_id = doc_a
+                 JOIN fsh fb ON fb.doc_id = doc_b AND fa.sh = fb.sh
+                 GROUP BY doc_a, doc_b),
+               ver AS (
+                 SELECT doc_a, doc_b, inter, ca.n + cb.n - inter AS uni
+                 FROM inter JOIN card ca ON doc_a = ca.doc_id
+                 JOIN card cb ON doc_b = cb.doc_id
+                 WHERE inter * 5 >= (ca.n + cb.n - inter) * 4),
+               neardrop AS (
+                 SELECT DISTINCT doc_b AS doc_id FROM ver
+                 UNION SELECT doc_id FROM bigc),
+               fin AS (SELECT s.* FROM surv s ANTI JOIN neardrop d ON s.doc_id = d.doc_id)
+               SELECT
+                 (SELECT COUNT(*) FROM documents) AS n_input,
+                 (SELECT COUNT(*) FROM lang_kept) AS n_lang,
+                 (SELECT COUNT(*) FROM qual_kept) AS n_quality,
+                 (SELECT COUNT(*) FROM surv) AS n_exact,
+                 (SELECT COUNT(*) FROM ver) AS n_near_pairs,
+                 COUNT(*) AS n_final,
+                 CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+                 CAST(SUM(n_tokens) AS BIGINT) AS token_checksum
+               FROM fin""")),
+
+    // Sequence packing census: documents pack into ~2048-token training
+    // bins per language (contiguous by doc_id — the "concat the shard,
+    // chop every budget" assignment). Per-lang bin counts, the heaviest
+    // bin, and a bin-weighted checksum pin every assignment.
+    Declared(
+      "ext_pipeline_pack",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("lang"), col("doc_id"),
+            size(split(col("text"), " ")).as("n_tokens"))
+        Sampling.packBins(docs, Seq("lang"), col("doc_id"), col("n_tokens"),
+            budget = 2048)
+          .groupBy("lang", "bin")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("load"),
+            sum(col("doc_id") * (col("bin") + 1)).as("ck"))
+          .groupBy("lang")
+          .agg(countDistinct(col("bin")).as("n_bins"),
+            sum(col("n_docs")).as("n_docs"),
+            max(col("load")).as("max_bin_tokens"),
+            sum(col("ck")).as("assign_checksum"))
+          .orderBy("lang")
+      },
+      Some("""WITH t AS (
+                SELECT lang, doc_id, len(string_split(text, ' ')) AS n FROM documents),
+              b AS (
+                SELECT lang, doc_id, n,
+                  CAST((SUM(n) OVER (PARTITION BY lang ORDER BY doc_id) - n) // 2048 AS BIGINT) AS bin
+                FROM t),
+              pb AS (
+                SELECT lang, bin, COUNT(*) AS n_docs, SUM(n) AS load,
+                       SUM(doc_id * (bin + 1)) AS ck
+                FROM b GROUP BY lang, bin)
+              SELECT lang, COUNT(DISTINCT bin) AS n_bins,
+                     CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+                     CAST(MAX(load) AS BIGINT) AS max_bin_tokens,
+                     CAST(SUM(ck) AS BIGINT) AS assign_checksum
+              FROM pb GROUP BY lang ORDER BY lang""")),
+
+    // Eval-set decontamination: the eval slice is a deterministic 5%
+    // hash sample; training docs sharing any word 8-gram with it are
+    // dropped. The oracle matches on raw n-gram STRINGS while Spark
+    // matches 64-bit xxhash64 gram hashes (never building gram
+    // strings at all) — a hash-collision mismatch would surface here
+    // as a checksum diff, so the green row also bounds collision
+    // over-dropping at this scale. Remaining Spark-vs-DuckDB gap at
+    // sf0.1 is per-stage launch overhead (the same plan's core is
+    // sub-second warm), not plan cost.
+    Declared(
+      "ext_pipeline_decontam",
+      (s, d) => {
+        val b = Tables.documents(s, d)
+          .withColumn("__eb", Sampling.hashBucket(col("doc_id"), 100, "eval"))
+        val ev = b.where(col("__eb") < 5).select("doc_id", "text")
+        val tr = b.where(col("__eb") >= 5).select("doc_id", "text")
+        val clean = Curation.decontaminate(tr, "doc_id", "text", ev, "text", n = 8)
+        b.agg(sum(when(col("__eb") >= 5, 1L).otherwise(0L)).as("n_train"),
+            sum(when(col("__eb") < 5, 1L).otherwise(0L)).as("n_eval"))
+          .crossJoin(clean.agg(count(lit(1)).as("n_clean"),
+            sum(col("doc_id")).as("id_checksum")))
+      },
+      Some("""WITH b AS (
+                SELECT doc_id, text,
+                  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'eval'), 1, 8) AS BIGINT) % 100 AS eb
+                FROM documents),
+              ev AS (SELECT doc_id, text FROM b WHERE eb < 5),
+              tr AS (SELECT doc_id, text FROM b WHERE eb >= 5),
+              evg AS (
+                SELECT DISTINCT unnest(list_transform(range(1, len(string_split(text,' ')) - 6),
+                  i -> array_to_string(string_split(text,' ')[i:i+7], ' '))) AS g
+                FROM ev),
+              trg AS (
+                SELECT doc_id, unnest(list_transform(range(1, len(string_split(text,' ')) - 6),
+                  i -> array_to_string(string_split(text,' ')[i:i+7], ' '))) AS g
+                FROM tr),
+              contam AS (SELECT DISTINCT doc_id FROM trg JOIN evg USING (g)),
+              clean AS (SELECT t.* FROM tr t ANTI JOIN contam c ON t.doc_id = c.doc_id)
+              SELECT (SELECT COUNT(*) FROM tr) AS n_train,
+                     (SELECT COUNT(*) FROM ev) AS n_eval,
+                     COUNT(*) AS n_clean,
+                     CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+              FROM clean""")),
+
+    // The 100 TB decontamination default: the eval gram set folds
+    // into ONE Bloom filter (bounded bytes, independent of corpus
+    // size) and train grams probe it map-side — no broadcast join,
+    // no shuffle of the train side. The error contract is one-sided
+    // (might_contain has NO false negatives, so every exactly-
+    // contaminated doc is dropped; false positives over-drop at the
+    // realized fpp). Here the filter is sized at 1M capacity for a
+    // ~12k-gram eval set, so the realized per-probe fpp is ~(k·m/bits)^k
+    // ≈ 1e-21 — over-dropping a single clean doc is a ~1e-16 event,
+    // which is why the oracle can assert the bloom clean set EQUALS
+    // the exact string-matched one (same SQL twin as
+    // ext_pipeline_decontam; the sketch build itself is work the
+    // oracle side never does). A genuine false positive would surface
+    // loudly as a row/checksum diff.
+    Declared(
+      "ext_pipeline_decontam_bloom",
+      (s, d) => {
+        val b = Tables.documents(s, d)
+          .withColumn("__eb", Sampling.hashBucket(col("doc_id"), 100, "eval"))
+        val ev = b.where(col("__eb") < 5).select("doc_id", "text")
+        val tr = b.where(col("__eb") >= 5).select("doc_id", "text")
+        val clean = Curation.decontaminateBloom(tr, "doc_id", "text", ev, "text",
+          n = 8, expectedItems = 1000000L, fpp = 0.001)
+        b.agg(sum(when(col("__eb") >= 5, 1L).otherwise(0L)).as("n_train"),
+            sum(when(col("__eb") < 5, 1L).otherwise(0L)).as("n_eval"))
+          .crossJoin(clean.agg(count(lit(1)).as("n_clean"),
+            sum(col("doc_id")).as("id_checksum")))
+      },
+      Some("""WITH b AS (
+                SELECT doc_id, text,
+                  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'eval'), 1, 8) AS BIGINT) % 100 AS eb
+                FROM documents),
+              ev AS (SELECT doc_id, text FROM b WHERE eb < 5),
+              tr AS (SELECT doc_id, text FROM b WHERE eb >= 5),
+              evg AS (
+                SELECT DISTINCT unnest(list_transform(range(1, len(string_split(text,' ')) - 6),
+                  i -> array_to_string(string_split(text,' ')[i:i+7], ' '))) AS g
+                FROM ev),
+              trg AS (
+                SELECT doc_id, unnest(list_transform(range(1, len(string_split(text,' ')) - 6),
+                  i -> array_to_string(string_split(text,' ')[i:i+7], ' '))) AS g
+                FROM tr),
+              contam AS (SELECT DISTINCT doc_id FROM trg JOIN evg USING (g)),
+              clean AS (SELECT t.* FROM tr t ANTI JOIN contam c ON t.doc_id = c.doc_id)
+              SELECT (SELECT COUNT(*) FROM tr) AS n_train,
+                     (SELECT COUNT(*) FROM ev) AS n_eval,
+                     COUNT(*) AS n_clean,
+                     CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+              FROM clean""")),
+
+    // Shard-export census ([[Curation.exportShards]]): the corpus is
+    // actually WRITTEN as a hive-partitioned training layout
+    // (lang=<l>/ dirs, 2 deterministic hash shards per dir, files
+    // internally sorted) into a temp dir, then read back through the
+    // partition-discovery reader. The oracle replays the md5 shard
+    // routing in SQL and states every (lang, shard) cell's row count
+    // and id checksum — row-for-row routing determinism — plus
+    // n_files = 1: a shard bucket always lands in exactly one file
+    // (hash repartition sends each (lang, shard) combo to one task).
+    Declared(
+      "ext_pipeline_shard_export",
+      (s, d) => {
+        // deterministic per-(query, sf) path + mode-overwrite write:
+        // repeated executions (bench warm-up + timed runs) reuse ONE
+        // dir instead of leaking a corpus-sized parquet copy each —
+        // a fresh createTempDirectory per run was measured filling
+        // /tmp across bench cycles
+        val out = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_shard_census_${d.replaceAll("[^A-Za-z0-9.]", "_")}").toString
+        Curation.exportShards(
+          Tables.documents(s, d).select("doc_id", "lang", "text"),
+          out, Seq("lang"), "doc_id", shardsPerPart = 2)
+        s.read.parquet(out)
+          .withColumn("__file", input_file_name())
+          .withColumn("shard",
+            pmod(graft.ext.Hashing.h32(col("doc_id").cast("string")), lit(2)))
+          .groupBy("lang", "shard")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("doc_id")).as("id_checksum"),
+            countDistinct(col("__file")).as("n_files"))
+          .orderBy("lang", "shard")
+      },
+      Some("""WITH r AS (
+                SELECT lang, doc_id,
+                       CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 2 AS shard
+                FROM documents)
+              SELECT lang, shard, COUNT(*) AS n_rows,
+                     CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+                     CAST(1 AS BIGINT) AS n_files
+              FROM r GROUP BY lang, shard ORDER BY lang, shard""")),
+
+    // Z-order layout census ([[Layout.writeZOrdered]]): lineitem is
+    // actually WRITTEN range-partitioned + sorted on the Morton
+    // interleave of two 6-bit dims, then read back. The oracle
+    // replays the Morton bit-math in SQL and states the exact row
+    // count, z checksum, and global z range — pinning the interleave
+    // computation and lossless routing. File boundaries come from
+    // range-partitioner sampling (not run-deterministic), so the
+    // layout contract is pinned structurally instead: exactly 16
+    // files whose recomputed [min_z, max_z] spans are pairwise
+    // DISJOINT — the property that makes parquet min-max stats prune
+    // box predicates to O(box volume) files at 100 TB.
+    Declared(
+      "ext_pipeline_zorder",
+      (s, d) => {
+        // deterministic per-(query, sf) path + mode-overwrite write —
+        // same no-leak discipline as ext_pipeline_shard_export
+        val out = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_zorder_census_${d.replaceAll("[^A-Za-z0-9.]", "_")}").toString
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+          (col("l_partkey") % 64).as("x"), (col("l_suppkey") % 64).as("y"))
+        graft.ext.Layout.writeZOrdered(li, out, "x", "y", bits = 6, nFiles = 16)
+        val back = s.read.parquet(out)
+          .withColumn("__file", input_file_name())
+          .withColumn("__z", graft.ext.Layout.morton2(col("x"), col("y"), 6))
+        val w = org.apache.spark.sql.expressions.Window.orderBy("zmin")
+        // 16 file-summary rows — the single-partition window is over
+        // file count, never data. Each file's zmin is checked against
+        // the RUNNING max of every preceding file's zmax (not just its
+        // immediate predecessor): a wide early file spanning several
+        // later ones would pass a lag-1 check while still overlapping
+        // — the running max is what "pairwise disjoint" actually means
+        // for interval spans sorted by their lower end.
+        val files = back.groupBy("__file")
+          .agg(min("__z").as("zmin"), max("__z").as("zmax"))
+          .withColumn("__prev_max", max("zmax").over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+          .agg(count(lit(1)).as("n_files"),
+            sum(when(col("__prev_max").isNotNull &&
+              col("__prev_max") >= col("zmin"), 1L).otherwise(0L)).as("__ovl"))
+        back.agg(count(lit(1)).as("n_rows"),
+            sum(col("__z")).as("z_checksum"),
+            min(col("__z")).as("z_min"), max(col("__z")).as("z_max"))
+          .crossJoin(files)
+          .select(col("n_rows"), col("z_checksum"), col("z_min"), col("z_max"),
+            col("n_files"), (col("__ovl") === 0).as("files_disjoint"))
+      },
+      Some("""WITH z AS (
+                -- bitwise ops all share one precedence tier in DuckDB
+                -- (left-to-right), so every term is fully parenthesized
+                SELECT ((((l_partkey % 64) >> 0) & 1) << 0)  | ((((l_suppkey % 64) >> 0) & 1) << 1)
+                     | ((((l_partkey % 64) >> 1) & 1) << 2)  | ((((l_suppkey % 64) >> 1) & 1) << 3)
+                     | ((((l_partkey % 64) >> 2) & 1) << 4)  | ((((l_suppkey % 64) >> 2) & 1) << 5)
+                     | ((((l_partkey % 64) >> 3) & 1) << 6)  | ((((l_suppkey % 64) >> 3) & 1) << 7)
+                     | ((((l_partkey % 64) >> 4) & 1) << 8)  | ((((l_suppkey % 64) >> 4) & 1) << 9)
+                     | ((((l_partkey % 64) >> 5) & 1) << 10) | ((((l_suppkey % 64) >> 5) & 1) << 11)
+                       AS z
+                FROM lineitem)
+              SELECT COUNT(*) AS n_rows, CAST(SUM(z) AS BIGINT) AS z_checksum,
+                     CAST(MIN(z) AS BIGINT) AS z_min, CAST(MAX(z) AS BIGINT) AS z_max,
+                     CAST(16 AS BIGINT) AS n_files, TRUE AS files_disjoint
+              FROM z""")),
+
+    // Deterministic split + stratified-downsampling census: every row
+    // is assigned val/test/train by a salted hash of its id, and
+    // independently marked kept/dropped by a per-language per-mille
+    // rate (en 500‰, es/de/fr 250‰, default 100‰ — exercises the
+    // fallback on zh). The id checksum pins exact membership of every
+    // (split, lang) cell, so the oracle verifies assignment and
+    // sampling decisions row-for-row, not just proportions.
+    // Deterministic fixed-size per-stratum sample
+    // ([[Sampling.reservoirPerStratum]]): exactly k min-salted-hash
+    // rows per language; id checksums pin the exact membership, which
+    // the oracle reproduces from the same md5 rank.
+    Declared(
+      "ext_pipeline_reservoir",
+      (s, d) =>
+        Sampling.reservoirPerStratum(Tables.documents(s, d), Seq("lang"),
+            col("doc_id"), k = 20)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_checksum"))
+          .orderBy("lang"),
+      Some("""WITH rk AS (
+                SELECT lang, doc_id,
+                       ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+                         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'resv'), 1, 8) AS BIGINT),
+                         doc_id) AS rk
+                FROM documents)
+              SELECT lang, COUNT(*) AS n_kept,
+                     CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+              FROM rk WHERE rk <= 20
+              GROUP BY lang ORDER BY lang""")),
+
+    // Deterministic token-budget selection ([[Sampling.tokenBudget]]):
+    // keep documents per language, hash order, until ~2000 chars are
+    // spent — mixture weights → an actual training set. The id
+    // checksum pins exact membership (first doc always kept, overshoot
+    // ≤ 1 doc); the oracle replays the identical salted-hash ranking
+    // and exclusive prefix sum.
+    Declared(
+      "ext_pipeline_budget",
+      (s, d) =>
+        Sampling.tokenBudget(Tables.documents(s, d), Seq("lang"),
+            col("doc_id"), col("n_chars"), budget = 2000L)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("n_chars")).as("chars_kept"),
+            sum(col("doc_id")).as("sum_kept_ids"))
+          .orderBy("lang"),
+      Some("""WITH r AS (
+                SELECT lang, doc_id, n_chars,
+                       SUM(n_chars) OVER (PARTITION BY lang ORDER BY
+                         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'budget'), 1, 8) AS BIGINT),
+                         doc_id) - n_chars AS prefix
+                FROM documents)
+              SELECT lang, COUNT(*) AS n_kept,
+                     CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
+                     CAST(SUM(doc_id) AS BIGINT) AS sum_kept_ids
+              FROM r WHERE prefix < 2000
+              GROUP BY lang ORDER BY lang""")),
+
+    Declared(
+      "ext_pipeline_split",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val sp = Sampling.withSplit(docs, col("doc_id"), valPct = 10, testPct = 10)
+        val keep = Sampling.stratifiedKeep(col("doc_id"), col("lang"),
+          Seq("en" -> 500, "es" -> 250, "de" -> 250, "fr" -> 250),
+          defaultPerMille = 100)
+        sp.groupBy("split", "lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).as("id_checksum"),
+            sum(when(keep, 1L).otherwise(0L)).as("n_kept"))
+          .orderBy("split", "lang")
+      },
+      Some("""WITH b AS (
+                SELECT doc_id, lang,
+                  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 8) AS BIGINT) % 100 AS sb,
+                  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'strat'), 1, 8) AS BIGINT) % 1000 AS kb
+                FROM documents)
+              SELECT CASE WHEN sb < 10 THEN 'val'
+                          WHEN sb < 20 THEN 'test'
+                          ELSE 'train' END AS split,
+                     lang, COUNT(*) AS n_docs,
+                     CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+                     CAST(SUM(CASE WHEN kb < (CASE lang WHEN 'en' THEN 500
+                                                        WHEN 'es' THEN 250
+                                                        WHEN 'de' THEN 250
+                                                        WHEN 'fr' THEN 250
+                                                        ELSE 100 END)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+              FROM b GROUP BY split, lang ORDER BY split, lang""")),
+
+    // Sliding-window chunking ([[Curation.chunk]]): width 64 / stride
+    // 48 training spans, census per chunk index — chunk counts, token
+    // coverage, and an id checksum pin every span boundary. The
+    // operator is a pure map-side generate (one scan at 100 TB).
+    Declared(
+      "ext_pipeline_chunk",
+      (s, d) =>
+        Curation.chunk(Tables.documents(s, d), "doc_id", "text",
+            width = 64, stride = 48)
+          .groupBy("chunk_idx")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(col("chunk_len")).as("sum_len"),
+            sum(col("doc_id")).as("id_checksum"))
+          .orderBy("chunk_idx"),
+      Some("""WITH c AS (
+                SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+              s AS (SELECT doc_id, n, unnest(range(0, n, 48)) AS start FROM c)
+              SELECT start // 48 AS chunk_idx, COUNT(*) AS n_chunks,
+                     CAST(SUM(LEAST(64, n - start)) AS BIGINT) AS sum_len,
+                     CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+              FROM s GROUP BY chunk_idx ORDER BY chunk_idx""")),
+
+    // Training-sequence materialization: concatenate each packed bin's
+    // documents in deterministic order and fingerprint the BYTES —
+    // ext_pipeline_pack pins the doc→bin assignment, this pins the
+    // assembled sequence itself (the md5 of the concatenation matches
+    // only if both engines agree on membership, order, separator, and
+    // every byte). collect_list is order-nondeterministic under
+    // partial aggregation, so the list is array_sort'ed on the
+    // (doc_id, text) struct before assembly — the engine-portable way
+    // to make an aggregated concatenation deterministic.
+    Declared(
+      "ext_pipeline_concat",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("lang"), col("doc_id"), col("text"), col("n_chars"))
+        Sampling.packBins(docs, Seq("lang"), col("doc_id"), col("n_chars"),
+            budget = 4000)
+          .groupBy("lang", "bin")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
+            graft.ext.Hashing.h60(concat_ws(" ",
+              transform(
+                array_sort(collect_list(struct(col("doc_id"), col("text")))),
+                x => x.getField("text")))).as("text_h"))
+          .orderBy("lang", "bin")
+      },
+      Some("""WITH b AS (
+                SELECT lang, doc_id, text, n_chars,
+                       CAST((SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id)
+                         - n_chars) // 4000 AS BIGINT) AS bin
+                FROM documents)
+              SELECT lang, bin, COUNT(*) AS n_docs,
+                     CAST(SUM(n_chars) AS BIGINT) AS chars,
+                     CAST('0x' || substr(md5(string_agg(text, ' ' ORDER BY doc_id)), 1, 15) AS BIGINT) AS text_h
+              FROM b GROUP BY lang, bin ORDER BY lang, bin"""))
+  
+  )
+}

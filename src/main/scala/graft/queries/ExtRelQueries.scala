@@ -1,0 +1,439 @@
+package graft.queries
+
+import graft.Tables
+import graft.ext.{Curation, Dedup, Graph, Multimodal, PlanCache, Sampling, Search, Similarity, Skew, Stats, TextStats, TimeJoin}
+import org.apache.spark.sql.functions._
+
+import ExtShared._
+
+/** Relational family: pivot/cube/rollup, star join, set ops,
+  * as-of / range joins, sessionize, skew-salted join, sliding
+  * windows, grouped top-k.
+  *
+  * Declared-query registry split out of the former monolithic
+  * ExtQueries.scala (round 10, mechanical — blocks moved verbatim);
+  * shared caps/CTE text/checksum helpers live in [[ExtShared]].
+  */
+object ExtRelQueries {
+
+  val all: Seq[Declared] = Seq(
+
+    // --- Relational extensions (SURVEY §2.3.4 / §2.3.7: categories
+    // absent from the reference, free in Spark) ------------------------
+
+    // Hierarchical aggregate (ROLLUP): subtotal + grand-total rows.
+    // NULLS FIRST pinned explicitly — Spark defaults nulls-first on
+    // ASC, DuckDB defaults nulls-last.
+    Declared(
+      "ext_rel_rollup",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"),
+            FixedPoint.outCents(FixedPoint.sumCents(col("l_quantity"))).as("qty"))
+          .orderBy(col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                     ROUND(CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0, 2) AS qty
+              FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+              ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
+    // Four-dimension star join over the fact table (region → nation →
+    // supplier and part, TPC-H flavor): every dimension is broadcast,
+    // so the lineitem fact never shuffles before the final small
+    // aggregate — the canonical 100 TB star-join plan. Also the only
+    // queries exercising the part and region tables.
+    Declared(
+      "ext_rel_star_join",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val sup = broadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"))
+        val nat = broadcast(Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey"))
+        val reg = broadcast(Tables.region(s, d).select("r_regionkey", "r_name"))
+        val prt = broadcast(Tables.part(s, d).select("p_partkey", "p_brand"))
+        li.join(sup, col("l_suppkey") === col("s_suppkey"))
+          .join(nat, col("s_nationkey") === col("n_nationkey"))
+          .join(reg, col("n_regionkey") === col("r_regionkey"))
+          .join(prt, col("l_partkey") === col("p_partkey"))
+          .groupBy("r_name", "p_brand")
+          .agg(count(lit(1)).as("n"),
+            FixedPoint.outCents(FixedPoint.sumCents(col("l_extendedprice"))).as("revenue"))
+          .orderBy("r_name", "p_brand")
+      },
+      Some("""SELECT r_name, p_brand, COUNT(*) AS n,
+                     ROUND(CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0, 2) AS revenue
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              JOIN part ON l_partkey = p_partkey
+              GROUP BY r_name, p_brand
+              ORDER BY r_name, p_brand""")),
+
+    // Pivot (wide crosstab): event-type counts per user decile, via
+    // Spark's native pivot with explicit value list (no extra
+    // distinct-discovery job — the 100 TB discipline); the oracle is
+    // the equivalent FILTER aggregation.
+    Declared(
+      "ext_rel_pivot",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy((col("user_id") % 10).as("bucket"))
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy("bucket"),
+      Some("""SELECT user_id % 10 AS bucket,
+                     COUNT(*) FILTER (event_type = 'click') AS click,
+                     COUNT(*) FILTER (event_type = 'error') AS error,
+                     COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+                     COUNT(*) FILTER (event_type = 'signup') AS signup,
+                     COUNT(*) FILTER (event_type = 'view') AS view
+              FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // CUBE: all 2^2 grouping combinations over (returnflag,
+    // linestatus) — subtotal rows carry NULL group keys on both
+    // engines; ORDER BY pins NULLS FIRST explicitly (Spark's ASC
+    // default) so row order agrees.
+    Declared(
+      "ext_rel_cube",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"),
+            FixedPoint.outCents(FixedPoint.sumCents(col("l_quantity")))
+              .as("qty_sum"))
+          .orderBy(col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                     ROUND(CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0, 2) AS qty_sum
+              FROM lineitem
+              GROUP BY CUBE (l_returnflag, l_linestatus)
+              ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    // Set operations: INTERSECT / EXCEPT (distinct semantics on both
+    // engines).
+    Declared(
+      "ext_rel_setops",
+      (s, d) => {
+        val c = Tables.customer(s, d).select(col("c_custkey"))
+        val o = Tables.orders(s, d).select(col("o_custkey").as("c_custkey"))
+        val ni = c.intersect(o).agg(count(lit(1)).as("n_intersect"))
+        val ne = c.except(o).agg(count(lit(1)).as("n_except"))
+        ni.crossJoin(ne)
+      },
+      Some("""SELECT
+                (SELECT COUNT(*) FROM
+                  (SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders)) AS n_intersect,
+                (SELECT COUNT(*) FROM
+                  (SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders)) AS n_except""")),
+
+    // As-of join ([[TimeJoin.asofJoin]]): each click matched to the
+    // user's latest at-or-before view, aggregated per user with an
+    // id-product checksum + exact millisecond gap sum that pin every
+    // individual (click, view) pairing. The oracle is a portable
+    // window formulation (verified equal to DuckDB's native ASOF
+    // JOIN on this data); timestamps are globally unique in events,
+    // so the match is tie-free on both engines.
+    Declared(
+      "ext_rel_asof",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val clicks = ev.where(col("event_type") === "click")
+          .select("user_id", "ts", "event_id")
+        val views = ev.where(col("event_type") === "view")
+          .select("user_id", "ts", "event_id")
+        TimeJoin.asofJoin(clicks, views, Seq("user_id"), "ts", "ts",
+            payload = Seq("event_id", "ts"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_clicks"),
+            count(col("asof_event_id")).as("n_matched"),
+            // ids reduce mod a prime BEFORE the product: raw ids carry
+            // the scale-copy shift (c·10⁹), whose products overflow
+            // BIGINT — the checksum must survive any @k
+            coalesce(sum((col("event_id") % 1000003L) *
+              (col("asof_event_id") % 1000003L)), lit(0L))
+              .as("pair_checksum"),
+            coalesce(sum(unix_millis(col("ts")) - unix_millis(col("asof_ts"))),
+              lit(0L)).as("gap_ms_sum"))
+          .orderBy("user_id")
+      },
+      Some("""WITH u AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN event_type='click' THEN 1 ELSE 0 END AS is_l
+                FROM events WHERE event_type IN ('click','view')
+              ), w AS (
+                SELECT user_id, ts, event_id, is_l,
+                       last_value(CASE WHEN is_l=0 THEN event_id END IGNORE NULLS)
+                         OVER win AS m_id,
+                       last_value(CASE WHEN is_l=0 THEN epoch_ms(ts) END IGNORE NULLS)
+                         OVER win AS m_ms
+                FROM u
+                WINDOW win AS (PARTITION BY user_id ORDER BY ts, is_l
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              )
+              SELECT user_id, COUNT(*) AS n_clicks, COUNT(m_id) AS n_matched,
+                     CAST(COALESCE(SUM((event_id % 1000003) * (m_id % 1000003)), 0)
+                       AS BIGINT) AS pair_checksum,
+                     CAST(COALESCE(SUM(epoch_ms(ts) - m_ms), 0) AS BIGINT)
+                       AS gap_ms_sum
+              FROM w WHERE is_l = 1
+              GROUP BY user_id ORDER BY user_id""")),
+
+    // Forward as-of: each click matched to the user's EARLIEST
+    // at-or-after view — the other direction of the same operator,
+    // exercised end to end (the spec pins all four modes on synthetic
+    // data; this pins forward on the real table against its own
+    // oracle, a DESC-traversal mirror of the backward formulation).
+    Declared(
+      "ext_rel_asof_fwd",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val clicks = ev.where(col("event_type") === "click")
+          .select("user_id", "ts", "event_id")
+        val views = ev.where(col("event_type") === "view")
+          .select("user_id", "ts", "event_id")
+        TimeJoin.asofJoin(clicks, views, Seq("user_id"), "ts", "ts",
+            payload = Seq("event_id", "ts"), forward = true)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_clicks"),
+            count(col("asof_event_id")).as("n_matched"),
+            // mod-prime before the product — see ext_rel_asof
+            coalesce(sum((col("event_id") % 1000003L) *
+              (col("asof_event_id") % 1000003L)), lit(0L))
+              .as("pair_checksum"),
+            coalesce(sum(unix_millis(col("asof_ts")) - unix_millis(col("ts"))),
+              lit(0L)).as("gap_ms_sum"))
+          .orderBy("user_id")
+      },
+      Some("""WITH u AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN event_type='click' THEN 1 ELSE 0 END AS is_l
+                FROM events WHERE event_type IN ('click','view')
+              ), w AS (
+                SELECT user_id, ts, event_id, is_l,
+                       last_value(CASE WHEN is_l=0 THEN event_id END IGNORE NULLS)
+                         OVER win AS m_id,
+                       last_value(CASE WHEN is_l=0 THEN epoch_ms(ts) END IGNORE NULLS)
+                         OVER win AS m_ms
+                FROM u
+                WINDOW win AS (PARTITION BY user_id ORDER BY ts DESC, is_l
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              )
+              SELECT user_id, COUNT(*) AS n_clicks, COUNT(m_id) AS n_matched,
+                     CAST(COALESCE(SUM((event_id % 1000003) * (m_id % 1000003)), 0)
+                       AS BIGINT) AS pair_checksum,
+                     CAST(COALESCE(SUM(m_ms - epoch_ms(ts)), 0) AS BIGINT)
+                       AS gap_ms_sum
+              FROM w WHERE is_l = 1
+              GROUP BY user_id ORDER BY user_id""")),
+
+    // Batch gap sessionization ([[TimeJoin.sessionize]]): 30-minute
+    // gap sessions per user; per-session event counts and exact
+    // durations pin the session SEGMENTATION, not just counts. The
+    // streaming twin is [[graft.streaming.Sessionize]].
+    Declared(
+      "ext_rel_sessionize",
+      (s, d) => {
+        val ev = Tables.events(s, d).select("user_id", "ts")
+        TimeJoin.sessionize(ev, Seq("user_id"), "ts", gapMs = 1800000L)
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+            (unix_millis(max(col("ts"))) - unix_millis(min(col("ts"))))
+              .as("dur_ms"),
+            unix_millis(min(col("ts"))).as("start_ms"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_sessions"),
+            max(col("n_events")).as("max_events"),
+            sum(col("dur_ms")).as("dur_ms_sum"),
+            (sum(col("start_ms")) % 1000000007L).as("start_checksum"))
+          .orderBy("user_id")
+      },
+      Some("""WITH g AS (
+                SELECT user_id, ts,
+                       CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) > 1800000
+                            OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+              ), s AS (
+                SELECT user_id, ts,
+                       SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                FROM g
+              ), agg AS (
+                SELECT user_id, sid, COUNT(*) AS n_events,
+                       epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)) AS dur_ms,
+                       epoch_ms(MIN(ts)) AS start_ms
+                FROM s GROUP BY user_id, sid
+              )
+              SELECT user_id, COUNT(*) AS n_sessions,
+                     CAST(MAX(n_events) AS BIGINT) AS max_events,
+                     CAST(SUM(dur_ms) AS BIGINT) AS dur_ms_sum,
+                     CAST(SUM(start_ms) % 1000000007 AS BIGINT) AS start_checksum
+              FROM agg GROUP BY user_id ORDER BY user_id""")),
+
+    // Banded range join ([[TimeJoin.rangeJoin]]): clicks in the two
+    // hours before each error, same user. The oracle states the raw
+    // inequality join; the Spark plan is the banded equi-join (the
+    // ≤2-band probe), so a green row proves banding loses no pair.
+    Declared(
+      "ext_rel_range_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val errors = ev.where(col("event_type") === "error")
+          .select("user_id", "ts", "event_id")
+        val clicks = ev.where(col("event_type") === "click")
+          .select("user_id", "ts", "event_id")
+        TimeJoin.rangeJoin(errors, clicks, Seq("user_id"), "ts", "ts",
+            lowerMs = -7200000L, upperMs = 0L)
+          .groupBy(col("l_user_id").as("user_id"))
+          .agg(countDistinct(col("l_event_id")).as("n_errors_matched"),
+            count(lit(1)).as("n_pairs"),
+            // mod-prime before the product — see ext_rel_asof
+            sum((col("l_event_id") % 1000003L) *
+              (col("r_event_id") % 1000003L)).as("pair_checksum"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT e.user_id,
+                     COUNT(DISTINCT e.event_id) AS n_errors_matched,
+                     COUNT(*) AS n_pairs,
+                     CAST(SUM((e.event_id % 1000003) * (c.event_id % 1000003))
+                       AS BIGINT) AS pair_checksum
+              FROM events e JOIN events c
+                ON c.user_id = e.user_id AND c.event_type = 'click'
+               AND c.ts >= e.ts - INTERVAL 120 MINUTE AND c.ts < e.ts
+              WHERE e.event_type = 'error'
+              GROUP BY e.user_id ORDER BY e.user_id""")),
+
+    // Left-outer banded range join ([[TimeJoin.rangeJoin]]
+    // joinType="left") on the real events table: every error keeps a
+    // row even with no click in its 2-hour window. Runs the
+    // `leftIdCol` (natural-unique-key) variant — the fully lazy,
+    // no-materialization 100 TB path — with event_id as the identity
+    // the anti-join needs; n_unmatched pins the null-padded rows the
+    // inner query can't see.
+    Declared(
+      "ext_rel_range_join_left",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val errors = ev.where(col("event_type") === "error")
+          .select("user_id", "ts", "event_id")
+        val clicks = ev.where(col("event_type") === "click")
+          .select("user_id", "ts", "event_id")
+        TimeJoin.rangeJoin(errors, clicks, Seq("user_id"), "ts", "ts",
+            lowerMs = -7200000L, upperMs = 0L, joinType = "left",
+            leftIdCol = Some("event_id"))
+          .groupBy(col("l_user_id").as("user_id"))
+          .agg(countDistinct(col("l_event_id")).as("n_errors"),
+            sum(when(col("r_event_id").isNull, 1L).otherwise(0L))
+              .as("n_unmatched"),
+            // mod-prime before the product — see ext_rel_asof
+            coalesce(sum((col("l_event_id") % 1000003L) *
+              (col("r_event_id") % 1000003L)), lit(0L))
+              .as("pair_checksum"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT e.user_id,
+                     COUNT(DISTINCT e.event_id) AS n_errors,
+                     CAST(SUM(CASE WHEN c.event_id IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_unmatched,
+                     CAST(COALESCE(SUM((e.event_id % 1000003) * (c.event_id % 1000003)), 0)
+                       AS BIGINT) AS pair_checksum
+              FROM (SELECT * FROM events WHERE event_type = 'error') e
+              LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+                ON c.user_id = e.user_id
+               AND c.ts >= e.ts - INTERVAL 120 MINUTE AND c.ts < e.ts
+              GROUP BY e.user_id ORDER BY e.user_id""")),
+
+    // Salted skew join ([[Skew.saltedJoin]]) surfaced as an
+    // oracle-checked query: events (the big, potentially hot-keyed
+    // side) join a derived event_type dim, salted 8 ways — result is
+    // row-identical to the plain join, which is exactly what the
+    // oracle asserts. The replicated dim stays broadcast-small
+    // (|dim| × salt), so the big side never shuffles for the join.
+    Declared(
+      "ext_rel_skew_salted",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val dim = ev.select("event_type").distinct()
+          .withColumn("type_code", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy("event_type")))
+        Skew.saltedJoin(ev, dim, "event_type", salt = 8, distributeBy = "event_id")
+          .groupBy("event_type", "type_code")
+          .agg(count(lit(1)).as("n"),
+            FixedPoint.sumCents(col("value")).as("__cents"))
+          .select(col("event_type"), col("type_code"), col("n"),
+            FixedPoint.outCents(col("__cents")).as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some("""WITH dim AS (
+                SELECT event_type,
+                       ROW_NUMBER() OVER (ORDER BY event_type) AS type_code
+                FROM (SELECT DISTINCT event_type FROM events)),
+              j AS (
+                SELECT e.event_type, d.type_code, e.value
+                FROM events e JOIN dim d USING (event_type))
+              SELECT event_type, type_code, COUNT(*) AS n,
+                     ROUND(CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_value
+              FROM j GROUP BY event_type, type_code ORDER BY event_type""")),
+
+    // Sliding event-time windows (batch): 2-hour windows every hour —
+    // each event contributes to exactly width/slide = 2 overlapping
+    // windows. Spark's native window(ts, width, slide) generates the
+    // window structs map-side (a Generate, no join, no shuffle beyond
+    // the aggregation); the oracle reproduces the window lattice by
+    // unnesting the 2 per-event window starts. Complements
+    // dq14_tumbling_window (slide = width) — the overlap is what a
+    // rolling-rate monitor needs.
+    Declared(
+      "ext_rel_sliding_window",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            FixedPoint.sumCents(col("value")).as("__cents"))
+          .select(
+            date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+            col("event_type"), col("n"),
+            FixedPoint.outCents(col("__cents")).as("v"))
+          .orderBy("ws", "event_type"),
+      Some("""WITH x AS (
+                SELECT event_type, value,
+                       date_trunc('hour', ts) - unnest([INTERVAL 0 HOUR, INTERVAL 1 HOUR]) AS w
+                FROM events)
+              SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS ws, event_type,
+                     COUNT(*) AS n,
+                     ROUND(CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS v
+              FROM x GROUP BY ws, event_type ORDER BY ws, event_type""")),
+
+    // Per-group bounded top-k ([[graft.functions.TopK]]): top-5 events
+    // by value within each event_type through the k-heap typed
+    // Aggregator — the buffer never exceeds k, partials merge
+    // map-side, k rows per group cross the shuffle (the window-rank
+    // formulation the ORACLE uses sorts whole groups instead — fine
+    // for DuckDB at sf0.1, the thing this operator exists to avoid at
+    // 100 TB).
+    Declared(
+      "ext_rel_group_topk",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), col("event_id"),
+            round(col("value") * 100).cast("long").as("cents"))
+        ev.groupBy("event_type")
+          .agg(graft.functions.TopK.topK(5)(col("cents"), col("event_id")).as("top"))
+          .select(col("event_type"), posexplode(col("top")))
+          .select(col("event_type"), (col("pos") + 1).cast("long").as("rk"),
+            col("col.id").as("event_id"), col("col.score").as("cents"))
+          .orderBy("event_type", "rk")
+      },
+      Some("""WITH v AS (
+                SELECT event_type, event_id,
+                       CAST(round(value * 100) AS BIGINT) AS cents,
+                       ROW_NUMBER() OVER (PARTITION BY event_type
+                         ORDER BY CAST(round(value * 100) AS BIGINT) DESC, event_id) AS rk
+                FROM events)
+              SELECT event_type, rk, event_id, cents FROM v
+              WHERE rk <= 5 ORDER BY event_type, rk"""))
+  )
+}

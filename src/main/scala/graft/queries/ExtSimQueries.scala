@@ -1,0 +1,272 @@
+package graft.queries
+
+import graft.Tables
+import graft.ext.{Curation, Dedup, Graph, Multimodal, PlanCache, Sampling, Search, Similarity, Skew, Stats, TextStats, TimeJoin}
+import org.apache.spark.sql.functions._
+
+import ExtShared._
+
+/** Similarity family: LSH census/recall/top-k, brute-force and
+  * IVF ANN, quantized scan.
+  *
+  * Declared-query registry split out of the former monolithic
+  * ExtQueries.scala (round 10, mechanical — blocks moved verbatim);
+  * shared caps/CTE text/checksum helpers live in [[ExtShared]].
+  */
+object ExtSimQueries {
+
+  val all: Seq[Declared] = Seq(
+
+    // --- Similarity search --------------------------------------------
+
+    // Integer-projected LSH bucket census per table: the correctness
+    // anchor for the banded random-projection machinery.
+    Declared(
+      "ext_sim_lsh_census",
+      (s, d) =>
+        Similarity.lshBuckets(Tables.embeddings(s, d), "vec_id", "embedding",
+          nTables = 4, planesPerTable = 8)
+          .groupBy("tbl", "bucket").agg(count(lit(1)).as("cnt"))
+          .groupBy("tbl")
+          .agg(sum(when(col("cnt") >= 2, 1).otherwise(0)).as("dup_buckets"),
+            sum(expr("(cnt * (cnt - 1)) div 2")).as("cand_pairs"),
+            sum(col("cnt")).as("n_docs"))
+          .orderBy("tbl"),
+      Some(s"""WITH $lshBuckCte,
+               bc AS (SELECT tbl, bucket, COUNT(*) AS cnt FROM buck GROUP BY tbl, bucket)
+               SELECT tbl,
+                      CAST(SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_buckets,
+                      CAST(SUM((cnt * (cnt - 1)) // 2) AS BIGINT) AS cand_pairs,
+                      CAST(SUM(cnt) AS BIGINT) AS n_docs
+               FROM bc GROUP BY tbl ORDER BY tbl""")),
+
+    // Brute-force pair count at a cosine margin over a bounded slice —
+    // the id_checksum pins WHICH pairs matched, not just how many.
+    Declared(
+      "ext_sim_pairs_margin",
+      (s, d) => {
+        val e = Tables.embeddings(s, d).where(col("vec_id") < 500)
+        val a = Similarity.normalized(e, "vec_id", "embedding", "a_id", "av")
+        val b = Similarity.normalized(e, "vec_id", "embedding", "b_id", "bv")
+        a.join(b, col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            Similarity.unitDot(col("av"), col("bv")).as("cos"))
+          // 9-dp quantize before the threshold (see lshNearPairs note)
+          .where(round(col("cos"), 9) >= 0.3)
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("a_id") + col("b_id")).as("id_checksum"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                         FROM embeddings WHERE vec_id < 500),
+              p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                           list_cosine_similarity(a.v, b.v) AS c
+                    FROM e a JOIN e b ON a.vec_id < b.vec_id)
+              SELECT COUNT(*) AS n_pairs,
+                     CAST(SUM(a_id + b_id) AS BIGINT) AS id_checksum
+              FROM p WHERE round(c, 9) >= 0.3""")),
+
+    // Recall of banded LSH top-10 against the brute-force top-10 for a
+    // query panel — integers (hit counts), so oracle-checkable.
+    Declared(
+      "ext_sim_lsh_recall",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.where(col("vec_id") < 20)
+        val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10)
+          .select("query_id", "neighbor_id")
+        val lsh = Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 10,
+          nTables = 4, planesPerTable = 8)
+          .select("query_id", "neighbor_id")
+        val total = bf.agg(count(lit(1)).as("n_bf"))
+        val hits = bf.join(lsh, Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("n_hits"))
+        total.crossJoin(hits)
+      },
+      Some(s"""WITH $lshBuckCte,
+               cand AS (
+                 SELECT DISTINCT qb.vec_id AS qid, cb.vec_id AS nid
+                 FROM buck qb JOIN buck cb
+                   ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+                  AND qb.vec_id < 20 AND qb.vec_id <> cb.vec_id),
+               lsh AS (
+                 SELECT qid, nid FROM (
+                   SELECT qid, nid,
+                          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+                            list_cosine_similarity(eq.embedding::DOUBLE[], en.embedding::DOUBLE[]) DESC,
+                            nid) AS rk
+                   FROM cand
+                   JOIN embeddings eq ON eq.vec_id = qid
+                   JOIN embeddings en ON en.vec_id = nid)
+                 WHERE rk <= 10),
+               bf AS (
+                 SELECT qid, nid FROM (
+                   SELECT q.vec_id AS qid, c.vec_id AS nid,
+                          ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                            list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                            c.vec_id) AS rk
+                   FROM embeddings q JOIN embeddings c
+                     ON q.vec_id < 20 AND q.vec_id <> c.vec_id)
+                 WHERE rk <= 10)
+               SELECT (SELECT COUNT(*) FROM bf) AS n_bf,
+                      (SELECT COUNT(*) FROM bf JOIN lsh
+                        ON bf.qid = lsh.qid AND bf.nid = lsh.nid) AS n_hits""")),
+
+    // Top-k queries, emitted as tie-safe integer projections so each
+    // is hash-checked end to end (previously rows-only float
+    // listings). See [[topkChecksum]]: raw rank-k listings are
+    // engine-dependent when scores tie within double noise; the
+    // projection is not. The float listings remain the library API
+    // (bruteForceTopK / lshTopK / ivfTopK).
+    Declared(
+      "ext_sim_cosine_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        topkChecksum(Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 3),
+          "vec_id", "embedding", k = 5))
+      },
+      Some(s"""WITH $bruteTopCte
+               $topkChecksumSql""")),
+
+    Declared(
+      "ext_sim_lsh_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        topkChecksum(Similarity.lshTopK(emb, emb.where(col("vec_id") < 3),
+          "vec_id", "embedding", k = 5, nTables = 4, planesPerTable = 8))
+      },
+      Some(s"""WITH $lshBuckCte,
+               sc0 AS (
+                 SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+                 FROM buck qb JOIN buck cb
+                   ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+                  AND qb.vec_id < 3 AND qb.vec_id <> cb.vec_id),
+               sc AS (
+                 SELECT query_id, neighbor_id,
+                        list_cosine_similarity(eq.embedding::DOUBLE[], en.embedding::DOUBLE[]) AS cos
+                 FROM sc0
+                 JOIN embeddings eq ON eq.vec_id = query_id
+                 JOIN embeddings en ON en.vec_id = neighbor_id),
+               $rankTopKthCte
+               $topkChecksumSql""")),
+
+    // IVF ANN run at nprobe = k (probe every list): provably equal to
+    // the brute-force ranking — same scoring expression over the same
+    // candidate set — so the DuckDB brute-force SQL oracles the WHOLE
+    // IVF pipeline (centroid training, assignment, probe expansion,
+    // list join, ranking) end to end. The approximate nprobe < k
+    // serving path is pinned by DedupSimilaritySpec (nprobe=1 cluster
+    // recovery; nprobe=k ≡ brute-force). Similarity.IvfIndex.build
+    // memoizes training per corpus — the build-once/query-many shape.
+    Declared(
+      "ext_sim_ivf_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val index = Similarity.IvfIndex.build(emb, "vec_id", "embedding", k = 16, iters = 3)
+        topkChecksum(Similarity.ivfTopK(emb, emb.where(col("vec_id") < 3),
+          "vec_id", "embedding", k = 5, index.centers, nprobe = 16))
+      },
+      Some(s"""WITH $bruteTopCte
+               $topkChecksumSql""")),
+
+    // IVF at the ACTUAL serving configuration — nprobe = 4 of 16
+    // lists, the 4× candidate-scan reduction a 100 TB ANN deployment
+    // runs — pinned PER QUERY against the brute-force top-10 over a
+    // 20-query panel: each query row carries its brute-force count
+    // (oracle-exact) and a ≥1-hit floor, and the query_id = -1 total
+    // row carries the 0.40 aggregate recall floor. The pipeline is
+    // fully deterministic (hash-seeded k-means init, fixed
+    // iterations), so every boolean either always holds at a given
+    // corpus or its row goes red. Floors: per-query ≥1 of 10 vs a
+    // measured min of 2 across sf0.001/0.01/0.1; aggregate 0.40 vs
+    // measured 0.515-0.59 — margin for corpus growth, while a broken
+    // probe expansion (or one query's bucket routing going dark)
+    // still trips its own row.
+    Declared(
+      "ext_sim_ivf_nprobe",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.where(col("vec_id") < 20)
+        val index = Similarity.IvfIndex.build(emb, "vec_id", "embedding", k = 16, iters = 3)
+        val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+            k = 10, index.centers, nprobe = 4)
+          .select("query_id", "neighbor_id")
+        val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10)
+          .select("query_id", "neighbor_id")
+        val hits = bf.join(ivf, Seq("query_id", "neighbor_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("__h"))
+        // ONE execution of the bf+ivf subtree, then the 20-row panel
+        // summary comes to the driver (bounded-artifact collect
+        // discipline) — deriving the per-query rows and the total row
+        // as separate plan branches re-ran the whole pipeline per
+        // branch (measured 3×)
+        val perQ = bf.groupBy("query_id").agg(count(lit(1)).as("n_bf"))
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id").cast("long"), col("n_bf"),
+            coalesce(col("__h"), lit(0L)))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        val totalBf = perQ.map(_._2).sum
+        val totalH = perQ.map(_._3).sum
+        import s.implicits._
+        (perQ.map { case (q, nbf, h) => (q, nbf, h >= 1) }.toSeq :+
+          ((-1L, totalBf, totalH * 5 >= totalBf * 2)))
+          .toDF("query_id", "n_bf", "recall_ok")
+          .orderBy("query_id")
+      },
+      Some("""WITH bf AS (
+                 SELECT qid, nid FROM (
+                   SELECT q.vec_id AS qid, c.vec_id AS nid,
+                          ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                            list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                            c.vec_id) AS rk
+                   FROM embeddings q JOIN embeddings c
+                     ON q.vec_id < 20 AND q.vec_id <> c.vec_id)
+                 WHERE rk <= 10)
+               SELECT CAST(qid AS BIGINT) AS query_id, COUNT(*) AS n_bf,
+                      TRUE AS recall_ok
+               FROM bf GROUP BY qid
+               UNION ALL
+               SELECT CAST(-1 AS BIGINT), (SELECT COUNT(*) FROM bf), TRUE
+               ORDER BY query_id""")),
+
+    // Quantized (int8-range) ANN ([[Similarity.quantizedTopK]]): the
+    // 100 TB storage/bandwidth path — clamp(floor(x·127+0.5)) per dim
+    // (floor, not round: half-even vs half-away differs across
+    // engines; floor doesn't), then exact integer dot products. The
+    // integer scores make the ENTIRE ranking portable, so the oracle
+    // pins rank order itself (sum of neighbor_id·rank), strictly
+    // stronger than the margin-cleared checksum the float listings
+    // need.
+    Declared(
+      "ext_sim_quantized_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.quantizedTopK(emb, emb.where(col("vec_id") < 3),
+            "vec_id", "embedding", k = 5)
+          .groupBy("query_id")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("neighbor_id") * col("rank")).as("rank_checksum"),
+            sum(col("score")).as("score_sum"))
+          .orderBy("query_id")
+      },
+      Some("""WITH q AS (
+                SELECT vec_id, list_transform(embedding, x ->
+                  CAST(greatest(-127, least(127,
+                    floor(CAST(x AS DOUBLE) * 127 + 0.5))) AS BIGINT)) AS qv
+                FROM embeddings),
+              sc AS (
+                SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+                         i -> a.qv[i] * b.qv[i])) AS BIGINT) AS score
+                FROM q a JOIN q b ON a.vec_id < 3 AND a.vec_id <> b.vec_id),
+              rk AS (
+                SELECT query_id, neighbor_id, score,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY score DESC, neighbor_id) AS rnk
+                FROM sc),
+              top AS (SELECT * FROM rk WHERE rnk <= 5)
+              SELECT query_id, COUNT(*) AS n_rows,
+                     CAST(SUM(neighbor_id * rnk) AS BIGINT) AS rank_checksum,
+                     CAST(SUM(score) AS BIGINT) AS score_sum
+              FROM top GROUP BY query_id ORDER BY query_id"""))
+  )
+}

@@ -1,0 +1,228 @@
+package graft.queries
+
+import graft.Tables
+import graft.ext.{Curation, Dedup, Graph, Multimodal, PlanCache, Sampling, Search, Similarity, Skew, Stats, TextStats, TimeJoin}
+import org.apache.spark.sql.functions._
+
+import ExtShared._
+
+/** Profiling/statistics family: cardinality, profile, histogram,
+  * skew, correlation, count-min, outliers.
+  *
+  * Declared-query registry split out of the former monolithic
+  * ExtQueries.scala (round 10, mechanical — blocks moved verbatim);
+  * shared caps/CTE text/checksum helpers live in [[ExtShared]].
+  */
+object ExtStatsQueries {
+
+  val all: Seq[Declared] = Seq(
+
+    // Cardinality profile ([[Stats.cardinality]]): exact per-type
+    // event/user counts — the oracle-checkable baseline of the
+    // sketch family; the mergeable DataSketches HLL path
+    // ([[Stats.hllSketches]]/[[Stats.hllUnion]]) is spec-pinned
+    // against this within HLL error bounds (estimates are
+    // engine-specific, so no DuckDB twin can exist for them).
+    Declared(
+      "ext_stats_cardinality",
+      (s, d) =>
+        Stats.cardinality(Tables.events(s, d), Seq("event_type"), col("user_id"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(*) AS n_rows,
+                     COUNT(DISTINCT user_id) AS n_distinct
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // Per-column data-quality profile ([[Stats.profile]]): one pass,
+    // one row per column — completeness / key-ness / domain bounds,
+    // the "validate the snapshot before training on it" gate. Exact
+    // distinct is the oracle baseline; [[Stats.profileApprox]] (no
+    // Expand, single scan) is the 100 TB path, spec-pinned.
+    Declared(
+      "ext_stats_profile",
+      (s, d) =>
+        Stats.profile(Tables.documents(s, d),
+          Seq("doc_id", "text", "lang", "source", "n_chars"))
+          .orderBy("column"),
+      Some {
+        def one(c: String, integral: Boolean) = {
+          val mn = if (integral) s"COALESCE(CAST(MIN($c) AS BIGINT), -1)"
+                   else "CAST(-1 AS BIGINT)"
+          val mx = if (integral) s"COALESCE(CAST(MAX($c) AS BIGINT), -1)"
+                   else "CAST(-1 AS BIGINT)"
+          s"""SELECT '$c' AS "column", COUNT(*) AS n_rows,
+                     CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                     CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+                     $mn AS min_int, $mx AS max_int,
+                     COALESCE(CAST(MAX(LEN(CAST($c AS VARCHAR))) AS BIGINT), -1) AS max_strlen
+              FROM documents"""
+        }
+        Seq(one("doc_id", true), one("text", false), one("lang", false),
+          one("source", false), one("n_chars", true))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+      }),
+
+    // Equi-width length histogram per language ([[Stats.histogram]]):
+    // integral-div bucketing end to end (bucket edges cannot drift
+    // between engines), last bucket absorbs the tail. Shuffle rows
+    // bounded by groups × buckets at any input size.
+    Declared(
+      "ext_stats_histogram",
+      (s, d) =>
+        Stats.histogram(Tables.documents(s, d), Seq("lang"), col("n_chars"),
+          width = 100, nBuckets = 8)
+          .select(col("lang"), col("bucket"), col("bucket_lo"), col("n"))
+          .orderBy("lang", "bucket"),
+      Some("""SELECT lang, LEAST(7, n_chars // 100) AS bucket,
+                     LEAST(7, n_chars // 100) * 100 AS bucket_lo,
+                     COUNT(*) AS n
+              FROM documents GROUP BY 1, 2, 3 ORDER BY lang, bucket""")),
+
+    // Key-frequency skew profile ([[Stats.keySkew]]) of the fact
+    // table's supplier key — the pre-join shuffle diagnostic (max vs
+    // p99 exposes hot keys BEFORE they become one straggler task).
+    // Exact percentile over per-key counts is the oracle baseline;
+    // approxTail=true is the bounded-memory 100 TB path.
+    Declared(
+      "ext_stats_skew",
+      (s, d) => Stats.keySkew(Tables.lineitem(s, d), col("l_suppkey")),
+      Some("""WITH c AS (
+                SELECT l_suppkey, COUNT(*) AS c FROM lineitem GROUP BY 1)
+              SELECT COUNT(*) AS n_keys, CAST(SUM(c) AS BIGINT) AS n_rows,
+                     MAX(c) AS max_key_rows,
+                     CAST(round(quantile_cont(c, 0.5) * 100) AS BIGINT) AS p50_x100,
+                     CAST(round(quantile_cont(c, 0.99) * 100) AS BIGINT) AS p99_x100
+              FROM c""")),
+
+    // Exact-moment Pearson correlation ([[Stats.corrExact]]): the five
+    // moment sums accumulate as exact longs (partial-aggregated, one
+    // shuffle row per group), doubles appear only in the final
+    // one-row-per-group formula — so both engines compute THE SAME
+    // doubles and the 1e-6 integer projection is noise-free, unlike
+    // native corr() whose streaming accumulation is order-dependent.
+    Declared(
+      "ext_stats_corr",
+      (s, d) =>
+        Stats.corrExact(Tables.lineitem(s, d), Seq("l_returnflag"),
+          round(col("l_quantity")), round(col("l_discount") * 100))
+          .orderBy("l_returnflag"),
+      Some("""WITH m AS (
+                SELECT l_returnflag, COUNT(*) AS n,
+                       CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                       CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy,
+                       CAST(SUM(x*y) AS BIGINT) AS sxy
+                FROM (SELECT l_returnflag,
+                             CAST(round(l_quantity) AS BIGINT) AS x,
+                             CAST(round(l_discount * 100) AS BIGINT) AS y
+                      FROM lineitem)
+                GROUP BY l_returnflag)
+              SELECT l_returnflag, n,
+                     CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 THEN
+                       CAST(round(CAST(n*sxy - sx*sy AS DOUBLE)
+                         / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                            * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) * 1e6) AS BIGINT)
+                     END AS corr_e6
+              FROM m ORDER BY l_returnflag""")),
+
+    // Count-min heavy-hitter screen ([[Stats.countMin]]): the sketch
+    // builds distributed (treeAggregate merge; only the finished
+    // width×depth table reaches the driver), then two probe panels
+    // pin BOTH halves of the CMS contract. (1) The true top-10 tokens
+    // (oracle states their identities and exact counts with a
+    // count-desc/token tie-break): `over_ok` = estimate ≥ truth
+    // ALWAYS (structural, never fails), `bound_ok` = estimate ≤
+    // truth + eps·N. (2) Five keys PROVABLY absent from the corpus —
+    // they contain a space, and no token of a split-on-space
+    // tokenization can — whose truth is 0, pinning the half of the
+    // contract the heavy-hitter probe cannot see: an absent key's
+    // estimate is pure collision mass and must still sit ≤ eps·N.
+    // The oracle re-derives absence (COUNT(*) per absent key over the
+    // token relation — a present key would red the true_cnt column,
+    // not just the booleans). bound_ok is probabilistic by theory but
+    // deterministic given the fixed seed, and at depth 10
+    // (confidence 0.9999) the per-key failure odds are ~5e-5 — the
+    // ivf_nprobe recall-floor pattern: Spark flipping false
+    // hash-mismatches loudly.
+    Declared(
+      "ext_stats_countmin",
+      (s, d) => {
+        import s.implicits._
+        val words = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("w"))
+        val eps = 0.01
+        val sketch = Stats.countMin(words, "w", eps = eps,
+          confidence = 0.9999, seed = 42)
+        val bound = math.ceil(eps * sketch.totalCount).toLong
+        // top-10 probe keys: k driver rows, the bounded-artifact
+        // collect discipline (same as IVF centroids / bloom bytes)
+        val top = words.groupBy("w").agg(count(lit(1)).as("true_cnt"))
+          .orderBy(desc("true_cnt"), asc("w")).limit(10).collect()
+        val hitters = top.toSeq.map { r =>
+          val est = sketch.estimateCount(r.getString(0))
+          (r.getString(0), r.getLong(1),
+            est >= r.getLong(1), est <= r.getLong(1) + bound)
+        }
+        val absent = (0 until 5).map { i =>
+          val k = s"absent key $i" // contains a space ⇒ never a token
+          (k, 0L, sketch.estimateCount(k) >= 0L,
+            sketch.estimateCount(k) <= bound)
+        }
+        (hitters ++ absent)
+          .toDF("token", "true_cnt", "over_ok", "bound_ok")
+          .orderBy(desc("true_cnt"), asc("token"))
+      },
+      Some("""WITH w AS (
+                SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+              c AS (
+                SELECT token, COUNT(*) AS true_cnt FROM w GROUP BY token
+                ORDER BY true_cnt DESC, token LIMIT 10),
+              a AS (
+                SELECT 'absent key ' || CAST(i AS VARCHAR) AS token,
+                       (SELECT COUNT(*) FROM w
+                        WHERE w.token = 'absent key ' || CAST(i AS VARCHAR)) AS true_cnt
+                FROM range(5) t(i))
+              SELECT token, true_cnt, TRUE AS over_ok, TRUE AS bound_ok FROM c
+              UNION ALL
+              SELECT token, true_cnt, TRUE AS over_ok, TRUE AS bound_ok FROM a
+              ORDER BY true_cnt DESC, token""")),
+
+    // Exact z-score anomaly gate ([[Stats.zOutlierFlags]]) over event
+    // values in cents: |x−μ| > 3σ decided by integer cross-
+    // multiplication ((n·x−s)² > 9·(n·q−s²), DECIMAL/HUGEINT exact on
+    // both engines) — no division, no sqrt, no float, so a borderline
+    // event cannot flip across engines. Per-type outlier counts + id
+    // checksums pin exact membership.
+    Declared(
+      "ext_stats_outliers",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("event_type"),
+            round(col("value") * 100).cast("long").as("cents"))
+        Stats.zOutlierFlags(ev, Seq("event_type"), col("cents"), z = 3)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("__is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
+            sum(when(col("__is_outlier"), col("event_id")).otherwise(0L)).as("id_checksum"))
+          .orderBy("event_type")
+      },
+      Some("""WITH v AS (
+                SELECT event_id, event_type,
+                       CAST(round(value * 100) AS BIGINT) AS c
+                FROM events),
+              m AS (
+                SELECT event_type, COUNT(c) AS n,
+                       CAST(SUM(c) AS BIGINT) AS s,
+                       CAST(SUM(c * c) AS BIGINT) AS q
+                FROM v GROUP BY event_type),
+              f AS (
+                SELECT v.event_id, v.event_type,
+                       (CAST(n AS HUGEINT) * CAST(c AS HUGEINT) - CAST(s AS HUGEINT))
+                         * (CAST(n AS HUGEINT) * CAST(c AS HUGEINT) - CAST(s AS HUGEINT))
+                         > 9 * (CAST(n AS HUGEINT) * CAST(q AS HUGEINT)
+                                - CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS is_out
+                FROM v JOIN m USING (event_type))
+              SELECT event_type, COUNT(*) AS n,
+                     CAST(SUM(CASE WHEN is_out THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+                     CAST(SUM(CASE WHEN is_out THEN event_id ELSE 0 END) AS BIGINT) AS id_checksum
+              FROM f GROUP BY event_type ORDER BY event_type"""))
+  )
+}

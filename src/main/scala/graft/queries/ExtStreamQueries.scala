@@ -1,0 +1,95 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicLong
+
+import graft.Tables
+import graft.ext.{Dedup, Hashing}
+import graft.streaming.StreamingQueries
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming family: gated `Trigger.AvailableNow` replays of the
+  * streaming operators — the rows that put Structured Streaming under
+  * the driver's DuckDB correctness gate instead of spec-only
+  * batch-differential coverage.
+  *
+  * Shape: the fixture is replayed as a REAL file-source stream
+  * (`Tables.loadStream` — same `@k` scaled-dir convention as the
+  * batch loader), the streaming operator under test runs to
+  * completion under `Trigger.AvailableNow` into a memory sink, and
+  * the settled result is aggregated into arrival-order-INDEPENDENT
+  * checksums a batch oracle can replay. That last part is the design
+  * constraint unique to this family: a streaming dedup keeps the
+  * FIRST arrival per key and file-source arrival order is not
+  * contractual, so the gated projection pins the kept fingerprint
+  * SET (count + fingerprint-sum), which is deterministic, rather
+  * than kept doc_ids, which are not. The batch twin
+  * (`ext_dedup_incremental`) separately pins its min-id kept rows.
+  */
+object ExtStreamQueries {
+
+  /** Memory-sink names must be unique per execution (Bench replays
+    * each query up to 4×; a clashing registration would read a stale
+    * table).
+    */
+  private val runSeq = new AtomicLong()
+
+  val all: Seq[Declared] = Seq(
+
+    // Streaming ingest dedup ([[StreamingQueries.incrementalDedup]])
+    // under the correctness gate: the 20% ingest slice streams from
+    // the fixture, anti-joins the standing corpus's fingerprint store
+    // (stream-static, re-planned per microbatch), and first-arrival
+    // dedups within the stream via watermark-bounded state. Event
+    // time is synthetic (timestamp_millis(doc_id)) — the documents
+    // fixture carries no timestamp, and the dedup contract only needs
+    // event time to bound state, not to order survivors. The oracle
+    // is the same DuckDB formulation ext_dedup_incremental uses, with
+    // the kept set projected to its fingerprint checksum (see object
+    // doc: kept ids are arrival-order-dependent, the kept fp SET is
+    // not).
+    Declared(
+      "ext_stream_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val store = Dedup.fingerprintStore(
+          docs.where(col("doc_id") % 5 =!= 0), "text")
+        // synthetic event time OFFSET from epoch 0: a streaming
+        // query's initial watermark IS 1970-01-01T00:00:00, and the
+        // late-row filter drops events at-or-before it — so doc_id=0
+        // mapped to epoch 0 exactly would be silently discarded as
+        // late in the very first microbatch (measured: kept 99/100
+        // at sf0.01 without the offset)
+        val stream = Tables.loadStream(s, d, "documents")
+          .where(col("doc_id") % 5 === 0)
+          .withColumn("ts", timestamp_millis(col("doc_id") + 86400000L))
+        val kept = StreamingQueries.incrementalDedup(stream, store,
+          watermark = "365 days") // AvailableNow replay: nothing expires
+        val sink = s"graft_stream_dedup_${runSeq.incrementAndGet()}"
+        val q = kept.writeStream.format("memory").queryName(sink)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        docs.where(col("doc_id") % 5 === 0)
+          .agg(count(lit(1)).as("n_batch"))
+          .crossJoin(s.table(sink).agg(
+            count(lit(1)).as("n_new"),
+            // h60 values approach 2^60, so a raw sum over even ~10
+            // kept rows overflows Long (ANSI: loud failure); summing
+            // the mod-p residues keeps the checksum in range at any
+            // corpus size while still pinning the SET (a changed
+            // member shifts the residue sum with probability 1-1/p)
+            coalesce(sum(Hashing.h60(col("text")) % 1000000007L), lit(0L))
+              .as("fp_checksum")))
+      },
+      Some("""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+              batch AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+              store AS (SELECT DISTINCT md5(text) AS fp FROM corpus),
+              fresh AS (SELECT b.* FROM batch b ANTI JOIN store s ON md5(b.text) = s.fp),
+              fps AS (SELECT DISTINCT CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS fp
+                      FROM fresh)
+              SELECT (SELECT COUNT(*) FROM batch) AS n_batch,
+                     COUNT(*) AS n_new,
+                     CAST(COALESCE(SUM(fp % 1000000007), 0) AS BIGINT) AS fp_checksum
+              FROM fps"""))
+  )
+}

@@ -1,0 +1,440 @@
+package graft.queries
+
+import graft.Tables
+import graft.ext.{Curation, Dedup, Graph, Multimodal, PlanCache, Sampling, Search, Similarity, Skew, Stats, TextStats, TimeJoin}
+import org.apache.spark.sql.functions._
+
+import ExtShared._
+
+/** Text-analysis family: langid, quality, tokens, normalize,
+  * redact, domains, rolling-hash, repetition, surprisal, quantiles,
+  * TF-IDF/BM25/PMI/fuzzy search.
+  *
+  * Declared-query registry split out of the former monolithic
+  * ExtQueries.scala (round 10, mechanical — blocks moved verbatim);
+  * shared caps/CTE text/checksum helpers live in [[ExtShared]].
+  */
+object ExtTextQueries {
+
+  val all: Seq[Declared] = Seq(
+
+    // --- Text analysis ------------------------------------------------
+    Declared(
+      "ext_text_langid",
+      (s, d) =>
+        TextStats.withLangId(Tables.documents(s, d).select("lang", "text"), "text")
+          .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+          .orderBy("lang", "predicted"),
+      Some("""WITH s AS (SELECT lang,
+                len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to'))) AS en,
+                len(list_filter(string_split(text,' '), x -> x IN ('el','la','de','que','y'))) AS es,
+                len(list_filter(string_split(text,' '), x -> x IN ('der','die','und','ist','das'))) AS de,
+                len(list_filter(string_split(text,' '), x -> x IN ('le','la','et','les','des'))) AS fr
+              FROM documents)
+              SELECT lang, CASE
+                WHEN en > 0 AND en >= es AND en >= de AND en >= fr THEN 'en'
+                WHEN es > 0 AND es > en AND es >= de AND es >= fr THEN 'es'
+                WHEN de > 0 AND de > en AND de > es AND de >= fr THEN 'de'
+                WHEN fr > 0 AND fr > en AND fr > es AND fr > de THEN 'fr'
+                ELSE 'und' END AS predicted, COUNT(*) AS n
+              FROM s GROUP BY lang, predicted ORDER BY lang, predicted""")),
+
+    Declared(
+      "ext_text_quality",
+      (s, d) =>
+        TextStats.qualityFeatures(Tables.documents(s, d), "doc_id", "text")
+          .groupBy("ttr_decile")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+          .orderBy("ttr_decile"),
+      Some("""SELECT (len(list_distinct(string_split(text,' '))) * 10)
+                       // len(string_split(text,' ')) AS ttr_decile,
+                     COUNT(*) AS n_docs,
+                     CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS sum_tokens
+              FROM documents GROUP BY ttr_decile ORDER BY ttr_decile""")),
+
+    Declared(
+      "ext_text_tokens",
+      (s, d) =>
+        TextStats.tokenCounts(Tables.documents(s, d), "doc_id", "text")
+          .groupBy(expr("n_ws_tokens div 10 * 10").as("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_ws_tokens")).as("ws_tokens"),
+            sum(col("n_subword_tokens")).as("subword_tokens"))
+          .orderBy("bucket"),
+      Some("""SELECT (len(string_split(text,' ')) // 10) * 10 AS bucket,
+                     COUNT(*) AS n_docs,
+                     CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS ws_tokens,
+                     CAST(SUM(list_sum(list_transform(string_split(text,' '),
+                       w -> CAST(ceil(len(w) / 4.0) AS INT)))) AS BIGINT) AS subword_tokens
+              FROM documents GROUP BY bucket ORDER BY bucket""")),
+
+    // Text normalization ([[TextStats.normalize]]): md5 checksums of
+    // the canonical forms pin every output byte, so the oracle proves
+    // the two engines' regex/lower/trim pipelines agree exactly.
+    Declared(
+      "ext_text_normalize",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(TextStats.normalize(col("text")).as("nt"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("nt"))).as("len_sum"),
+            sum(graft.functions.Md5Prefix.md5Prefix(col("nt"), 8))
+              .as("md5_checksum")),
+      Some("""SELECT COUNT(*) AS n_docs,
+                     CAST(SUM(len(nt)) AS BIGINT) AS len_sum,
+                     CAST(SUM(CAST('0x' || substr(md5(nt), 1, 8) AS BIGINT)) AS BIGINT)
+                       AS md5_checksum
+              FROM (SELECT trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nt
+                    FROM documents)""")),
+
+    // PII redaction ([[TextStats.redactStats]]): the corpus is scrubbed
+    // word-salad, so both engines synthesize the SAME dirty text per
+    // doc (emails / dotted quads / long digit runs, plus boundary
+    // torture cases: a leading-digit quad that forces backtracking
+    // equivalence, "a@b" with no TLD, an 8-digit run one short of the
+    // threshold). Match counts per rule + an md5 checksum of the
+    // redacted bytes make the oracle a differential test of every
+    // match boundary across Java regex and RE2.
+    Declared(
+      "ext_text_redact",
+      (s, d) => {
+        val dirty = concat(
+          col("text"),
+          lit(" contact user"), col("doc_id").cast("string"), lit("@mail.example.com"),
+          when(col("doc_id") % 3 === 0, lit(" cc ADMIN-1@ex.org")).otherwise(lit("")),
+          lit(" from 10."), (col("doc_id") % 256).cast("string"), lit(".0."),
+          (col("doc_id") % 100).cast("string"),
+          when(col("doc_id") % 2 === 0, lit(" via 1234.5.6.7")).otherwise(lit("")),
+          lit(" ref 91"), lpad((col("doc_id") % 10000000).cast("string"), 7, "0"),
+          lit(" v1.2.3 a@b x.y@z.co 12345678 123456789 end"))
+        TextStats.redactStats(
+            Tables.documents(s, d).select(col("doc_id"), dirty.as("text")),
+            "doc_id", "text")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_email")).as("sum_emails"),
+            sum(col("n_ipv4")).as("sum_ipv4"),
+            sum(col("n_number")).as("sum_numbers"),
+            sum(length(col("redacted"))).as("len_sum"),
+            sum(graft.functions.Md5Prefix.md5Prefix(col("redacted"), 8))
+              .as("md5_checksum"))
+      },
+      Some("""WITH s AS (
+                SELECT doc_id,
+                       text || ' contact user' || doc_id || '@mail.example.com'
+                       || CASE WHEN doc_id % 3 = 0 THEN ' cc ADMIN-1@ex.org' ELSE '' END
+                       || ' from 10.' || (doc_id % 256) || '.0.' || (doc_id % 100)
+                       || CASE WHEN doc_id % 2 = 0 THEN ' via 1234.5.6.7' ELSE '' END
+                       || ' ref 91' || lpad(CAST(doc_id % 10000000 AS VARCHAR), 7, '0')
+                       || ' v1.2.3 a@b x.y@z.co 12345678 123456789 end' AS t
+                FROM documents),
+              r1 AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                       regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+                FROM s),
+              r2 AS (
+                SELECT doc_id, n_email,
+                       len(regexp_extract_all(t, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ipv4,
+                       regexp_replace(t, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS t
+                FROM r1),
+              r3 AS (
+                SELECT doc_id, n_email, n_ipv4,
+                       len(regexp_extract_all(t, '[0-9]{9,}')) AS n_number,
+                       regexp_replace(t, '[0-9]{9,}', '<NUM>', 'g') AS t
+                FROM r2)
+              SELECT COUNT(*) AS n_docs,
+                     CAST(SUM(n_email) AS BIGINT) AS sum_emails,
+                     CAST(SUM(n_ipv4) AS BIGINT) AS sum_ipv4,
+                     CAST(SUM(n_number) AS BIGINT) AS sum_numbers,
+                     CAST(SUM(len(t)) AS BIGINT) AS len_sum,
+                     CAST(SUM(CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)) AS BIGINT)
+                       AS md5_checksum
+              FROM r3""")),
+
+    // Per-domain URL census ([[TextStats.urlDomains]]): same
+    // synthesized-content discipline — every doc carries a
+    // lang/source-derived domain, a shared CDN URL on a doc_id stride,
+    // a same-domain duplicate on another stride (pinning n_urls vs
+    // n_docs), a scheme-less host the pattern must NOT match, and a
+    // trailing-dot host pinning greedy boundary behavior.
+    Declared(
+      "ext_text_domains",
+      (s, d) => {
+        val withUrls = concat(
+          lit("see https://"), col("lang"), lit("-"), col("source"),
+          lit(".example.org/p/"), col("doc_id").cast("string"),
+          when(col("doc_id") % 4 === 0,
+            lit(" plus http://cdn.example.net/x?y=1")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" dup https://"), col("lang"), lit("-"), col("source"),
+              lit(".example.org/other"))).otherwise(lit("")),
+          lit(" bare www.nope.com trail https://dot.example.org."))
+        TextStats.urlDomains(
+            Tables.documents(s, d).select(col("doc_id"), withUrls.as("text")),
+            "doc_id", "text")
+          .orderBy("domain")
+      },
+      Some("""WITH s AS (
+                SELECT doc_id,
+                       'see https://' || lang || '-' || source || '.example.org/p/' || doc_id
+                       || CASE WHEN doc_id % 4 = 0 THEN ' plus http://cdn.example.net/x?y=1' ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0 THEN ' dup https://' || lang || '-' || source || '.example.org/other' ELSE '' END
+                       || ' bare www.nope.com trail https://dot.example.org.' AS t
+                FROM documents),
+              u AS (
+                SELECT doc_id, unnest(regexp_extract_all(t, 'https?://[A-Za-z0-9.-]+')) AS url
+                FROM s)
+              SELECT regexp_replace(url, '^https?://', '') AS domain,
+                     COUNT(*) AS n_urls, COUNT(DISTINCT doc_id) AS n_docs
+              FROM u GROUP BY 1 ORDER BY domain""")),
+
+    // Rolling-hash fingerprints: the oracle recomputes every k-byte
+    // window NAIVELY (exact double polynomial, k=8·base=31 stays under
+    // 2^53), so a hash match also cross-checks the O(n) rolling update
+    // against the O(n·k) definition.
+    Declared(
+      "ext_text_rollhash",
+      (s, d) =>
+        TextStats.rollingFingerprints(Tables.documents(s, d), "doc_id", "text")
+          .where(col("roll_fp").isNotNull)
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("roll_fp")).as("uniq_fp"),
+            sum(col("roll_fp")).as("fp_checksum")),
+      Some("""WITH pos AS (
+                 SELECT doc_id, text, unnest(range(1, len(text) - 6)) AS i
+                 FROM documents WHERE len(text) >= 8),
+               hv AS (
+                 SELECT doc_id,
+                        CAST(list_sum(list_transform(range(8), j ->
+                          ascii(substr(text, CAST(i + j AS INT), 1)) * POW(31, 7 - j)))
+                          AS BIGINT) % 1000000007 AS h
+                 FROM pos),
+               m AS (SELECT doc_id, MIN(h) AS fp FROM hv GROUP BY doc_id)
+               SELECT COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS uniq_fp,
+                      CAST(SUM(fp) AS BIGINT) AS fp_checksum
+               FROM m""")),
+
+    // Within-doc repetition histogram: docs bucketed by their repeated-
+    // trigram decile ((total − distinct) · 10 div total) — the
+    // boilerplate/spam gate. Identical md5-based trigram hashing on
+    // both engines, so even hash collisions cannot diverge.
+    Declared(
+      "ext_text_repetition",
+      (s, d) =>
+        TextStats.repetitionStats(Tables.documents(s, d), "doc_id", "text")
+          .withColumn("rep_decile",
+            expr("((n_grams - n_distinct) * 10) div n_grams"))
+          .groupBy("rep_decile")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_grams")).as("sum_grams"))
+          .orderBy("rep_decile"),
+      Some("""WITH g AS (
+                SELECT doc_id, CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) AS h FROM (
+                  SELECT doc_id, unnest(list_transform(range(1, len(string_split(text,' ')) - 1),
+                    i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS g
+                  FROM documents)),
+              d AS (SELECT doc_id, COUNT(*) AS n_grams, COUNT(DISTINCT h) AS n_distinct
+                    FROM g GROUP BY doc_id)
+              SELECT ((n_grams - n_distinct) * 10) // n_grams AS rep_decile,
+                     COUNT(*) AS n_docs, CAST(SUM(n_grams) AS BIGINT) AS sum_grams
+              FROM d GROUP BY rep_decile ORDER BY rep_decile""")),
+
+    // Perplexity-style quality gate ([[TextStats.unigramSurprisal]]):
+    // per-doc summed unigram surprisal under the corpus's own model —
+    // the LM-filtering screen (low ≈ boilerplate, high ≈ garbled).
+    // Surprisal is rounded to an exact e6-scaled BIGINT once per
+    // DISTINCT word (one ln on identical doubles both engines, ~|V|
+    // roundings instead of per-token; the e6 scale keeps ~9 digits of
+    // margin between double ln error and the rounding boundary — an
+    // e9 scale left the half-integer flip within a few ulps), then
+    // sums associatively — the top-10 listing is fully integer with a
+    // doc_id tie-break.
+    Declared(
+      "ext_text_surprisal",
+      (s, d) =>
+        TextStats.unigramSurprisal(Tables.documents(s, d), "doc_id", "text")
+          .orderBy(desc("surprisal_e6"), asc("doc_id"))
+          .limit(10),
+      Some("""WITH w AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+              c AS (SELECT w, COUNT(*) AS c FROM w GROUP BY w),
+              n AS (SELECT COUNT(*) AS n FROM w),
+              v AS (SELECT c.w,
+                           CAST(round(ln(CAST(n.n AS DOUBLE) / c.c) * 1e6) AS BIGINT) AS sp
+                    FROM c CROSS JOIN n),
+              d AS (SELECT w.doc_id, COUNT(*) AS n_tokens,
+                           CAST(SUM(v.sp) AS BIGINT) AS surprisal_e6
+                    FROM w JOIN v USING (w) GROUP BY w.doc_id)
+              SELECT doc_id, n_tokens, surprisal_e6 FROM d
+              ORDER BY surprisal_e6 DESC, doc_id LIMIT 10""")),
+
+    // Per-language token-count quantiles (corpus length profile — what
+    // sets curation thresholds). Exact type-7 interpolation on BOTH
+    // engines; ×100 integer projection is mathematically integral
+    // (interpolation fractions are multiples of 0.01 for these p), so
+    // the only float exposure is ~1e-12 summation noise vs a 0.5
+    // rounding margin.
+    Declared(
+      "ext_text_quantiles",
+      (s, d) => {
+        val n = Tables.documents(s, d)
+          .select(col("lang"), size(split(col("text"), " ")).as("n_tokens"))
+        Stats.quantiles(n, Seq("lang"), col("n_tokens"), Seq(0.5, 0.9, 0.99))
+          .select(col("lang"),
+            expr("cast(round(p50 * 100) as bigint)").as("p50_x100"),
+            expr("cast(round(p90 * 100) as bigint)").as("p90_x100"),
+            expr("cast(round(p99 * 100) as bigint)").as("p99_x100"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang,
+                     CAST(round(quantile_cont(n, 0.5) * 100) AS BIGINT) AS p50_x100,
+                     CAST(round(quantile_cont(n, 0.9) * 100) AS BIGINT) AS p90_x100,
+                     CAST(round(quantile_cont(n, 0.99) * 100) AS BIGINT) AS p99_x100
+              FROM (SELECT lang, len(string_split(text, ' ')) AS n FROM documents)
+              GROUP BY lang ORDER BY lang""")),
+
+    // TF-IDF distinctive terms ([[Search.topTerms]]): top-3 terms per
+    // document for the doc_id < 20 panel, idf from the FULL corpus.
+    // Output is integer/string only; the float score is compared
+    // through round(·, 9) + term tie-break (the one cross-engine
+    // hazard is ln's last ulp — a rounded-score tie resolves by term
+    // on both engines).
+    Declared(
+      "ext_text_tfidf",
+      (s, d) =>
+        Search.topTerms(Tables.documents(s, d), "doc_id", "text", k = 3)
+          .where(col("doc_id") < 20)
+          .orderBy("doc_id", "rk"),
+      Some("""WITH t0 AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+              tf AS (
+                SELECT doc_id, term, COUNT(*) AS tf FROM t0
+                WHERE term <> '' GROUP BY doc_id, term),
+              df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+              n AS (SELECT COUNT(*) AS n_docs FROM documents),
+              sc AS (
+                SELECT doc_id, term,
+                       tf * ln(CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) AS tfidf
+                FROM tf JOIN df USING (term) CROSS JOIN n),
+              rk AS (
+                SELECT doc_id, term,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                         ORDER BY round(tfidf, 9) DESC, term) AS rk
+                FROM sc)
+              SELECT doc_id, rk, term FROM rk
+              WHERE rk <= 3 AND doc_id < 20
+              ORDER BY doc_id, rk""")),
+
+    // BM25 search ([[Search.search]]): top-10 documents for a 3-term
+    // query. k1=1.5, b=0.75 — chosen so every derived constant
+    // (k1+1=2.5, 1−b=0.25) is an EXACT double and the oracle's
+    // literals mean identical bits; the per-term partials add in fixed
+    // literal order on both engines (no float SUM aggregation), so
+    // only ln's last ulp differs — absorbed by round(·, 9) + doc_id
+    // tie-break.
+    Declared(
+      "ext_text_bm25",
+      (s, d) =>
+        Search.search(Tables.documents(s, d), "doc_id", "text",
+          Seq("merge", "vector", "window"), k = 10, k1 = 1.5, b = 0.75),
+      Some("""WITH base AS (
+                SELECT doc_id,
+                       len(list_filter(string_split(text, ' '), x -> x <> '')) AS dl,
+                       string_split(text, ' ') AS toks
+                FROM documents),
+              corpus AS (
+                SELECT COUNT(*) AS n_docs,
+                       CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+                FROM base),
+              tf AS (
+                SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+                  SELECT doc_id, dl, unnest(toks) AS term FROM base)
+                WHERE term IN ('merge', 'vector', 'window')
+                GROUP BY doc_id, dl, term),
+              df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+              sc AS (
+                SELECT doc_id, tf.term,
+                       ln(CAST(1.0 AS DOUBLE) + (n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+                         * (tf * CAST(2.5 AS DOUBLE))
+                         / (tf + CAST(1.5 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl)) AS s
+                FROM tf JOIN df USING (term) CROSS JOIN corpus),
+              byDoc AS (
+                SELECT doc_id,
+                       MAX(CASE WHEN term = 'merge' THEN s END) AS s0,
+                       MAX(CASE WHEN term = 'vector' THEN s END) AS s1,
+                       MAX(CASE WHEN term = 'window' THEN s END) AS s2,
+                       COUNT(*) AS n_matched
+                FROM sc GROUP BY doc_id),
+              scored AS (
+                SELECT doc_id, n_matched,
+                       COALESCE(s0, CAST(0 AS DOUBLE)) + COALESCE(s1, CAST(0 AS DOUBLE))
+                         + COALESCE(s2, CAST(0 AS DOUBLE)) AS score
+                FROM byDoc),
+              rk AS (
+                SELECT doc_id, n_matched,
+                       ROW_NUMBER() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rk
+                FROM scored)
+              SELECT rk, doc_id, n_matched FROM rk WHERE rk <= 10 ORDER BY rk""")),
+
+    // PMI collocations ([[Search.pmiPairs]]): top-20 term pairs by
+    // document-co-occurrence pointwise mutual information. The
+    // co-occurrence count comes from the posting-list self-join on
+    // doc_id (Σ v² per doc, df-bounded); ln's argument is one division
+    // of exact integer products, rank pinned by round(·,9) +
+    // lexicographic tie-break.
+    Declared(
+      "ext_text_pmi",
+      (s, d) =>
+        Search.pmiPairs(Tables.documents(s, d), "doc_id", "text",
+          k = 20, minDf = 2),
+      Some("""WITH p AS (
+                SELECT DISTINCT doc_id, w AS term FROM (
+                  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+                WHERE w <> ''),
+              df AS (
+                SELECT term, COUNT(*) AS df FROM p
+                GROUP BY term HAVING COUNT(*) >= 2),
+              p2 AS (SELECT p.doc_id, p.term, df.df FROM p JOIN df USING (term)),
+              pr AS (
+                SELECT a.term AS t1, b.term AS t2,
+                       a.df AS df1, b.df AS df2, COUNT(*) AS c_ab
+                FROM p2 a JOIN p2 b
+                  ON a.doc_id = b.doc_id AND a.term < b.term
+                GROUP BY 1, 2, 3, 4),
+              n AS (SELECT COUNT(*) AS n_docs FROM documents),
+              sc AS (
+                SELECT t1, t2, c_ab,
+                       ln(CAST(n_docs * c_ab AS DOUBLE) / CAST(df1 * df2 AS DOUBLE)) AS pmi
+                FROM pr CROSS JOIN n),
+              rk AS (
+                SELECT t1, t2, c_ab,
+                       ROW_NUMBER() OVER (ORDER BY round(pmi, 9) DESC, t1, t2) AS rk
+                FROM sc)
+              SELECT rk, t1, t2, c_ab FROM rk WHERE rk <= 20 ORDER BY rk""")),
+
+    // Fuzzy probe→vocabulary matching ([[Search.fuzzyVocabMatch]]):
+    // spell-correction over the corpus vocabulary by Levenshtein ≤ 2
+    // with length-band blocking, candidates ranked by document
+    // frequency. Both engines implement the identical DP distance, so
+    // the full match set is exact; one probe ("zzz") is a deliberate
+    // no-match pinning that blocking prunes rather than fabricates.
+    Declared(
+      "ext_text_fuzzy",
+      (s, d) =>
+        Search.fuzzyVocabMatch(Tables.documents(s, d), "doc_id", "text",
+            Seq("joni", "tabel", "vectr", "qery", "zzz"), maxDist = 2)
+          .orderBy("probe", "dist", "term"),
+      Some("""WITH p AS (
+                SELECT DISTINCT doc_id, w AS term FROM (
+                  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+                WHERE w <> ''),
+              vocab AS (SELECT term, COUNT(*) AS df FROM p GROUP BY term),
+              probes AS (
+                SELECT unnest(['joni', 'tabel', 'vectr', 'qery', 'zzz']) AS probe)
+              SELECT probe, levenshtein(term, probe) AS dist, term, df
+              FROM vocab CROSS JOIN probes
+              WHERE abs(len(term) - len(probe)) <= 2
+                AND levenshtein(term, probe) <= 2
+              ORDER BY probe, dist, term"""))
+  )
+}
