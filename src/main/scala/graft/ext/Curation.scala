@@ -298,6 +298,15 @@ object Curation {
     * default (10: decile is always ≤ 9). Run it only after a
     * minTokens ≥ 3 quality gate — docs with no trigram would
     * otherwise be dropped outright.
+    *
+    * `qualitySurvivor = true` upgrades the near-dup drop policy to
+    * canonical-survivor selection ([[Dedup.keepCanonical]]): the pair
+    * graph is closed into duplicate CLASSES and each class keeps its
+    * highest-`n_tokens` member (ties → min id) instead of the min-id
+    * member — "keep the best copy", the resolver a production
+    * pipeline actually wants once quality scores exist. Implies the
+    * component closure (subsumes `componentPolicy`); costs the same
+    * O(log n) label loop plus one 24-byte-row struct-max aggregate.
     */
   def curate(docs: DataFrame, idCol: String, textCol: String,
              keepLang: String = "en",
@@ -306,7 +315,8 @@ object Curation {
              jaccardNum: Int = 4, jaccardDen: Int = 5,
              k: Int = 16, rowsPerBand: Int = 4,
              maxBucket: Int = 64, dfCap: Int = 100,
-             componentPolicy: Boolean = false): Curated = {
+             componentPolicy: Boolean = false,
+             qualitySurvivor: Boolean = false): Curated = {
     val input = docs.select(col(idCol), col(textCol))
     // one gate projection carrying pass/fail flags instead of filtering
     // immediately: the audit counts then need no extra passes, and the
@@ -378,7 +388,26 @@ object Curation {
     // closure has no single-pass SQL twin (the components QUERY
     // oracle covers it via a recursive CTE instead).
     val pairDrops =
-      if (componentPolicy)
+      if (qualitySurvivor)
+        PlanCache.checkpointed(
+          s"curation/qualdrops/$gateTag/$jaccardNum/$jaccardDen/$k/$rowsPerBand/$maxBucket/$dfCap",
+          input) { _ =>
+          // close the pair graph once, pick each class's max-quality
+          // (n_tokens) member via keepCanonical's struct-max (24-byte
+          // shuffle rows), then drop every other node of the class.
+          // keepCanonical labels ALL surv docs (singletons keep
+          // themselves, class_size 1); restricting the anti-join side
+          // to class_size > 1 keeps it |pair-graph classes|-sized
+          val comp = Dedup.connectedComponentsShared(verified, "doc_a", "doc_b")
+          val survivors = Dedup.keepCanonical(
+              surv.select(col(idCol), col("n_tokens")),
+              idCol, "n_tokens", verified, "doc_a", "doc_b", Some(comp))
+            .where(col("class_size") > 1)
+          comp.select(col("node").as("doc_id"))
+            .join(survivors.select(col(idCol).cast("long").as("__keep")),
+              col("doc_id") === col("__keep"), "left_anti")
+        }
+      else if (componentPolicy)
         PlanCache.checkpointed(
           s"curation/compdrops/$gateTag/$jaccardNum/$jaccardDen/$k/$rowsPerBand/$maxBucket/$dfCap",
           input) { _ =>

@@ -35,78 +35,66 @@ object ExtPipelineQueries {
             sum(col("doc_id")).as("id_checksum"),
             sum(col("n_tokens")).as("token_checksum")))
       },
-      Some(s"""WITH lid AS (
-                 SELECT doc_id, text,
-                   len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to'))) AS en,
-                   len(list_filter(string_split(text,' '), x -> x IN ('el','la','de','que','y'))) AS es,
-                   len(list_filter(string_split(text,' '), x -> x IN ('der','die','und','ist','das'))) AS de,
-                   len(list_filter(string_split(text,' '), x -> x IN ('le','la','et','les','des'))) AS fr
-                 FROM documents),
-               lang_kept AS (
-                 SELECT doc_id, text FROM lid
-                 WHERE en > 0 AND en >= es AND en >= de AND en >= fr),
-               qual AS (
-                 SELECT doc_id, text, len(string_split(text,' ')) AS n_tokens,
-                        (len(list_distinct(string_split(text,' '))) * 10)
-                          // len(string_split(text,' ')) AS ttr
-                 FROM lang_kept),
-               qual_kept AS (
-                 SELECT doc_id, text, n_tokens FROM qual
-                 WHERE n_tokens >= 30 AND ttr >= 3),
-               ex AS (SELECT MIN(doc_id) AS doc_id FROM qual_kept GROUP BY md5(text)),
-               surv AS (SELECT q.* FROM qual_kept q JOIN ex USING (doc_id)),
-               tok AS (
-                 SELECT DISTINCT doc_id, w FROM (
-                   SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM surv)
-                 WHERE w <> ''),
-               h AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS hv FROM tok),
-               mh AS (
-                 SELECT doc_id, i, MIN(((2*i + 3) * hv + (5*i + 7)) % 2147483647) AS minh
-                 FROM h, range(16) t(i) GROUP BY doc_id, i),
-               sigs AS (
-                 SELECT doc_id, CAST(i // 4 AS INT) AS band,
-                        string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i) AS sig
-                 FROM mh GROUP BY doc_id, band),
-               okb AS (SELECT band, sig FROM sigs GROUP BY band, sig HAVING COUNT(*) <= $MaxBucket),
-               bigc AS (
-                 SELECT DISTINCT s.doc_id FROM sigs s
-                 JOIN (SELECT band, sig, MIN(doc_id) AS rep FROM sigs
-                       GROUP BY band, sig HAVING COUNT(*) > $MaxBucket) b
-                   ON s.band = b.band AND s.sig = b.sig AND s.doc_id <> b.rep),
-               sig2 AS (SELECT sigs.* FROM sigs JOIN okb USING (band, sig)),
-               cand AS (
-                 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                 FROM sig2 a JOIN sig2 b
-                   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-               tp AS (
-                 SELECT doc_id, unnest(string_split(text, ' ')) AS w,
-                        unnest(range(len(string_split(text, ' ')))) AS pos
-                 FROM surv),
-               sh0 AS (
-                 SELECT doc_id,
-                        w || ' ' || LEAD(w, 1) OVER (PARTITION BY doc_id ORDER BY pos)
-                          || ' ' || LEAD(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS shingle
-                 FROM tp),
-               sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL),
-               shh AS (
-                 SELECT DISTINCT doc_id,
-                        CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS sh
-                 FROM sh),
-               kept AS (SELECT sh FROM shh GROUP BY sh HAVING COUNT(*) <= $DfCap),
-               fsh AS (SELECT doc_id, sh FROM shh JOIN kept USING (sh)),
-               card AS (SELECT doc_id, COUNT(*) AS n FROM fsh GROUP BY doc_id),
-               inter AS (
-                 SELECT doc_a, doc_b, COUNT(*) AS inter FROM cand
-                 JOIN fsh fa ON fa.doc_id = doc_a
-                 JOIN fsh fb ON fb.doc_id = doc_b AND fa.sh = fb.sh
-                 GROUP BY doc_a, doc_b),
-               ver AS (
-                 SELECT doc_a, doc_b, inter, ca.n + cb.n - inter AS uni
-                 FROM inter JOIN card ca ON doc_a = ca.doc_id
-                 JOIN card cb ON doc_b = cb.doc_id
-                 WHERE inter * 5 >= (ca.n + cb.n - inter) * 4),
+      Some(s"""WITH $curationCoreCte,
                neardrop AS (
                  SELECT DISTINCT doc_b AS doc_id FROM ver
+                 UNION SELECT doc_id FROM bigc),
+               fin AS (SELECT s.* FROM surv s ANTI JOIN neardrop d ON s.doc_id = d.doc_id)
+               SELECT
+                 (SELECT COUNT(*) FROM documents) AS n_input,
+                 (SELECT COUNT(*) FROM lang_kept) AS n_lang,
+                 (SELECT COUNT(*) FROM qual_kept) AS n_quality,
+                 (SELECT COUNT(*) FROM surv) AS n_exact,
+                 (SELECT COUNT(*) FROM ver) AS n_near_pairs,
+                 COUNT(*) AS n_final,
+                 CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+                 CAST(SUM(n_tokens) AS BIGINT) AS token_checksum
+               FROM fin""")),
+
+    // The same end-to-end pipeline under the QUALITY survivor policy
+    // (curate(qualitySurvivor = true), [[Dedup.keepCanonical]]
+    // composed into [[Curation.curate]]): verified pairs close into
+    // duplicate classes and each class keeps its highest-n_tokens
+    // member (ties → min id) — "keep the best copy" — instead of the
+    // single-pass min-id policy. Same audit projection, so the two
+    // rows diff directly: n_final may differ from the pair policy's
+    // both ways (chains collapse to ONE survivor; the survivor is no
+    // longer necessarily doc_a). The oracle replays the closure with
+    // a recursive CTE and the survivor argmax with a max-quality
+    // join-back.
+    Declared(
+      "ext_pipeline_curation_quality",
+      (s, d) => {
+        val c = Curation.curate(Tables.documents(s, d), "doc_id", "text",
+          qualitySurvivor = true)
+        c.gateStats
+          .crossJoin(c.exactKept.agg(count(lit(1)).as("n_exact")))
+          .crossJoin(c.nearDupPairs.agg(count(lit(1)).as("n_near_pairs")))
+          .crossJoin(c.finalDocs.agg(count(lit(1)).as("n_final"),
+            sum(col("doc_id")).as("id_checksum"),
+            sum(col("n_tokens")).as("token_checksum")))
+      },
+      Some(s"""WITH RECURSIVE $curationCoreCte,
+               edges AS (
+                 SELECT doc_a AS a, doc_b AS b FROM ver
+                 UNION SELECT doc_b, doc_a FROM ver),
+               reach(node, label) AS (
+                 SELECT a, a FROM edges
+                 UNION
+                 SELECT e.b, r.label FROM reach r
+                 JOIN edges e ON e.a = r.node WHERE r.label < e.b),
+               cc AS (SELECT node, MIN(label) AS comp FROM reach GROUP BY node),
+               lab AS (
+                 SELECT s.doc_id, s.n_tokens, cc.comp
+                 FROM surv s JOIN cc ON s.doc_id = cc.node),
+               mx AS (SELECT comp, MAX(n_tokens) AS mq FROM lab GROUP BY comp),
+               keepq AS (
+                 SELECT l.comp, MIN(l.doc_id) AS kid
+                 FROM lab l JOIN mx ON l.comp = mx.comp AND l.n_tokens = mx.mq
+                 GROUP BY l.comp),
+               neardrop AS (
+                 SELECT cc.node AS doc_id FROM cc
+                 ANTI JOIN keepq ON cc.node = keepq.kid
                  UNION SELECT doc_id FROM bigc),
                fin AS (SELECT s.* FROM surv s ANTI JOIN neardrop d ON s.doc_id = d.doc_id)
                SELECT

@@ -168,6 +168,40 @@ object ExtSimQueries {
       Some(s"""WITH $bruteTopCte
                $topkChecksumSql""")),
 
+    // IVF persistence round trip ([[Similarity.IvfIndex.save]]/
+    // [[Similarity.IvfIndex.load]]) under the gate: build the index,
+    // persist it as the parquet centroid table, load it back, and
+    // serve FROM THE LOADED index — the path a production deployment
+    // actually runs (training happens in the corpus-write pipeline;
+    // serving jobs only ever read the k×dim table). nprobe = k makes
+    // the served ranking brute-force-equal, so the same DuckDB oracle
+    // pins the full load-then-serve pipeline; roundtrip_exact
+    // additionally pins bit-identity of the loaded centroids against
+    // the built ones (parquet double round trip is exact — any
+    // ordering or precision regression in save/load flips the column
+    // before it could subtly degrade recall).
+    Declared(
+      "ext_sim_ivf_load",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val built = Similarity.IvfIndex.build(emb, "vec_id", "embedding",
+          k = 16, iters = 3)
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_ivf_load_").toString
+        Similarity.IvfIndex.save(s, built, path)
+        val loaded = Similarity.IvfIndex.load(s, path)
+        val exact = loaded.centers.map(_.toSeq).toSeq ==
+          built.centers.map(_.toSeq).toSeq
+        topkChecksum(Similarity.ivfTopK(emb, emb.where(col("vec_id") < 3),
+            "vec_id", "embedding", k = 5, loaded.centers, nprobe = 16))
+          .withColumn("roundtrip_exact", lit(exact))
+      },
+      Some(s"""WITH $bruteTopCte,
+               chk AS ($topkChecksumSql)
+               SELECT query_id, n_rows, n_clear, id_checksum,
+                      TRUE AS roundtrip_exact
+               FROM chk ORDER BY query_id""")),
+
     // IVF at the ACTUAL serving configuration — nprobe = 4 of 16
     // lists, the 4× candidate-scan reduction a 100 TB ANN deployment
     // runs — pinned PER QUERY against the brute-force top-10 over a

@@ -59,6 +59,34 @@ class CurationSpec extends SparkSpec {
       Seq(0L, 6L))
   }
 
+  test("qualitySurvivor keeps the best copy where the pair policy keeps the first") {
+    import spark.implicits._
+    // near-dup pair where the HIGHER id is the BETTER copy: `longer`
+    // appends one token to base (33 tokens, shingle jaccard 30/31),
+    // so the min-id pair policy drops it (doc_b side) while the
+    // quality policy must keep it (more n_tokens) and drop doc 0
+    val longer = base + " extra"
+    val c2 = Seq((0L, base), (2L, longer), (6L, other)).toDF("doc_id", "text")
+    val pair = Curation.curate(c2, "doc_id", "text")
+    assert(pair.nearDupPairs.select("doc_a", "doc_b").as[(Long, Long)]
+      .collect().toSet == Set((0L, 2L)))
+    assert(pair.finalDocs.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(0L, 6L))
+    val qual = Curation.curate(c2, "doc_id", "text", qualitySurvivor = true)
+    assert(qual.finalDocs.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(2L, 6L))
+  }
+
+  test("qualitySurvivor breaks quality ties toward the min id") {
+    import spark.implicits._
+    // base and its equal-length near-dup tie on n_tokens (32 each):
+    // the deterministic tie-break keeps the smaller id — identical
+    // kept set to the pair policy on this corpus
+    val qual = Curation.curate(corpus, "doc_id", "text", qualitySurvivor = true)
+    assert(qual.finalDocs.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(0L, 6L))
+  }
+
   test("near-dup verification threshold is exact rational arithmetic") {
     import spark.implicits._
     // shingle jaccard 27/33: passes at 4/5 (27·5 ≥ 33·4), fails at 5/6
