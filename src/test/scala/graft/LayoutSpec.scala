@@ -54,4 +54,98 @@ class LayoutSpec extends SparkSpec {
       s"z-ordered layout touched $zf files vs $pf — no locality win")
     assert(zf <= 3, s"an aligned 16-cell z-range should span ≤3 of 16 files, got $zf")
   }
+
+  test("box query PRUNES z-ordered row groups the id-sorted layout must decode") {
+    // the measured pruning win (VERDICT r9 #7): not "which files hold
+    // matches" (the locality test above) but what the scan actually
+    // DECODES. Vanilla Spark prunes parquet at ROW-GROUP level via
+    // footer min-max stats under the pushed filter, so the honest
+    // metrics are (a) the FileSourceScanExec's numOutputRows — rows
+    // surviving row-group pruning — and (b) the per-file footer-stats
+    // box intersection, i.e. the file set a stats-indexed table
+    // format (Delta/Iceberg-style, file stats in the metadata layer)
+    // would schedule at all. numFiles stays at the full count on both
+    // layouts by design: a vanilla listing opens every footer, which
+    // is exactly why the 100 TB deployment pairs this layout with a
+    // stats-carrying catalog.
+    val ev = Tables.events(spark, "/root/testdata/sf0.1")
+      .select(col("event_id"),
+        (col("user_id") % 64).cast("long").as("x"),
+        (col("event_id") % 64).cast("long").as("y"))
+    val total = ev.count()
+    val zDir = java.nio.file.Files.createTempDirectory("graft_zprune").toString
+    val pDir = java.nio.file.Files.createTempDirectory("graft_pprune").toString
+    Layout.writeZOrdered(ev, zDir, "x", "y", bits = 6, nFiles = 16)
+    ev.repartitionByRange(16, col("event_id"))
+      .sortWithinPartitions("event_id")
+      .write.mode("overwrite").parquet(pDir)
+
+    def boxed(dir: String) = spark.read.parquet(dir)
+      .where(col("x").between(16, 19) && col("y").between(32, 35))
+
+    // (a) rows the scan decodes after row-group pruning
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scanDecodedRows(dir: String): Long = {
+      val df = boxed(dir)
+      df.collect()
+      def find(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+        case s: FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(find)
+      }
+      val scans = find(df.queryExecution.executedPlan)
+      assert(scans.size == 1, s"expected one scan, got ${scans.size}")
+      assert(scans.head.metrics("numFiles").value == 16L) // no file-level skip in vanilla
+      scans.head.metrics("numOutputRows").value
+    }
+    val zRows = scanDecodedRows(zDir)
+    val pRows = scanDecodedRows(pDir)
+    assert(pRows == total,
+      s"id-sorted layout should decode every row group ($pRows of $total)")
+    assert(zRows * 4 <= total,
+      s"z-ordered scan decoded $zRows of $total rows — expected ≥4× row-group pruning")
+
+    // (b) footer-stats intersection: the file set a stats-aware
+    // pruner reads. Real parquet footers, not a re-scan.
+    def statsIntersecting(dir: String): Int = {
+      import org.apache.hadoop.fs.Path
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      val conf = spark.sparkContext.hadoopConfiguration
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      assert(files.length == 16)
+      files.count { f =>
+        val r = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new Path(f.getAbsolutePath), conf))
+        try {
+          r.getFooter.getBlocks.asScala.exists { bl =>
+            val byName = bl.getColumns.asScala
+              .map(c => c.getPath.toDotString -> c.getStatistics).toMap
+            def mm(c: String): (Long, Long) = {
+              val st = byName(c)
+              (st.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+                st.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+            }
+            val (xmin, xmax) = mm("x"); val (ymin, ymax) = mm("y")
+            xmax >= 16 && xmin <= 19 && ymax >= 32 && ymin <= 35
+          }
+        } finally r.close()
+      }
+    }
+    val zInt = statsIntersecting(zDir)
+    val pInt = statsIntersecting(pDir)
+    assert(pInt >= 14,
+      s"id-sorted files span the full x/y domain — expected ~all to intersect, got $pInt")
+    assert(zInt <= 3,
+      s"stats-aware pruning should schedule ≤3 of 16 z-ordered files, got $zInt")
+    info(s"decoded rows: z=$zRows vs id=$pRows (of $total); " +
+      s"stats-intersecting files: z=$zInt vs id=$pInt (of 16)")
+  }
+
+  private implicit class JListOps[A](l: java.util.List[A]) {
+    def asScala: scala.collection.mutable.Buffer[A] =
+      scala.jdk.CollectionConverters.ListHasAsScala(l).asScala
+  }
 }
