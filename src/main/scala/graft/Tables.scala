@@ -121,28 +121,35 @@ object Tables {
       // value would be racy-looking under concurrent query planning
       if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(path)
-      raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          // integer division: ns epochs (~1.7e18) exceed double's 2^53
-          // exact range, so `/ 1000` via double would be off by ~µs
-          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        case org.apache.spark.sql.types.TimestampNTZType =>
-          // NTZ wall-clock micros reinterpreted as UTC instants via a
-          // Cast pinned to the UTC zone — NOT the session zone: the
-          // graft mains all run UTC sessions, but a library consumer
-          // with a non-UTC session must read the same epochs (this is
-          // how DuckDB reads the same tz-less file, and it matches
-          // BandedRangeJoinRule.asInstant's hard-coded UTC)
-          raw.withColumn("ts",
-            org.apache.spark.sql.graftshim.ColumnShim.column(
-              org.apache.spark.sql.catalyst.expressions.Cast(
-                org.apache.spark.sql.graftshim.ColumnShim.expression(col("ts")),
-                org.apache.spark.sql.types.TimestampType, Some("UTC"))))
-        case _ => raw // engine already surfaced a native instant timestamp
-      }
+      normalizeEventsTs(spark.read.parquet(path))
     } else spark.read.parquet(path)
   }
+
+  /** Normalize `events.ts` to native instant TimestampType whatever
+    * encoding the fixture writer used (see the doc block above);
+    * applies identically to batch and streaming frames — every
+    * branch is a stateless projection.
+    */
+  private def normalizeEventsTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer division: ns epochs (~1.7e18) exceed double's 2^53
+        // exact range, so `/ 1000` via double would be off by ~µs
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // NTZ wall-clock micros reinterpreted as UTC instants via a
+        // Cast pinned to the UTC zone — NOT the session zone: the
+        // graft mains all run UTC sessions, but a library consumer
+        // with a non-UTC session must read the same epochs (this is
+        // how DuckDB reads the same tz-less file, and it matches
+        // BandedRangeJoinRule.asInstant's hard-coded UTC)
+        raw.withColumn("ts",
+          org.apache.spark.sql.graftshim.ColumnShim.column(
+            org.apache.spark.sql.catalyst.expressions.Cast(
+              org.apache.spark.sql.graftshim.ColumnShim.expression(col("ts")),
+              org.apache.spark.sql.types.TimestampType, Some("UTC"))))
+      case _ => raw // engine already surfaced a native instant timestamp
+    }
 
   /** Streaming twin of [[load]]: the same table as a file-source
     * STREAM (`spark.readStream`), for the gated streaming queries and
@@ -151,10 +158,9 @@ object Tables {
     * the `@k` scaled-dir convention applies unchanged — every
     * [[scaledCopy]] transform is a stateless projection, so it maps
     * 1:1 onto a streaming DataFrame and the k copies union exactly as
-    * in the batch path. `events` ts-normalization is NOT replicated
-    * here (the nanos-as-long surface is batch-reader-specific);
-    * streaming consumers of `events` should derive event time
-    * explicitly. maxFilesPerTrigger is left default: with
+    * in the batch path, as does the `events` ts-normalization (every
+    * branch of it is a stateless projection, so it binds to a
+    * streaming frame unchanged). maxFilesPerTrigger is left default: with
     * `Trigger.AvailableNow` the whole fixture lands in bounded
     * microbatches and the query self-terminates — the replay shape
     * the gated row uses.
@@ -171,13 +177,20 @@ object Tables {
 
   private def loadStreamPlain(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
+    if (name == "events" &&
+      !spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(path).schema
     // the fixture table is a single FILE; FileStreamSource requires
     // its basePath to be a directory, and for a non-glob path the
     // basePath IS the path. A brace-glob matching exactly that file
     // makes the source take the glob's directory prefix as basePath
     // (no partition columns — the table files sit directly in it)
-    spark.readStream.schema(schema).parquet(s"$dir/{$name.parquet}")
+    val raw = spark.readStream.schema(schema).parquet(s"$dir/{$name.parquet}")
+    // events ts-normalization applies to the stream too (stateless
+    // projections) — streaming consumers get the same instant
+    // TimestampType event-time column as the batch path
+    if (name == "events") normalizeEventsTs(raw) else raw
   }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")

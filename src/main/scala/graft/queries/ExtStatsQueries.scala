@@ -32,6 +32,87 @@ object ExtStatsQueries {
                      COUNT(DISTINCT user_id) AS n_distinct
               FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // THE 100 TB cardinality path under the gate, probe-contract
+    // style (the ivf_nprobe pattern): per-group DataSketches HLL
+    // estimates ([[Stats.hllSketches]], lgK=12 → ~2.5% standard
+    // error) checked within a ±5% bound of the exact count Spark
+    // computes alongside, AND the union-rollup contract — the per-
+    // group sketches merged losslessly ([[Stats.hllUnion]]) must
+    // estimate the GLOBAL distinct within the same bound, the
+    // mergeability property exact countDistinct lacks. HLL register
+    // state is an order-independent max, so every boolean is
+    // deterministic at a given corpus: the oracle replays the exact
+    // counts and pins the booleans TRUE — a broken sketch build,
+    // union, or estimate flips its own row red.
+    Declared(
+      "ext_stats_hll",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val sk = Stats.hllSketches(ev, Seq("event_type"), col("user_id"))
+        val est = sk.select(col("event_type"),
+          hll_sketch_estimate(col("sketch")).cast("long").as("__est"))
+        val exact = Stats.cardinality(ev, Seq("event_type"), col("user_id"))
+          .select(col("event_type"), col("n_distinct"))
+        val perGroup = exact.join(est, "event_type")
+          .select(col("event_type"), col("n_distinct"),
+            (abs(col("__est") - col("n_distinct")) * 20 <=
+              col("n_distinct")).as("hll_ok"))
+        val unionEst = Stats.hllUnion(sk)
+          .select(col("estimate").cast("long").as("__uest"))
+        val globalExact = ev.agg(countDistinct(col("user_id")).as("n_distinct"))
+        val globalRow = globalExact.crossJoin(unionEst)
+          .select(lit("*").as("event_type"), col("n_distinct"),
+            (abs(col("__uest") - col("n_distinct")) * 20 <=
+              col("n_distinct")).as("hll_ok"))
+        perGroup.unionByName(globalRow).orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct,
+                     TRUE AS hll_ok
+              FROM events GROUP BY event_type
+              UNION ALL
+              SELECT '*', COUNT(DISTINCT user_id), TRUE FROM events
+              ORDER BY event_type""")),
+
+    // The 100 TB quantile path under the gate, same probe-contract
+    // pattern: per-language approx_percentile ([[Stats.
+    // approxQuantiles]], t-digest-style mergeable summaries, bounded
+    // memory) pinned within 5% relative + 2-token absolute of the
+    // EXACT type-7 quantiles Spark computes alongside — far outside
+    // the sketch's rank-error envelope (1e-4 of rank at accuracy
+    // 10000) at any plausible corpus, so the booleans are stable
+    // while a broken summary merge still reds its own row. The exact
+    // values themselves are oracle-replayed (quantile_cont ≡ type-7),
+    // so the row checks BOTH paths: exact values equal across
+    // engines, sketch within bounds of them.
+    Declared(
+      "ext_stats_approx_quantiles",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val toks = docs.select(col("lang"),
+          size(split(col("text"), " ")).as("__n"))
+        val exact = Stats.quantiles(toks, Seq("lang"), col("__n"),
+          Seq(0.5, 0.9))
+        val approx = Stats.approxQuantiles(toks, Seq("lang"), col("__n"),
+            Seq(0.5, 0.9))
+          .select(col("lang"), col("p50").as("__a50"), col("p90").as("__a90"))
+        def ok(e: org.apache.spark.sql.Column, a: org.apache.spark.sql.Column) =
+          abs(a - e) <= e * 0.05 + 2.0
+        exact.join(approx, "lang")
+          .select(col("lang"),
+            round(col("p50").cast("double"), 2).as("p50"),
+            round(col("p90").cast("double"), 2).as("p90"),
+            ok(col("p50"), col("__a50")).as("p50_ok"),
+            ok(col("p90"), col("__a90")).as("p90_ok"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang,
+                     round(quantile_cont(n, 0.5), 2) AS p50,
+                     round(quantile_cont(n, 0.9), 2) AS p90,
+                     TRUE AS p50_ok, TRUE AS p90_ok
+              FROM (SELECT lang, len(string_split(text, ' ')) AS n
+                    FROM documents)
+              GROUP BY lang ORDER BY lang""")),
+
     // Per-column data-quality profile ([[Stats.profile]]): one pass,
     // one row per column — completeness / key-ness / domain bounds,
     // the "validate the snapshot before training on it" gate. Exact

@@ -90,6 +90,42 @@ object ExtStreamQueries {
               SELECT (SELECT COUNT(*) FROM batch) AS n_batch,
                      COUNT(*) AS n_new,
                      CAST(COALESCE(SUM(fp % 1000000007), 0) AS BIGINT) AS fp_checksum
-              FROM fps"""))
+              FROM fps""")),
+
+    // Streaming tumbling-window aggregation under the gate
+    // ([[StreamingQueries.tumblingWindow]], the twin of DQ14): the
+    // REAL events stream (Tables.loadStream — ts-normalized like the
+    // batch loader) aggregated into 1-hour event-time windows with a
+    // 30-minute watermark in APPEND mode. Append emits a window
+    // exactly once, when the watermark passes its end — so under
+    // Trigger.AvailableNow the settled sink holds precisely the
+    // windows with end ≤ final watermark = max(ts) − 30 min (the
+    // stateful-op flush batch that AvailableNow runs after the last
+    // data batch). The oracle replays DQ14's aggregation FILTERED by
+    // that same predicate — pinning not just the aggregates but the
+    // append-mode emission contract itself; the last partial windows
+    // are exactly the rows a correct watermark must still hold back.
+    Declared(
+      "ext_stream_window",
+      (s, d) => {
+        val stream = Tables.loadStream(s, d, "events")
+        val agg = StreamingQueries.tumblingWindow(stream,
+          every = "1 hour", watermark = "30 minutes")
+        val sink = s"graft_stream_window_${runSeq.incrementAndGet()}"
+        val q = agg.writeStream.format("memory").queryName(sink)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(sink).orderBy("h", "event_type")
+      },
+      Some("""WITH m AS (SELECT MAX(ts) AS mx FROM events),
+              w AS (
+                SELECT date_trunc('hour', ts) AS h0, event_type,
+                       COUNT(*) AS n,
+                       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS v
+                FROM events GROUP BY h0, event_type)
+              SELECT strftime(h0, '%Y-%m-%d %H:%M:%S') AS h, event_type, n, v
+              FROM w, m
+              WHERE h0 + INTERVAL 1 HOUR <= mx - INTERVAL 30 MINUTE
+              ORDER BY h, event_type"""))
   )
 }
