@@ -521,6 +521,32 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("Tables.loadStream replays the fixture with the batch loader's schema and epochs") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = "/root/testdata/sf0.001"
+    val batch = Tables.events(spark, dir)
+    val stream = Tables.loadStream(spark, dir, "events")
+    // schema parity incl. the ts normalization: a writer-encoding
+    // drift that the batch loader absorbs must not leak through the
+    // streaming path either (the streaming twin of FixtureSchemaSpec)
+    assert(stream.schema == batch.schema,
+      s"stream ${stream.schema.treeString} vs batch ${batch.schema.treeString}")
+    assert(stream.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val q = stream.select(col("event_id"), col("ts"))
+      .writeStream.format("memory").queryName("loadstream_events")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("loadstream_events")
+    // replay completeness + epoch equality, order-independent: same
+    // row count and same (id, unix_micros) checksum as the batch read
+    def sig(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.agg(count(lit(1)), sum(col("event_id") % 1000000007L),
+          sum(unix_micros(col("ts")) % 1000000007L))
+        .collect().head.toSeq.map(_.asInstanceOf[Long])
+    assert(sig(got) == sig(batch.select(col("event_id"), col("ts"))))
+  }
+
   test("TIMESTAMP_NTZ event time fails loudly at construction, never silently shifts epochs") {
     // raw read, bypassing Tables' normalization: the tz-less fixture
     // surfaces ts as TIMESTAMP_NTZ (the round-8 writer refresh).
