@@ -26,8 +26,17 @@ def parse_scale(sf_dir):
 
 
 def _rot_alpha(c):
-    r = c % 26
-    return (LOWER[r:] + LOWER[:r]) + (UPPER[r:] + UPPER[:r])
+    # Affine cipher x -> (a*x + b) mod 26, the exact twin of
+    # graft.Tables.rotAlpha: a = 1 (classic rotation) for c < 26,
+    # a = 3 for the 26..51 block, so copies past @26 stay disjoint
+    # (a pure rotation has period 26 and copy 26 == copy 0).
+    a = 1 if c < 26 else 3
+    b = c % 26
+
+    def sub(alpha):
+        return "".join(alpha[(a * x + b) % 26] for x in range(26))
+
+    return sub(LOWER) + sub(UPPER)
 
 
 def _copy_select(table, path, c):

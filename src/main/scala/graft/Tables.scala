@@ -77,9 +77,25 @@ object Tables {
   private val KeyShift = 1000000000L
   private val Lower = "abcdefghijklmnopqrstuvwxyz"
   private val Upper = Lower.toUpperCase
+
+  /** Per-copy letter substitution: affine cipher x -> (a*x + b) mod 26
+    * with b = c % 26 and a stepping through units of Z/26 per 26-copy
+    * block (a = 1 for c < 26 — the classic Caesar rotation the earlier
+    * scale points were measured with, kept bit-identical — a = 3 for
+    * 26 <= c < 52). A pure rotation has period 26, so copy 26 would be
+    * copy 0's text verbatim and every pair-family query would see k²
+    * cross-copy duplicates past @26; two distinct affine maps agree on
+    * at most gcd(a1-a2, 26) = 2 of 26 letters, so all copies keep
+    * disjoint token/shingle/simhash spaces up to the @52 ceiling
+    * (load() caps k at 32). Letters map to letters preserving case, so
+    * token boundaries, lengths, and letter/punct ratios are invariant.
+    */
   private def rotAlpha(c: Int): String = {
-    val r = c % 26
-    (Lower.drop(r) + Lower.take(r)) + (Upper.drop(r) + Upper.take(r))
+    val a = if (c < 26) 1 else 3
+    val b = c % 26
+    def sub(alpha: String): String =
+      (0 until 26).map(x => alpha((a * x + b) % 26)).mkString
+    sub(Lower) + sub(Upper)
   }
 
   private def scaledCopy(df: DataFrame, name: String, c: Int): DataFrame = name match {

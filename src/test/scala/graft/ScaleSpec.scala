@@ -44,6 +44,38 @@ class ScaleSpec extends SparkSpec {
     assert(shared === 0, "Caesar-rotated copies must not share letter tokens")
   }
 
+  test("copies past @26 stay disjoint: affine block breaks the rotation period") {
+    // a pure rotation has period 26 — copy 26 would be copy 0's text
+    // verbatim and pair-family work would grow k² past @26. The affine
+    // a=3 block keeps every cross-copy vocabulary disjoint at the @32
+    // bench point (ScaleSpec runs it at sf0.001 where the check is cheap).
+    val s = Tables.documents(spark, s"$base@32")
+    val words = s.select((col("doc_id") / 1000000000L).cast("long").as("copy"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").rlike("[a-zA-Z]"))
+    // Perfect disjointness is impossible past 26 copies (pairwise
+    // everywhere-disagreeing permutations of 26 letters max out at 26 —
+    // Latin-square rows), so the contract is the one pair-family
+    // queries need: every MULTI-char token is unique to one copy (so
+    // no shingle/minhash/simhash candidate ever crosses copies), and
+    // the unavoidable residue is single-letter tokens on the <=2
+    // letters where an a=1 map and an a=3 map agree, each shared by
+    // exactly one (c, c+26) pair.
+    val sharedMulti = words.filter(length(col("w")) >= 2)
+      .groupBy("w").agg(countDistinct("copy").as("n"))
+      .filter(col("n") > 1).count()
+    assert(sharedMulti === 0, "multi-char tokens must be unique to one copy")
+    val sharedSingle = words.filter(length(col("w")) === 1)
+      .groupBy("w").agg(countDistinct("copy").as("n")).filter(col("n") > 1)
+      .collect()
+    assert(sharedSingle.forall(_.getLong(1) === 2),
+      "a residual single-letter token may span at most one copy pair")
+    // length/letter statistics are still invariant under the affine map
+    val b = Tables.documents(spark, base)
+    val lb = b.agg(sum(length(col("text")))).head.getLong(0)
+    assert(s.agg(sum(length(col("text")))).head.getLong(0) === 32 * lb)
+  }
+
   test("scaled embeddings: rotation preserves norms, ids disjoint") {
     val b = Tables.embeddings(spark, base)
     val s = Tables.embeddings(spark, scaled)
