@@ -4,7 +4,7 @@ import java.util.concurrent.atomic.AtomicLong
 
 import graft.Tables
 import graft.ext.{Dedup, Hashing}
-import graft.streaming.StreamingQueries
+import graft.streaming.{Sessionize, StreamingQueries}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -126,6 +126,66 @@ object ExtStreamQueries {
               SELECT strftime(h0, '%Y-%m-%d %H:%M:%S') AS h, event_type, n, v
               FROM w, m
               WHERE h0 + INTERVAL 1 HOUR <= mx - INTERVAL 30 MINUTE
-              ORDER BY h, event_type"""))
+              ORDER BY h, event_type""")),
+
+    // Streaming sessionization under the gate ([[Sessionize.sessions]],
+    // the flatMapGroupsWithState twin of ext_rel_sessionize): the real
+    // events stream sessionized per user with a 30-minute gap and a
+    // 30-minute watermark in APPEND mode. A session is emitted exactly
+    // once, when the watermark passes its end + gap (no admissible
+    // event can extend or bridge it any more), so the settled sink
+    // holds precisely the sessions with end + gap < max(ts) − 30 min —
+    // the custom-state emission contract itself is what the oracle
+    // pins, on top of the segmentation. Session semantics are
+    // order-independent (state merges out-of-order arrivals), so the
+    // full session rows — not just checksums — are gate-stable.
+    //
+    // Precision contract: the state handler works on
+    // java.sql.Timestamp#getTime epochs and Spark's watermark on
+    // ms-truncated event-time stats, so the oracle segments and seals
+    // on epoch_ms(ts) — DuckDB's identical ms truncation of the µs
+    // fixture timestamps. (The BATCH sessionize gate deliberately
+    // keeps µs precision; the 13 sub-ms gap boundaries at sf0.01 where
+    // the two could diverge are part of each contract, not noise.)
+    Declared(
+      "ext_stream_sessionize",
+      (s, d) => {
+        val stream = Tables.loadStream(s, d, "events")
+          .select(col("user_id").cast("string").as("key"), col("ts"))
+        val sess = Sessionize.sessions(stream, gapMs = 1800000L,
+          watermark = "30 minutes")
+        val sink = s"graft_stream_sessionize_${runSeq.incrementAndGet()}"
+        val q = sess.writeStream.format("memory").queryName(sink)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(sink).select(
+            col("key").cast("long").as("user_id"),
+            unix_millis(col("start")).as("start_ms"),
+            unix_millis(col("end")).as("end_ms"),
+            col("n_events"))
+          .orderBy("user_id", "start_ms")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ms(ts) AS tms FROM events),
+              m AS (SELECT MAX(tms) AS mx FROM e),
+              g AS (
+                SELECT user_id, tms,
+                       CASE WHEN tms - LAG(tms) OVER w > 1800000
+                            OR LAG(tms) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+                FROM e
+                WINDOW w AS (PARTITION BY user_id ORDER BY tms)
+              ), s AS (
+                SELECT user_id, tms,
+                       SUM(new_s) OVER (PARTITION BY user_id ORDER BY tms
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                FROM g
+              ), agg AS (
+                SELECT user_id, sid, MIN(tms) AS start_ms, MAX(tms) AS end_ms,
+                       COUNT(*) AS n_events
+                FROM s GROUP BY user_id, sid
+              )
+              SELECT user_id, start_ms, end_ms, n_events
+              FROM agg, m
+              WHERE end_ms + 1800000 < mx - 1800000
+              ORDER BY user_id, start_ms"""))
   )
 }
