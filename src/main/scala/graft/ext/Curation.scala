@@ -113,8 +113,19 @@ object Curation {
                     n: Int = 8): DataFrame = {
     val evalGrams = sharedEvalGrams(eval, evalTextCol, n)
     val trainGrams = sharedTrainGrams(train, idCol, textCol, n)
-    val contaminated = trainGrams.join(evalGrams, "__g")
-      .select(col("doc_id").as("__contam_id")).distinct()
+    // the contaminated-id DROP-LIST is a checkpointed leaf, not an
+    // inline subtree: Catalyst pushes the final anti-join through a
+    // Union-shaped train corpus (many sources / the @k harness),
+    // duplicating the anti-join's right side into EVERY branch — as a
+    // plan, that re-ran the grams⋈grams join per branch (measured
+    // super-linear at @32); as a leaf it is one broadcast probe per
+    // branch of a list built once. Keyed on BOTH inputs: the same
+    // corpus against a different eval suite must rebuild.
+    val contaminated = PlanCache.checkpointed2(
+      s"decontam/contamIds/$idCol/$textCol/$n", train, eval) { (_, _) =>
+        trainGrams.join(evalGrams, "__g")
+          .select(col("doc_id").as("__contam_id")).distinct()
+      }
     train.join(contaminated, col(idCol) === col("__contam_id"), "left_anti")
   }
 

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale training-data pipelines
@@ -72,11 +73,18 @@ object Dedup {
                        store: DataFrame): DataFrame = {
     val hashed = batch.withColumn("__fp", Hashing.h60(col(textCol)))
     val fresh = hashed.join(store, col("__fp") === store("fp"), "left_anti")
-    val keep = fresh
-      .groupBy("__fp").agg(min(col(idCol)).as("__keep_id"))
-      .select("__keep_id")
-    fresh.join(keep, col(idCol) === col("__keep_id"), "left_semi")
-      .drop("__fp")
+    // min-id per fingerprint as ONE window over the anti-join output
+    // (same single shuffle on __fp a groupBy would cost), not a
+    // groupBy + semi-join back onto `fresh`: the self-join referenced
+    // the anti-join subtree twice, and Catalyst's semi/anti-join
+    // pushdown through Union then SQUARES the duplication when batch
+    // or store is a many-branch union (the @32 scale harness hit a
+    // 111k-node physical plan, ~85 s of pure planning on a query
+    // whose data work is ~2 s)
+    val w = Window.partitionBy("__fp").orderBy(col(idCol))
+    fresh.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn", "__fp")
   }
 
   /** Distinct (doc, token, token-hash) triples — the shared first stage

@@ -30,7 +30,7 @@ import org.apache.spark.storage.StorageLevel
 object PlanCache {
   private val cache = TrieMap.empty[
     (String, org.apache.spark.sql.SparkSession,
-      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), DataFrame]
+      Seq[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]), DataFrame]
 
   /** Build-or-reuse a persisted relation derived from `input`. */
   def cached(tag: String, input: DataFrame)(build: DataFrame => DataFrame): DataFrame = {
@@ -42,7 +42,8 @@ object PlanCache {
     // (reference equality): after a session restart the same scan plan
     // would otherwise hit and serve a DataFrame bound to the STOPPED
     // session, failing every downstream action.
-    val key = (tag, input.sparkSession, input.queryExecution.analyzed.canonicalized)
+    val key = (tag, input.sparkSession,
+      Seq(input.queryExecution.analyzed.canonicalized))
     cache.getOrElseUpdate(key,
       build(input).persist(StorageLevel.MEMORY_AND_DISK))
   }
@@ -65,13 +66,28 @@ object PlanCache {
     * identically.
     */
   def checkpointed(tag: String, input: DataFrame)(build: DataFrame => DataFrame): DataFrame = {
-    val key = (tag, input.sparkSession, input.queryExecution.analyzed.canonicalized)
+    val key = (tag, input.sparkSession,
+      Seq(input.queryExecution.analyzed.canonicalized))
     cache.getOrElseUpdate(key, build(input).localCheckpoint(eager = false))
+  }
+
+  /** [[checkpointed]] for an artifact derived from TWO relations (a
+    * contamination drop-list is a function of train AND eval; keying
+    * on either alone would silently serve a stale artifact when only
+    * the other changed). The key folds both canonicalized plans; the
+    * session is taken from `a` (cross-session joins don't exist).
+    */
+  def checkpointed2(tag: String, a: DataFrame, b: DataFrame)(
+      build: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val key = (tag, a.sparkSession,
+      Seq(a.queryExecution.analyzed.canonicalized,
+        b.queryExecution.analyzed.canonicalized))
+    cache.getOrElseUpdate(key, build(a, b).localCheckpoint(eager = false))
   }
 
   private val artifacts = TrieMap.empty[
     (String, org.apache.spark.sql.SparkSession,
-      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), Any]
+      Seq[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]), Any]
 
   /** Memoize a BOUNDED driver-side artifact derived from `input` —
     * collected index bytes (a Bloom filter), sampled centroids, probe
@@ -87,7 +103,8 @@ object PlanCache {
     * plan, tag) and small enough to live on the driver.
     */
   def artifact[T](tag: String, input: DataFrame)(build: DataFrame => T): T = {
-    val key = (tag, input.sparkSession, input.queryExecution.analyzed.canonicalized)
+    val key = (tag, input.sparkSession,
+      Seq(input.queryExecution.analyzed.canonicalized))
     artifacts.getOrElseUpdate(key, build(input)).asInstanceOf[T]
   }
 

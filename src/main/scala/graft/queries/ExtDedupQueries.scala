@@ -46,10 +46,17 @@ object ExtDedupQueries {
       "ext_dedup_incremental",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val corpus = docs.where(col("doc_id") % 5 =!= 0)
         val batch = docs.where(col("doc_id") % 5 === 0)
-        val kept = Dedup.incrementalExact(batch, "doc_id", "text",
-          Dedup.fingerprintStore(corpus, "text"))
+        // the per-corpus store is a PlanCache'd artifact (same
+        // discipline as the LSH band store: at 100 TB it is parquet
+        // written at corpus-build time, never recomputed) — also the
+        // plan-size guard: as a cached leaf, Catalyst's anti-join
+        // pushdown through the @k union duplicates a reference, not
+        // the store's own k-branch scan tree
+        val store = graft.ext.PlanCache.cached(
+          "incExact/store/text", docs)(dd =>
+            Dedup.fingerprintStore(dd.where(col("doc_id") % 5 =!= 0), "text"))
+        val kept = Dedup.incrementalExact(batch, "doc_id", "text", store)
         batch.agg(count(lit(1)).as("n_batch")).crossJoin(
           kept.agg(count(lit(1)).as("n_new"),
             sum(col("doc_id")).as("id_checksum")))

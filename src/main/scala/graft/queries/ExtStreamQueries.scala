@@ -52,8 +52,13 @@ object ExtStreamQueries {
       "ext_stream_dedup",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val store = Dedup.fingerprintStore(
-          docs.where(col("doc_id") % 5 =!= 0), "text")
+        // same PlanCache'd store artifact (and tag) as the batch twin
+        // ext_dedup_incremental: one corpus fingerprint relation per
+        // session serves both, and the stream-static join sees a
+        // cached leaf instead of the corpus scan tree
+        val store = graft.ext.PlanCache.cached(
+          "incExact/store/text", docs)(dd =>
+            Dedup.fingerprintStore(dd.where(col("doc_id") % 5 =!= 0), "text"))
         // synthetic event time OFFSET from epoch 0: a streaming
         // query's initial watermark IS 1970-01-01T00:00:00, and the
         // late-row filter drops events at-or-before it — so doc_id=0

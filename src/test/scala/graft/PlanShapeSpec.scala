@@ -92,10 +92,20 @@ class PlanShapeSpec extends SparkSpec {
       s"unused columns must prune from ReadSchema:\n$scan")
   }
 
-  test("ext_pipeline_decontam: eval-gram side broadcasts (train side never shuffles for the join)") {
+  test("ext_pipeline_decontam: drop-list is a leaf, anti-join broadcasts it (no grams join inline)") {
     val plan = planOf("ext_pipeline_decontam")
-    assert(count(plan, "BroadcastHashJoin") >= 2,
-      s"contamination semi-join and final anti-join should broadcast:\n$plan")
+    // the contaminated-id drop-list is a checkpointed artifact (its
+    // grams⋈grams build runs ONCE in its own job — see
+    // Curation.decontaminate), so the visible plan is exactly one
+    // broadcast anti-join probing the leaf; the grams join must NOT
+    // be inlined (Catalyst would push it through a Union-shaped
+    // corpus, re-running it per branch — the @32 super-linearity)
+    assert(count(plan, "BroadcastHashJoin") >= 1,
+      s"final anti-join should broadcast the drop-list leaf:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no inline grams join may survive in the query plan:\n$plan")
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
+      s"drop-list must appear as a checkpointed leaf:\n$plan")
   }
 
   test("ext_sim_cosine_topk: one corpus scan, queries broadcast, no cartesian") {
