@@ -191,6 +191,54 @@ object ExtStreamQueries {
               SELECT user_id, start_ms, end_ms, n_events
               FROM agg, m
               WHERE end_ms + 1800000 < mx - 1800000
-              ORDER BY user_id, start_ms"""))
+              ORDER BY user_id, start_ms""")),
+
+    // Stream-STREAM interval join under the gate
+    // ([[StreamingQueries.intervalJoin]], the symmetric-state shape —
+    // the fourth and last stateful streaming surface after dedup
+    // state, windowed aggregation, and flatMapGroupsWithState): click
+    // events joined to same-user purchase events within [0, 6h), both
+    // sides REAL streams from the events fixture with 30-minute
+    // watermarks. An INNER stream-stream join emits a pair exactly
+    // when both rows are present (the watermark only bounds state,
+    // it never holds back an emission), and AvailableNow replays
+    // every row, so the settled pair SET equals the batch interval
+    // join — which is precisely what the oracle replays. Grouped
+    // per-user pair counts + an order-independent pair checksum pin
+    // which (click, purchase) pairs the join state actually produced.
+    Declared(
+      "ext_stream_interval_join",
+      (s, d) => {
+        val ev = Tables.loadStream(s, d, "events")
+        val clicks = ev.where(col("event_type") === "click")
+          .select("user_id", "ts", "event_id")
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select("user_id", "ts", "event_id")
+        val joined = StreamingQueries.intervalJoin(
+          clicks, purchases, Seq("user_id"), "ts", "ts",
+          lowerMs = 0L, upperMs = 21600000L, watermark = "30 minutes")
+        val sink = s"graft_stream_ij_${runSeq.incrementAndGet()}"
+        val q = joined.writeStream.format("memory").queryName(sink)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(sink)
+          .groupBy(col("l_user_id").as("user_id"))
+          .agg(count(lit(1)).as("n_pairs"),
+            (sum((col("l_event_id") * 31 + col("r_event_id")) % 1000000007L)
+              % 1000000007L).as("pair_checksum"))
+          .orderBy("user_id")
+      },
+      Some("""WITH c AS (SELECT user_id, ts, event_id FROM events
+                         WHERE event_type = 'click'),
+              p AS (SELECT user_id, ts, event_id FROM events
+                    WHERE event_type = 'purchase'),
+              j AS (
+                SELECT c.user_id, c.event_id AS cid, p.event_id AS pid
+                FROM c JOIN p ON c.user_id = p.user_id
+                 AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 6 HOUR)
+              SELECT user_id, COUNT(*) AS n_pairs,
+                     CAST(SUM((cid * 31 + pid) % 1000000007) % 1000000007 AS BIGINT)
+                       AS pair_checksum
+              FROM j GROUP BY user_id ORDER BY user_id"""))
   )
 }
