@@ -244,11 +244,19 @@ object Multimodal {
   def synthSample(id: Long, i: Long): Int =
     ((((id % 1000003L + i * 7L) * 2654435761L) & 0xFFFF) - 32768L).toInt
 
-  /** A REAL audio table: one genuine WAV payload per row (RIFF header
-    * + 16-bit little-endian mono PCM at 8 kHz), written on the
-    * executors with `javax.sound.sampled` — the pure-JVM audio codec
-    * path, no native libs. Sample values and counts are [[synthSample]]
-    * / [[synthSampleCount]] formulas of the id, the audio twin of
+  /** A REAL audio table: one genuine WAV payload per row — the
+    * canonical 44-byte RIFF/WAVE PCM header (fmt + data chunks, the
+    * same layout the JDK's WAVE writer emits) followed by 16-bit
+    * little-endian mono PCM at 8 kHz, assembled directly on the
+    * executors. The header is written by hand rather than through
+    * `AudioSystem.write` because the JDK routes every write through a
+    * globally-synchronized audio-provider lookup — at the @32 scale
+    * point all 32 tasks convoy on that one lock (observed: a single
+    * straggler task holding the stage for >10 min). The bytes remain
+    * a genuine WAV container: [[audioSampleStats]] re-parses them
+    * with a real RIFF reader, so the round trip still proves the
+    * container format. Sample values and counts are [[synthSample]] /
+    * [[synthSampleCount]] formulas of the id, the audio twin of
     * [[syntheticImages]].
     */
   def syntheticWavs(df: DataFrame, idCol: String): DataFrame = {
@@ -259,28 +267,71 @@ object Multimodal {
           it.map { r =>
             val id = r.getLong(0)
             val n = synthSampleCount(id)
-            val pcm = new Array[Byte](n * 2)
+            val dataLen = n * 2
+            val out = new Array[Byte](44 + dataLen)
+            val bb = java.nio.ByteBuffer.wrap(out)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+              .put("WAVE".getBytes("US-ASCII"))
+            bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+              .putShort(1)            // PCM
+              .putShort(1)            // mono
+              .putInt(8000)           // sample rate
+              .putInt(8000 * 2)       // byte rate
+              .putShort(2)            // block align
+              .putShort(16)           // bits per sample
+            bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
             var i = 0
             while (i < n) {
-              val s = synthSample(id, i)
-              pcm(2 * i) = (s & 0xFF).toByte
-              pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+              bb.putShort(synthSample(id, i).toShort)
               i += 1
             }
-            val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
-            val ais = new javax.sound.sampled.AudioInputStream(
-              new ByteArrayInputStream(pcm), fmt, n.toLong)
-            val bos = new ByteArrayOutputStream()
-            javax.sound.sampled.AudioSystem.write(ais,
-              javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-            Row(id, "audio", bos.toByteArray)
+            Row(id, "audio", out)
           }
         }(encoder)
     }
   }
 
-  /** REAL audio decode: `javax.sound.sampled` parses the container
-    * (format sniffed from the bytes) and streams PCM frames; one pass
+  /** Audio parser providers, discovered ONCE per JVM. Going through
+    * `AudioSystem.getAudioInputStream` re-runs provider discovery
+    * behind a JVM-global lock on every call; over a 100k-row decode
+    * stage that lock convoys every task in the executor (the @32
+    * straggler above). Snapshotting the `AudioFileReader` SPI here
+    * keeps the per-row decode lock-free while still using the real
+    * JDK RIFF parser.
+    */
+  private lazy val audioReaders: Array[javax.sound.sampled.spi.AudioFileReader] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader],
+        classOf[javax.sound.sampled.spi.AudioFileReader].getClassLoader)
+      .iterator()
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[javax.sound.sampled.spi.AudioFileReader]
+    while (it.hasNext) buf += it.next()
+    buf.toArray
+  }
+
+  /** Parse audio bytes with the cached provider snapshot — same
+    * contract as `AudioSystem.getAudioInputStream` (first provider
+    * that recognizes the container wins; none → None) without the
+    * global provider-registry lock.
+    */
+  private def openAudio(bytes: Array[Byte]): Option[javax.sound.sampled.AudioInputStream] = {
+    var k = 0
+    while (k < audioReaders.length) {
+      try {
+        return Some(audioReaders(k).getAudioInputStream(new ByteArrayInputStream(bytes)))
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+      }
+      k += 1
+    }
+    None
+  }
+
+  /** REAL audio decode: the JDK's `AudioFileReader` SPI parses the
+    * container (format sniffed from the bytes, providers cached
+    * per-JVM by [[openAudio]]) and streams PCM frames; one pass
     * sums the 16-bit samples as exact longs — n_samples, sum, and
     * sum of absolute values (the integer core of loudness/silence
     * gating). WAV PCM is lossless, so over [[syntheticWavs]] these
@@ -308,8 +359,8 @@ object Multimodal {
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
           try {
-            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new ByteArrayInputStream(bytes))
+            val ais = openAudio(bytes).getOrElse(
+              throw new javax.sound.sampled.UnsupportedAudioFileException())
             try {
               val fmt = ais.getFormat
               if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
