@@ -808,4 +808,55 @@ object Dedup {
       .join(card.as("cb"), col("doc_b") === col("cb.doc_id"))
       .select(col("doc_a"), col("doc_b"), col("inter"),
         (col("ca.n") + col("cb.n") - col("inter")).as("uni"))
+
+  /** Duplicated-SUBSTRING spans — span-level exact dedup, the
+    * within-document counterpart to [[exactByFingerprint]]'s
+    * whole-document dedup (the "exact substring" pass of training-data
+    * curation: whole docs may be unique while long runs of boilerplate
+    * repeat verbatim across the corpus). A token k-gram is duplicated
+    * when its text occurs more than once corpus-wide (any docs,
+    * including twice in one doc); per document, the duplicated gram
+    * positions' intervals `[pos, pos+k)` are merged into maximal
+    * spans. Returns one row per span: (doc_id, start_pos, end_pos) in
+    * token coordinates — `end_pos - start_pos` is the count of tokens
+    * a span-level cut would remove.
+    *
+    * 100 TB shape, three bounded shuffles: (1) the corpus-wide
+    * duplicate scan groups 8-byte xxhash64 gram hashes with map-side
+    * partial aggregation — gram TEXT never crosses the wire for the
+    * full corpus; (2) rows whose hash repeats (the candidate set —
+    * corpus dup rate × gram count, not the corpus) are verified
+    * exactly with a count window partitioned by the gram string,
+    * eliminating hash-collision false positives; (3) interval merge is
+    * one window per doc_id ordered by pos (per-partition state ≤
+    * tokens per document). No self-join, no pairwise blowup: cost is
+    * linear in corpus grams + candidate grams.
+    */
+  def duplicatedKgramSpans(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int): DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("doc_id"),
+        filter(split(col(textCol), "[^a-zA-Z]+"), t => t =!= "").as("ts"))
+      .where(size(col("ts")) >= k)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), size(col("ts")) - k),
+          i => array_join(slice(col("ts"), i + 1, lit(k)), " "))))
+      .toDF("doc_id", "pos", "gram")
+      .withColumn("h", xxhash64(col("gram")))
+    val dupHashes = grams.groupBy("h")
+      .agg(count(lit(1)).as("c")).where(col("c") > 1).select("h")
+    val verified = grams.join(dupHashes, Seq("h"), "left_semi")
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("gram")))
+      .where(col("n") > 1)
+      .select("doc_id", "pos")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    verified
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(byDoc) <= k, lit(0)).otherwise(lit(1)))
+      .withColumn("span_id", sum("brk").over(byDoc))
+      .groupBy("doc_id", "span_id")
+      .agg(min("pos").as("start_pos"), (max(col("pos")) + k).as("end_pos"))
+      .select("doc_id", "start_pos", "end_pos")
+  }
 }

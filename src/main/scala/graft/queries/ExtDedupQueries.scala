@@ -534,6 +534,52 @@ object ExtDedupQueries {
                WHERE inter >= 2
                ORDER BY inter DESC, doc_a, doc_b LIMIT 20""")),
 
+    // Span-level exact dedup (the "exact substring" curation pass):
+    // corpus-wide duplicated 5-gram detection — 8-byte hash scan,
+    // string-verified candidates — then per-doc interval merge into
+    // maximal spans. The oracle rebuilds grams/spans in SQL with the
+    // SAME tokenizer regex and merge rule; all-integer output (span
+    // count, covered tokens, id-weighted checksum) pins span
+    // boundaries, not just totals. range(256) covers the fixture's
+    // ≤100 tokens/doc (scaled copies rotate letters, never lengthen).
+    Declared(
+      "ext_dedup_substr",
+      (s, d) =>
+        Dedup.duplicatedKgramSpans(Tables.documents(s, d), "doc_id", "text", k = 5)
+          .agg(count(lit(1)).as("n_spans"),
+            countDistinct(col("doc_id")).as("n_docs_with_dups"),
+            sum(col("end_pos") - col("start_pos")).as("dup_tokens"),
+            sum(col("doc_id") * (col("end_pos") - col("start_pos")))
+              .as("span_checksum")),
+      Some("""WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '[^a-zA-Z]+'),
+                                   t -> t <> '') AS ts
+                FROM documents),
+              grams AS (
+                SELECT doc_id, i AS pos, array_to_string(ts[i+1:i+5], ' ') AS gram
+                FROM toks, range(256) t(i)
+                WHERE i < len(ts) - 4),
+              dup AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) > 1),
+              dp AS (SELECT g.doc_id, g.pos
+                     FROM grams g SEMI JOIN dup d ON g.gram = d.gram),
+              marks AS (
+                SELECT doc_id, pos,
+                       CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 5
+                            THEN 0 ELSE 1 END AS brk
+                FROM dp),
+              sp AS (
+                SELECT doc_id, MIN(pos) AS start_pos, MAX(pos) + 5 AS end_pos
+                FROM (SELECT doc_id, pos,
+                             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+                      FROM marks)
+                GROUP BY doc_id, span_id)
+              SELECT COUNT(*) AS n_spans,
+                     COUNT(DISTINCT doc_id) AS n_docs_with_dups,
+                     CAST(SUM(end_pos - start_pos) AS BIGINT) AS dup_tokens,
+                     CAST(SUM(doc_id * (end_pos - start_pos)) AS BIGINT) AS span_checksum
+              FROM sp""")),
+
     // Embedding near-dup census over banded LSH candidates (4 tables ×
     // 8 planes, OR-construction), double-precision cosine — integer
     // projection, so oracle-checkable end to end.

@@ -466,6 +466,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("duplicatedKgramSpans merges overlapping dup-gram intervals, splits past the k-gap") {
+    import spark.implicits._
+    // docs 0/1 share the 5-token run "a b c d e" (three overlapping
+    // dup 3-grams each → ONE merged span per doc); doc 2 repeats its
+    // 3-gram at gap exactly k (merge boundary → one span over the
+    // whole doc); doc 7 repeats at gap k+1 (split → two spans);
+    // doc 3 has no duplicated gram and must emit nothing.
+    val docs = Seq(
+      (0L, "a b c d e x y z"),
+      (1L, "q w a b c d e r"),
+      (2L, "m n o m n o"),
+      (3L, "unique-tokens, only. here nothing shared!"),
+      (7L, "p q r s p q r")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedKgramSpans(docs, "doc_id", "text", k = 3)
+      .select("doc_id", "start_pos", "end_pos")
+      .as[(Long, Int, Int)].collect().toSet
+    assert(got == Set((0L, 0, 5), (1L, 2, 7), (2L, 0, 6), (7L, 0, 3), (7L, 4, 7)))
+  }
+
   test("quantizedTopK ranks by exact integer dot product, id tie-break") {
     import spark.implicits._
     // corpus engineered so quantized scores against query 0 are exact
