@@ -139,6 +139,23 @@ class PlanShapeSpec extends SparkSpec {
       s"expected an equi join for the segment probe:\n$plan")
   }
 
+  test("ext_dedup_substr: hash prefilter semi-join stays equi; corpus dup scan partial-aggregates") {
+    val plan = planOf("ext_dedup_substr")
+    assert(!plan.contains("CartesianProduct"),
+      s"gram duplicate detection must never go all-pairs:\n$plan")
+    assert(count(plan, "BroadcastNestedLoopJoin") == 0,
+      s"the dup-hash semi-join must stay an equi join on the 8-byte hash:\n$plan")
+    // the corpus-wide hash count must combine map-side: the exchange
+    // carries (hash, partial count), not one row per gram occurrence
+    assert(plan.contains("partial_count"),
+      s"expected map-side partial aggregation of gram-hash counts:\n$plan")
+    // both windows are partitioned (by gram / by doc) — a global
+    // single-partition window here would serialize the corpus
+    assert(!plan.contains("SinglePartition, Window") &&
+      count(plan, "Window") >= 2,
+      s"expected partitioned windows for verify and interval merge:\n$plan")
+  }
+
   test("ext_dedup_canonical: id-join plus one struct-max aggregate, no text shuffle") {
     val plan = planOf("ext_dedup_canonical")
     assert(!plan.contains("CartesianProduct") &&
