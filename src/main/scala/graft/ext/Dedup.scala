@@ -859,4 +859,34 @@ object Dedup {
       .agg(min("pos").as("start_pos"), (max(col("pos")) + k).as("end_pos"))
       .select("doc_id", "start_pos", "end_pos")
   }
+
+  /** Apply span-level dedup — re-emit each document with its
+    * duplicated spans cut out (the "cut" half of the exact-substring
+    * pass; [[duplicatedKgramSpans]] is the "detect" half). Tokens
+    * whose position falls inside any of the doc's spans are dropped;
+    * the survivors re-join into `clean_text` in original order, with
+    * `n_tokens`/`n_kept` carrying the before/after census.
+    *
+    * Shape: spans collapse to one small struct-array per affected doc
+    * (≤ tokens/k entries), ONE equi-join attaches them, and the
+    * token filter runs map-side as a higher-order array expression —
+    * per-row cost tokens × spans, no explode, no second shuffle.
+    */
+  def cutSpans(docs: DataFrame, idCol: String, textCol: String,
+               spans: DataFrame): DataFrame = {
+    val sp = spans.groupBy("doc_id")
+      .agg(collect_list(struct(col("start_pos"), col("end_pos"))).as("sps"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        filter(split(col(textCol), "[^a-zA-Z]+"), t => t =!= "").as("ts"))
+      .join(sp, Seq("doc_id"), "left")
+      .withColumn("kept",
+        when(col("sps").isNull, col("ts")).otherwise(
+          filter(col("ts"), (t, i) =>
+            !exists(col("sps"), s =>
+              i >= s.getField("start_pos") && i < s.getField("end_pos")))))
+      .select(col("doc_id"), size(col("ts")).as("n_tokens"),
+        size(col("kept")).as("n_kept"),
+        array_join(col("kept"), " ").as("clean_text"))
+  }
 }

@@ -172,15 +172,33 @@ object Similarity {
     * table, scored and filtered at `minCos`. The join is
     * co-partitioned on (tbl, bucket); the distinct collapses pairs
     * found by several tables before any cosine is computed.
+    *
+    * Scale contract: in-bucket pair count grows QUADRATICALLY with
+    * bucket occupancy, and occupancy is n / 2^planesPerTable — with
+    * planes held fixed, doubling the corpus quadruples the self-join
+    * (measured: 32× corpus → ~48× wall at 8 planes, BENCH_SCALE.md).
+    * A deployment holds occupancy constant by adding ~log2(growth)
+    * planes per table, and bounds the worst case with `maxBucket`:
+    * buckets larger than the cap (dense regions where pairwise
+    * near-dup output is itself quadratic and useless) are skipped
+    * here, the same cap-and-surface contract as the text path's
+    * [[Dedup.lshCandidatePairs]] / [[Dedup.lshDegenerateClusters]] —
+    * cluster-level dedup handles those regions at O(cluster).
     */
   def lshNearPairs(df: DataFrame, idCol: String, vecCol: String, minCos: Double,
-                   nTables: Int = 4, planesPerTable: Int = 12, dim: Int = 64): DataFrame = {
+                   nTables: Int = 4, planesPerTable: Int = 12, dim: Int = 64,
+                   maxBucket: Int = Int.MaxValue): DataFrame = {
     // buckets and unit vectors each feed two consumers (self-join
     // sides / both pair ends) — persist via PlanCache so the
     // projection runs once per input AND repeated calls reuse one
     // relation instead of leaking a new cached copy each time
-    val b = PlanCache.cached(s"lshBuckets/$idCol/$vecCol/$nTables/$planesPerTable/$dim", df)(
+    val b0 = PlanCache.cached(s"lshBuckets/$idCol/$vecCol/$nTables/$planesPerTable/$dim", df)(
       lshBuckets(_, idCol, vecCol, nTables, planesPerTable, dim))
+    val b = if (maxBucket == Int.MaxValue) b0 else {
+      val ok = b0.groupBy("tbl", "bucket").agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") <= maxBucket).select("tbl", "bucket")
+      b0.join(ok, Seq("tbl", "bucket"))
+    }
     val v = PlanCache.cached(s"unitVecs/$idCol/$vecCol", df)(
       normalized(_, idCol, vecCol, "__id", "__v"))
     val va = v.select(col("__id").as("__ida"), col("__v").as("__va"))

@@ -580,6 +580,61 @@ object ExtDedupQueries {
                      CAST(SUM(doc_id * (end_pos - start_pos)) AS BIGINT) AS span_checksum
               FROM sp""")),
 
+    // The "cut" half of the exact-substring pass: duplicated spans
+    // removed from every document, survivors re-joined in order.
+    // clean_chars pins the reconstructed TEXT (token bytes + separator
+    // count), not just the counts — the oracle rebuilds the cleaned
+    // token lists with the same index-range filter.
+    Declared(
+      "ext_dedup_substr_cut",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val spans = Dedup.duplicatedKgramSpans(docs, "doc_id", "text", k = 5)
+        Dedup.cutSpans(docs, "doc_id", "text", spans)
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("tokens_before"),
+            sum(col("n_kept")).as("tokens_after"),
+            sum(col("doc_id") * col("n_kept")).as("kept_checksum"),
+            sum(length(col("clean_text"))).as("clean_chars"))
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '[^a-zA-Z]+'),
+                                   t -> t <> '') AS ts
+                FROM documents),
+              grams AS (
+                SELECT doc_id, i AS pos, array_to_string(ts[i+1:i+5], ' ') AS gram
+                FROM toks, range(256) t(i)
+                WHERE i < len(ts) - 4),
+              dup AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) > 1),
+              dp AS (SELECT g.doc_id, g.pos
+                     FROM grams g SEMI JOIN dup d ON g.gram = d.gram),
+              marks AS (
+                SELECT doc_id, pos,
+                       CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 5
+                            THEN 0 ELSE 1 END AS brk
+                FROM dp),
+              sp AS (
+                SELECT doc_id, MIN(pos) AS s, MAX(pos) + 5 AS e
+                FROM (SELECT doc_id, pos,
+                             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+                      FROM marks)
+                GROUP BY doc_id, span_id),
+              spl AS (SELECT doc_id, list({'s': s, 'e': e}) AS sps FROM sp GROUP BY doc_id),
+              clean AS (
+                SELECT t.doc_id, len(t.ts) AS n_tokens,
+                       CASE WHEN spl.sps IS NULL THEN t.ts
+                            ELSE list_filter(t.ts, (x, i) -> NOT list_bool_or(
+                                   list_transform(spl.sps, r -> i - 1 >= r.s AND i - 1 < r.e)))
+                       END AS kept
+                FROM toks t LEFT JOIN spl ON t.doc_id = spl.doc_id)
+              SELECT COUNT(*) AS n_docs,
+                     CAST(SUM(n_tokens) AS BIGINT) AS tokens_before,
+                     CAST(SUM(len(kept)) AS BIGINT) AS tokens_after,
+                     CAST(SUM(doc_id * len(kept)) AS BIGINT) AS kept_checksum,
+                     CAST(SUM(LENGTH(array_to_string(kept, ' '))) AS BIGINT) AS clean_chars
+              FROM clean""")),
+
     // Embedding near-dup census over banded LSH candidates (4 tables ×
     // 8 planes, OR-construction), double-precision cosine — integer
     // projection, so oracle-checkable end to end.

@@ -486,6 +486,44 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got == Set((0L, 0, 5), (1L, 2, 7), (2L, 0, 6), (7L, 0, 3), (7L, 4, 7)))
   }
 
+  test("cutSpans drops exactly the span-covered tokens, keeps order, passes clean docs through") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c d e x y z"),
+      (1L, "q w a b c d e r"),
+      (2L, "m n o m n o"),
+      (3L, "unique-tokens, only. here nothing shared!"),
+      (7L, "p q r s p q r")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedKgramSpans(docs, "doc_id", "text", k = 3)
+    val got = Dedup.cutSpans(docs, "doc_id", "text", spans)
+      .as[(Long, Int, Int, String)].collect().toSet
+    assert(got == Set(
+      (0L, 8, 3, "x y z"),
+      (1L, 8, 3, "q w r"),
+      (2L, 6, 0, ""),
+      (3L, 6, 6, "unique tokens only here nothing shared"),
+      (7L, 7, 1, "s")))
+  }
+
+  test("lshNearPairs maxBucket skips dense buckets, keeps sparse-bucket pairs") {
+    import spark.implicits._
+    // five identical vectors form a dense bucket in EVERY table
+    // (C(5,2)=10 pairs); an antipodal near-dup pair lands in a
+    // different bucket (opposite sign on every nonzero plane
+    // projection). The cap must drop exactly the dense bucket's work.
+    val e1 = Seq(1f) ++ Seq.fill(7)(0f)
+    val negE1 = e1.map(-_)
+    val emb = ((0L until 5L).map(i => (i, e1)) ++ Seq((10L, negE1), (11L, negE1)))
+      .toDF("vec_id", "embedding")
+    def pairs(cap: Int) =
+      Similarity.lshNearPairs(emb, "vec_id", "embedding", minCos = 0.5,
+          nTables = 2, planesPerTable = 4, dim = 8, maxBucket = cap)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs(Int.MaxValue).size == 11, "uncapped: all 10 dense pairs + the sparse pair")
+    assert(pairs(3) == Set((10L, 11L)), "capped: dense bucket skipped, sparse pair kept")
+  }
+
   test("quantizedTopK ranks by exact integer dot product, id tie-break") {
     import spark.implicits._
     // corpus engineered so quantized scores against query 0 are exact
