@@ -156,6 +156,20 @@ class PlanShapeSpec extends SparkSpec {
       s"expected partitioned windows for verify and interval merge:\n$plan")
   }
 
+  test("ext_dedup_substr_cut: span application is one equi-join; token filter stays map-side") {
+    val plan = planOf("ext_dedup_substr_cut")
+    assert(!plan.contains("CartesianProduct") &&
+      count(plan, "BroadcastNestedLoopJoin") == 0,
+      s"span attachment must be an equi join on doc_id:\n$plan")
+    // the cut itself is a higher-order array expression — no explode
+    // of tokens back into rows after the spans are attached. The ≤3
+    // allowance is the span DETECTION's gram explode, which plans
+    // once per consumer of the (deliberately uncached, map-side)
+    // grams relation; the CUT contributes zero Generates.
+    assert(count(plan, "Generate") <= 3,
+      s"token filtering must stay inside array expressions, not explode:\n$plan")
+  }
+
   test("ext_dedup_canonical: id-join plus one struct-max aggregate, no text shuffle") {
     val plan = planOf("ext_dedup_canonical")
     assert(!plan.contains("CartesianProduct") &&

@@ -93,6 +93,28 @@ class ScaleSpec extends SparkSpec {
     assert(c0.sorted === c1.sorted, "rotation permutes, never alters, components")
   }
 
+  test("embedding LSH occupancy contract: fixed planes go quadratic, scaled planes restore linear") {
+    // in-bucket pair volume sum C(n_b, 2) is the self-join's work.
+    // With planes fixed, occupancy n/2^P grows with the corpus and
+    // volume grows ~k² for k× vectors; the deployment rule (add
+    // ~log2 k planes per table) holds occupancy roughly constant and
+    // volume ~linear. Pinned here so the BENCH_SCALE.md analysis of
+    // ext_dedup_embedding's @32 growth stays measured, not asserted.
+    import graft.ext.Similarity
+    def pairVolume(dir: String, planes: Int): Long =
+      Similarity.lshBuckets(Tables.embeddings(spark, dir), "vec_id", "embedding",
+          nTables = 2, planesPerTable = planes)
+        .groupBy("tbl", "bucket").count()
+        .agg(sum(col("count") * (col("count") - 1) / 2).cast("long")).head.getLong(0)
+    val v1 = pairVolume(base, 8)
+    val v10fixed = pairVolume(s"$base@10", 8)
+    val v10scaled = pairVolume(s"$base@10", 12) // +4 planes ≈ +log2(10)
+    assert(v10fixed > 30L * v1,
+      s"fixed planes must grow super-linearly for 10x vectors: $v1 -> $v10fixed")
+    assert(v10scaled <= 10L * v1,
+      s"+4 planes must hold candidate volume at-or-below linear: $v1 -> $v10scaled")
+  }
+
   test("scaled facts join consistently: lineitem⋈orders scales exactly 3x") {
     val jb = Tables.lineitem(spark, base)
       .join(Tables.orders(spark, base), col("l_orderkey") === col("o_orderkey")).count()
