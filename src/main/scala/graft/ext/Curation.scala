@@ -228,6 +228,49 @@ object Curation {
     train.join(contaminated, col(idCol) === col("__contam_id"), "left_anti")
   }
 
+  /** SEMANTIC decontamination: drop train rows whose EMBEDDING is
+    * near (quantized cosine ≥ `minCos`) any eval embedding — the
+    * paraphrase-contamination pass the n-gram paths above cannot see
+    * (a reworded eval question shares no 8-gram with its source).
+    *
+    * Batch-vs-store shape, never corpus × eval: both sides bucket
+    * with the same sign-LSH ([[Similarity.lshBuckets]], OR over
+    * `nTables`), candidates come from an equi-join on (tbl, bucket),
+    * and the double-precision cosine verify runs on candidates only
+    * (9-dp-quantized, the cross-engine threshold rule). Recall is the
+    * OR-construction's — a contaminated row is dropped when ANY
+    * table co-buckets it with its eval neighbor; raise `nTables` for
+    * stricter suites. The contaminated-id drop-list is a
+    * checkpointed leaf for the same Union-pushdown reason as
+    * [[decontaminate]]'s.
+    */
+  def decontaminateEmbedding(train: DataFrame, idCol: String, vecCol: String,
+                             eval: DataFrame, evalIdCol: String,
+                             evalVecCol: String, minCos: Double,
+                             nTables: Int = 4, planesPerTable: Int = 8,
+                             dim: Int = 64): DataFrame = {
+    val tb = PlanCache.cached(
+      s"lshBuckets/$idCol/$vecCol/$nTables/$planesPerTable/$dim", train)(
+      Similarity.lshBuckets(_, idCol, vecCol, nTables, planesPerTable, dim))
+    val tv = PlanCache.cached(s"unitVecs/$idCol/$vecCol", train)(
+      Similarity.normalized(_, idCol, vecCol, "__id", "__v"))
+    val contaminated = PlanCache.checkpointed2(
+      s"decontamEmb/contamIds/$idCol/$vecCol/$minCos/$nTables/$planesPerTable",
+      train, eval) { (_, e) =>
+        val eb = Similarity.lshBuckets(e, evalIdCol, evalVecCol,
+            nTables, planesPerTable, dim)
+          .select(col("vid").as("__evid"), col("tbl"), col("bucket"))
+        val ev = Similarity.normalized(e, evalIdCol, evalVecCol, "__eid", "__ev")
+        tb.join(eb, Seq("tbl", "bucket"))
+          .select(col("vid").as("__tid"), col("__evid")).distinct()
+          .join(tv, col("__tid") === col("__id"))
+          .join(ev, col("__evid") === col("__eid"))
+          .where(round(Similarity.unitDot(col("__v"), col("__ev")), 9) >= minCos)
+          .select(col("__tid").as("__contam_id")).distinct()
+      }
+    train.join(contaminated, col(idCol) === col("__contam_id"), "left_anti")
+  }
+
   /** Sliding-window chunking of documents into training spans: one row
     * per (doc_id, chunk_idx) covering tokens [start, start+width) of
     * the raw single-space split, starts at 0, stride, 2·stride, … while

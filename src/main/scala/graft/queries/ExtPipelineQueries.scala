@@ -240,6 +240,46 @@ object ExtPipelineQueries {
                      CAST(SUM(doc_id) AS BIGINT) AS id_checksum
               FROM clean""")),
 
+    // SEMANTIC decontamination ([[Curation.decontaminateEmbedding]]):
+    // the paraphrase-contamination pass — train rows whose EMBEDDING
+    // lands in an eval vector's LSH bucket (any of 4 tables) and
+    // verifies at quantized cosine >= 0.3 are dropped. The oracle
+    // regenerates the same md5-derived buckets in SQL (the shared
+    // bucket CTE ext_dedup_embedding pins) and replays
+    // candidates -> verify -> anti-join; the kept-id checksum pins
+    // exactly which rows survive.
+    Declared(
+      "ext_pipeline_decontam_embedding",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val ev = emb.where(col("vec_id") % 20 === 0)
+        val tr = emb.where(col("vec_id") % 20 =!= 0)
+        val kept = Curation.decontaminateEmbedding(tr, "vec_id", "embedding",
+          ev, "vec_id", "embedding", minCos = 0.3)
+        tr.agg(count(lit(1)).as("n_train")).crossJoin(
+          kept.agg(count(lit(1)).as("n_kept"),
+            sum(col("vec_id")).as("kept_checksum")))
+      },
+      Some(s"""WITH $lshBuckCte,
+               cand AS (
+                 SELECT DISTINCT x.vec_id AS tid, y.vec_id AS evid
+                 FROM buck x JOIN buck y
+                   ON x.tbl = y.tbl AND x.bucket = y.bucket
+                 WHERE x.vec_id % 20 <> 0 AND y.vec_id % 20 = 0),
+               contam AS (
+                 SELECT DISTINCT tid FROM cand
+                 JOIN embeddings ea ON ea.vec_id = tid
+                 JOIN embeddings eb ON eb.vec_id = evid
+                 WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 9) >= 0.3),
+               kept AS (
+                 SELECT vec_id FROM embeddings
+                 WHERE vec_id % 20 <> 0
+                   AND vec_id NOT IN (SELECT tid FROM contam))
+               SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id % 20 <> 0) AS n_train,
+                      COUNT(*) AS n_kept,
+                      CAST(SUM(vec_id) AS BIGINT) AS kept_checksum
+               FROM kept""")),
+
     // Shard-export census ([[Curation.exportShards]]): the corpus is
     // actually WRITTEN as a hive-partitioned training layout
     // (lang=<l>/ dirs, 2 deterministic hash shards per dir, files

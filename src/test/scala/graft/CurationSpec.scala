@@ -175,6 +175,23 @@ class CurationSpec extends SparkSpec {
     assert(r == Seq((1L, 38L, 4L), (2L, 38L, 38L)))
   }
 
+  test("decontaminateEmbedding drops cosine-near train rows, keeps far and antipodal ones") {
+    import spark.implicits._
+    val e1 = Seq(1f) ++ Seq.fill(63)(0f)
+    val e2 = Seq(0f, 1f) ++ Seq.fill(62)(0f)
+    // id 1 is IDENTICAL to the eval vector (same bucket in every
+    // table, cos 1 → dropped); id 2 is antipodal (cos −1 — below
+    // threshold even though sign-LSH may co-bucket zeros); id 3 is
+    // orthogonal (cos 0 → kept regardless of candidate generation)
+    val train = Seq((1L, e1), (2L, e1.map(-_)), (3L, e2))
+      .toDF("vec_id", "embedding")
+    val ev = Seq((100L, e1)).toDF("vec_id", "embedding")
+    val kept = Curation.decontaminateEmbedding(train, "vec_id", "embedding",
+        ev, "vec_id", "embedding", minCos = 0.5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L))
+  }
+
   test("finalDocs carries the curated corpus columns (id, text, n_tokens)") {
     val out = Curation.curate(corpus, "doc_id", "text").finalDocs
     assert(out.columns.toSeq == Seq("doc_id", "text", "n_tokens"))
