@@ -821,16 +821,20 @@ object Dedup {
     * token coordinates — `end_pos - start_pos` is the count of tokens
     * a span-level cut would remove.
     *
-    * 100 TB shape, three bounded shuffles: (1) the corpus-wide
-    * duplicate scan groups 8-byte xxhash64 gram hashes with map-side
-    * partial aggregation — gram TEXT never crosses the wire for the
-    * full corpus; (2) rows whose hash repeats (the candidate set —
-    * corpus dup rate × gram count, not the corpus) are verified
-    * exactly with a count window partitioned by the gram string,
-    * eliminating hash-collision false positives; (3) interval merge is
-    * one window per doc_id ordered by pos (per-partition state ≤
-    * tokens per document). No self-join, no pairwise blowup: cost is
-    * linear in corpus grams + candidate grams.
+    * 100 TB shape, two bounded shuffles before the merge: the gram
+    * TEXT never leaves the map side — each gram is fingerprinted by
+    * TWO independently-seeded 64-bit hashes, (1) the corpus-wide
+    * duplicate scan groups the 16-byte pair with map-side partial
+    * aggregation (the exchange carries one row per distinct gram per
+    * partition, not per occurrence — a hot boilerplate gram collapses
+    * map-side instead of serializing into one sorted window
+    * partition), (2) occurrences semi-join the duplicated-key set
+    * (16-byte keys; AQE broadcasts it when small), and (3) interval
+    * merge is one window per doc_id ordered by pos (per-partition
+    * state ≤ tokens per document). A false dup needs a simultaneous
+    * collision in both hashes (~n²/2^127 — far inside the accepted
+    * [[exactByFingerprint]] 60-bit contract). No self-join, no
+    * pairwise blowup: cost is linear in corpus grams.
     */
   def duplicatedKgramSpans(docs: DataFrame, idCol: String, textCol: String,
                            k: Int): DataFrame = {
@@ -843,12 +847,12 @@ object Dedup {
           sequence(lit(0), size(col("ts")) - k),
           i => array_join(slice(col("ts"), i + 1, lit(k)), " "))))
       .toDF("doc_id", "pos", "gram")
-      .withColumn("h", xxhash64(col("gram")))
-    val dupHashes = grams.groupBy("h")
-      .agg(count(lit(1)).as("c")).where(col("c") > 1).select("h")
-    val verified = grams.join(dupHashes, Seq("h"), "left_semi")
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("gram")))
-      .where(col("n") > 1)
+      .select(col("doc_id"), col("pos"),
+        xxhash64(col("gram")).as("h"),
+        xxhash64(lit("substr_v2"), col("gram")).as("h2"))
+    val dupKeys = grams.groupBy("h", "h2")
+      .agg(count(lit(1)).as("c")).where(col("c") > 1).select("h", "h2")
+    val verified = grams.join(dupKeys, Seq("h", "h2"), "left_semi")
       .select("doc_id", "pos")
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     verified

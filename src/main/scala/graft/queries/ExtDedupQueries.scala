@@ -535,10 +535,13 @@ object ExtDedupQueries {
                ORDER BY inter DESC, doc_a, doc_b LIMIT 20""")),
 
     // Span-level exact dedup (the "exact substring" curation pass):
-    // corpus-wide duplicated 5-gram detection — 8-byte hash scan,
-    // string-verified candidates — then per-doc interval merge into
+    // corpus-wide duplicated 5-gram detection — double-64-bit gram
+    // fingerprints grouped map-side, occurrences semi-join the
+    // duplicated-key set — then per-doc interval merge into
     // maximal spans. The oracle rebuilds grams/spans in SQL with the
-    // SAME tokenizer regex and merge rule; all-integer output (span
+    // SAME tokenizer regex and merge rule (by gram STRING — a
+    // divergence would need a simultaneous collision in both
+    // hashes); all-integer output (span
     // count, covered tokens, id-weighted checksum) pins span
     // boundaries, not just totals. range(256) covers the fixture's
     // ≤100 tokens/doc (scaled copies rotate letters, never lengthen).

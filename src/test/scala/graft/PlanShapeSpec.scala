@@ -139,21 +139,28 @@ class PlanShapeSpec extends SparkSpec {
       s"expected an equi join for the segment probe:\n$plan")
   }
 
-  test("ext_dedup_substr: hash prefilter semi-join stays equi; corpus dup scan partial-aggregates") {
+  test("ext_dedup_substr: fingerprint semi-join stays equi; corpus dup scan partial-aggregates") {
     val plan = planOf("ext_dedup_substr")
     assert(!plan.contains("CartesianProduct"),
       s"gram duplicate detection must never go all-pairs:\n$plan")
     assert(count(plan, "BroadcastNestedLoopJoin") == 0,
-      s"the dup-hash semi-join must stay an equi join on the 8-byte hash:\n$plan")
-    // the corpus-wide hash count must combine map-side: the exchange
-    // carries (hash, partial count), not one row per gram occurrence
+      s"the dup-key semi-join must stay an equi join on the 16-byte fingerprint:\n$plan")
+    // the corpus-wide fingerprint count must combine map-side: the
+    // exchange carries one (h, h2, partial count) row per distinct
+    // gram per partition, never one row per occurrence
     assert(plan.contains("partial_count"),
-      s"expected map-side partial aggregation of gram-hash counts:\n$plan")
-    // both windows are partitioned (by gram / by doc) — a global
-    // single-partition window here would serialize the corpus
+      s"expected map-side partial aggregation of gram fingerprints:\n$plan")
+    // the two permitted Window ops are the per-doc interval merge's
+    // lag + running sum (different frames, chained over ONE doc_id
+    // exchange+sort); a third would be a gram-keyed verify — which
+    // would serialize every occurrence of a hot boilerplate gram
+    // into one sorted partition — sneaking back in
     assert(!plan.contains("SinglePartition, Window") &&
-      count(plan, "Window") >= 2,
-      s"expected partitioned windows for verify and interval merge:\n$plan")
+      count(plan, "Window") <= 2,
+      s"expected only the per-doc interval-merge windows:\n$plan")
+    // gram TEXT must never be a shuffle key (fingerprints only)
+    assert("hashpartitioning\\([^)]*gram".r.findFirstIn(plan).isEmpty,
+      s"gram strings must not cross an exchange:\n$plan")
   }
 
   test("ext_dedup_substr_cut: span application is one equi-join; token filter stays map-side") {
