@@ -21,6 +21,16 @@ object Verify {
     // sets it, so the per-round artifact is always the full suite.
     val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // loud, impossible-to-miss: a leaked dev filter in a driver/CI
+    // environment would otherwise produce a silently PARTIAL artifact
+    only.foreach { names =>
+      System.err.println(
+        s"[verify] *** SPARK_GRAFT_ONLY ACTIVE — dumping ONLY ${names.size} " +
+          s"of ${SparkEntry.queries.size} queries (${names.mkString(",")}); " +
+          "this output is NOT a full correctness artifact ***")
+      Files.write(Paths.get(outDir, "PARTIAL_DUMP.txt"),
+        ("SPARK_GRAFT_ONLY=" + names.mkString(",") + "\n").getBytes("UTF-8"))
+    }
     SparkEntry.queries.filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

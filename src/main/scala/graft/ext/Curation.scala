@@ -119,10 +119,11 @@ object Curation {
     // duplicating the anti-join's right side into EVERY branch — as a
     // plan, that re-ran the grams⋈grams join per branch (measured
     // super-linear at @32); as a leaf it is one broadcast probe per
-    // branch of a list built once. Keyed on BOTH inputs: the same
-    // corpus against a different eval suite must rebuild.
+    // branch of a list built once. Keyed on BOTH inputs AND every
+    // parameter that shapes the list (evalTextCol included): the same
+    // corpus against a different eval suite or column must rebuild.
     val contaminated = PlanCache.checkpointed2(
-      s"decontam/contamIds/$idCol/$textCol/$n", train, eval) { (_, _) =>
+      s"decontam/contamIds/$idCol/$textCol/$evalTextCol/$n", train, eval) { (_, _) =>
         trainGrams.join(evalGrams, "__g")
           .select(col("doc_id").as("__contam_id")).distinct()
       }
@@ -255,7 +256,8 @@ object Curation {
     val tv = PlanCache.cached(s"unitVecs/$idCol/$vecCol", train)(
       Similarity.normalized(_, idCol, vecCol, "__id", "__v"))
     val contaminated = PlanCache.checkpointed2(
-      s"decontamEmb/contamIds/$idCol/$vecCol/$minCos/$nTables/$planesPerTable",
+      s"decontamEmb/contamIds/$idCol/$vecCol/$evalIdCol/$evalVecCol" +
+        s"/$minCos/$nTables/$planesPerTable/$dim",
       train, eval) { (_, e) =>
         val eb = Similarity.lshBuckets(e, evalIdCol, evalVecCol,
             nTables, planesPerTable, dim)

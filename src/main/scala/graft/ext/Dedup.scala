@@ -80,7 +80,16 @@ object Dedup {
     // pushdown through Union then SQUARES the duplication when batch
     // or store is a many-branch union (the @32 scale harness hit a
     // 111k-node physical plan, ~85 s of pure planning on a query
-    // whose data work is ~2 s)
+    // whose data work is ~2 s). Documented trade-off vs the groupBy
+    // shape: the window forgoes map-side partial aggregation, so a
+    // fingerprint duplicated k× IN ONE BATCH serializes k rows into
+    // one sorted partition — fine for the operator's contract
+    // (batches are the small side; cross-batch duplication is the
+    // store's job), but a single batch KNOWN to be dominated by one
+    // hot document should pre-collapse with groupBy(min(id)) against
+    // a persisted `fresh` leaf instead. Tie semantics: exactly one
+    // row survives per (__fp, min id) — a batch carrying bit-equal
+    // rows under the same id keeps one of them, which IS dedup.
     val w = Window.partitionBy("__fp").orderBy(col(idCol))
     fresh.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)

@@ -543,8 +543,9 @@ object ExtDedupQueries {
     // divergence would need a simultaneous collision in both
     // hashes); all-integer output (span
     // count, covered tokens, id-weighted checksum) pins span
-    // boundaries, not just totals. range(256) covers the fixture's
-    // ≤100 tokens/doc (scaled copies rotate letters, never lengthen).
+    // boundaries, not just totals. Gram positions come from a per-row
+    // unnest(range(len(ts)-4)) — no fixed cap, so a fixture refresh
+    // with longer documents cannot silently under-generate grams.
     Declared(
       "ext_dedup_substr",
       (s, d) =>
@@ -560,9 +561,10 @@ object ExtDedupQueries {
                                    t -> t <> '') AS ts
                 FROM documents),
               grams AS (
-                SELECT doc_id, i AS pos, array_to_string(ts[i+1:i+5], ' ') AS gram
-                FROM toks, range(256) t(i)
-                WHERE i < len(ts) - 4),
+                SELECT doc_id, unnest(range(greatest(len(ts) - 4, 0))) AS pos,
+                       unnest(list_transform(range(greatest(len(ts) - 4, 0)),
+                                             i -> array_to_string(ts[i+1:i+5], ' '))) AS gram
+                FROM toks),
               dup AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) > 1),
               dp AS (SELECT g.doc_id, g.pos
                      FROM grams g SEMI JOIN dup d ON g.gram = d.gram),
@@ -606,9 +608,10 @@ object ExtDedupQueries {
                                    t -> t <> '') AS ts
                 FROM documents),
               grams AS (
-                SELECT doc_id, i AS pos, array_to_string(ts[i+1:i+5], ' ') AS gram
-                FROM toks, range(256) t(i)
-                WHERE i < len(ts) - 4),
+                SELECT doc_id, unnest(range(greatest(len(ts) - 4, 0))) AS pos,
+                       unnest(list_transform(range(greatest(len(ts) - 4, 0)),
+                                             i -> array_to_string(ts[i+1:i+5], ' '))) AS gram
+                FROM toks),
               dup AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) > 1),
               dp AS (SELECT g.doc_id, g.pos
                      FROM grams g SEMI JOIN dup d ON g.gram = d.gram),

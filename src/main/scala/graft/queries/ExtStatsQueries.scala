@@ -174,6 +174,41 @@ object ExtStatsQueries {
                      CAST(round(quantile_cont(c, 0.99) * 100) AS BIGINT) AS p99_x100
               FROM c""")),
 
+    // THE 100 TB skew-diagnostic path under the gate, probe-contract
+    // style (the ext_stats_approx_quantiles pattern): keySkew's
+    // `approxTail = true` variant swaps the exact percentile — which
+    // buffers all n_keys counts in one reducer — for
+    // `approx_percentile` (GK sketch, bounded memory at any key
+    // cardinality). The row carries the EXACT profile (replayable by
+    // the oracle) plus booleans pinning the sketch tail within
+    // ±5% + 2 count units of it; a broken sketch path flips its own
+    // row red. Counts are integral, so the only cross-engine delta
+    // is interpolation (exact) vs nearest-member (sketch) — inside
+    // the bound by construction at any corpus size.
+    Declared(
+      "ext_stats_skew_approx",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val exact = Stats.keySkew(li, col("l_suppkey"))
+        val approx = Stats.keySkew(li, col("l_suppkey"), approxTail = true)
+          .select(col("p50_x100").as("__a50"), col("p99_x100").as("__a99"))
+        def ok(e: org.apache.spark.sql.Column, a: org.apache.spark.sql.Column) =
+          abs(a - e) <= e * 0.05 + 200
+        exact.crossJoin(approx)
+          .select(col("n_keys"), col("n_rows"), col("max_key_rows"),
+            col("p50_x100"), col("p99_x100"),
+            ok(col("p50_x100"), col("__a50")).as("p50_ok"),
+            ok(col("p99_x100"), col("__a99")).as("p99_ok"))
+      },
+      Some("""WITH c AS (
+                SELECT l_suppkey, COUNT(*) AS c FROM lineitem GROUP BY 1)
+              SELECT COUNT(*) AS n_keys, CAST(SUM(c) AS BIGINT) AS n_rows,
+                     MAX(c) AS max_key_rows,
+                     CAST(round(quantile_cont(c, 0.5) * 100) AS BIGINT) AS p50_x100,
+                     CAST(round(quantile_cont(c, 0.99) * 100) AS BIGINT) AS p99_x100,
+                     TRUE AS p50_ok, TRUE AS p99_ok
+              FROM c""")),
+
     // Exact-moment Pearson correlation ([[Stats.corrExact]]): the five
     // moment sums accumulate as exact longs (partial-aggregated, one
     // shuffle row per group), doubles appear only in the final

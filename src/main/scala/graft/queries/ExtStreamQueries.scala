@@ -239,6 +239,94 @@ object ExtStreamQueries {
               SELECT user_id, COUNT(*) AS n_pairs,
                      CAST(SUM((cid * 31 + pid) % 1000000007) % 1000000007 AS BIGINT)
                        AS pair_checksum
-              FROM j GROUP BY user_id ORDER BY user_id"""))
+              FROM j GROUP BY user_id ORDER BY user_id""")),
+
+    // LEFT_OUTER stream-stream interval join under the gate — the
+    // subtle half of the contract the inner row can't see: a click
+    // that never matched must surface as a NULL-padded row, but only
+    // once the WATERMARK PROVES no future purchase can still land in
+    // its [ts, ts+6h) interval (an unbounded-buffer outer join could
+    // never declare that). Matched pairs emit unconditionally (both
+    // rows present — AvailableNow replays everything); unmatched
+    // clicks emit in the stateful-op flush batch iff evicted, i.e.
+    // ts + 6h is behind the final GLOBAL watermark — the MIN over the
+    // two join inputs of (max event time − 30 min), NOT the whole
+    // table's max: the slower side (purchases here) holds the
+    // watermark back for both, measured directly at sf0.01 (a click
+    // 6h43m old stayed buffered because max purchase ts trailed max
+    // event ts by 32 min).
+    // Spark's exact eviction boundary sits within ~1 ms of that
+    // cutoff (ms-floored watermark arithmetic), so BOTH engines apply
+    // the same 1-minute-stricter predicate to the unmatched side:
+    // every null row the watermark clearly proves must exist is
+    // pinned present-and-correct, and sub-ms boundary rows can't
+    // flip the gate on a fixture refresh. A missing null-pad path, a
+    // wrong eviction rule, or a spurious unmatched row all flip the
+    // checksums.
+    Declared(
+      "ext_stream_interval_join_left",
+      (s, d) => {
+        val ev = Tables.loadStream(s, d, "events")
+        val clicks = ev.where(col("event_type") === "click")
+          .select("user_id", "ts", "event_id")
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select("user_id", "ts", "event_id")
+        val joined = StreamingQueries.intervalJoin(
+          clicks, purchases, Seq("user_id"), "ts", "ts",
+          lowerMs = 0L, upperMs = 21600000L, watermark = "30 minutes",
+          joinType = "left_outer")
+        val sink = s"graft_stream_ijl_${runSeq.incrementAndGet()}"
+        val q = joined.writeStream.format("memory").queryName(sink)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val mx = Tables.events(s, d)
+          .where(col("event_type").isin("click", "purchase"))
+          .groupBy(col("event_type")).agg(max(col("ts")).as("__m"))
+          .agg(min(col("__m")).as("__mx"))
+        s.table(sink).crossJoin(mx)
+          .where(col("r_event_id").isNotNull ||
+            col("l_ts") + expr("INTERVAL 6 HOURS") <
+              col("__mx") - expr("INTERVAL 31 MINUTES"))
+          .groupBy(col("l_user_id").as("user_id"))
+          .agg(
+            sum(when(col("r_event_id").isNotNull, 1L).otherwise(0L)).as("n_pairs"),
+            sum(when(col("r_event_id").isNull, 1L).otherwise(0L)).as("n_unmatched"),
+            (coalesce(sum(when(col("r_event_id").isNotNull,
+                (col("l_event_id") * 31 + col("r_event_id")) % 1000000007L)),
+              lit(0L)) % 1000000007L).as("pair_checksum"),
+            (coalesce(sum(when(col("r_event_id").isNull,
+                col("l_event_id") % 1000000007L)),
+              lit(0L)) % 1000000007L).as("unmatched_checksum"))
+          .orderBy("user_id")
+      },
+      Some("""WITH c AS (SELECT user_id, ts, event_id FROM events
+                         WHERE event_type = 'click'),
+              p AS (SELECT user_id, ts, event_id FROM events
+                    WHERE event_type = 'purchase'),
+              m AS (SELECT LEAST((SELECT MAX(ts) FROM c),
+                                 (SELECT MAX(ts) FROM p)) AS mx),
+              j AS (
+                SELECT c.user_id, c.event_id AS cid, c.ts AS cts,
+                       p.event_id AS pid
+                FROM c LEFT JOIN p ON c.user_id = p.user_id
+                 AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 6 HOUR),
+              keep AS (
+                SELECT user_id, cid, pid FROM j WHERE pid IS NOT NULL
+                UNION ALL
+                SELECT user_id, cid, pid FROM j, m
+                WHERE pid IS NULL
+                  AND cts + INTERVAL 6 HOUR < mx - INTERVAL 31 MINUTE)
+              SELECT user_id,
+                     CAST(SUM(CASE WHEN pid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_pairs,
+                     CAST(SUM(CASE WHEN pid IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_unmatched,
+                     CAST(COALESCE(SUM(CASE WHEN pid IS NOT NULL
+                            THEN (cid * 31 + pid) % 1000000007 END), 0)
+                          % 1000000007 AS BIGINT) AS pair_checksum,
+                     CAST(COALESCE(SUM(CASE WHEN pid IS NULL
+                            THEN cid % 1000000007 END), 0)
+                          % 1000000007 AS BIGINT) AS unmatched_checksum
+              FROM keep GROUP BY user_id ORDER BY user_id"""))
   )
 }
