@@ -69,4 +69,28 @@ class FixtureSchemaSpec extends SparkSpec {
       .agg(max(unix_millis(col("ts")))).head.getLong(0)
     assert(ms > 0L)
   }
+
+  test("a non-UTC session reads the same events epochs as the UTC session") {
+    // the loader's NTZ→instant cast is pinned to UTC explicitly
+    // (Tables.normalizeEventsTs), NOT to the session zone: a library
+    // consumer running e.g. a New York session must read the same
+    // epochs the graft UTC mains read — a session-zone-dependent cast
+    // would silently shift every timestamp by the zone offset
+    // (5×3600×1e6 µs here), corrupting joins/windows with no error.
+    // newSession() shares the SparkContext but carries its own SQL
+    // conf, so the shared UTC session is untouched.
+    def sig(s: org.apache.spark.sql.SparkSession): (Long, Long) = {
+      val r = Tables.events(s, dir)
+        .agg(count(lit(1)), sum(unix_micros(col("ts")) % 1000000007L))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val nySession = spark.newSession()
+    nySession.conf.set("spark.sql.session.timeZone", "America/New_York")
+    nySession.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val utc = sig(spark)
+    val ny = sig(nySession)
+    assert(ny == utc,
+      s"session-timezone-dependent epoch read: UTC=$utc NY=$ny")
+  }
 }

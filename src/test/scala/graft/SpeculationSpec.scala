@@ -87,4 +87,48 @@ class SpeculationSpec extends AnyFunSuite {
       info(s"speculative: submitted=$speculativeSubmitted launched=$speculativeLaunched")
     } finally spark.stop()
   }
+
+  test("minhash-LSH dedup pipeline is identical under multi-JVM network shuffle") {
+    // the one execution dimension the rest of the suite never
+    // crosses: every other test shuffles in-process (local[n] moves
+    // rows through the block manager of ONE JVM). local-cluster runs
+    // real separate executor JVMs, so this pipeline's exchanges —
+    // token explode → signature agg → band self-join → shingle-set
+    // joins — serialize over the network, exercising codegen'd
+    // hash/agg/join operators against real UnsafeRow wire traffic.
+    // Any serialization-dependent nondeterminism (hash seeds, array
+    // ordering, partitioner drift) breaks the set equality below.
+    def pipeline(s: SparkSession): Set[(Long, Long, Int, Int)] = {
+      val docs = Tables.documents(s, "/root/testdata/sf0.001")
+      val cands = graft.ext.Dedup.minhashLshCandidates(
+        docs, "doc_id", "text", k = 16, rowsPerBand = 4, maxBucket = 64)
+      graft.ext.Dedup.ngramJaccardOnCandidates(docs, "doc_id", "text", cands, 100)
+        .where(org.apache.spark.sql.functions.col("inter") >= 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+        .toSet
+    }
+    def session(master: String): SparkSession = SparkSession.builder()
+      .master(master)
+      .appName("graft-cluster-parity")
+      .config("spark.executor.extraClassPath", sys.props("java.class.path"))
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+
+    val local = session("local[4]")
+    val expected = try pipeline(local) finally {
+      graft.ext.PlanCache.clear(); local.stop()
+    }
+    assert(expected.nonEmpty, "reference pipeline returned no verified pairs")
+    val cluster = session("local-cluster[2,2,1536]")
+    val got = try pipeline(cluster) finally {
+      graft.ext.PlanCache.clear(); cluster.stop()
+    }
+    assert(got == expected,
+      s"multi-JVM shuffle diverged: only-local=${(expected -- got).take(5)} " +
+        s"only-cluster=${(got -- expected).take(5)}")
+  }
 }

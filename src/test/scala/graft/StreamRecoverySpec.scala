@@ -1,0 +1,162 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.streaming.StreamingQueries
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming crash recovery — the streaming twin of the reference's
+  * crash test (/root/reference/src/main/test-mr.sh:284-330: workers
+  * die mid-job, the settled output must equal the no-crash oracle).
+  * The batch side has ChaosSpec (task retry to an oracle-equal
+  * result) and SpeculationSpec (exactly-once commit under
+  * speculation); these tests kill a STATEFUL streaming query
+  * mid-replay — after at least one committed microbatch, with
+  * unprocessed input still pending — restart it from its durable
+  * checkpoint, and prove the settled file-sink contents are
+  * exactly-once equal to an uninterrupted run:
+  *
+  *  - dedup shape: `dropDuplicatesWithinWatermark` key state must
+  *    SURVIVE the restart — a duplicate arriving after the restart
+  *    of a key first seen before it must still be dropped. Lost
+  *    state surfaces as extra rows (the duplicate re-admitted);
+  *    lost input as missing rows; a replayed committed batch as
+  *    doubled rows (the file-sink manifest must dedup it).
+  *  - windowed-aggregation shape: partial per-window sums and the
+  *    watermark itself live in the checkpoint — the resumed run
+  *    must emit byte-identical window rows to the uninterrupted
+  *    twin (same input dir, same single-file microbatches, so the
+  *    offset log pins identical batch boundaries on both paths).
+  *
+  * The mid-replay stop polls query progress and calls `stop()` as
+  * soon as ≥1 microbatch has committed; with one file per trigger
+  * and many input files, the stop lands with most of the input
+  * still unread (asserted — a stop that raced past the whole replay
+  * would make the recovery claim vacuous).
+  */
+class StreamRecoverySpec extends SparkSpec {
+
+  /** Start `build` against `srcDir`, stop it once ≥1 microbatch has
+    * committed rows, and return the last committed batch id. The
+    * stop is cooperative (`StreamingQuery.stop` interrupts the
+    * execution thread), so an in-flight batch may die uncommitted —
+    * exactly the crash window the checkpoint must cover.
+    */
+  private def runInterrupted(q: StreamingQuery): Long = {
+    val deadline = System.currentTimeMillis + 120000
+    while (q.isActive &&
+      (q.recentProgress.map(_.numInputRows).sum == 0L) &&
+      System.currentTimeMillis < deadline)
+      Thread.sleep(25)
+    val lastBatch = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+    q.stop()
+    q.awaitTermination()
+    assert(q.recentProgress.map(_.numInputRows).sum > 0,
+      "no microbatch committed before the stop — cannot exercise recovery")
+    lastBatch
+  }
+
+  test("dedup state survives a mid-replay kill: restart is exactly-once, no re-admitted duplicates") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft_rec_src").toString
+    val outDir = Files.createTempDirectory("graft_rec_out").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft_rec_ckpt").toString
+
+    // 16 single-file microbatches of 50 docs each; text duplicates
+    // deliberately STRADDLE the kill point: ids 0..799 carry texts
+    // id % 350, so files 7..15 re-send texts first seen in files
+    // 0..6 — if the restarted query lost its dedup state, those
+    // re-sends are re-admitted and the sink over-counts. Texts
+    // "doc 0".."doc 49" are already in the standing corpus STORE, so
+    // the stream-static anti-join must drop every arrival of them.
+    val nFiles = 16
+    val perFile = 50
+    val nTexts = 350
+    val inStore = 50
+    def text(id: org.apache.spark.sql.Column) =
+      concat(lit("doc "), (id % nTexts).cast("string"))
+    (0 until nFiles).foreach { i =>
+      spark.range(i.toLong * perFile, (i + 1).toLong * perFile)
+        .select(col("id").as("doc_id"), text(col("id")).as("text"),
+          timestamp_millis(col("id") * 1000 + 86400000L).as("ts"))
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    val store = graft.ext.Dedup.fingerprintStore(
+      spark.range(0, inStore).select(text(col("id")).as("text")), "text")
+    val schema = spark.read.parquet(srcDir).schema
+    def start(): StreamingQuery = {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      StreamingQueries.incrementalDedup(src, store, watermark = "365 days")
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt).option("path", outDir)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    }
+
+    val killedAt = runInterrupted(start())
+    assert(killedAt < nFiles - 1,
+      s"stop raced past the replay (batch $killedAt of $nFiles) — recovery untested")
+    // restart from the checkpoint and settle
+    val q2 = start()
+    q2.awaitTermination()
+
+    val got = spark.read.parquet(outDir)
+    val kept = got.select("text").as[String].collect().toSeq
+    // exactly-once: every text outside the store exactly once, store
+    // texts never — any state loss, input loss, or batch replay
+    // breaks one of these three counts
+    assert(kept.size == nTexts - inStore,
+      s"expected ${nTexts - inStore} kept rows, got ${kept.size}")
+    assert(kept.distinct.size == kept.size, "duplicate texts in the settled sink")
+    assert(kept.toSet == (inStore until nTexts).map(i => s"doc $i").toSet)
+  }
+
+  test("windowed-aggregation state survives a mid-replay kill: resumed emissions equal the uninterrupted run") {
+    val srcDir = Files.createTempDirectory("graft_recw_src").toString
+    // the real events fixture, split into 8 time-ranged files so the
+    // watermark (and append-mode window emission) advances across
+    // many microbatches instead of settling in one
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("ts", "event_type", "value")
+    ev.repartitionByRange(8, col("ts")).write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+
+    def run(interrupt: Boolean): DataFrame = {
+      val outDir = Files.createTempDirectory("graft_recw_out").toString + "/out"
+      val ckpt = Files.createTempDirectory("graft_recw_ckpt").toString
+      def start(): StreamingQuery = {
+        val src = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        StreamingQueries.tumblingWindow(src, every = "1 hour",
+            watermark = "30 minutes")
+          .writeStream.format("parquet")
+          .option("checkpointLocation", ckpt).option("path", outDir)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      }
+      if (interrupt) {
+        val killedAt = runInterrupted(start())
+        assert(killedAt < 7,
+          s"stop raced past the replay (batch $killedAt of 8) — recovery untested")
+        val q2 = start()
+        q2.awaitTermination()
+      } else {
+        val q = start()
+        q.awaitTermination()
+      }
+      spark.read.parquet(outDir)
+    }
+
+    def canon(df: DataFrame): Seq[(String, String, Long, Double)] = {
+      import spark.implicits._
+      df.select("h", "event_type", "n", "v")
+        .as[(String, String, Long, Double)].collect().toSeq.sorted
+    }
+    val interrupted = canon(run(interrupt = true))
+    val clean = canon(run(interrupt = false))
+    assert(interrupted.nonEmpty, "no windows emitted — fixture/watermark mismatch")
+    assert(interrupted == clean,
+      "resumed run's settled windows differ from the uninterrupted run's")
+  }
+}
