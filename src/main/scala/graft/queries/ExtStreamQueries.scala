@@ -241,6 +241,38 @@ object ExtStreamQueries {
                        AS pair_checksum
               FROM j GROUP BY user_id ORDER BY user_id""")),
 
+    // COMPLETE-mode streaming aggregation under the gate
+    // ([[StreamingQueries.wordCount]], the streaming twin of DQ2):
+    // the documents stream word-counted with the running per-word
+    // totals in the state store, emitted in COMPLETE mode — the third
+    // output mode, previously spec-only (the four r10 rows all pin
+    // APPEND). Complete mode rewrites the memory sink's table every
+    // trigger, so after AvailableNow settles the sink IS the full
+    // final aggregation — no watermark, no emission predicate: the
+    // contract pinned here is that the LAST rewrite equals the batch
+    // aggregation of every row replayed (a state store that dropped
+    // or double-counted a group across microbatch rewrites diverges).
+    // Scale note: complete mode retains every group in state by
+    // definition — it is the right mode exactly when result
+    // cardinality is small (a vocabulary, a dashboard), and this row
+    // uses it that way; unbounded-key streams belong to the append
+    // rows above.
+    Declared(
+      "ext_stream_wordcount",
+      (s, d) => {
+        val stream = Tables.loadStream(s, d, "documents")
+        val wc = StreamingQueries.wordCount(stream, "text")
+        val sink = s"graft_stream_wc_${runSeq.incrementAndGet()}"
+        val q = wc.writeStream.format("memory").queryName(sink)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(sink).orderBy("word")
+      },
+      Some("""SELECT w AS word, COUNT(*) AS c
+              FROM (SELECT unnest(string_split_regex(text, '[^a-zA-Z]+')) AS w
+                    FROM documents)
+              WHERE w <> '' GROUP BY w ORDER BY word""")),
+
     // LEFT_OUTER stream-stream interval join under the gate — the
     // subtle half of the contract the inner row can't see: a click
     // that never matched must surface as a NULL-padded row, but only
