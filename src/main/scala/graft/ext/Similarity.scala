@@ -377,6 +377,220 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
+  // ----- Product quantization (PQ) -----------------------------------
+
+  /** A trained PQ codebook set: `m` subspaces × `ks` centroids of
+    * dim/m doubles each — like [[IvfIndex]], driver-side by design
+    * (m·ks·dim/m = ks·dim doubles total, corpus-size-independent).
+    *
+    * PQ is the scan-bandwidth scale path the int8 path can't reach:
+    * a dim-64 float corpus stored as m=8 one-byte codes is 32× fewer
+    * bytes than float32 (vs 4× for int8), and ADC scoring is m table
+    * lookups per candidate instead of dim multiplies. At 100 TB of
+    * embeddings the encoded corpus is what a serving scan reads;
+    * codebooks ride along as plan literals.
+    */
+  final case class PqIndex(books: Array[Array[Seq[Double]]]) {
+    def m: Int = books.length
+    def ks: Int = books.head.length
+    def subDim: Int = books.head.head.size
+  }
+
+  object PqIndex {
+    private val memo = scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String), PqIndex]
+
+    /** Train (or reuse) PQ codebooks for `corpus`: unit-normalize,
+      * split each vector into `m` equal subvectors, and run an
+      * independent deterministic L2 Lloyd's per subspace (ks
+      * centroids each). Memoized on the corpus's canonicalized plan +
+      * params — the build-once/serve-many shape, like
+      * [[IvfIndex.build]].
+      */
+    def build(corpus: DataFrame, idCol: String, vecCol: String,
+              m: Int, ks: Int, dim: Int, iters: Int = 3): PqIndex = {
+      require(dim % m == 0, s"dim=$dim must split into m=$m equal subspaces")
+      val key = (corpus.queryExecution.analyzed.canonicalized,
+        s"$idCol/$vecCol/$m/$ks/$dim/$iters")
+      memo.getOrElseUpdate(key, {
+        val subDim = dim / m
+        val v = PlanCache.cached(s"unitVecs/$idCol/$vecCol", corpus)(
+          normalized(_, idCol, vecCol, "__id", "__v"))
+        // ONE cached subvector relation feeds every subspace's
+        // iterations: (id, sub index, subvector) — m·N 8-double rows,
+        // scanned once, aggregated 2·m·iters times from memory
+        val subs = PlanCache.cached(s"pqSubs/$idCol/$vecCol/$m/$dim", v) { vv =>
+          val parts = (0 until m).map(s =>
+            struct(lit(s).as("mi"),
+              slice(col("__v"), s * subDim + 1, subDim).as("sub")))
+          vv.select(col("__id"), explode(array(parts: _*)).as("p"))
+            .select(col("__id"), col("p.mi").as("mi"), col("p.sub").as("sub"))
+        }
+        val books = (0 until m).toArray.map { mi =>
+          kmeansL2(subs.where(col("mi") === mi).select(col("__id"), col("sub")),
+            ks, iters)
+        }
+        PqIndex(books)
+      })
+    }
+
+    def clear(): Unit = memo.clear()
+
+    /** Persist codebooks as one parquet row per (subspace, centroid) —
+      * the same build-once/serve-many contract as [[IvfIndex.save]].
+      */
+    def save(spark: org.apache.spark.sql.SparkSession, index: PqIndex,
+             path: String): Unit = {
+      import spark.implicits._
+      index.books.zipWithIndex.flatMap { case (book, mi) =>
+        book.zipWithIndex.map { case (c, ci) => (mi, ci, c) }
+      }.toSeq.toDF("m", "centroid_id", "center")
+        .repartition(1)
+        .write.mode("overwrite").parquet(path)
+    }
+
+    /** Load codebooks written by [[save]]; (m, centroid_id) order
+      * restored, so the loaded index is bit-identical to the saved one
+      * (code assignment depends on it).
+      */
+    def load(spark: org.apache.spark.sql.SparkSession, path: String): PqIndex = {
+      val rows = spark.read.parquet(path)
+        .orderBy("m", "centroid_id")
+        .select("m", "center")
+        .collect()
+      PqIndex(rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+        .map(_._2.map(_.getSeq[Double](1))).toArray)
+    }
+  }
+
+  /** Deterministic L2 Lloyd's over a (id, vector) frame — the
+    * subspace twin of [[kmeansCentroids]] (which assigns by max
+    * cosine over unit vectors; subvectors are NOT unit, so PQ
+    * assigns by min L2). Same determinism contract: md5-seeded
+    * initial picks, exact DECIMAL(38,18) means, first-index tie
+    * break in the argmin.
+    */
+  private def kmeansL2(sub: DataFrame, k: Int, iters: Int): Array[Seq[Double]] = {
+    var centers: Array[Seq[Double]] = sub
+      .orderBy(Hashing.h32(concat(lit("pq_"), col("__id").cast("string"))), col("__id"))
+      .limit(k).select("sub").collect()
+      .map(_.getSeq[Double](0))
+    for (_ <- 1 to iters) {
+      val assigned = sub.select(col("sub"),
+        nearestL2(col("sub"), centers.toSeq).as("c"))
+      val D = org.apache.spark.sql.types.DecimalType(38, 18)
+      val means = assigned
+        .select(col("c"), posexplode(col("sub")).as(Seq("j", "x")))
+        .groupBy("c", "j")
+        .agg((sum(col("x").cast(D)) / count(lit(1))).cast("double").as("mn"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      val dim = centers.head.size
+      centers = centers.zipWithIndex.map { case (old, ci) =>
+        if (means.contains((ci, 0))) (0 until dim).map(j => means((ci, j)))
+        else old // empty cluster keeps its previous center
+      }
+    }
+    centers
+  }
+
+  /** `array(||v-c0||², ..., ||v-ck-1||²)` against literal centroids,
+    * expanded as dot(v,v) − 2·dot(v,c) + c·c so each element is one
+    * native dot product plus constants.
+    */
+  private def l2Dists(v: Column, centers: Seq[Seq[Double]]): Column = {
+    val vv = dot(v, v)
+    array(centers.map { c =>
+      val cc = c.map(x => x * x).sum
+      vv - lit(2d) * dot(v, typedlit(c)) + lit(cc)
+    }: _*)
+  }
+
+  /** 0-based index of the nearest (min-L2) centroid; ties break to
+    * the first index (array_position returns the FIRST match).
+    */
+  private def nearestL2(v: Column, centers: Seq[Seq[Double]]): Column = {
+    val dists = l2Dists(v, centers)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** PQ-encode a corpus: (id, codes array<int> of length m) — each
+    * code the min-L2 centroid of that subspace. A pure projection
+    * (m·ks literal dot products per row, whole-stage codegen); the
+    * encoded relation is what a 100 TB pipeline PERSISTS — m bytes
+    * per vector instead of 4·dim.
+    */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               index: PqIndex): DataFrame = {
+    val subDim = index.subDim
+    val v = normalized(corpus, idCol, vecCol, "__id", "__v")
+    val codes = array(index.books.zipWithIndex.map { case (book, mi) =>
+      nearestL2(slice(col("__v"), mi * subDim + 1, subDim), book.toSeq)
+    }.toIndexedSeq: _*)
+    v.select(col("__id").as("neighbor_id"), codes.as("codes"))
+  }
+
+  /** ADC-scored (query, neighbor, score) pairs: queries stay exact;
+    * each query precomputes a lookup table
+    * lut[mi][c] = dot(q_sub_mi, book_mi[c]) (m·ks literal dot
+    * products, once per query row), and a candidate's approximate
+    * cosine is m table lookups summed — never a full dim-wide
+    * multiply against the corpus. The corpus side reads only the
+    * m-byte codes; in a stored pipeline [[pqEncode]]'s output is the
+    * scanned relation and the raw vectors never leave cold storage.
+    */
+  def pqAdcScores(corpus: DataFrame, queries: DataFrame,
+                  idCol: String, vecCol: String,
+                  index: PqIndex): DataFrame = {
+    val subDim = index.subDim
+    val encoded = pqEncode(corpus, idCol, vecCol, index)
+    val qn = normalized(queries, idCol, vecCol, "query_id", "qv")
+    val lut = array(index.books.zipWithIndex.map { case (book, mi) =>
+      val qSub = slice(col("qv"), mi * subDim + 1, subDim)
+      array(book.map(c => dot(qSub, typedlit(c))).toIndexedSeq: _*)
+    }.toIndexedSeq: _*)
+    val q = broadcast(qn.select(col("query_id"), lut.as("lut")))
+    q.crossJoin(encoded)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(
+          zip_with(col("codes"), col("lut"),
+            (c, row) => element_at(row, c + 1)),
+          lit(0d), (acc, x) => acc + x).as("score"))
+  }
+
+  /** PQ ANN top-k: ADC shortlist + exact re-rank — the standard
+    * two-stage serving shape. Stage 1 ranks the whole corpus by the
+    * m-lookup ADC score and keeps `rerank·k` candidates per query
+    * (the bandwidth-bound pass, reads codes only); stage 2 joins the
+    * true vectors back FOR THE SHORTLIST ONLY and re-ranks those
+    * exactly. Quantization error then only costs recall when a true
+    * neighbor falls outside the shortlist entirely, not whenever two
+    * close neighbors' ADC scores swap — which is the difference
+    * between ~0.3 and ~0.9 recall on near-uniform unit vectors whose
+    * neighbor gaps sit inside the reconstruction error.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+             idCol: String, vecCol: String, k: Int,
+             index: PqIndex, rerank: Int = 8): DataFrame = {
+    val adc = pqAdcScores(corpus, queries, idCol, vecCol, index)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    val shortlist = adc.withColumn("r0", row_number().over(w))
+      .where(col("r0") <= k * rerank)
+      .select("query_id", "neighbor_id")
+    val qv = normalized(queries, idCol, vecCol, "query_id", "qv")
+    val cv = normalized(corpus, idCol, vecCol, "neighbor_id", "cv")
+    val exact = shortlist
+      .join(broadcast(qv), "query_id")
+      .join(cv, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        unitDot(col("qv"), col("cv")).as("cos"))
+    val w2 = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w2)).where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
   /** ANN top-k restricted to candidates sharing an LSH bucket with the
     * query in any table. Candidate (query, neighbor) pairs are
     * deduplicated across tables before scoring; vectors are joined

@@ -301,6 +301,63 @@ object ExtSimQueries {
               SELECT query_id, COUNT(*) AS n_rows,
                      CAST(SUM(neighbor_id * rnk) AS BIGINT) AS rank_checksum,
                      CAST(SUM(score) AS BIGINT) AS score_sum
-              FROM top GROUP BY query_id ORDER BY query_id"""))
+              FROM top GROUP BY query_id ORDER BY query_id""")),
+
+    // Product-quantization ANN under the gate
+    // ([[Similarity.PqIndex]]/[[Similarity.pqTopK]]): 16 subspaces ×
+    // 64 centroids trained by the deterministic per-subspace L2
+    // Lloyd's, corpus encoded to 16 one-byte codes per vector (the
+    // 32×-compression scan path int8 can't reach), ADC shortlist of
+    // 8k candidates per query, exact re-rank of the shortlist only.
+    // PQ ranking is approximate by construction, so the gate uses the
+    // probe-contract shape (like ext_stats_hll): the oracle replays
+    // the EXACT side — the brute-force top-10 for the 20-query panel,
+    // margin-projected per [[ExtShared.topkChecksum]] — and the
+    // recall_ok flag pins the PQ side against a 0.80 floor measured
+    // with ≥0.17 margin at every fixture scale (1.0/1.0/0.97 at
+    // sf0.001/0.01/0.1, PqSpec). A broken codebook trainer, encoder,
+    // ADC table, or re-rank join drops recall far below the floor and
+    // flips the flag.
+    Declared(
+      "ext_sim_pq_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val index = Similarity.PqIndex.build(emb, "vec_id", "embedding",
+          m = 16, ks = 64, dim = 64, iters = 3)
+        // the exact listing feeds three consumers (checksum, recall
+        // denominator, hit join) — share one materialization
+        val bf = PlanCache.cached("pqBfTop10/vec20", emb)(e =>
+          Similarity.bruteForceTopK(e, e.where(col("vec_id") < 20),
+            "vec_id", "embedding", k = 10))
+        val pq = Similarity.pqTopK(emb, emb.where(col("vec_id") < 20),
+          "vec_id", "embedding", k = 10, index, rerank = 8)
+        val flag = bf.select("query_id", "neighbor_id")
+          .join(pq.select("query_id", "neighbor_id"),
+            Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("__h"))
+          .crossJoin(bf.agg(count(lit(1)).as("__n")))
+          .select((col("__h") * 5 >= col("__n") * 4).as("recall_ok"))
+        // re-sort AFTER the crossJoin (it does not preserve the
+        // checksum frame's order)
+        topkChecksum(bf).crossJoin(flag).orderBy("query_id")
+      },
+      Some("""WITH sc AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos
+                FROM embeddings q JOIN embeddings c
+                  ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+              rk AS (
+                SELECT query_id, neighbor_id, cos,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cos DESC, neighbor_id) AS rnk
+                FROM sc),
+              top AS (SELECT * FROM rk WHERE rnk <= 10),
+              kth AS (SELECT query_id, MIN(cos) AS kc FROM top GROUP BY query_id)
+              SELECT query_id, COUNT(*) AS n_rows,
+                     CAST(SUM(CASE WHEN cos >= kc + 1e-9 THEN 1 ELSE 0 END) AS BIGINT) AS n_clear,
+                     CAST(SUM(CASE WHEN cos >= kc + 1e-9 THEN neighbor_id ELSE 0 END) AS BIGINT) AS id_checksum,
+                     TRUE AS recall_ok
+              FROM top JOIN kth USING (query_id)
+              GROUP BY query_id ORDER BY query_id"""))
   )
 }

@@ -1,0 +1,76 @@
+package graft
+
+import graft.ext.Similarity
+import org.apache.spark.sql.functions._
+
+/** Product quantization: deterministic training, save/load
+  * bit-identity, and ADC serving recall against the brute-force
+  * ranking — the probe the gated row (ext_sim_pq_topk) pins.
+  */
+class PqSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("pq codebooks train deterministically and round-trip through parquet") {
+    val emb = Tables.embeddings(spark, sf)
+    Similarity.PqIndex.clear()
+    val a = Similarity.PqIndex.build(emb, "vec_id", "embedding",
+      m = 8, ks = 16, dim = 64, iters = 3)
+    Similarity.PqIndex.clear()
+    val b = Similarity.PqIndex.build(emb, "vec_id", "embedding",
+      m = 8, ks = 16, dim = 64, iters = 3)
+    assert(a.books.map(_.map(_.toList).toList).toList ==
+      b.books.map(_.map(_.toList).toList).toList,
+      "two builds over the same corpus must be bit-identical")
+
+    val dir = java.nio.file.Files.createTempDirectory("pq_idx").toString
+    Similarity.PqIndex.save(spark, a, dir)
+    val loaded = Similarity.PqIndex.load(spark, dir)
+    assert(loaded.books.map(_.map(_.toList).toList).toList ==
+      a.books.map(_.map(_.toList).toList).toList,
+      "save->load must restore the codebooks bit-identically")
+    assert(loaded.m == 8 && loaded.ks == 16 && loaded.subDim == 8)
+  }
+
+  test("shortlist+rerank top-10 recalls the brute-force top-10 at every fixture scale") {
+    // the gated row's config (m=16, ks=64, rerank=8) and floor (0.80);
+    // measured 1.0 / 1.0 / 0.97 at sf0.001 / 0.01 / 0.1. Raw ADC
+    // WITHOUT the exact re-rank measures ~0.3 on these near-uniform
+    // vectors (neighbor gaps sit inside the 8x16 reconstruction
+    // error) — the two-stage shape is load-bearing, not an
+    // optimization.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                    "/root/testdata/sf0.1")) {
+      val emb = Tables.embeddings(spark, dir)
+      val queries = emb.where(col("vec_id") < 20)
+      val index = Similarity.PqIndex.build(emb, "vec_id", "embedding",
+        m = 16, ks = 64, dim = 64, iters = 3)
+      val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10)
+        .select("query_id", "neighbor_id")
+      val pq = Similarity.pqTopK(emb, queries, "vec_id", "embedding", k = 10,
+        index, rerank = 8)
+        .select("query_id", "neighbor_id")
+      val nBf = bf.count()
+      val nHits = bf.join(pq, Seq("query_id", "neighbor_id")).count()
+      info(s"$dir: pq recall@10 = $nHits/$nBf = ${nHits.toDouble / nBf}")
+      assert(nHits * 5 >= nBf * 4,
+        s"$dir: recall ${nHits.toDouble / nBf} below 0.80")
+    }
+  }
+
+  test("ADC scores approximate the true cosine within PQ reconstruction error") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.where(col("vec_id") < 5)
+    val index = Similarity.PqIndex.build(emb, "vec_id", "embedding",
+      m = 8, ks = 16, dim = 64, iters = 3)
+    val adc = Similarity.pqAdcScores(emb, queries, "vec_id", "embedding", index)
+    val bfAll = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
+      k = Int.MaxValue - 1)
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+    val maxErr = adc.join(bfAll, Seq("query_id", "neighbor_id"))
+      .select(abs(col("score") - col("cos")).as("err"))
+      .agg(max(col("err"))).head.getDouble(0)
+    info(s"max |ADC - cosine| over all pairs: $maxErr")
+    assert(maxErr < 0.35, s"ADC error $maxErr implausibly large for 8x16 codebooks")
+  }
+}
