@@ -366,11 +366,20 @@ object Dedup {
     * 16-byte signature relation it projects from.
     */
   private def segExplode(sigs: DataFrame, bits: Int, nSeg: Int): DataFrame = {
-    val segBits = bits / nSeg
-    val mask = (1L << segBits) - 1
+    // uneven split when nSeg does not divide bits: the first
+    // bits % nSeg segments take one extra bit (identical to the old
+    // even split when the remainder is 0). Pigeonhole needs only that
+    // the segments be disjoint and cover all bits — widths may vary.
+    val base = bits / nSeg
+    val rem = bits % nSeg
     val segStructs = (0 until nSeg).map { i =>
+      val off = i * base + math.min(i, rem)
+      val len = base + (if (i < rem) 1 else 0)
+      val mask = (1L << len) - 1
+      // arithmetic shiftright sign-extends a bit-63 signature; the
+      // mask strips the extension, so the top segment is still exact
       struct(lit(i).as("seg"),
-        expr(s"shiftright(simhash, ${i * segBits}) & $mask").as("segv"))
+        expr(s"shiftright(simhash, $off) & $mask").as("segv"))
     }
     sigs.select(col("doc_id"), col("simhash"),
         explode(array(segStructs: _*)).as("sv"))
@@ -397,13 +406,10 @@ object Dedup {
   def simhashNearPairs(docs: DataFrame, idCol: String, textCol: String,
                        bits: Int = 60, maxDist: Int = 3,
                        maxSegBucket: Int = Int.MaxValue): DataFrame = {
-    val nSeg = maxDist + 1
-    require(bits % nSeg == 0,
-      s"bits=$bits must be divisible by maxDist+1=$nSeg segments")
     // the persisted diamond anchor is the SHARED signature relation
     // ([[simhashShared]] — one 16-byte row per doc, also consumed by
     // the bucket census and any other SimHash query in the session):
-    // the self-join below reads the segment explosion on BOTH sides,
+    // the pair self-join reads the segment explosion on BOTH sides,
     // and without a cache underneath it the whole scan→tokenize→
     // simhash aggregation executes twice (measured 2× the query's
     // runtime). The segment explosion itself stays UNCACHED — it is a
@@ -411,10 +417,33 @@ object Dedup {
     // (recomputing it per join side costs ~nothing), and caching the
     // wider 4-rows/doc form instead would quadruple the storage while
     // denying the census its narrow shared anchor.
-    val sh = simhashShared(docs, idCol, textCol, bits)
+    signatureNearPairs(simhashShared(docs, idCol, textCol, bits),
+      bits, maxDist, maxSegBucket)
+  }
+
+  /** Near-duplicate pairs among PRECOMPUTED `bits`-wide signatures —
+    * the pigeonhole multi-index engine behind [[simhashNearPairs]],
+    * exposed for any doc-local 64-bit-or-narrower signature: text
+    * SimHash, image perceptual hashes ([[Multimodal.imageAHash]]),
+    * audio fingerprints. Input is a (doc_id, simhash) relation (cache
+    * it — both self-join sides read it); output is distinct
+    * (doc_a < doc_b, dist) pairs with hamming ≤ `maxDist`.
+    *
+    * Exactness and scale contract are [[simhashNearPairs]]'s: the
+    * signature splits into maxDist + 1 disjoint segments (uneven
+    * widths allowed — see segExplode), any qualifying pair agrees
+    * exactly on ≥1 segment, candidates are an equi-join on
+    * (segment index, value), and hot segment buckets can be capped
+    * via `maxSegBucket` (handle those as clusters).
+    */
+  def signatureNearPairs(sigs: DataFrame, bits: Int, maxDist: Int,
+                         maxSegBucket: Int = Int.MaxValue): DataFrame = {
+    val nSeg = maxDist + 1
+    require(maxDist >= 1 && nSeg <= bits,
+      s"maxDist=$maxDist out of range for $bits-bit signatures")
     // signatures ride along (8 bytes) so verification needs no
     // join-back to the signature table
-    val allSegs = segExplode(sh, bits, nSeg)
+    val allSegs = segExplode(sigs, bits, nSeg)
     // optional skew guard for the 100 TB case: a (seg, segv) bucket of
     // m docs implies m²/2 candidate pairs, and a boilerplate cluster
     // of near-identical simhashes lands whole in one bucket. Capping

@@ -208,6 +208,69 @@ object Multimodal {
       }(encoder)
   }
 
+  /** 64-bit perceptual average-hash (aHash) per image: REAL decode,
+    * gray = r+g+b per pixel, 8×8 block partition with floor buckets
+    * (block i = x·8/w, j = y·8/h — blocks are empty when a dimension
+    * is under 8, which hashes as a 0 bit), and bit j·8+i set iff the
+    * block's mean gray exceeds the image mean — compared
+    * INTEGER-EXACTLY as sum_block·n_total > total·n_block, so the
+    * hash is bit-identical across engines with no float division.
+    * Near-identical images (resizes, re-encodes, small retouches)
+    * land within a few bits; pair them with
+    * [[Dedup.signatureNearPairs]] — the image twin of text SimHash
+    * dedup, one 8-byte signature per image, candidates bucketed by
+    * the same pigeonhole multi-index. Undecodable payloads quarantine
+    * as NULL hashes (same stance as [[decodeImageMeta]]).
+    */
+  def imageAHash(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("phash", LongType, nullable = true)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    media.where(col("media_type") === "image")
+      .select("media_id", "payload").mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val img =
+            try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+            catch { case _: Exception => None }
+          img match {
+            case None => Row(id, null)
+            case Some(im) =>
+              val w = im.getWidth; val h = im.getHeight
+              val sums = new Array[Long](64)
+              val cnts = new Array[Long](64)
+              var tot = 0L
+              var y = 0
+              while (y < h) {
+                val j = y * 8 / h
+                var x = 0
+                while (x < w) {
+                  val i = x * 8 / w
+                  val rgb = im.getRGB(x, y)
+                  val gray = ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+                  val b = j * 8 + i
+                  sums(b) += gray; cnts(b) += 1; tot += gray
+                  x += 1
+                }
+                y += 1
+              }
+              val nTot = w.toLong * h
+              var phash = 0L
+              var b = 0
+              while (b < 64) {
+                // strict >: an exactly-average block (incl. empty
+                // blocks, 0 > 0) hashes as 0 on both engines
+                if (sums(b) * nTot > tot * cnts(b)) phash |= (1L << b)
+                b += 1
+              }
+              Row(id, phash)
+          }
+        }
+      }(encoder)
+  }
+
   private def encodePng(img: BufferedImage): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     ImageIO.write(img, "png", bos)

@@ -240,6 +240,96 @@ object ExtMultimodalQueries {
                      CAST(SUM(((v >> 16) & 255) * ((v >> 16) & 255)) AS BIGINT) AS sumsq_r,
                      CAST(SUM(((v >> 8) & 255) * ((v >> 8) & 255)) AS BIGINT) AS sumsq_g,
                      CAST(SUM((v & 255) * (v & 255)) AS BIGINT) AS sumsq_b
-              FROM px"""))
+              FROM px""")),
+
+    // Perceptual-hash image dedup, part 1 — the signature
+    // ([[Multimodal.imageAHash]]): REAL decode of every PNG, gray
+    // block sums over the 8×8 floor-bucket grid, integer-exact
+    // bit rule (sum_block·n_total > total·n_block). The full
+    // per-image hash TABLE is the gated output — emitted as two
+    // unsigned 32-bit halves (a bit-63 hash is a negative BIGINT in
+    // one engine and a shift overflow in the other; the halves are
+    // portable) — while the oracle restates every bit from the pixel
+    // formulas alone: a green row proves decode → pixel walk → block
+    // bucketing → bit rule end to end, per image, with nothing
+    // sampled or summarized away.
+    Declared(
+      "ext_multimodal_phash",
+      (s, d) => {
+        val imgs = Multimodal.syntheticImages(Tables.documents(s, d), "doc_id")
+        val ph = PlanCache.cached("imageAHash/doc_id", imgs)(Multimodal.imageAHash)
+        ph.select(col("media_id"),
+            expr("shiftrightunsigned(phash, 32)").as("phash_hi"),
+            col("phash").bitwiseAND(lit(0xFFFFFFFFL)).as("phash_lo"))
+          .orderBy("media_id")
+      },
+      Some(s"""WITH $phashCte
+               SELECT id AS media_id, phash_hi, phash_lo
+               FROM phh ORDER BY media_id""")),
+
+    // Perceptual-hash image dedup, part 2 — the pairing
+    // ([[Dedup.signatureNearPairs]], the pigeonhole multi-index the
+    // text SimHash family uses, run over IMAGE signatures): all
+    // hamming-≤12 near-dup image pairs in a 1500-image panel,
+    // bucketed by 13 disjoint segments (uneven 5/4-bit widths — the
+    // general segExplode) so the corpus×corpus product never forms,
+    // then verified exactly on candidates. The oracle brute-forces
+    // the same pairs from its formula-derived hashes — the
+    // multi-index is exact (pigeonhole), so the two must agree
+    // pair-for-pair (id and distance checksums pin which pairs and
+    // at what distance).
+    Declared(
+      "ext_multimodal_phash_pairs",
+      (s, d) => {
+        val imgs = Multimodal.syntheticImages(Tables.documents(s, d), "doc_id")
+        val ph = PlanCache.cached("imageAHash/doc_id", imgs)(Multimodal.imageAHash)
+        Dedup.signatureNearPairs(
+            ph.where(col("media_id") < 1500)
+              .select(col("media_id").as("doc_id"), col("phash").as("simhash")),
+            bits = 64, maxDist = 12)
+          .agg(count(lit(1)).as("n_pairs"),
+            coalesce(sum((col("doc_a") * 31 + col("doc_b")) % 1000000007L)
+              % 1000000007L, lit(0L)).as("id_checksum"),
+            coalesce(sum(col("dist")), lit(0L)).as("dist_sum"))
+      },
+      Some(s"""WITH $phashCte,
+               pha AS (SELECT id, phash_hi AS hi, phash_lo AS lo
+                       FROM phh WHERE id < 1500),
+               php AS (
+                 SELECT a.id AS da, b.id AS db,
+                        bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS dist
+                 FROM pha a JOIN pha b ON a.id < b.id)
+               SELECT COUNT(*) AS n_pairs,
+                      CAST(COALESCE(SUM((da * 31 + db) % 1000000007)
+                        % 1000000007, 0) AS BIGINT) AS id_checksum,
+                      CAST(COALESCE(SUM(dist), 0) AS BIGINT) AS dist_sum
+               FROM php WHERE dist <= 12"""))
   )
+
+  /** DuckDB CTE text: the aHash signature restated from the synthetic
+    * pixel formulas ([[Multimodal.synthWidth]]/[[Multimodal.synthHeight]]
+    * and the rgb24 hash) — gray block sums over the 8×8 floor grid,
+    * strict integer mean rule, hash as two unsigned 32-bit halves.
+    * `phh(id, phash_hi, phash_lo)`.
+    */
+  private def phashCte =
+    """phg AS (
+         SELECT doc_id AS id, (x * 8) // (doc_id % 61 + 4) AS i,
+                (y * 8) // (doc_id * 7 % 43 + 4) AS j,
+                ((((doc_id % 1000003 + x * 31 + y * 17) * 2654435761) >> 16) & 255)
+                + ((((doc_id % 1000003 + x * 31 + y * 17) * 2654435761) >> 8) & 255)
+                + (((doc_id % 1000003 + x * 31 + y * 17) * 2654435761) & 255) AS gray
+         FROM documents, range(64) tx(x), range(46) ty(y)
+         WHERE x < doc_id % 61 + 4 AND y < doc_id * 7 % 43 + 4),
+       phb AS (
+         SELECT id, i, j, SUM(gray) AS s, COUNT(*) AS n
+         FROM phg GROUP BY id, i, j),
+       pht AS (SELECT id, SUM(s) AS tot, SUM(n) AS ntot FROM phb GROUP BY id),
+       phh AS (
+         SELECT b.id,
+                CAST(COALESCE(SUM(CASE WHEN s * ntot > tot * n AND j * 8 + i >= 32
+                  THEN (CAST(1 AS BIGINT) << (j * 8 + i - 32)) ELSE 0 END), 0) AS BIGINT) AS phash_hi,
+                CAST(COALESCE(SUM(CASE WHEN s * ntot > tot * n AND j * 8 + i < 32
+                  THEN (CAST(1 AS BIGINT) << (j * 8 + i)) ELSE 0 END), 0) AS BIGINT) AS phash_lo
+         FROM phb b JOIN pht t USING (id) GROUP BY b.id)"""
 }
