@@ -73,6 +73,36 @@ object TextStats {
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
 
+  /** HTML/markup → text extraction, the ingest front door of a web
+    * training corpus: drop `<script>`/`<style>` blocks wholesale
+    * (their CONTENT is code, not text — tag-stripping alone would
+    * leak it into the corpus), strip remaining tags, decode the
+    * common entities (`&amp;` LAST, so `&amp;lt;` decodes to the
+    * literal `&lt;` and not to `<` — the classic double-decode bug),
+    * and collapse whitespace. Pure codegen regexp/replace chain over
+    * patterns whose Java-vs-RE2 semantics agree, same stance as
+    * [[normalize]]. This is the markup-shaped 95% case, not a
+    * browser: malformed nesting degrades to extra whitespace, never
+    * to an exception.
+    */
+  def stripMarkup(html: Column): Column = {
+    val noBlocks = regexp_replace(html,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    val decoded = regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(regexp_replace(noTags,
+        "&lt;", "<"), "&gt;", ">"), "&quot;", "\""), "&#39;", "'"),
+      "&nbsp;", " "), "&amp;", "&")
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Entity-escape text for embedding in markup (`&` first — the
+    * inverse composition order of [[stripMarkup]]'s decode).
+    */
+  def escapeMarkup(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(text,
+      "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+
   /** Quality features per document: token count, distinct-token count,
     * type/token decile, mean token length ×10 (integer — portable).
     * The text is split ONCE into a `toks` column; downstream features

@@ -273,6 +273,49 @@ object ExtStreamQueries {
                     FROM documents)
               WHERE w <> '' GROUP BY w ORDER BY word""")),
 
+    // Stream-STATIC enrichment under the gate
+    // ([[StreamingQueries.enrich]]): the events stream left-joined to
+    // the customer dimension — the stateless streaming shape (no
+    // watermark, no state store; the static side is re-planned and
+    // broadcast per microbatch). Every event must survive exactly
+    // once with its dimension columns attached: n_unmatched pins the
+    // LEFT contract (an inner join would silently drop dimension
+    // misses; here every user_id resolves, so any nonzero value means
+    // the broadcast join dropped or failed to match rows), and the
+    // per-nation counts + event checksum pin that each replayed event
+    // was enriched with the RIGHT row. Aggregation happens after the
+    // sink on the settled table, so the streaming plan under test is
+    // pure enrich.
+    Declared(
+      "ext_stream_enrich",
+      (s, d) => {
+        val ev = Tables.loadStream(s, d, "events")
+          .select("event_id", "user_id", "value")
+        val dim = Tables.customer(s, d)
+          .select(col("c_custkey").as("user_id"), col("c_nationkey"))
+        val enriched = StreamingQueries.enrich(ev, dim, Seq("user_id"))
+        val sink = s"graft_stream_enrich_${runSeq.incrementAndGet()}"
+        val q = enriched.writeStream.format("memory").queryName(sink)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(sink)
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"),
+            (sum(col("event_id") % 1000000007L) % 1000000007L).as("event_checksum"),
+            sum(when(col("c_nationkey").isNull, 1L).otherwise(0L)).as("n_unmatched"))
+          .orderBy("c_nationkey")
+      },
+      Some("""SELECT c.c_nationkey,
+                     COUNT(*) AS n_events,
+                     COUNT(DISTINCT e.user_id) AS n_users,
+                     CAST(SUM(e.event_id % 1000000007) % 1000000007 AS BIGINT)
+                       AS event_checksum,
+                     CAST(SUM(CASE WHEN c.c_nationkey IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_unmatched
+              FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+              GROUP BY c.c_nationkey ORDER BY c.c_nationkey""")),
+
     // LEFT_OUTER stream-stream interval join under the gate — the
     // subtle half of the contract the inner row can't see: a click
     // that never matched must surface as a NULL-padded row, but only

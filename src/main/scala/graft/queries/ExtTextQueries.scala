@@ -88,6 +88,47 @@ object ExtTextQueries {
                        '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nt
                     FROM documents)""")),
 
+    // Markup → text extraction ([[TextStats.stripMarkup]]), the web
+    // ingest front door: each document is entity-escaped and wrapped
+    // in a REAL html skeleton Spark-side (head/style block, an h1
+    // carrying its own text, a script block whose body contains a
+    // bare `<` — the case where naive tag-stripping leaks `var x = 1`
+    // into the corpus), then extracted back. The oracle never replays
+    // the strip: it states the EXPECTED extraction directly from the
+    // raw fixture text (title + collapsed body), so a green row pins
+    // block removal, tag stripping, entity decode order (&amp; last),
+    // and whitespace collapse against an independent statement of
+    // what the text WAS. n_roundtrip = n_docs is the per-doc
+    // exactness pin; the md5 checksum catches any compensating-error
+    // pair.
+    Declared(
+      "ext_text_extract",
+      (s, d) => {
+        val html = concat(
+          lit("<html><head><title></title><style>p{margin:0}</style></head>" +
+            "<body><h1>Doc "),
+          col("doc_id").cast("string"),
+          lit("</h1>\n<p class=\"body\">"),
+          TextStats.escapeMarkup(col("text")),
+          lit("</p>\n<script>var x = 1 < 2;</script><br/></body></html>"))
+        val want = concat(lit("Doc "), col("doc_id").cast("string"), lit(" "),
+          trim(regexp_replace(col("text"), "\\s+", " ")))
+        Tables.documents(s, d)
+          .select(TextStats.stripMarkup(html).as("ex"), want.as("want"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("ex") === col("want"), 1L).otherwise(0L))
+              .as("n_roundtrip"),
+            sum(graft.functions.Md5Prefix.md5Prefix(col("ex"), 8))
+              .as("md5_checksum"))
+      },
+      Some("""SELECT COUNT(*) AS n_docs,
+                     COUNT(*) AS n_roundtrip,
+                     CAST(SUM(CAST('0x' || substr(md5(ex), 1, 8) AS BIGINT)) AS BIGINT)
+                       AS md5_checksum
+              FROM (SELECT 'Doc ' || CAST(doc_id AS VARCHAR) || ' ' ||
+                      trim(regexp_replace(text, '\s+', ' ', 'g')) AS ex
+                    FROM documents)""")),
+
     // PII redaction ([[TextStats.redactStats]]): the corpus is scrubbed
     // word-salad, so both engines synthesize the SAME dirty text per
     // doc (emails / dotted quads / long digit runs, plus boundary
