@@ -451,6 +451,69 @@ object Multimodal {
       }(encoder)
   }
 
+  /** 64-bit audio fingerprint per clip: REAL container decode (same
+    * SPI snapshot as [[audioSampleStats]]), the PCM stream split into
+    * 64 equal floor-bucket frames, per-frame energy = Σ|sample|, and
+    * bit f set iff frame f's mean energy exceeds frame f−1's —
+    * compared INTEGER-EXACTLY as E_f·c_{f−1} > E_{f−1}·c_f (bit 0 has
+    * no predecessor and is always 0). The energy-envelope delta
+    * profile is robust to gain-independent re-encodes and is the
+    * shape (not the DSP depth) of production audio fingerprints;
+    * near-dup clips pair through [[Dedup.signatureNearPairs]] exactly
+    * like text SimHash and image aHash — one 8-byte signature per
+    * clip, the third modality through the same pair engine.
+    * Non-16-bit-mono-PCM or undecodable payloads quarantine as NULL.
+    */
+  def audioFingerprint(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("afp", LongType, nullable = true)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    media.where(col("media_type") === "audio")
+      .select("media_id", "payload").mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          try {
+            val ais = openAudio(bytes).getOrElse(
+              throw new javax.sound.sampled.UnsupportedAudioFileException())
+            try {
+              val fmt = ais.getFormat
+              if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+                  fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+                Row(id, null)
+              else {
+                val data = ais.readAllBytes()
+                val n = data.length / 2
+                val e = new Array[Long](64)
+                val c = new Array[Long](64)
+                var i = 0
+                while (i + 1 < data.length) {
+                  val lo = data(i) & 0xFF
+                  val hi = data(i + 1).toInt
+                  val s = if (fmt.isBigEndian) ((data(i).toInt << 8) | (data(i + 1) & 0xFF))
+                          else ((hi << 8) | lo)
+                  val f = ((i / 2).toLong * 64 / n).toInt
+                  e(f) += math.abs(s); c(f) += 1
+                  i += 2
+                }
+                var fp = 0L
+                var f = 1
+                while (f < 64) {
+                  if (c(f) > 0 && c(f - 1) > 0 &&
+                      e(f) * c(f - 1) > e(f - 1) * c(f)) fp |= (1L << f)
+                  f += 1
+                }
+                Row(id, fp)
+              }
+            } finally ais.close()
+          } catch {
+            case _: Exception => Row(id, null)
+          }
+        }
+      }(encoder)
+  }
+
   /** Deterministic shape formulas for [[syntheticGifs]] — arithmetic
     * in the id (and frame/pixel indices) so a SQL oracle can state
     * expected decoded frame pixels without a video decoder. Frames

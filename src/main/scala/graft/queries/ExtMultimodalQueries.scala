@@ -304,7 +304,53 @@ object ExtMultimodalQueries {
                         % 1000000007, 0) AS BIGINT) AS id_checksum,
                       CAST(COALESCE(SUM(dist), 0) AS BIGINT) AS dist_sum
                FROM php WHERE dist <= 12"""))
-  )
+  ) :+ audioFpRow
+
+  /** Gated audio-fingerprint row, appended to [[all]] above (a def:
+    * `all` initializes first, so a forward val reference would be
+    * null at class init).
+    */
+  private def audioFpRow: Declared =
+    // Audio fingerprinting ([[Multimodal.audioFingerprint]]): REAL
+    // RIFF/WAV decode of every clip, 64 floor-bucket frames, energy
+    // envelope deltas as integer-exact bits — the third modality
+    // (after text SimHash and image aHash) whose 8-byte signatures
+    // feed [[Dedup.signatureNearPairs]]. The full per-clip
+    // fingerprint table is the gated output (unsigned halves, same
+    // portability stance as ext_multimodal_phash); the oracle
+    // restates every bit from the synthSample formulas alone, so a
+    // green row proves container parse → sample walk → frame
+    // bucketing → delta rule end to end, per clip.
+    Declared(
+      "ext_multimodal_audio_fp",
+      (s, d) => {
+        val wavs = Multimodal.syntheticWavs(Tables.documents(s, d), "doc_id")
+        Multimodal.audioFingerprint(wavs)
+          .select(col("media_id"),
+            expr("shiftrightunsigned(afp, 32)").as("afp_hi"),
+            col("afp").bitwiseAND(lit(0xFFFFFFFFL)).as("afp_lo"))
+          .orderBy("media_id")
+      },
+      Some("""WITH afg AS (
+                SELECT doc_id AS id, (i * 64) // (doc_id % 1500 + 300) AS f,
+                       abs((((doc_id % 1000003 + i * 7) * 2654435761) & 65535) - 32768) AS a
+                FROM documents, range(1800) t(i)
+                WHERE i < doc_id % 1500 + 300),
+              afb AS (SELECT id, f, SUM(a) AS e, COUNT(*) AS c
+                      FROM afg GROUP BY id, f),
+              afd AS (
+                SELECT cur.id, cur.f,
+                       CASE WHEN cur.e * prv.c > prv.e * cur.c THEN 1 ELSE 0 END AS bit
+                FROM afb cur JOIN afb prv
+                  ON cur.id = prv.id AND prv.f = cur.f - 1),
+              afh AS (
+                SELECT id,
+                       CAST(COALESCE(SUM(CASE WHEN bit = 1 AND f >= 32
+                         THEN (CAST(1 AS BIGINT) << (f - 32)) ELSE 0 END), 0) AS BIGINT) AS afp_hi,
+                       CAST(COALESCE(SUM(CASE WHEN bit = 1 AND f < 32
+                         THEN (CAST(1 AS BIGINT) << f) ELSE 0 END), 0) AS BIGINT) AS afp_lo
+                FROM afd GROUP BY id)
+              SELECT id AS media_id, afp_hi, afp_lo FROM afh ORDER BY media_id"""))
 
   /** DuckDB CTE text: the aHash signature restated from the synthetic
     * pixel formulas ([[Multimodal.synthWidth]]/[[Multimodal.synthHeight]]
