@@ -403,9 +403,18 @@ object Similarity {
     /** Train (or reuse) PQ codebooks for `corpus`: unit-normalize,
       * split each vector into `m` equal subvectors, and run an
       * independent deterministic L2 Lloyd's per subspace (ks
-      * centroids each). Memoized on the corpus's canonicalized plan +
-      * params — the build-once/serve-many shape, like
-      * [[IvfIndex.build]].
+      * centroids each) — all `m` subspaces JOINTLY, so an iteration
+      * is ONE assignment-and-mean job over the cached subvector
+      * relation instead of m sequential per-subspace jobs (the
+      * per-subspace loop measured ~100 driver-latency-bound jobs at
+      * m=16, iters=3; joint training is 1 + iters). Seeds are the
+      * ks smallest-md5 rows' slices — the same rows every subspace,
+      * identical to what the per-subspace ordering picks, so the
+      * trained books are bit-identical to independent training.
+      * Memoized on the corpus's canonicalized plan + params — the
+      * build-once/serve-many shape, like [[IvfIndex.build]]. Same
+      * determinism contract as [[kmeansCentroids]]: exact
+      * DECIMAL(38,18) means, first-index argmin tie break.
       */
     def build(corpus: DataFrame, idCol: String, vecCol: String,
               m: Int, ks: Int, dim: Int, iters: Int = 3): PqIndex = {
@@ -416,9 +425,8 @@ object Similarity {
         val subDim = dim / m
         val v = PlanCache.cached(s"unitVecs/$idCol/$vecCol", corpus)(
           normalized(_, idCol, vecCol, "__id", "__v"))
-        // ONE cached subvector relation feeds every subspace's
-        // iterations: (id, sub index, subvector) — m·N 8-double rows,
-        // scanned once, aggregated 2·m·iters times from memory
+        // ONE cached subvector relation feeds every iteration:
+        // (id, sub index, subvector) — m·N small rows, scanned once
         val subs = PlanCache.cached(s"pqSubs/$idCol/$vecCol/$m/$dim", v) { vv =>
           val parts = (0 until m).map(s =>
             struct(lit(s).as("mi"),
@@ -426,9 +434,37 @@ object Similarity {
           vv.select(col("__id"), explode(array(parts: _*)).as("p"))
             .select(col("__id"), col("p.mi").as("mi"), col("p.sub").as("sub"))
         }
-        val books = (0 until m).toArray.map { mi =>
-          kmeansL2(subs.where(col("mi") === mi).select(col("__id"), col("sub")),
-            ks, iters)
+        val seeds = v
+          .orderBy(Hashing.h32(concat(lit("pq_"), col("__id").cast("string"))),
+            col("__id"))
+          .limit(ks).select("__v").collect().map(_.getSeq[Double](0))
+        var books: Array[Array[Seq[Double]]] = Array.tabulate(m) { mi =>
+          seeds.map(s => s.slice(mi * subDim, (mi + 1) * subDim)) }
+        val D = org.apache.spark.sql.types.DecimalType(38, 18)
+        for (_ <- 1 to iters) {
+          // per-subspace assignment as a 16-way union of small
+          // filter+project branches over the cached relation (keeps
+          // each codegen unit small — a 16-branch CASE of 64 dot
+          // products each would blow the generated-method limit),
+          // then ONE mean aggregation across all (mi, c, j)
+          val assigned = (0 until m).map { mi =>
+            subs.where(col("mi") === mi).select(col("mi"), col("sub"),
+              nearestL2(col("sub"), books(mi).toSeq).as("c"))
+          }.reduce(_.unionByName(_))
+          val means = assigned
+            .select(col("mi"), col("c"), posexplode(col("sub")).as(Seq("j", "x")))
+            .groupBy("mi", "c", "j")
+            .agg((sum(col("x").cast(D)) / count(lit(1))).cast("double").as("mn"))
+            .collect()
+            .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3))
+            .toMap
+          books = books.zipWithIndex.map { case (book, mi) =>
+            book.zipWithIndex.map { case (old, ci) =>
+              if (means.contains((mi, ci, 0)))
+                (0 until subDim).map(j => means((mi, ci, j))): Seq[Double]
+              else old // empty cluster keeps its previous center
+            }
+          }
         }
         PqIndex(books)
       })
@@ -463,36 +499,6 @@ object Similarity {
     }
   }
 
-  /** Deterministic L2 Lloyd's over a (id, vector) frame — the
-    * subspace twin of [[kmeansCentroids]] (which assigns by max
-    * cosine over unit vectors; subvectors are NOT unit, so PQ
-    * assigns by min L2). Same determinism contract: md5-seeded
-    * initial picks, exact DECIMAL(38,18) means, first-index tie
-    * break in the argmin.
-    */
-  private def kmeansL2(sub: DataFrame, k: Int, iters: Int): Array[Seq[Double]] = {
-    var centers: Array[Seq[Double]] = sub
-      .orderBy(Hashing.h32(concat(lit("pq_"), col("__id").cast("string"))), col("__id"))
-      .limit(k).select("sub").collect()
-      .map(_.getSeq[Double](0))
-    for (_ <- 1 to iters) {
-      val assigned = sub.select(col("sub"),
-        nearestL2(col("sub"), centers.toSeq).as("c"))
-      val D = org.apache.spark.sql.types.DecimalType(38, 18)
-      val means = assigned
-        .select(col("c"), posexplode(col("sub")).as(Seq("j", "x")))
-        .groupBy("c", "j")
-        .agg((sum(col("x").cast(D)) / count(lit(1))).cast("double").as("mn"))
-        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
-      val dim = centers.head.size
-      centers = centers.zipWithIndex.map { case (old, ci) =>
-        if (means.contains((ci, 0))) (0 until dim).map(j => means((ci, j)))
-        else old // empty cluster keeps its previous center
-      }
-    }
-    centers
-  }
-
   /** `array(||v-c0||², ..., ||v-ck-1||²)` against literal centroids,
     * expanded as dot(v,v) − 2·dot(v,c) + c·c so each element is one
     * native dot product plus constants.
@@ -514,19 +520,64 @@ object Similarity {
   }
 
   /** PQ-encode a corpus: (id, codes array<int> of length m) — each
-    * code the min-L2 centroid of that subspace. A pure projection
-    * (m·ks literal dot products per row, whole-stage codegen); the
+    * code the min-L2 centroid of that subspace. The argmin kernel
+    * runs as a mapPartitions closure over the codebook arrays, NOT as
+    * a literal-expression forest: the expression form (m·ks = 1024
+    * literal dot products) measured ~7 s of per-run ANALYSIS/codegen
+    * at ANY corpus size — pure planning cost, data-independent —
+    * while the closure plans in milliseconds and executes the same
+    * arithmetic. Summation order and the strict-< first-index tie
+    * break replicate the expression semantics exactly (dist =
+    * dot(v,v) − 2·dot(v,c) + dot(c,c), each dot left-to-right), so
+    * the codes are bit-identical to the expression version's. The
     * encoded relation is what a 100 TB pipeline PERSISTS — m bytes
     * per vector instead of 4·dim.
     */
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
                index: PqIndex): DataFrame = {
     val subDim = index.subDim
+    val m = index.m
+    val books = index.books.map(_.map(_.toArray))
     val v = normalized(corpus, idCol, vecCol, "__id", "__v")
-    val codes = array(index.books.zipWithIndex.map { case (book, mi) =>
-      nearestL2(slice(col("__v"), mi * subDim + 1, subDim), book.toSeq)
-    }.toIndexedSeq: _*)
-    v.select(col("__id").as("neighbor_id"), codes.as("codes"))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("neighbor_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("codes",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.IntegerType, containsNull = false),
+        nullable = false)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    v.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val vec = r.getSeq[Double](1)
+        val codes = new Array[Int](m)
+        var mi = 0
+        while (mi < m) {
+          val book = books(mi)
+          val off = mi * subDim
+          var vv = 0.0
+          var j = 0
+          while (j < subDim) { val x = vec(off + j); vv += x * x; j += 1 }
+          var best = 0
+          var bestD = Double.PositiveInfinity
+          var ci = 0
+          while (ci < book.length) {
+            val c = book(ci)
+            var d = 0.0; var cc = 0.0; var jj = 0
+            while (jj < subDim) {
+              d += vec(off + jj) * c(jj); cc += c(jj) * c(jj); jj += 1
+            }
+            val dist = vv - 2.0 * d + cc
+            if (dist < bestD) { bestD = dist; best = ci }
+            ci += 1
+          }
+          codes(mi) = best
+          mi += 1
+        }
+        org.apache.spark.sql.Row(id, codes.toSeq)
+      }
+    }(encoder)
   }
 
   /** ADC-scored (query, neighbor, score) pairs: queries stay exact;
@@ -542,13 +593,42 @@ object Similarity {
                   idCol: String, vecCol: String,
                   index: PqIndex): DataFrame = {
     val subDim = index.subDim
+    val m = index.m
+    val books = index.books.map(_.map(_.toArray))
     val encoded = pqEncode(corpus, idCol, vecCol, index)
     val qn = normalized(queries, idCol, vecCol, "query_id", "qv")
-    val lut = array(index.books.zipWithIndex.map { case (book, mi) =>
-      val qSub = slice(col("qv"), mi * subDim + 1, subDim)
-      array(book.map(c => dot(qSub, typedlit(c))).toIndexedSeq: _*)
-    }.toIndexedSeq: _*)
-    val q = broadcast(qn.select(col("query_id"), lut.as("lut")))
+    // LUT as a mapPartitions kernel for the same reason as
+    // [[pqEncode]]: the literal-expression form costs seconds of
+    // planning per run; the closure computes the identical
+    // left-to-right dot products
+    val lutSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("lut",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false),
+          containsNull = false),
+        nullable = false)))
+    val lutEncoder = org.apache.spark.sql.Encoders.row(lutSchema)
+    val withLut = qn.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val vec = r.getSeq[Double](1)
+        val lut = Array.tabulate(m) { mi =>
+          val off = mi * subDim
+          val book = books(mi)
+          Array.tabulate(book.length) { ci =>
+            val c = book(ci)
+            var d = 0.0; var j = 0
+            while (j < subDim) { d += vec(off + j) * c(j); j += 1 }
+            d
+          }.toSeq
+        }.toSeq
+        org.apache.spark.sql.Row(id, lut)
+      }
+    }(lutEncoder)
+    val q = broadcast(withLut)
     q.crossJoin(encoded)
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
