@@ -314,7 +314,8 @@ object ExtStreamQueries {
                      CAST(SUM(CASE WHEN c.c_nationkey IS NULL THEN 1 ELSE 0 END)
                        AS BIGINT) AS n_unmatched
               FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
-              GROUP BY c.c_nationkey ORDER BY c.c_nationkey""")),
+              GROUP BY c.c_nationkey
+              ORDER BY c.c_nationkey NULLS FIRST""")),
 
     // LEFT_OUTER stream-stream interval join under the gate — the
     // subtle half of the contract the inner row can't see: a click
