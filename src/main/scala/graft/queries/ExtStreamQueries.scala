@@ -34,6 +34,27 @@ object ExtStreamQueries {
     */
   private val runSeq = new AtomicLong()
 
+  /** Fresh sink name for `base`, RELEASING the previous run's sink of
+    * the same query first. A memory sink's settled rows live in the
+    * driver for as long as its temp view stays registered, and Bench
+    * replays every row up to 6× (2 warm + up to 4 timed) in one JVM —
+    * leaving each replay's full output registered retains, at @32,
+    * several GB of dead sink rows (the enrich sink alone is 3.2 M
+    * enriched events per replay). That accumulation OOM-killed an
+    * executor thread mid-@32-run and took the whole SparkContext with
+    * it (local mode: an uncaught OOM on any task thread stops the
+    * context). Dropping at the START of the next run — never at the
+    * end of the current one — keeps the contract that the caller
+    * consumes the returned DataFrame (which reads the sink lazily)
+    * before invoking the query again, which both Verify and Bench do.
+    */
+  private val lastSink = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def freshSink(s: org.apache.spark.sql.SparkSession, base: String): String = {
+    val name = s"${base}_${runSeq.incrementAndGet()}"
+    Option(lastSink.put(base, name)).foreach(s.catalog.dropTempView(_))
+    name
+  }
+
   val all: Seq[Declared] = Seq(
 
     // Streaming ingest dedup ([[StreamingQueries.incrementalDedup]])
@@ -70,7 +91,7 @@ object ExtStreamQueries {
           .withColumn("ts", timestamp_millis(col("doc_id") + 86400000L))
         val kept = StreamingQueries.incrementalDedup(stream, store,
           watermark = "365 days") // AvailableNow replay: nothing expires
-        val sink = s"graft_stream_dedup_${runSeq.incrementAndGet()}"
+        val sink = freshSink(s, "graft_stream_dedup")
         val q = kept.writeStream.format("memory").queryName(sink)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
@@ -116,7 +137,7 @@ object ExtStreamQueries {
         val stream = Tables.loadStream(s, d, "events")
         val agg = StreamingQueries.tumblingWindow(stream,
           every = "1 hour", watermark = "30 minutes")
-        val sink = s"graft_stream_window_${runSeq.incrementAndGet()}"
+        val sink = freshSink(s, "graft_stream_window")
         val q = agg.writeStream.format("memory").queryName(sink)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
@@ -159,7 +180,7 @@ object ExtStreamQueries {
           .select(col("user_id").cast("string").as("key"), col("ts"))
         val sess = Sessionize.sessions(stream, gapMs = 1800000L,
           watermark = "30 minutes")
-        val sink = s"graft_stream_sessionize_${runSeq.incrementAndGet()}"
+        val sink = freshSink(s, "graft_stream_sessionize")
         val q = sess.writeStream.format("memory").queryName(sink)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
@@ -217,7 +238,7 @@ object ExtStreamQueries {
         val joined = StreamingQueries.intervalJoin(
           clicks, purchases, Seq("user_id"), "ts", "ts",
           lowerMs = 0L, upperMs = 21600000L, watermark = "30 minutes")
-        val sink = s"graft_stream_ij_${runSeq.incrementAndGet()}"
+        val sink = freshSink(s, "graft_stream_ij")
         val q = joined.writeStream.format("memory").queryName(sink)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
@@ -262,7 +283,7 @@ object ExtStreamQueries {
       (s, d) => {
         val stream = Tables.loadStream(s, d, "documents")
         val wc = StreamingQueries.wordCount(stream, "text")
-        val sink = s"graft_stream_wc_${runSeq.incrementAndGet()}"
+        val sink = freshSink(s, "graft_stream_wc")
         val q = wc.writeStream.format("memory").queryName(sink)
           .outputMode("complete").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
@@ -294,7 +315,7 @@ object ExtStreamQueries {
         val dim = Tables.customer(s, d)
           .select(col("c_custkey").as("user_id"), col("c_nationkey"))
         val enriched = StreamingQueries.enrich(ev, dim, Seq("user_id"))
-        val sink = s"graft_stream_enrich_${runSeq.incrementAndGet()}"
+        val sink = freshSink(s, "graft_stream_enrich")
         val q = enriched.writeStream.format("memory").queryName(sink)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
@@ -351,7 +372,7 @@ object ExtStreamQueries {
           clicks, purchases, Seq("user_id"), "ts", "ts",
           lowerMs = 0L, upperMs = 21600000L, watermark = "30 minutes",
           joinType = "left_outer")
-        val sink = s"graft_stream_ijl_${runSeq.incrementAndGet()}"
+        val sink = freshSink(s, "graft_stream_ijl")
         val q = joined.writeStream.format("memory").queryName(sink)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
