@@ -81,4 +81,63 @@ object Graph {
     nodesWedges.crossJoin(nEdges).crossJoin(triangles)
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"))
   }
+
+  /** Integer-exact PageRank over the undirected graph: (node, pr)
+    * after `iters` synchronous iterations, every value a BIGINT.
+    *
+    * The use here is dedup-policy centrality: in a near-dup pair
+    * graph, PageRank concentrates on the docs that bridge many
+    * near-dup neighborhoods — a survivor-selection signal (keep the
+    * most central representative) and a hub diagnostic (one template
+    * doc gluing unrelated clusters shows up as a rank outlier)
+    * complementing [[triangleStats]]'s global transitivity.
+    *
+    * Arithmetic contract: ranks are fixed-point integers (`scale` =
+    * 1.0) and every operation is integer multiply / floor-divide /
+    * sum — r′(v) = (15·scale) div 100 + (85 · Σ_{u∈N(v)} r(u) div
+    * d(u)) div 100 — so the result is bit-identical across engines,
+    * partitionings, and summation orders (integer addition commutes;
+    * doubles would make the gate flap on reduction order). Floor
+    * division loses ≤1 unit of mass per edge per iteration —
+    * irrelevant at scale=1e9 for a RANKING — and both engines floor
+    * identically on the all-positive values.
+    *
+    * Scale shape: the symmetrized (src, dst, d) edge relation is
+    * built once and [[PlanCache]]-persisted (it is the big side,
+    * re-read every iteration); each iteration is ONE equi-join of the
+    * O(V) rank relation onto it plus one groupBy(dst) — the canonical
+    * O(E)-per-iteration bulk-iterative shape, partial-aggregated
+    * map-side. Teleport needs no separate all-nodes union because the
+    * symmetrized graph gives every node an in-edge. `iters` is small
+    * and fixed, so the rank lineage stays `iters` joins deep — a
+    * 1000-executor deployment running tens of iterations would
+    * checkpoint ranks every few rounds instead; at 5 the re-plan is
+    * cheaper than 5 persists of a V-row frame.
+    *
+    * Isolated docs (no candidate pair) never enter the graph and
+    * carry no rank — the caller's join decides their default.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int = 5, scale: Long = 1000000000L,
+               cacheTag: String = "graph/pagerank"): DataFrame = {
+    require(iters >= 1, s"iters=$iters: need at least one iteration")
+    val sym = PlanCache.cached(s"$cacheTag/$srcCol/$dstCol", edges) { df =>
+      val e = canonicalEdges(df, srcCol, dstCol)
+      val both = e.select(col("a").as("src"), col("b").as("dst"))
+        .union(e.select(col("b").as("src"), col("a").as("dst")))
+      val deg = both.groupBy("src").agg(count(lit(1)).as("d"))
+      both.join(deg, "src")
+    }
+    val teleport = (15L * scale) / 100L
+    var ranks = sym.select(col("src").as("v")).distinct()
+      .withColumn("r", lit(scale))
+    for (_ <- 1 to iters) {
+      ranks = sym.join(ranks, sym("src") === ranks("v"))
+        .select(col("dst"), expr("r div d").as("c"))
+        .groupBy("dst")
+        .agg((lit(teleport) + expr("(85 * sum(c)) div 100")).as("r"))
+        .select(col("dst").as("v"), col("r"))
+    }
+    ranks.select(col("v").as("node"), col("r").as("pr"))
+  }
 }

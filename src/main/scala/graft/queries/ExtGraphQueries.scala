@@ -55,6 +55,56 @@ object ExtGraphQueries {
                SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
                       (SELECT COUNT(*) FROM e) AS n_edges,
                       (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
-                      (SELECT n_triangles FROM tri) AS n_triangles"""))
+                      (SELECT n_triangles FROM tri) AS n_triangles""")),
+
+    // Integer-exact PageRank ([[Graph.pageRank]]) over the same
+    // MinHash-LSH candidate graph: 5 synchronous iterations of
+    // fixed-point (scale=1e9) floor-div arithmetic — centrality as a
+    // survivor-selection / hub-diagnostic signal on the near-dup
+    // graph. Every value is a BIGINT produced by integer ops only, so
+    // the full per-node rank VECTOR is hash-gateable (no float
+    // reduction-order noise to project away); the oracle unrolls the
+    // same five iterations as CTEs over the shared candidate-graph
+    // formulation. The candidate relation is the same PlanCache'd
+    // artifact triangles/lsh_verified use — one generation, N
+    // consumers.
+    Declared(
+      "ext_graph_pagerank",
+      (s, d) => {
+        val cands = Dedup.minhashLshCandidates(Tables.documents(s, d),
+          "doc_id", "text", k = 16, rowsPerBand = 4, maxBucket = MaxBucket)
+        Graph.pageRank(cands, "doc_a", "doc_b", iters = 5)
+          .orderBy("node")
+      },
+      Some(s"""WITH $minhashSigCte,
+               okb AS (
+                 SELECT band, sig FROM sigs
+                 GROUP BY band, sig HAVING COUNT(*) <= $MaxBucket),
+               sig2 AS (SELECT sigs.* FROM sigs JOIN okb USING (band, sig)),
+               e AS (
+                 SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+                 FROM sig2 a JOIN sig2 b
+                   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+               ed AS (SELECT a AS src, b AS dst FROM e
+                      UNION ALL SELECT b AS src, a AS dst FROM e),
+               dg AS (SELECT src, COUNT(*) AS d FROM ed GROUP BY src),
+               edd AS (SELECT ed.src, ed.dst, dg.d FROM ed JOIN dg USING (src)),
+               r0 AS (SELECT src AS v, CAST(1000000000 AS BIGINT) AS r FROM dg),
+               r1 AS (SELECT edd.dst AS v,
+                             CAST(150000000 + (85 * SUM(r0.r // edd.d)) // 100 AS BIGINT) AS r
+                      FROM edd JOIN r0 ON edd.src = r0.v GROUP BY edd.dst),
+               r2 AS (SELECT edd.dst AS v,
+                             CAST(150000000 + (85 * SUM(r1.r // edd.d)) // 100 AS BIGINT) AS r
+                      FROM edd JOIN r1 ON edd.src = r1.v GROUP BY edd.dst),
+               r3 AS (SELECT edd.dst AS v,
+                             CAST(150000000 + (85 * SUM(r2.r // edd.d)) // 100 AS BIGINT) AS r
+                      FROM edd JOIN r2 ON edd.src = r2.v GROUP BY edd.dst),
+               r4 AS (SELECT edd.dst AS v,
+                             CAST(150000000 + (85 * SUM(r3.r // edd.d)) // 100 AS BIGINT) AS r
+                      FROM edd JOIN r3 ON edd.src = r3.v GROUP BY edd.dst),
+               r5 AS (SELECT edd.dst AS v,
+                             CAST(150000000 + (85 * SUM(r4.r // edd.d)) // 100 AS BIGINT) AS r
+                      FROM edd JOIN r4 ON edd.src = r4.v GROUP BY edd.dst)
+               SELECT v AS node, r AS pr FROM r5 ORDER BY node"""))
   )
 }

@@ -338,6 +338,41 @@ object ExtStreamQueries {
               GROUP BY c.c_nationkey
               ORDER BY c.c_nationkey NULLS FIRST""")),
 
+    // UPDATE-mode streaming aggregation under the gate — the third
+    // and last output mode (r10 gated APPEND's watermark-held
+    // emission, ext_stream_wordcount gated COMPLETE's full rewrite).
+    // Update emits a (window, type) group every trigger its RUNNING
+    // aggregate changes in — without waiting for the watermark to
+    // seal the window (append's contract) and without rewriting
+    // unchanged groups (complete's contract). So the settled sink
+    // holds one row per (group, changed-batch); n is strictly
+    // monotone within a group (a group re-emits only when new events
+    // arrive), so the max-n row per group IS its final state, and
+    // that must equal the full batch aggregation with NO watermark
+    // filter — the sink's inclusion of the last partial windows
+    // (exactly the rows append held back) is what distinguishes the
+    // two modes in data, not just config. Per-group emission COUNTS
+    // are microbatch-layout-dependent (how the file source splits
+    // the replay) and deliberately not pinned.
+    Declared(
+      "ext_stream_update",
+      (s, d) => {
+        val stream = Tables.loadStream(s, d, "events")
+        val agg = StreamingQueries.tumblingWindow(stream,
+          every = "1 hour", watermark = "30 minutes")
+        val sink = freshSink(s, "graft_stream_update")
+        val q = agg.writeStream.format("memory").queryName(sink)
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(sink).groupBy("h", "event_type")
+          .agg(max(col("n")).as("n"), max_by(col("v"), col("n")).as("v"))
+          .orderBy("h", "event_type")
+      },
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
+                     event_type, COUNT(*) AS n,
+                     ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS v
+              FROM events GROUP BY 1, 2 ORDER BY h, event_type""")),
+
     // LEFT_OUTER stream-stream interval join under the gate — the
     // subtle half of the contract the inner row can't see: a click
     // that never matched must surface as a NULL-padded row, but only

@@ -83,4 +83,56 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(d == Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
   }
+
+  /** The exact integer recurrence restated in ~10 lines of driver
+    * Scala — a genuinely independent implementation (Map fold vs
+    * distributed join/agg) that must agree BIT-FOR-BIT because the
+    * arithmetic contract is integer-only.
+    */
+  private def naivePageRank(edges: Seq[(Long, Long)], iters: Int,
+                            scale: Long): Map[Long, Long] = {
+    val canon = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val adj = (canon ++ canon.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    val teleport = 15L * scale / 100L
+    var r = deg.keys.map(_ -> scale).toMap
+    for (_ <- 1 to iters) {
+      val contrib = adj.toSeq.flatMap { case (u, vs) =>
+        vs.map(v => v -> r(u) / deg(u))
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      r = contrib.map { case (v, s) => v -> (teleport + 85L * s / 100L) }
+    }
+    r
+  }
+
+  test("pageRank matches the naive integer recurrence bit-for-bit") {
+    // a barbell: two triangles bridged by one edge, plus a pendant —
+    // asymmetric degrees so ranks genuinely differ across nodes
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L), (6L, 7L))
+    val got = Graph.pageRank(edges.toDF("s", "t"), "s", "t",
+        iters = 5, cacheTag = "spec/pr-barbell")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = naivePageRank(edges, iters = 5, scale = 1000000000L)
+    assert(got == want, s"got $got\nwant $want")
+    // bridge/hub nodes 3 and 4 must outrank the pendant 7
+    assert(got(3L) > got(7L) && got(4L) > got(7L))
+  }
+
+  test("pageRank is orientation- and duplicate-insensitive") {
+    val clean = Seq((1L, 2L), (2L, 3L)).toDF("s", "t")
+    val messy = Seq((2L, 1L), (1L, 2L), (3L, 2L), (2L, 3L), (2L, 2L))
+      .toDF("s", "t")
+    val a = Graph.pageRank(clean, "s", "t", iters = 3,
+      cacheTag = "spec/pr-clean").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Graph.pageRank(messy, "s", "t", iters = 3,
+      cacheTag = "spec/pr-messy").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+    // symmetric path endpoints tie exactly (integer arithmetic: a
+    // float implementation could break the tie by summation order)
+    val m = a.toMap
+    assert(m(1L) == m(3L))
+  }
 }
