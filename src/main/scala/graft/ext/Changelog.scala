@@ -1,0 +1,78 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Corpus versioning: apply a keyed changelog to a snapshot (CDC
+  * merge / upsert) and diff two snapshot versions — the operators an
+  * incrementally-maintained training corpus needs between full
+  * rebuilds. Nothing here is reference-derived (the reference
+  * regenerates outputs whole, `/root/reference/src/mr/worker.go`);
+  * both are standard warehouse semantics re-expressed Spark-first.
+  */
+object Changelog {
+
+  /** Merge a changelog into a snapshot: for each key, the log's
+    * LATEST entry (by `seqCols`, compared lexicographically) wins —
+    * an `op == deleteOp` entry removes the key, anything else
+    * replaces (or inserts) the row's payload; keys the log never
+    * touches pass through from the snapshot.
+    *
+    * Contract: `log` carries every non-key column of `snapshot`
+    * (the post-image payload) plus `opCol` and `seqCols`; the seq
+    * tuple is UNIQUE per key (a commit timestamp + a change id) and
+    * non-null — ties would make "latest" arbitrary per run.
+    *
+    * Scale shape: latest-per-key is `groupBy(key).agg(max_by(payload,
+    * seq))`, which partial-aggregates MAP-SIDE — a key changed a
+    * million times in the log collapses before the exchange (the
+    * window row_number formulation would serialize all million into
+    * one sorted partition; see [[Dedup.incrementalExact]]'s trade-off
+    * note for the same fork). The snapshot crosses ONE anti-join on
+    * the key; with a typical log (≪ snapshot), the reduced latest
+    * relation broadcasts under AQE and the 100 TB snapshot never
+    * shuffles at all. The union is shuffle-free.
+    */
+  def applyLog(snapshot: DataFrame, log: DataFrame, keyCol: String,
+               opCol: String, seqCols: Seq[String],
+               deleteOp: String = "D"): DataFrame = {
+    require(seqCols.nonEmpty, "applyLog needs at least one seq column")
+    val payload = snapshot.columns.toIndexedSeq.filterNot(_ == keyCol)
+    payload.foreach(c => require(log.columns.contains(c),
+      s"log is missing snapshot payload column $c"))
+    val carried = payload :+ opCol
+    val latest = log
+      .groupBy(col(keyCol))
+      .agg(max_by(struct(carried.map(col): _*),
+        struct(seqCols.toIndexedSeq.map(col): _*)).as("__m"))
+      .select(col(keyCol) +: carried.map(c => col(s"__m.$c").as(c)): _*)
+    val untouched = snapshot.join(latest.select(keyCol), Seq(keyCol), "left_anti")
+    untouched.unionByName(
+      latest.where(col(opCol) =!= deleteOp).drop(opCol))
+  }
+
+  /** Diff two snapshot versions by key: one row per key present in
+    * either side, `status` ∈ added (only in `b`) / removed (only in
+    * `a`) / changed / unchanged. `contentFp` is a fingerprint
+    * expression over each side's own columns (e.g.
+    * `Hashing.h60(col("text"))`) — equality of fingerprints is the
+    * "unchanged" test, so rows compare by an 8-byte value and the
+    * content itself NEVER crosses the exchange: the full-outer join
+    * shuffles (key, fp) pairs only, the same
+    * fingerprints-not-payload discipline as
+    * [[Dedup.exactByFingerprint]]. One shuffle total, both sides
+    * map-side-hashed.
+    */
+  def diff(a: DataFrame, b: DataFrame, keyCol: String,
+           contentFp: Column, statusCol: String = "status"): DataFrame = {
+    val fa = a.select(col(keyCol).as("__k"), contentFp.as("__fa"))
+    val fb = b.select(col(keyCol).as("__k"), contentFp.as("__fb"))
+    fa.join(fb, Seq("__k"), "full_outer")
+      .select(col("__k").as(keyCol),
+        when(col("__fa").isNull, lit("added"))
+          .when(col("__fb").isNull, lit("removed"))
+          .when(col("__fa") === col("__fb"), lit("unchanged"))
+          .otherwise(lit("changed")).as(statusCol))
+  }
+}

@@ -245,4 +245,44 @@ object TimeJoin {
       else joined.union(padded).drop("__lid")
     }
   }
+
+  /** Fixed-grid resampling with gap fill: aggregate `df` per
+    * (`keyCols`, `everySeconds`-wide epoch bucket), then densify each
+    * key's series to EVERY bucket between its first and last — gap
+    * buckets appear with null aggregates (callers coalesce to their
+    * fill values; the lib cannot know what "zero" means per agg).
+    * The bucket lands in `bucketCol` as epoch SECONDS (a long):
+    * integer grid arithmetic is exact and engine-portable, and the
+    * caller formats for display. Sub-second parts cannot move a row
+    * across a bucket edge (buckets are whole-second multiples).
+    *
+    * Scale shape: the ONE full shuffle is the aggregation itself
+    * (map-side partial combine on (key, bucket)); everything after
+    * runs on the aggregated relation — the span extremes are a
+    * second, much smaller agg, and the grid explode emits exactly
+    * O(keys × span/every) rows. That product is the contract to
+    * watch: a single key spanning years at a 1-second grid densifies
+    * to tens of millions of rows BY DESIGN (gap fill means
+    * materializing the gaps) — pick `everySeconds` against the span,
+    * not against the row count. The final left join pairs two
+    * post-agg relations; AQE picks a broadcast when either fits.
+    */
+  def resample(df: DataFrame, keyCols: Seq[String], tsCol: String,
+               everySeconds: Long, aggs: Seq[Column],
+               bucketCol: String = "bucket_s"): DataFrame = {
+    require(everySeconds > 0, s"everySeconds=$everySeconds must be positive")
+    require(aggs.nonEmpty, "resample needs at least one aggregate")
+    val keys = keyCols.toIndexedSeq.map(col)
+    // integer floor-div end to end (see band's doc for why not `/`);
+    // DuckDB twin: (epoch_us(ts) // (every*1000000)) * every
+    val b = (band(unix_millis(col(tsCol)), everySeconds * 1000L) *
+      everySeconds).as(bucketCol)
+    val agged = df.groupBy(keys :+ b: _*).agg(aggs.head, aggs.tail: _*)
+    val span = agged.groupBy(keys: _*)
+      .agg(min(bucketCol).as("__lo"), max(bucketCol).as("__hi"))
+    val grid = span.select(keys :+
+      explode(sequence(col("__lo"), col("__hi"), lit(everySeconds)))
+        .as(bucketCol): _*)
+    grid.join(agged, keyCols :+ bucketCol, "left")
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Curation, Dedup, Graph, Multimodal, PlanCache, Sampling, Search, Similarity, Skew, Stats, TextStats, TimeJoin}
+import graft.ext.{Changelog, Curation, Dedup, Graph, Hashing, Multimodal, PlanCache, Sampling, Search, Similarity, Skew, Stats, TextStats, TimeJoin}
 import org.apache.spark.sql.functions._
 
 import ExtShared._
@@ -527,7 +527,97 @@ object ExtPipelineQueries {
               SELECT lang, bin, COUNT(*) AS n_docs,
                      CAST(SUM(n_chars) AS BIGINT) AS chars,
                      CAST('0x' || substr(md5(string_agg(text, ' ' ORDER BY doc_id)), 1, 15) AS BIGINT) AS text_h
-              FROM b GROUP BY lang, bin ORDER BY lang, bin"""))
-  
+              FROM b GROUP BY lang, bin ORDER BY lang, bin""")),
+
+    // CDC merge ([[Changelog.applyLog]]): a changelog derived from
+    // the events stream (key = user_id + 1450, so the log spans
+    // updates to existing customers AND inserts past the snapshot's
+    // key range; latest 'error' event ⇒ delete) applied to the
+    // customer snapshot. Latest-per-key is max_by over the (ts,
+    // event_id) seq — partial-aggregated map-side, so a
+    // million-change hot key collapses before the exchange — and the
+    // snapshot crosses exactly one anti-join. The full merged table
+    // is the gated output (balances as cents), so insert, update,
+    // delete, and passthrough rows are all pinned by value.
+    Declared(
+      "ext_pipeline_merge",
+      (s, d) => {
+        val snap = Tables.customer(s, d)
+        val k = col("user_id") + 1450
+        val log = Tables.events(s, d).select(
+          k.as("c_custkey"),
+          concat(lit("u"), k.cast("string")).as("c_name"),
+          (k % 25).cast("int").as("c_nationkey"),
+          col("value").as("c_acctbal"),
+          col("event_type").as("c_mktsegment"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"),
+          col("ts"), col("event_id"))
+        Changelog.applyLog(snap, log, "c_custkey", "op", Seq("ts", "event_id"))
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+            round(col("c_acctbal") * 100).cast("long").as("bal_cents"),
+            col("c_mktsegment"))
+          .orderBy("c_custkey")
+      },
+      Some("""WITH log AS (
+                SELECT user_id + 1450 AS k,
+                       'u' || CAST(user_id + 1450 AS VARCHAR) AS c_name,
+                       CAST((user_id + 1450) % 25 AS INTEGER) AS c_nationkey,
+                       value AS c_acctbal, event_type AS c_mktsegment,
+                       CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                       ts, event_id
+                FROM events),
+              latest AS (
+                SELECT k, c_name, c_nationkey, c_acctbal, c_mktsegment, op FROM (
+                  SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+                    ORDER BY ts DESC, event_id DESC) AS rn FROM log)
+                WHERE rn = 1),
+              merged AS (
+                SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal,
+                       c.c_mktsegment
+                FROM customer c ANTI JOIN latest l ON c.c_custkey = l.k
+                UNION ALL
+                SELECT k, c_name, c_nationkey, c_acctbal, c_mktsegment
+                FROM latest WHERE op <> 'D')
+              SELECT c_custkey, c_name, c_nationkey,
+                     CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+                     c_mktsegment
+              FROM merged ORDER BY c_custkey""")),
+
+    // Snapshot diff ([[Changelog.diff]]): version B of the documents
+    // corpus is a deterministic perturbation of version A (doc_id %
+    // 13 removed, % 7 text-modified, % 11 re-added under shifted
+    // ids), and the diff labels every key added / removed / changed /
+    // unchanged. Rows compare by 8-byte content fingerprints computed
+    // map-side — the one shuffle carries (key, fp) pairs, never text;
+    // the full labeled table is the gated output.
+    Declared(
+      "ext_pipeline_snapshot_diff",
+      (s, d) => {
+        val a = Tables.documents(s, d).select("doc_id", "text")
+        val b = a.where(col("doc_id") % 13 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")))
+          .unionByName(a.where(col("doc_id") % 11 === 0)
+            .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+        Changelog.diff(a, b, "doc_id", Hashing.h60(col("text")))
+          .orderBy("doc_id")
+      },
+      Some("""WITH a AS (SELECT doc_id, text FROM documents),
+              b AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+                FROM documents WHERE doc_id % 13 <> 0
+                UNION ALL
+                SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 11 = 0),
+              fa AS (SELECT doc_id, CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS f FROM a),
+              fb AS (SELECT doc_id, CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS f FROM b)
+              SELECT COALESCE(fa.doc_id, fb.doc_id) AS doc_id,
+                     CASE WHEN fa.f IS NULL THEN 'added'
+                          WHEN fb.f IS NULL THEN 'removed'
+                          WHEN fa.f = fb.f THEN 'unchanged'
+                          ELSE 'changed' END AS status
+              FROM fa FULL OUTER JOIN fb ON fa.doc_id = fb.doc_id
+              ORDER BY doc_id"""))
   )
 }

@@ -434,6 +434,45 @@ object ExtRelQueries {
                          ORDER BY CAST(round(value * 100) AS BIGINT) DESC, event_id) AS rk
                 FROM events)
               SELECT event_type, rk, event_id, cents FROM v
-              WHERE rk <= 5 ORDER BY event_type, rk"""))
+              WHERE rk <= 5 ORDER BY event_type, rk""")),
+
+    // Fixed-grid resampling with gap fill ([[TimeJoin.resample]]):
+    // the rare high-value slice (value ≥ 200, ~1.7 k of 100 k events
+    // at sf0.1) on a 15-minute grid — most grid cells are EMPTY, so
+    // the row pins the densification itself (every 900 s cell between
+    // each type's first and last event, zero-filled), not just the
+    // aggregation. Buckets are integer epoch floor-div end to end
+    // (band()); the one full shuffle is the partial-agged groupBy,
+    // everything downstream is post-agg-sized.
+    Declared(
+      "ext_rel_resample",
+      (s, d) => {
+        val ev = Tables.events(s, d).where(col("value") >= 200)
+        TimeJoin.resample(ev, Seq("event_type"), "ts", 900L,
+            Seq(count(lit(1)).as("n"),
+              FixedPoint.sumCents(col("value")).as("__c")))
+          .select(col("event_type"),
+            date_format(timestamp_seconds(col("bucket_s")),
+              "yyyy-MM-dd HH:mm:ss").as("h"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            FixedPoint.outCents(coalesce(col("__c"), lit(0L))).as("v"))
+          .orderBy("event_type", "h")
+      },
+      Some("""WITH f AS (SELECT * FROM events WHERE value >= 200),
+              a AS (SELECT event_type,
+                           (epoch_us(ts) // 900000000) * 900 AS b,
+                           COUNT(*) AS n,
+                           SUM(CAST(round(value*100) AS BIGINT)) AS c
+                    FROM f GROUP BY 1, 2),
+              s AS (SELECT event_type, MIN(b) AS lo, MAX(b) AS hi
+                    FROM a GROUP BY 1),
+              g AS (SELECT event_type, unnest(generate_series(lo, hi, 900)) AS b
+                    FROM s)
+              SELECT g.event_type,
+                     strftime(make_timestamp(g.b * 1000000), '%Y-%m-%d %H:%M:%S') AS h,
+                     COALESCE(n, 0) AS n,
+                     ROUND(CAST(COALESCE(c, 0) AS DOUBLE)/100.0, 2) AS v
+              FROM g LEFT JOIN a USING (event_type, b)
+              ORDER BY event_type, h"""))
   )
 }
