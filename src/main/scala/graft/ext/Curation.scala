@@ -130,6 +130,33 @@ object Curation {
     train.join(contaminated, col(idCol) === col("__contam_id"), "left_anti")
   }
 
+  /** Graded contamination: per train doc, how many of its distinct
+    * `n`-grams appear in the eval suite — (doc_id, n_grams, n_hit).
+    * [[decontaminate]]'s binary drop is the right default for eval
+    * integrity; the SCORE is the audit view that ranks what the drop
+    * would remove (n_hit/n_grams ≈ 1 is a verbatim leak, a low ratio
+    * is shared boilerplate) and feeds threshold tuning. Both counts
+    * stay integers — the caller divides. Docs shorter than `n` tokens
+    * emit no grams and no row.
+    *
+    * Scale shape: same PlanCache-shared relations as the drop paths
+    * (one corpus gram scan serves drop + Bloom + score), one distinct
+    * exchange on (doc_id, gram), then a broadcast left join against
+    * the eval gram set and a partial-aggregated count — no corpus
+    * text past the gram hasher, no second shuffle.
+    */
+  def contaminationScore(train: DataFrame, idCol: String, textCol: String,
+                         eval: DataFrame, evalTextCol: String,
+                         n: Int = 8): DataFrame = {
+    val evalGrams = sharedEvalGrams(eval, evalTextCol, n)
+    val dg = sharedTrainGrams(train, idCol, textCol, n)
+      .select("doc_id", "__g").distinct()
+    dg.join(evalGrams.select(col("__g"), lit(1L).as("__h")), Seq("__g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__h"), lit(0L))).as("n_hit"))
+  }
+
   /** The train-side gram relation, PlanCache-shared keyed on (input
     * plan, n): the exact and Bloom decontamination paths both probe
     * THE SAME (doc_id, gram-hash) relation — a pipeline that runs

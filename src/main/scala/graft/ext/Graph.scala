@@ -140,4 +140,54 @@ object Graph {
     }
     ranks.select(col("v").as("node"), col("r").as("pr"))
   }
+
+  /** k-core peeling: `rounds` synchronous rounds of "drop every node
+    * whose degree in the surviving induced subgraph is < k", returning
+    * the survivors with their induced-subgraph degrees (node, deg).
+    * The k-core — the maximal subgraph where everyone keeps ≥ k
+    * neighbors — is the near-dup graph's "dense boilerplate nucleus"
+    * detector: template/spam families survive peeling, incidental
+    * pairs fall away round by round (a node can start ≥ k and die in
+    * round 2 because its round-1 neighbors died — the propagation is
+    * the operator). `rounds` is a fixed unroll, not
+    * run-to-convergence: emitted degrees < k mean "not yet
+    * converged", visible in the output rather than hidden; a
+    * production caller loops with a driver-side changed-count check
+    * (one O(1) action per round) until stable.
+    *
+    * Scale shape: the peel does NOT grow lineage exponentially even
+    * though each round consumes its own output twice (degree side +
+    * filter side) — every round's survivor set is an O(V) node list
+    * pinned as a [[PlanCache.checkpointed]] LEAF (keyed on the input
+    * plan + every parameter + the round index), so round i's plan is
+    * always {canonical-edge cache ⋈ leaf ⋈ leaf → agg}, constant
+    * depth. Per round: two semi-joins of the O(E) edge cache against
+    * the node list (broadcast when it fits) + one partial-aggregated
+    * degree count — the same O(E)-per-iteration bulk shape as
+    * [[pageRank]].
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+            k: Int, rounds: Int,
+            cacheTag: String = "graph/kcore"): DataFrame = {
+    require(k >= 1, s"k=$k: need at least 1")
+    require(rounds >= 1, s"rounds=$rounds: need at least one peel")
+    val e0 = PlanCache.cached(s"$cacheTag/canon/$srcCol/$dstCol", edges)(
+      canonicalEdges(_, srcCol, dstCol))
+    def induced(alive: Option[DataFrame]): DataFrame = alive match {
+      case None => e0
+      case Some(nodes) =>
+        e0.join(nodes.select(col("node").as("a")), Seq("a"), "left_semi")
+          .join(nodes.select(col("node").as("b")), Seq("b"), "left_semi")
+    }
+    var alive: Option[DataFrame] = None
+    for (i <- 1 to rounds) {
+      val prev = alive
+      alive = Some(PlanCache.checkpointed(
+        s"$cacheTag/$srcCol/$dstCol/k$k/round$i", edges) { _ =>
+          degreesOf(induced(prev), "d")
+            .where(col("d") >= k).select("node")
+        })
+    }
+    degreesOf(induced(alive), "deg")
+  }
 }

@@ -264,12 +264,16 @@ object TimeJoin {
     * watch: a single key spanning years at a 1-second grid densifies
     * to tens of millions of rows BY DESIGN (gap fill means
     * materializing the gaps) — pick `everySeconds` against the span,
-    * not against the row count. The final left join pairs two
-    * post-agg relations; AQE picks a broadcast when either fits.
+    * not against the row count. The aggregated relation feeds BOTH
+    * the span branch and the join, so it is [[PlanCache]]-pinned
+    * (keyed on the input plan + every shaping parameter) rather than
+    * scanned twice; the final left join pairs two post-agg
+    * relations, and AQE picks a broadcast when either fits.
     */
   def resample(df: DataFrame, keyCols: Seq[String], tsCol: String,
                everySeconds: Long, aggs: Seq[Column],
-               bucketCol: String = "bucket_s"): DataFrame = {
+               bucketCol: String = "bucket_s",
+               cacheTag: String = "timejoin/resample"): DataFrame = {
     require(everySeconds > 0, s"everySeconds=$everySeconds must be positive")
     require(aggs.nonEmpty, "resample needs at least one aggregate")
     val keys = keyCols.toIndexedSeq.map(col)
@@ -277,7 +281,10 @@ object TimeJoin {
     // DuckDB twin: (epoch_us(ts) // (every*1000000)) * every
     val b = (band(unix_millis(col(tsCol)), everySeconds * 1000L) *
       everySeconds).as(bucketCol)
-    val agged = df.groupBy(keys :+ b: _*).agg(aggs.head, aggs.tail: _*)
+    val aggedTag = (Seq(cacheTag, tsCol, everySeconds.toString, bucketCol) ++
+      keyCols ++ aggs.map(_.toString)).mkString("/")
+    val agged = PlanCache.cached(aggedTag, df)(
+      _.groupBy(keys :+ b: _*).agg(aggs.head, aggs.tail: _*))
     val span = agged.groupBy(keys: _*)
       .agg(min(bucketCol).as("__lo"), max(bucketCol).as("__hi"))
     val grid = span.select(keys :+

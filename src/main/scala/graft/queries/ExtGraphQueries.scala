@@ -105,6 +105,56 @@ object ExtGraphQueries {
                r5 AS (SELECT edd.dst AS v,
                              CAST(150000000 + (85 * SUM(r4.r // edd.d)) // 100 AS BIGINT) AS r
                       FROM edd JOIN r4 ON edd.src = r4.v GROUP BY edd.dst)
-               SELECT v AS node, r AS pr FROM r5 ORDER BY node"""))
+               SELECT v AS node, r AS pr FROM r5 ORDER BY node""")),
+
+    // k-core peeling ([[Graph.kCore]], k=3, 3 synchronous rounds) over
+    // the same shared candidate graph: the dense-nucleus detector —
+    // template/boilerplate families keep ≥3 near-dup neighbors through
+    // every peel, incidental pairs cascade out (at sf0.01 the rounds
+    // remove 20 → 4 → 1 nodes: the CASCADE, not just the first filter,
+    // is what the row pins). Output is every survivor with its
+    // induced-subgraph degree — all integers, hash-gated; the oracle
+    // unrolls the three peels as semi-join CTEs.
+    Declared(
+      "ext_graph_kcore",
+      (s, d) => {
+        val cands = Dedup.minhashLshCandidates(Tables.documents(s, d),
+          "doc_id", "text", k = 16, rowsPerBand = 4, maxBucket = MaxBucket)
+        Graph.kCore(cands, "doc_a", "doc_b", k = 3, rounds = 3)
+          .orderBy("node")
+      },
+      Some(s"""WITH $minhashSigCte,
+               okb AS (
+                 SELECT band, sig FROM sigs
+                 GROUP BY band, sig HAVING COUNT(*) <= $MaxBucket),
+               sig2 AS (SELECT sigs.* FROM sigs JOIN okb USING (band, sig)),
+               e AS (
+                 SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+                 FROM sig2 a JOIN sig2 b
+                   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+               d1 AS (SELECT node, COUNT(*) AS d FROM (
+                        SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+                      GROUP BY node),
+               a1 AS (SELECT node FROM d1 WHERE d >= 3),
+               e1 AS (SELECT e.a, e.b FROM e
+                      SEMI JOIN a1 x ON e.a = x.node
+                      SEMI JOIN a1 y ON e.b = y.node),
+               d2 AS (SELECT node, COUNT(*) AS d FROM (
+                        SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1)
+                      GROUP BY node),
+               a2 AS (SELECT node FROM d2 WHERE d >= 3),
+               e2 AS (SELECT e1.a, e1.b FROM e1
+                      SEMI JOIN a2 x ON e1.a = x.node
+                      SEMI JOIN a2 y ON e1.b = y.node),
+               d3 AS (SELECT node, COUNT(*) AS d FROM (
+                        SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2)
+                      GROUP BY node),
+               a3 AS (SELECT node FROM d3 WHERE d >= 3),
+               e3 AS (SELECT e2.a, e2.b FROM e2
+                      SEMI JOIN a3 x ON e2.a = x.node
+                      SEMI JOIN a3 y ON e2.b = y.node)
+               SELECT node, COUNT(*) AS deg FROM (
+                 SELECT a AS node FROM e3 UNION ALL SELECT b AS node FROM e3)
+               GROUP BY node ORDER BY node"""))
   )
 }

@@ -618,6 +618,44 @@ object ExtPipelineQueries {
                           WHEN fa.f = fb.f THEN 'unchanged'
                           ELSE 'changed' END AS status
               FROM fa FULL OUTER JOIN fb ON fa.doc_id = fb.doc_id
-              ORDER BY doc_id"""))
+              ORDER BY doc_id""")),
+
+    // Graded contamination ([[Curation.contaminationScore]]): the
+    // audit view of the decontam drop — per train doc, distinct
+    // 8-gram count and how many land in the eval suite, same
+    // deterministic eval/train split as ext_pipeline_decontam. The
+    // full per-doc (n_grams, n_hit) table is the gated output (all
+    // integers); Spark counts xxhash64 gram hashes while the oracle
+    // counts gram STRINGS, so green also pins collision-free hashing
+    // at fixture scale, the same equivalence the drop rows rely on.
+    Declared(
+      "ext_pipeline_contam_score",
+      (s, d) => {
+        val b = Tables.documents(s, d)
+          .withColumn("__eb", Sampling.hashBucket(col("doc_id"), 100, "eval"))
+        val ev = b.where(col("__eb") < 5).select("doc_id", "text")
+        val tr = b.where(col("__eb") >= 5).select("doc_id", "text")
+        Curation.contaminationScore(tr, "doc_id", "text", ev, "text", n = 8)
+          .orderBy("doc_id")
+      },
+      Some("""WITH b AS (
+                SELECT doc_id, text,
+                  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'eval'), 1, 8) AS BIGINT) % 100 AS eb
+                FROM documents),
+              ev AS (SELECT doc_id, text FROM b WHERE eb < 5),
+              tr AS (SELECT doc_id, text FROM b WHERE eb >= 5),
+              evg AS (
+                SELECT DISTINCT unnest(list_transform(range(1, len(string_split(text,' ')) - 6),
+                  i -> array_to_string(string_split(text,' ')[i:i+7], ' '))) AS g
+                FROM ev),
+              trg AS (
+                SELECT DISTINCT doc_id, g FROM (
+                  SELECT doc_id, unnest(list_transform(range(1, len(string_split(text,' ')) - 6),
+                    i -> array_to_string(string_split(text,' ')[i:i+7], ' '))) AS g
+                  FROM tr))
+              SELECT doc_id, COUNT(*) AS n_grams,
+                     CAST(SUM(CASE WHEN evg.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+              FROM trg LEFT JOIN evg USING (g)
+              GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

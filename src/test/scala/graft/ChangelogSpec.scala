@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Changelog, Hashing}
+
+/** Hand-computable cases for [[graft.ext.Changelog]]: latest-wins
+  * ordering under out-of-order logs, insert/update/delete/passthrough
+  * in one merge, and every diff status from one perturbed snapshot.
+  */
+class ChangelogSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("applyLog: insert, update, delete, passthrough; latest seq wins out of order") {
+    val snap = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("k", "name", "v")
+    // key 1: updated twice, LOG ORDER is not seq order — seq 2 must win
+    // key 2: updated then deleted (latest = delete)
+    // key 4: brand-new key, inserted
+    // key 3: untouched, passes through
+    val log = Seq(
+      (1L, "a2", 11L, "U", 2L),
+      (1L, "a1", 99L, "U", 1L),
+      (2L, "b1", 21L, "U", 1L),
+      (2L, "b1", 0L, "D", 2L),
+      (4L, "d", 40L, "U", 1L))
+      .toDF("k", "name", "v", "op", "seq")
+    val out = Changelog.applyLog(snap, log, "k", "op", Seq("seq"))
+      .orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, "a2", 11L), (3L, "c", 30L), (4L, "d", 40L)))
+  }
+
+  test("applyLog: seq tuple compares lexicographically across columns") {
+    val snap = Seq((1L, 0L)).toDF("k", "v")
+    // (ts=2, id=0) beats (ts=1, id=9): the FIRST seq column dominates
+    val log = Seq((1L, 100L, "U", 1L, 9L), (1L, 200L, "U", 2L, 0L))
+      .toDF("k", "v", "op", "ts", "id")
+    val out = Changelog.applyLog(snap, log, "k", "op", Seq("ts", "id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 200L)))
+  }
+
+  test("applyLog: delete of a key absent from the snapshot leaves no row") {
+    val snap = Seq((1L, 10L)).toDF("k", "v")
+    val log = Seq((9L, 0L, "D", 1L)).toDF("k", "v", "op", "seq")
+    val out = Changelog.applyLog(snap, log, "k", "op", Seq("seq"))
+      .collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(1L))
+  }
+
+  test("applyLog rejects a log missing a payload column") {
+    val snap = Seq((1L, 10L)).toDF("k", "v")
+    val log = Seq((1L, "U", 1L)).toDF("k", "op", "seq")
+    intercept[IllegalArgumentException] {
+      Changelog.applyLog(snap, log, "k", "op", Seq("seq"))
+    }
+  }
+
+  test("diff labels added / removed / changed / unchanged") {
+    val a = Seq((1L, "same"), (2L, "old"), (3L, "gone")).toDF("id", "text")
+    val b = Seq((1L, "same"), (2L, "new"), (4L, "born")).toDF("id", "text")
+    val out = Changelog.diff(a, b, "id", Hashing.h60(col("text")))
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, "unchanged"), (2L, "changed"),
+      (3L, "removed"), (4L, "added")))
+  }
+}

@@ -198,4 +198,29 @@ class CurationSpec extends SparkSpec {
     assert(out.where(col("doc_id") === 0L).select("n_tokens")
       .head().getInt(0) == 32)
   }
+
+  test("contaminationScore counts distinct-gram overlap per doc") {
+    import spark.implicits._
+    // 2-grams; doc 1 = "a b c" has grams {ab, bc}; eval = "b c d" has
+    // {bc, cd} → 1 of 2 hit. doc 2 shares nothing. doc 3 is one token
+    // (no full-width gram) → no row.
+    val tr = Seq((1L, "a b c"), (2L, "x y z"), (3L, "a"))
+      .toDF("doc_id", "text")
+    val ev = Seq(Tuple1("b c d")).toDF("text")
+    val out = Curation.contaminationScore(tr, "doc_id", "text", ev, "text",
+        n = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L, 1L), (2L, 2L, 0L)))
+  }
+
+  test("contaminationScore: a fully-leaked doc scores n_hit == n_grams") {
+    import spark.implicits._
+    val tr = Seq((1L, "p q r s")).toDF("doc_id", "text")
+    val ev = Seq(Tuple1("o p q r s t")).toDF("text")
+    val out = Curation.contaminationScore(tr, "doc_id", "text", ev, "text",
+        n = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((3L, 3L)))
+  }
 }

@@ -135,4 +135,33 @@ class GraphSpec extends SparkSpec {
     val m = a.toMap
     assert(m(1L) == m(3L))
   }
+
+  test("kCore: the peel CASCADES — a node can die only because its neighbor died") {
+    import spark.implicits._
+    // triangle {1,2,3} + chain 3-4-5: node 4 starts at degree 2 (≥ k)
+    // and only falls below k after round 1 removes the leaf 5
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("s", "t")
+    val r1 = Graph.kCore(g, "s", "t", k = 2, rounds = 1,
+        cacheTag = "spec/kcore-r1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // after one peel: 5 gone, 4 still in — with its UNCONVERGED degree 1
+    assert(r1 == Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 1L))
+    val r2 = Graph.kCore(g, "s", "t", k = 2, rounds = 2,
+        cacheTag = "spec/kcore-r2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // round 2 drops 4; the triangle is the 2-core, every degree == 2
+    assert(r2 == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    val r3 = Graph.kCore(g, "s", "t", k = 2, rounds = 3,
+        cacheTag = "spec/kcore-r3")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(r3 == r2, "converged core must be a fixpoint")
+  }
+
+  test("kCore with k above the max core empties the graph") {
+    import spark.implicits._
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("s", "t")
+    assert(Graph.kCore(tri, "s", "t", k = 3, rounds = 2,
+      cacheTag = "spec/kcore-empty").count() == 0L)
+  }
 }

@@ -335,4 +335,37 @@ class TimeJoinSpec extends SparkSpec {
         joinType = "left", leftIdCol = Some("nope"))
     }
   }
+
+  test("resample densifies each key's span independently, gaps carry null aggs") {
+    import spark.implicits._
+    // key a: events in buckets 0 and 30 (10-second grid) — buckets 10
+    // and 20 are gaps; key b: a single bucket, no densification
+    val df = Seq(
+      ("a", Timestamp.valueOf("1970-01-01 00:00:01"), 5L),
+      ("a", Timestamp.valueOf("1970-01-01 00:00:09"), 7L),
+      ("a", Timestamp.valueOf("1970-01-01 00:00:31"), 1L),
+      ("b", Timestamp.valueOf("1970-01-01 00:01:00"), 2L))
+      .toDF("k", "t", "x")
+    val out = TimeJoin.resample(df, Seq("k"), "t", 10L,
+        Seq(count(lit(1)).as("n"), sum(col("x")).as("sx")))
+      .orderBy("k", "bucket_s")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("a", 0L, 2L, 12L), ("a", 10L, -1L, -1L), ("a", 20L, -1L, -1L),
+      ("a", 30L, 1L, 1L), ("b", 60L, 1L, 2L)))
+  }
+
+  test("resample: a sub-second timestamp stays in its whole-second bucket") {
+    import spark.implicits._
+    // 9.999s is still bucket 0 on a 10s grid (unix_millis keeps the
+    // millis; the floor-div banding can't be pushed over the edge)
+    val df = Seq(("a", new Timestamp(9999L), 1L)).toDF("k", "t", "x")
+    val out = TimeJoin.resample(df, Seq("k"), "t", 10L,
+        Seq(count(lit(1)).as("n")))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 1L)))
+  }
 }
