@@ -52,6 +52,40 @@ object Changelog {
       latest.where(col(opCol) =!= deleteOp).drop(opCol))
   }
 
+  /** Expand a changelog into SCD-type-2 history: one VERSION row per
+    * non-delete log entry, valid over [`validFrom`, `validTo`) —
+    * `validFrom` is the entry's own `tsCol`, `validTo` the NEXT
+    * entry's (any op, so a delete closes the last version without
+    * opening one), null `validTo` marks the key's current version
+    * (`currentCol`); a key whose last entry is a delete has no
+    * current row. The point-in-time lookup this enables ("which
+    * corpus rows were live when this checkpoint trained?") is the
+    * audit twin of [[applyLog]]'s latest-state merge — applyLog's
+    * output equals this history filtered to `currentCol`.
+    *
+    * Same seq contract as [[applyLog]]: the `seqCols` tuple is unique
+    * and non-null per key. Unlike applyLog there is NO aggregation to
+    * push map-side — every version row is output, so the one shuffle
+    * carries the full log partitioned by key, and a single window
+    * sort serves the lead(). A key's whole history lands in one
+    * partition by construction; history depth per key is the skew
+    * contract (same class as [[TimeJoin.sessionize]]'s per-key
+    * ordering).
+    */
+  def scd2(log: DataFrame, keyCol: String, opCol: String,
+           seqCols: Seq[String], tsCol: String, deleteOp: String = "D",
+           validFrom: String = "valid_from", validTo: String = "valid_to",
+           currentCol: String = "is_current"): DataFrame = {
+    require(seqCols.nonEmpty, "scd2 needs at least one seq column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(seqCols.toIndexedSeq.map(col): _*)
+    log.withColumn(validTo, lead(col(tsCol), 1).over(w))
+      .where(col(opCol) =!= deleteOp)
+      .withColumn(currentCol, col(validTo).isNull)
+      .withColumnRenamed(tsCol, validFrom)
+      .drop(opCol)
+  }
+
   /** Diff two snapshot versions by key: one row per key present in
     * either side, `status` ∈ added (only in `b`) / removed (only in
     * `a`) / changed / unchanged. `contentFp` is a fingerprint

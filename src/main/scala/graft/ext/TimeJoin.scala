@@ -246,6 +246,32 @@ object TimeJoin {
     }
   }
 
+  /** Per-row trailing event-time window: a WindowSpec over rows of
+    * the same `keys` with timestamps in the CLOSED interval
+    * [t − widthMs, t] of each row's own t — the rolling-feature
+    * frame ("this user's last hour of activity, as of each event").
+    * Ordering is `unix_micros`, so the range bound is exact integer
+    * microsecond arithmetic (a double ordering key would misplace
+    * far-range epochs), and equal-timestamp peers are ALL in frame
+    * on both engines (RANGE frames close over peers — no tie
+    * ambiguity to pin away). DuckDB twin:
+    * `RANGE BETWEEN INTERVAL .. PRECEDING AND CURRENT ROW` over a
+    * timestamp ORDER BY, whose interval bound is closed the same way.
+    *
+    * Scale shape: one hash shuffle on the keys and one in-partition
+    * sort serve every aggregate attached to the spec; Spark evaluates
+    * a trailing range frame with a sliding two-pointer pass, O(rows +
+    * evictions), never re-summing the window per row. Per-key row
+    * count is the skew contract, as with any keyed window.
+    */
+  def trailingWindow(keys: Seq[String], tsCol: String,
+                     widthMs: Long): org.apache.spark.sql.expressions.WindowSpec = {
+    require(widthMs > 0, s"widthMs=$widthMs must be positive")
+    Window.partitionBy(keys.toIndexedSeq.map(col): _*)
+      .orderBy(unix_micros(col(tsCol)))
+      .rangeBetween(-widthMs * 1000L, 0L)
+  }
+
   /** Fixed-grid resampling with gap fill: aggregate `df` per
     * (`keyCols`, `everySeconds`-wide epoch bucket), then densify each
     * key's series to EVERY bucket between its first and last — gap

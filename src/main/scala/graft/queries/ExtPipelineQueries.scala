@@ -656,6 +656,43 @@ object ExtPipelineQueries {
               SELECT doc_id, COUNT(*) AS n_grams,
                      CAST(SUM(CASE WHEN evg.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
               FROM trg LEFT JOIN evg USING (g)
-              GROUP BY doc_id ORDER BY doc_id"""))
+              GROUP BY doc_id ORDER BY doc_id""")),
+
+    // SCD-type-2 history ([[Changelog.scd2]]) of the same events
+    // changelog ext_pipeline_merge applies: every non-delete entry
+    // becomes a version row valid [its ts, next entry's ts), deletes
+    // close without opening, null valid_to = current. The full
+    // history table is the gated output — validity chaining,
+    // delete-closure, and the current flag are all pinned by value
+    // (applyLog ≡ this history filtered to is_current, which makes
+    // the two rows mutual audits).
+    Declared(
+      "ext_pipeline_scd2",
+      (s, d) => {
+        val log = Tables.events(s, d).select(
+          col("user_id").as("k"), col("event_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("cents"),
+          col("event_type"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"))
+        Changelog.scd2(log, "k", "op", Seq("ts", "event_id"), "ts")
+          .select(col("k"), col("event_id"), col("cents"), col("event_type"),
+            date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("vf"),
+            date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss").as("vt"),
+            col("is_current").cast("int").as("cur"))
+          .orderBy("event_id")
+      },
+      Some("""WITH log AS (
+                SELECT user_id AS k, event_id, ts,
+                       CAST(round(value * 100) AS BIGINT) AS cents, event_type,
+                       CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+                FROM events),
+              v AS (
+                SELECT *, LEAD(ts) OVER (PARTITION BY k ORDER BY ts, event_id) AS vto
+                FROM log)
+              SELECT k, event_id, cents, event_type,
+                     strftime(ts, '%Y-%m-%d %H:%M:%S') AS vf,
+                     strftime(vto, '%Y-%m-%d %H:%M:%S') AS vt,
+                     CASE WHEN vto IS NULL THEN 1 ELSE 0 END AS cur
+              FROM v WHERE op <> 'D' ORDER BY event_id"""))
   )
 }

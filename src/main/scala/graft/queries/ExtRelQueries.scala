@@ -473,6 +473,31 @@ object ExtRelQueries {
                      COALESCE(n, 0) AS n,
                      ROUND(CAST(COALESCE(c, 0) AS DOUBLE)/100.0, 2) AS v
               FROM g LEFT JOIN a USING (event_type, b)
-              ORDER BY event_type, h"""))
+              ORDER BY event_type, h""")),
+
+    // Per-row trailing event-time window ([[TimeJoin.trailingWindow]]):
+    // each event annotated with its user's activity over the CLOSED
+    // last hour as of that event — the rolling-feature frame, distinct
+    // from ext_rel_sliding_window's fixed grid (that row buckets time;
+    // this one re-anchors the window at EVERY row). Exact integer
+    // microsecond range arithmetic; one key shuffle + one sort serve
+    // both aggregates, evaluated by Spark's sliding two-pointer frame
+    // pass.
+    Declared(
+      "ext_rel_rolling",
+      (s, d) => {
+        val w = TimeJoin.trailingWindow(Seq("user_id"), "ts", 3600000L)
+        Tables.events(s, d).select(col("event_id"), col("user_id"),
+            count(lit(1)).over(w).as("n_1h"),
+            sum(round(col("value") * 100).cast("long")).over(w).as("cents_1h"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+                     COUNT(*) OVER win AS n_1h,
+                     CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER win AS BIGINT) AS cents_1h
+              FROM events
+              WINDOW win AS (PARTITION BY user_id ORDER BY ts
+                RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+              ORDER BY event_id"""))
   )
 }

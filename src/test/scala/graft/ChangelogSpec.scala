@@ -57,6 +57,42 @@ class ChangelogSpec extends SparkSpec {
     }
   }
 
+  test("scd2: versions chain, deletes close without opening, last version is current") {
+    import java.sql.Timestamp
+    def t(s: Int) = new Timestamp(s * 1000L)
+    // key 1: v1 → v2 → delete → v3 (re-created, still current)
+    // key 2: single version, current
+    val log = Seq(
+      (1L, "v1", "U", t(10), 1L),
+      (1L, "v2", "U", t(20), 2L),
+      (1L, "xx", "D", t(30), 3L),
+      (1L, "v3", "U", t(40), 4L),
+      (2L, "w1", "U", t(15), 5L))
+      .toDF("k", "payload", "op", "ts", "id")
+    val out = Changelog.scd2(log, "k", "op", Seq("ts", "id"), "ts")
+      .orderBy("k", "valid_from")
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("payload"),
+        r.getAs[Timestamp]("valid_from").getTime / 1000,
+        Option(r.getAs[Timestamp]("valid_to")).map(_.getTime / 1000),
+        r.getAs[Boolean]("is_current")))
+    assert(out.toSeq == Seq(
+      (1L, "v1", 10L, Some(20L), false),
+      (1L, "v2", 20L, Some(30L), false), // closed BY the delete's ts
+      (1L, "v3", 40L, None, true),
+      (2L, "w1", 15L, None, true)))
+  }
+
+  test("scd2: a key whose last entry is a delete has no current row") {
+    import java.sql.Timestamp
+    val log = Seq(
+      (1L, "v1", "U", new Timestamp(1000L), 1L),
+      (1L, "xx", "D", new Timestamp(2000L), 2L))
+      .toDF("k", "payload", "op", "ts", "id")
+    val out = Changelog.scd2(log, "k", "op", Seq("ts", "id"), "ts")
+    assert(out.count() == 1L)
+    assert(out.where(col("is_current")).count() == 0L)
+  }
+
   test("diff labels added / removed / changed / unchanged") {
     val a = Seq((1L, "same"), (2L, "old"), (3L, "gone")).toDF("id", "text")
     val b = Seq((1L, "same"), (2L, "new"), (4L, "born")).toDF("id", "text")

@@ -358,6 +358,33 @@ class TimeJoinSpec extends SparkSpec {
       ("a", 30L, 1L, 1L), ("b", 60L, 1L, 2L)))
   }
 
+  test("trailingWindow frame is CLOSED on both ends, keys independent") {
+    import spark.implicits._
+    // width 10s: at t=20, the row at exactly t=10 is IN frame (closed
+    // lower bound); at t=21 it has just left. Key b never sees key a.
+    val df = Seq(
+      ("a", new Timestamp(10000L), 1L),
+      ("a", new Timestamp(20000L), 2L),
+      ("a", new Timestamp(21000L), 4L),
+      ("b", new Timestamp(20000L), 8L))
+      .toDF("k", "t", "x")
+    val w = TimeJoin.trailingWindow(Seq("k"), "t", 10000L)
+    val out = df.select(col("k"), col("t"), sum(col("x")).over(w).as("s"))
+      .orderBy("k", "t")
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(out.toSeq == Seq(("a", 1L), ("a", 3L), ("a", 6L), ("b", 8L)))
+  }
+
+  test("trailingWindow includes ALL equal-timestamp peers (range, not rows)") {
+    import spark.implicits._
+    val df = Seq(("a", new Timestamp(5000L), 1L), ("a", new Timestamp(5000L), 2L))
+      .toDF("k", "t", "x")
+    val w = TimeJoin.trailingWindow(Seq("k"), "t", 1000L)
+    val out = df.select(sum(col("x")).over(w).as("s"))
+      .collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(3L, 3L), "both peers must see both rows")
+  }
+
   test("resample: a sub-second timestamp stays in its whole-second bucket") {
     import spark.implicits._
     // 9.999s is still bucket 0 on a 10s grid (unix_millis keeps the
