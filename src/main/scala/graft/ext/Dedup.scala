@@ -96,6 +96,44 @@ object Dedup {
       .drop("__rn", "__fp")
   }
 
+  /** Debounce: drop a row when the PREVIOUS row of the same `keys`
+    * (ordered by `tsCol` then `tieCols` — supply tie columns that
+    * make the order total, or equal-ts rows debounce in an arbitrary
+    * but fixed order) carries the same `contentCols` AND arrived
+    * within `withinMs` — consecutive-duplicate suppression for
+    * repeated clicks / double-fired webhooks / retried ingests.
+    * Comparison is against the previous EVENT, not the previous
+    * KEPT row: a burst of n identical events, each within the gap of
+    * its predecessor, keeps only the first even if the burst spans
+    * longer than the gap (each arrival "refreshes" the window — the
+    * usual debounce). The compare is null-safe (`<=>` on the content
+    * struct), so null content equals null content.
+    *
+    * Scale shape: one hash shuffle on the keys + one in-partition
+    * sort serve the single lag() — the same single-windowed-scan cost
+    * as [[TimeJoin.sessionize]], with per-key row count as the skew
+    * contract.
+    */
+  def debounce(df: DataFrame, keys: Seq[String], tsCol: String,
+               contentCols: Seq[String], withinMs: Long,
+               tieCols: Seq[String] = Nil): DataFrame = {
+    require(keys.nonEmpty, "debounce needs at least one key column")
+    require(contentCols.nonEmpty, "debounce needs content columns")
+    require(withinMs > 0, s"withinMs=$withinMs must be positive")
+    val w = Window.partitionBy(keys.toIndexedSeq.map(col): _*)
+      .orderBy((tsCol +: tieCols).toIndexedSeq.map(col): _*)
+    val c = struct(contentCols.toIndexedSeq.map(col): _*)
+    val prevC = lag(c, 1).over(w)
+    val prevTs = lag(col(tsCol), 1).over(w)
+    // micros, not millis: unix_millis truncates sub-ms parts per
+    // OPERAND, so a true gap within ±1 ms of the threshold could
+    // flip against an exact-interval comparison elsewhere
+    df.withColumn("__drop",
+        prevTs.isNotNull && (c <=> prevC) &&
+          unix_micros(col(tsCol)) - unix_micros(prevTs) <= withinMs * 1000L)
+      .where(!col("__drop")).drop("__drop")
+  }
+
   /** Distinct (doc, token, token-hash) triples — the shared first stage
     * of MinHash and SimHash. Tokens split on single spaces (the
     * documents corpus is space-separated word soup; callers with richer

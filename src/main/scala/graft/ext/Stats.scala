@@ -324,4 +324,33 @@ object Stats {
       // the contract is the INPUT schema plus the flag, in that order
       .select(df.columns.toIndexedSeq.map(col) :+ col("__is_outlier"): _*)
   }
+
+  /** Join pre-flight: the EXACT output cardinality of `a ⋈ b` on
+    * `aKey = bKey`, without running the join — Σ over shared keys of
+    * cntA·cntB — plus the skew diagnosis that decides the physical
+    * plan: n_shared_keys, and the hottest key with its product
+    * (ties to the largest key, pinned). One row:
+    * (join_rows, n_shared_keys, hot_key, hot_product).
+    *
+    * This is the number to consult BEFORE launching a 100 TB join:
+    * the two inputs reduce to (key, count) profiles via
+    * partial-aggregated counts (counts cross the exchanges, never
+    * payloads), the profile join is keys-sized, and a hot_product
+    * that rivals join_rows says "salt this key or cap it" while the
+    * estimate is still a pre-flight, not a post-mortem. Null keys
+    * are excluded, matching inner-join semantics.
+    */
+  def joinCardinality(a: DataFrame, aKey: String,
+                      b: DataFrame, bKey: String): DataFrame = {
+    val ca = a.where(col(aKey).isNotNull)
+      .groupBy(col(aKey).as("__k")).agg(count(lit(1)).as("__ca"))
+    val cb = b.where(col(bKey).isNotNull)
+      .groupBy(col(bKey).as("__k")).agg(count(lit(1)).as("__cb"))
+    ca.join(cb, "__k")
+      .select(col("__k"), (col("__ca") * col("__cb")).as("__p"))
+      .agg(sum(col("__p")).as("join_rows"),
+        count(lit(1)).as("n_shared_keys"),
+        max_by(col("__k"), struct(col("__p"), col("__k"))).as("hot_key"),
+        max(col("__p")).as("hot_product"))
+  }
 }

@@ -667,6 +667,30 @@ object ExtDedupQueries {
                  WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 9) >= 0.3)
                SELECT (SELECT COUNT(*) FROM pr) AS n_pairs,
                       (SELECT COUNT(DISTINCT dd) FROM
-                        (SELECT a AS dd FROM pr UNION ALL SELECT b FROM pr)) AS n_docs"""))
+                        (SELECT a AS dd FROM pr UNION ALL SELECT b FROM pr)) AS n_docs""")),
+
+    // Event debounce ([[Dedup.debounce]]): drop an event when the
+    // same user's PREVIOUS event (by ts, event_id) has the same type
+    // and landed within 15 minutes — repeated-click / double-webhook
+    // suppression, the event-stream face of exact dedup. One keyed
+    // window (shuffle + sort) serves the single lag; the gap compare
+    // is exact integer microseconds against the oracle's interval
+    // arithmetic. The full kept-id listing is the gated output.
+    Declared(
+      "ext_dedup_debounce",
+      (s, d) =>
+        Dedup.debounce(Tables.events(s, d), Seq("user_id"), "ts",
+            Seq("event_type"), withinMs = 900000L, tieCols = Seq("event_id"))
+          .select(col("event_id")).orderBy("event_id"),
+      Some("""WITH x AS (
+                SELECT event_id, ts, user_id, event_type,
+                       LAG(event_type) OVER w AS p_type,
+                       LAG(ts) OVER w AS p_ts
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+              SELECT event_id FROM x
+              WHERE p_ts IS NULL OR p_type <> event_type
+                 OR ts - p_ts > INTERVAL 15 MINUTE
+              ORDER BY event_id"""))
   )
 }

@@ -499,5 +499,49 @@ object ExtRelQueries {
               WINDOW win AS (PARTITION BY user_id ORDER BY ts
                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
               ORDER BY event_id"""))
+  ,
+
+    // Two-step funnel: per user, first signup and the first purchase
+    // STRICTLY after it within 24 h — composed entirely from existing
+    // ops (filtered min-aggs + ONE equi-join + conditional min), no
+    // non-equi join anywhere: the time predicate rides inside the
+    // post-join aggregate, so the plan is partial-agged groupBys and
+    // a key join that broadcasts its small anchor side. Conversion
+    // timestamps and flags pinned per user.
+    Declared(
+      "ext_rel_funnel",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val su = ev.where(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(col("ts")).as("s_ts"))
+        val pu = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"))
+        su.join(pu, Seq("user_id"), "left")
+          .groupBy(col("user_id"), col("s_ts"))
+          .agg(min(when(col("ts") > col("s_ts") &&
+              col("ts") <= col("s_ts") + expr("INTERVAL 24 HOURS"),
+            col("ts"))).as("c_ts"))
+          .select(col("user_id"),
+            date_format(col("s_ts"), "yyyy-MM-dd HH:mm:ss").as("first_signup"),
+            date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss").as("conv"),
+            when(col("c_ts").isNotNull, 1L).otherwise(0L).as("converted"))
+          .orderBy("user_id")
+      },
+      Some("""WITH su AS (
+                SELECT user_id, MIN(ts) AS s_ts FROM events
+                WHERE event_type = 'signup' GROUP BY 1),
+              pu AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+              j AS (
+                SELECT su.user_id, su.s_ts,
+                       MIN(CASE WHEN pu.ts > su.s_ts
+                                 AND pu.ts <= su.s_ts + INTERVAL 24 HOUR
+                                THEN pu.ts END) AS c_ts
+                FROM su LEFT JOIN pu ON su.user_id = pu.user_id
+                GROUP BY 1, 2)
+              SELECT user_id,
+                     strftime(s_ts, '%Y-%m-%d %H:%M:%S') AS first_signup,
+                     strftime(c_ts, '%Y-%m-%d %H:%M:%S') AS conv,
+                     CASE WHEN c_ts IS NULL THEN 0 ELSE 1 END AS converted
+              FROM j ORDER BY user_id"""))
   )
 }

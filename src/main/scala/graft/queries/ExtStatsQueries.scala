@@ -339,6 +339,28 @@ object ExtStatsQueries {
               SELECT event_type, COUNT(*) AS n,
                      CAST(SUM(CASE WHEN is_out THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
                      CAST(SUM(CASE WHEN is_out THEN event_id ELSE 0 END) AS BIGINT) AS id_checksum
-              FROM f GROUP BY event_type ORDER BY event_type"""))
+              FROM f GROUP BY event_type ORDER BY event_type""")),
+
+    // Join pre-flight ([[Stats.joinCardinality]]): the EXACT output
+    // size of the same-part lineitem self-join — the classic blow-up
+    // a 100 TB pipeline wants answered from (key, count) profiles
+    // (counts cross the exchanges, never payloads) BEFORE launching
+    // the join, plus the hottest key and its quadratic contribution
+    // (the salt-or-cap signal). All integers, one row.
+    Declared(
+      "ext_stats_join_card",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        Stats.joinCardinality(li, "l_partkey", li, "l_partkey")
+      },
+      Some("""WITH ca AS (
+                SELECT l_partkey AS k, COUNT(*) AS c FROM lineitem
+                WHERE l_partkey IS NOT NULL GROUP BY 1),
+              p AS (SELECT a.k, a.c * b.c AS p FROM ca a JOIN ca b USING (k)),
+              hot AS (SELECT k, p FROM p ORDER BY p DESC, k DESC LIMIT 1)
+              SELECT CAST((SELECT SUM(p) FROM p) AS BIGINT) AS join_rows,
+                     (SELECT COUNT(*) FROM p) AS n_shared_keys,
+                     (SELECT k FROM hot) AS hot_key,
+                     CAST((SELECT p FROM hot) AS BIGINT) AS hot_product"""))
   )
 }

@@ -541,4 +541,51 @@ class DedupSimilaritySpec extends SparkSpec {
       .as[(Int, Long, Long)].collect().toSeq.sortBy(_._1)
     assert(got == Seq((1, 1L, 16129L), (2, 2L, 8128L), (3, 3L, 8128L)))
   }
+
+  test("debounce drops within-gap repeats vs the previous EVENT, refresh included") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    def t(s: Int) = new Timestamp(s * 1000L)
+    // key a, 10s gap: 5s drops (same content as 0s, within gap);
+    // 6s keeps (different content); 9s keeps BECAUSE the compare is
+    // against the previous EVENT — 6s with its other content — not
+    // against the last kept c1 row; 30s keeps (gap 21s from 9s).
+    // Key b is independent.
+    val df = Seq(
+      ("a", t(0), "c1", 1L), ("a", t(5), "c1", 2L), ("a", t(6), "c2", 3L),
+      ("a", t(9), "c1", 4L), ("a", t(30), "c1", 5L),
+      ("b", t(5), "c1", 6L))
+      .toDF("k", "ts", "c", "id")
+    val kept = Dedup.debounce(df, Seq("k"), "ts", Seq("c"), 10000L,
+        tieCols = Seq("id"))
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L, 5L, 6L))
+  }
+
+  test("debounce: gap strictly over the threshold keeps; equal gap drops") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    val df = Seq(
+      ("a", new Timestamp(0L), "c", 1L),
+      ("a", new Timestamp(10000L), "c", 2L),   // gap == 10s → drop
+      ("a", new Timestamp(20001L), "c", 3L))   // gap 10.001s → keep
+      .toDF("k", "ts", "c", "id")
+    val kept = Dedup.debounce(df, Seq("k"), "ts", Seq("c"), 10000L,
+        tieCols = Seq("id"))
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("debounce null content equals null content (null-safe compare)") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    val df = Seq(
+      ("a", new Timestamp(0L), Option.empty[String], 1L),
+      ("a", new Timestamp(1000L), Option.empty[String], 2L))
+      .toDF("k", "ts", "c", "id")
+    val kept = Dedup.debounce(df, Seq("k"), "ts", Seq("c"), 10000L,
+        tieCols = Seq("id"))
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+  }
 }

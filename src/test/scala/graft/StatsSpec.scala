@@ -254,4 +254,29 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(merged.getLong(1) - globalExact) <= 0.05 * globalExact,
       s"merged estimate ${merged.getLong(1)} vs exact $globalExact")
   }
+
+  test("joinCardinality predicts the exact join size, flags the hot key, skips nulls") {
+    import spark.implicits._
+    val a = Seq(Some(1L), Some(1L), Some(1L), Some(2L), Some(3L), None)
+      .toDF("k")
+    val b = Seq(Some(1L), Some(1L), Some(2L), Some(9L), None).toDF("k")
+    val r = Stats.joinCardinality(a, "k", b, "k").collect().head
+    // products: key 1 → 3·2 = 6, key 2 → 1·1 = 1; keys 3, 9, null drop
+    assert(r.getAs[Long]("join_rows") == 7L)
+    assert(r.getAs[Long]("n_shared_keys") == 2L)
+    assert(r.getAs[Long]("hot_key") == 1L)
+    assert(r.getAs[Long]("hot_product") == 6L)
+    // the prediction IS the realized inner-join size
+    val real = a.where(col("k").isNotNull)
+      .join(b.where(col("k").isNotNull), "k").count()
+    assert(real == 7L)
+  }
+
+  test("joinCardinality hot-key product ties break to the larger key") {
+    import spark.implicits._
+    val a = Seq(1L, 2L).toDF("k")
+    val r = Stats.joinCardinality(a, "k", a, "k").collect().head
+    assert(r.getAs[Long]("hot_key") == 2L)
+    assert(r.getAs[Long]("hot_product") == 1L)
+  }
 }
