@@ -353,4 +353,65 @@ object Stats {
         max_by(col("__k"), struct(col("__p"), col("__k"))).as("hot_key"),
         max(col("__p")).as("hot_product"))
   }
+
+  /** Declarative data-quality rules, each a (name, violation-count
+    * aggregate) pair for [[checkConstraints]] — the ingest gate a
+    * pipeline runs before accepting a new corpus drop. Violation
+    * COUNTS, not booleans: "how broken" decides quarantine-vs-reject,
+    * and counts stay integers for the oracle.
+    */
+  object Check {
+    /** Rows where `c` is null. */
+    def notNull(c: String): (String, Column) =
+      (s"not_null:$c", sum(when(col(c).isNull, 1L).otherwise(0L)))
+
+    /** Rows beyond the first per value — 0 iff `c` is unique.
+      * (COUNT(c) − COUNT(DISTINCT c): nulls excluded from both, so
+      * null uniqueness is [[notNull]]'s job, not double-counted here.)
+      */
+    def unique(c: String): (String, Column) =
+      (s"unique:$c", count(col(c)) - countDistinct(col(c)))
+
+    /** Non-null rows outside [lo, hi]. */
+    def inRange(c: String, lo: Long, hi: Long): (String, Column) =
+      (s"range:$c",
+        sum(when(col(c).isNotNull && (col(c) < lo || col(c) > hi), 1L)
+          .otherwise(0L)))
+
+    /** Non-null rows whose value is not in `values`. */
+    def inSet(c: String, values: Seq[String]): (String, Column) =
+      (s"in_set:$c",
+        sum(when(col(c).isNotNull && !col(c).isin(values: _*), 1L)
+          .otherwise(0L)))
+
+    /** Non-null rows containing no match of `regex` (find semantics
+      * on both engines — Spark rlike / DuckDB regexp_matches; anchor
+      * explicitly for full-match rules).
+      */
+    def matches(c: String, regex: String): (String, Column) =
+      (s"matches:$c",
+        sum(when(col(c).isNotNull && !col(c).rlike(regex), 1L)
+          .otherwise(0L)))
+  }
+
+  /** Evaluate every rule in ONE aggregation pass over `df` and emit
+    * (rule, violations, pass) per rule — the whole constraint suite
+    * costs one scan with partial aggregation regardless of how many
+    * rules it carries (the per-rule rows come from a map-side unpivot
+    * of the single aggregate row; `unique` rules add the one Expand
+    * pass all exact distinct-counts share). At 100 TB this is the
+    * difference between a quality gate and a quality job.
+    */
+  def checkConstraints(df: DataFrame,
+                       rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "checkConstraints needs at least one rule")
+    require(rules.map(_._1).distinct.size == rules.size,
+      "constraint rule names must be unique")
+    val agged = df.agg(rules.head._2.as(rules.head._1),
+      rules.tail.map { case (n, c) => c.as(n) }: _*)
+    val pairs = rules.flatMap { case (n, _) => Seq(lit(n), col(n)) }
+    agged.select(stack((lit(rules.size) +: pairs): _*)
+        .as(Seq("rule", "violations")))
+      .withColumn("pass", (col("violations") === 0L).cast("int"))
+  }
 }

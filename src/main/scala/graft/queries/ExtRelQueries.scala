@@ -542,6 +542,34 @@ object ExtRelQueries {
                      strftime(s_ts, '%Y-%m-%d %H:%M:%S') AS first_signup,
                      strftime(c_ts, '%Y-%m-%d %H:%M:%S') AS conv,
                      CASE WHEN c_ts IS NULL THEN 0 ELSE 1 END AS converted
-              FROM j ORDER BY user_id"""))
+              FROM j ORDER BY user_id""")),
+
+    // Cohort retention: users grouped by first-activity day, each
+    // cohort's distinct active users at day-offset k — the retention
+    // matrix. Two partial-agged aggregates (first day per user,
+    // distinct activity days) joined on the user key; day arithmetic
+    // in whole dates under the pinned UTC session, so offsets are
+    // exact integers on both engines.
+    Declared(
+      "ext_rel_cohort",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val first = ev.groupBy("user_id").agg(min(col("day")).as("c_day"))
+        ev.join(first, Seq("user_id"))
+          .groupBy(col("c_day"), datediff(col("day"), col("c_day")).as("k"))
+          .agg(countDistinct(col("user_id")).as("users"))
+          .select(date_format(col("c_day"), "yyyy-MM-dd").as("cohort"),
+            col("k"), col("users"))
+          .orderBy("cohort", "k")
+      },
+      Some("""WITH e AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+              f AS (SELECT user_id, MIN(day) AS c_day FROM e GROUP BY 1)
+              SELECT strftime(c_day, '%Y-%m-%d') AS cohort,
+                     (day - c_day) AS k,
+                     COUNT(DISTINCT e.user_id) AS users
+              FROM e JOIN f ON e.user_id = f.user_id
+              GROUP BY 1, 2 ORDER BY cohort, k"""))
   )
 }

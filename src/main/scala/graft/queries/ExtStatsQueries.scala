@@ -361,6 +361,51 @@ object ExtStatsQueries {
               SELECT CAST((SELECT SUM(p) FROM p) AS BIGINT) AS join_rows,
                      (SELECT COUNT(*) FROM p) AS n_shared_keys,
                      (SELECT k FROM hot) AS hot_key,
-                     CAST((SELECT p FROM hot) AS BIGINT) AS hot_product"""))
+                     CAST((SELECT p FROM hot) AS BIGINT) AS hot_product""")),
+
+    // Declarative quality gate ([[Stats.checkConstraints]]): five
+    // rules over orders — null check, key uniqueness, value-set and
+    // range membership, regex shape — ALL evaluated in one
+    // partial-aggregated scan (the per-rule rows are a map-side
+    // unpivot of the single aggregate row). The fixture mixes passing
+    // and failing rules on purpose: the in_set rule counts the 'P'
+    // status rows and the range rule the >300k orders, so the row
+    // pins real violation counts, not just five zeros.
+    Declared(
+      "ext_stats_constraints",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .withColumn("price_cents",
+            round(col("o_totalprice") * 100).cast("long"))
+        Stats.checkConstraints(o, Seq(
+            Stats.Check.notNull("o_custkey"),
+            Stats.Check.unique("o_orderkey"),
+            Stats.Check.inSet("o_orderstatus", Seq("O", "F")),
+            Stats.Check.inRange("price_cents", 0L, 30000000L),
+            Stats.Check.matches("o_orderpriority", "[1-5]-[A-Z ]+")))
+          .orderBy("rule")
+      },
+      Some("""WITH o AS (
+                SELECT *, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+                FROM orders),
+              m AS (SELECT
+                CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_notnull,
+                CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS v_unique,
+                CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                          AND o_orderstatus NOT IN ('O', 'F') THEN 1 ELSE 0 END) AS BIGINT) AS v_set,
+                CAST(SUM(CASE WHEN price_cents IS NOT NULL
+                          AND (price_cents < 0 OR price_cents > 30000000) THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+                CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+                          AND NOT regexp_matches(o_orderpriority, '[1-5]-[A-Z ]+') THEN 1 ELSE 0 END) AS BIGINT) AS v_match
+                FROM o)
+              SELECT rule, violations,
+                     CASE WHEN violations = 0 THEN 1 ELSE 0 END AS pass
+              FROM (
+                SELECT 'not_null:o_custkey' AS rule, v_notnull AS violations FROM m
+                UNION ALL SELECT 'unique:o_orderkey', v_unique FROM m
+                UNION ALL SELECT 'in_set:o_orderstatus', v_set FROM m
+                UNION ALL SELECT 'range:price_cents', v_range FROM m
+                UNION ALL SELECT 'matches:o_orderpriority', v_match FROM m)
+              ORDER BY rule"""))
   )
 }

@@ -279,4 +279,41 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Long]("hot_key") == 2L)
     assert(r.getAs[Long]("hot_product") == 1L)
   }
+
+  test("checkConstraints: hand-counted violations per rule, nulls per contract") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some("a"), Some("x1")),
+      (Some(1L), Some("b"), Some("x2")),   // dup id
+      (None, Some("c"), None),             // null id; null code skips set+regex
+      (Some(9L), Some("a"), Some("zz")))   // out of range; no digit
+      .toDF("id", "cat", "code")
+    val out = Stats.checkConstraints(df, Seq(
+        Stats.Check.notNull("id"),
+        Stats.Check.unique("id"),
+        Stats.Check.inRange("id", 0L, 5L),
+        Stats.Check.inSet("cat", Seq("a", "b")),
+        Stats.Check.matches("code", "[0-9]")))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    val m = out
+    assert(m("not_null:id") == (1L, 0))
+    assert(m("unique:id") == (1L, 0))   // nulls excluded from uniqueness
+    assert(m("range:id") == (1L, 0))    // null id not a range violation
+    assert(m("in_set:cat") == (1L, 0))  // 'c'
+    assert(m("matches:code") == (1L, 0)) // 'zz'; null code skipped
+  }
+
+  test("checkConstraints passes clean data and rejects duplicate rule names") {
+    import spark.implicits._
+    val df = Seq(Tuple1(1L), Tuple1(2L)).toDF("id")
+    val out = Stats.checkConstraints(df,
+        Seq(Stats.Check.notNull("id"), Stats.Check.unique("id")))
+      .collect().map(r => (r.getLong(1), r.getInt(2)))
+    assert(out.forall(_ == (0L, 1)))
+    intercept[IllegalArgumentException] {
+      Stats.checkConstraints(df,
+        Seq(Stats.Check.notNull("id"), Stats.Check.notNull("id")))
+    }
+  }
 }
