@@ -131,4 +131,41 @@ class SpeculationSpec extends AnyFunSuite {
       s"multi-JVM shuffle diverged: only-local=${(expected -- got).take(5)} " +
         s"only-cluster=${(got -- expected).take(5)}")
   }
+
+  test("versioning/window ops are identical under multi-JVM network shuffle") {
+    // the round-11 CDC/window family crosses execution dimensions the
+    // minhash test doesn't: max_by partial aggregation merged across
+    // executor JVMs (applyLog), sort-based window frames fed by a
+    // network shuffle (scd2's lead, debounce's lag). Run the GATED
+    // queries verbatim (each carries a total ORDER BY) and require
+    // row-for-row equality between one-JVM and two-JVM execution.
+    val names = Seq("ext_pipeline_merge", "ext_pipeline_scd2",
+      "ext_dedup_debounce")
+    def run(s: SparkSession): Map[String, Seq[String]] =
+      names.map(n => n -> graft.SparkEntry.queries(n)(s, "/root/testdata/sf0.001")
+        .collect().map(_.toString).toSeq).toMap
+    def session(master: String): SparkSession = SparkSession.builder()
+      .master(master)
+      .appName("graft-cluster-parity-r11")
+      .config("spark.executor.extraClassPath", sys.props("java.class.path"))
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val local = session("local[4]")
+    val expected = try run(local) finally {
+      graft.ext.PlanCache.clear(); local.stop()
+    }
+    names.foreach(n => assert(expected(n).nonEmpty, s"$n returned no rows"))
+    val cluster = session("local-cluster[2,2,1536]")
+    val got = try run(cluster) finally {
+      graft.ext.PlanCache.clear(); cluster.stop()
+    }
+    names.foreach { n =>
+      assert(got(n) == expected(n),
+        s"$n diverged under multi-JVM shuffle: first diff at index " +
+          s"${expected(n).zip(got(n)).indexWhere(p => p._1 != p._2)}")
+    }
+  }
 }
