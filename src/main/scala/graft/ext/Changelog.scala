@@ -32,7 +32,11 @@ object Changelog {
     * note for the same fork). The snapshot crosses ONE anti-join on
     * the key; with a typical log (≪ snapshot), the reduced latest
     * relation broadcasts under AQE and the 100 TB snapshot never
-    * shuffles at all. The union is shuffle-free.
+    * shuffles at all. The union is shuffle-free. The latest relation
+    * feeds BOTH the anti-join keys and the union payload, so it is
+    * [[PlanCache]]-pinned (keyed on the log plan + every shaping
+    * parameter) rather than having the log scanned and collapsed
+    * twice.
     */
   def applyLog(snapshot: DataFrame, log: DataFrame, keyCol: String,
                opCol: String, seqCols: Seq[String],
@@ -42,11 +46,13 @@ object Changelog {
     payload.foreach(c => require(log.columns.contains(c),
       s"log is missing snapshot payload column $c"))
     val carried = payload :+ opCol
-    val latest = log
-      .groupBy(col(keyCol))
-      .agg(max_by(struct(carried.map(col): _*),
-        struct(seqCols.toIndexedSeq.map(col): _*)).as("__m"))
-      .select(col(keyCol) +: carried.map(c => col(s"__m.$c").as(c)): _*)
+    val tag = (Seq("changelog/latest", keyCol, opCol, deleteOp) ++
+      seqCols ++ payload).mkString("/")
+    val latest = PlanCache.cached(tag, log)(
+      _.groupBy(col(keyCol))
+        .agg(max_by(struct(carried.map(col): _*),
+          struct(seqCols.toIndexedSeq.map(col): _*)).as("__m"))
+        .select(col(keyCol) +: carried.map(c => col(s"__m.$c").as(c)): _*))
     val untouched = snapshot.join(latest.select(keyCol), Seq(keyCol), "left_anti")
     untouched.unionByName(
       latest.where(col(opCol) =!= deleteOp).drop(opCol))
