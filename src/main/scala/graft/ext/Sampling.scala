@@ -171,6 +171,52 @@ object Sampling {
       .drop("__tb_prefix")
   }
 
+  /** Temperature-rebalanced token budget (α = 0.5): split
+    * `totalBudget` across strata in proportion to √(stratum row
+    * count) — the multilingual-LLM mixture rule that upsamples tail
+    * languages relative to their natural share without letting the
+    * head starve them — then keep each stratum's documents in salted-
+    * hash order until its share is spent ([[tokenBudget]]'s
+    * per-stratum selection with DATA-DERIVED budgets).
+    *
+    * Everything is integer-exact on both engines: the weight is
+    * isqrt(n) = floor(sqrt(n)) — exact for n < 2^52 because an IEEE
+    * correctly-rounded sqrt of an integer that far below 2^52 cannot
+    * cross an integer boundary (counts at 100 TB are ≪ that) — and
+    * the share is `budget·w div Σw` in DECIMAL(38,0)/HUGEINT integral
+    * arithmetic, so no float threshold anywhere can flip a membership.
+    *
+    * Scale shape: one partial-aggregated groupBy produces the
+    * per-stratum counts (rows = |strata|, tiny), the share relation
+    * broadcasts back onto the corpus, and the selection is the same
+    * single per-stratum prefix-sum window as [[tokenBudget]]. Rows
+    * with a null stratum drop at the share join — coalesce upstream
+    * if they must participate.
+    */
+  def temperedTokenBudget(df: DataFrame, strataCols: Seq[String], key: Column,
+                          tokensCol: Column, totalBudget: Long,
+                          salt: String = "mix"): DataFrame = {
+    require(totalBudget > 0, s"totalBudget=$totalBudget must be positive")
+    require(strataCols.nonEmpty,
+      "temperedTokenBudget requires strata columns: an unpartitioned prefix-sum cannot scale")
+    val strata = strataCols.map(col)
+    val weights = df.groupBy(strata: _*)
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w", floor(sqrt(col("__n").cast("double"))).cast("bigint"))
+    val wsum = weights.agg(sum(col("__w")).as("__wsum"))
+    val targets = weights.crossJoin(wsum)
+      .withColumn("__target",
+        expr(s"CAST(CAST($totalBudget AS DECIMAL(38,0)) * __w AS DECIMAL(38,0)) div __wsum"))
+      .select(strata :+ col("__target"): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strata: _*)
+      .orderBy(Hashing.h32(concat(key.cast("string"), lit(salt))), key)
+    df.join(broadcast(targets), strataCols)
+      .withColumn("__prefix", (sum(tokensCol).over(w) - tokensCol).cast("bigint"))
+      .where(col("__prefix") < col("__target"))
+      .drop("__prefix", "__target")
+  }
+
   def packBins(df: DataFrame, partCols: Seq[String], orderCol: Column,
                tokensCol: Column, budget: Int, out: String = "bin"): DataFrame = {
     require(budget > 0, s"budget=$budget must be positive")

@@ -139,6 +139,34 @@ object TimeJoin {
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** First-order state-transition matrix of an event stream: for each
+    * entity (`keys`), order its events by `tsCol` (then `tieCols` —
+    * supply tie columns that make the order total, or equal-ts
+    * transitions count in an arbitrary but fixed order) and count
+    * every consecutive (previous `stateCol`, current `stateCol`)
+    * pair, plus how many distinct entities produced each pair — the
+    * Markov-chain census behind journey analysis ("what follows
+    * signup?") and sequence-model sanity checks. Each entity's first
+    * event has no predecessor and contributes no pair.
+    *
+    * Scale shape: ONE hash shuffle on the keys + in-partition sort
+    * serves the lag (per-entity event count is the skew contract,
+    * same as [[sessionize]]); the pair census then partial-aggregates
+    * map-side into a |states|² -bounded groupBy, and the distinct-
+    * entity count rides the same aggregation as a two-phase distinct.
+    */
+  def transitions(df: DataFrame, keys: Seq[String], tsCol: String,
+                  stateCol: String, tieCols: Seq[String] = Nil): DataFrame = {
+    require(keys.nonEmpty, "transitions needs at least one key column")
+    val w = Window.partitionBy(keys.toIndexedSeq.map(col): _*)
+      .orderBy((tsCol +: tieCols).toIndexedSeq.map(col): _*)
+    df.withColumn("__from", lag(col(stateCol), 1).over(w))
+      .where(col("__from").isNotNull)
+      .groupBy(col("__from").as("from_state"), col(stateCol).as("to_state"))
+      .agg(count(lit(1)).as("n_transitions"),
+        countDistinct(keys.head, keys.tail: _*).as("n_keys"))
+  }
+
   /** Exact floor-division band of a millisecond epoch column —
     * integer arithmetic only: the subtraction makes the numerator
     * exactly divisible, and `div` (IntegralDivide) keeps the quotient

@@ -441,6 +441,40 @@ object ExtPipelineQueries {
               FROM r WHERE prefix < 2000
               GROUP BY lang ORDER BY lang""")),
 
+    // α=0.5 temperature mixture ([[Sampling.temperedTokenBudget]]):
+    // the 60k-char budget splits across languages ∝ isqrt(count) —
+    // English (~40% of docs) gets ~30% of the budget, each tail
+    // language MORE than its natural share — then each language keeps
+    // hash-ordered docs until its share is spent. All-integer on both
+    // engines (isqrt weight, DECIMAL/HUGEINT share division, exact
+    // prefix sums); the id checksum pins exact membership, and
+    // target_chars pins the share computation itself.
+    Declared(
+      "ext_pipeline_mixture",
+      (s, d) =>
+        Sampling.temperedTokenBudget(Tables.documents(s, d), Seq("lang"),
+            col("doc_id"), col("n_chars"), totalBudget = 60000L)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("n_chars")).as("chars_kept"),
+            sum(col("doc_id")).as("id_checksum"))
+          .orderBy("lang"),
+      Some("""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+              w AS (SELECT lang, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM c),
+              t AS (SELECT lang,
+                           CAST(CAST(60000 AS HUGEINT) * w // (SELECT SUM(w) FROM w) AS BIGINT) AS target
+                    FROM w),
+              r AS (SELECT d.lang, d.doc_id, d.n_chars, t.target,
+                           SUM(d.n_chars) OVER (PARTITION BY d.lang ORDER BY
+                             CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'mix'), 1, 8) AS BIGINT),
+                             d.doc_id) - d.n_chars AS prefix
+                    FROM documents d JOIN t USING (lang))
+              SELECT lang, COUNT(*) AS n_kept,
+                     CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
+                     CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+              FROM r WHERE prefix < target
+              GROUP BY lang ORDER BY lang""")),
+
     Declared(
       "ext_pipeline_split",
       (s, d) => {

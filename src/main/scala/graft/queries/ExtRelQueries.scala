@@ -544,6 +544,30 @@ object ExtRelQueries {
                      CASE WHEN c_ts IS NULL THEN 0 ELSE 1 END AS converted
               FROM j ORDER BY user_id""")),
 
+    // First-order event-type transition matrix
+    // ([[TimeJoin.transitions]]): per user, every consecutive
+    // (previous type, type) pair ordered by (ts, event_id), counted
+    // globally and by distinct users — the Markov-chain census of the
+    // event stream. One keys shuffle serves the lag; the pair census
+    // partial-aggregates into a |types|²-bounded groupBy. All-integer
+    // output.
+    Declared(
+      "ext_rel_transitions",
+      (s, d) =>
+        TimeJoin.transitions(Tables.events(s, d), Seq("user_id"), "ts",
+            "event_type", tieCols = Seq("event_id"))
+          .orderBy("from_state", "to_state"),
+      Some("""WITH seq AS (
+                SELECT user_id, event_type,
+                       LAG(event_type) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS prev_type
+                FROM events)
+              SELECT prev_type AS from_state, event_type AS to_state,
+                     COUNT(*) AS n_transitions,
+                     COUNT(DISTINCT user_id) AS n_keys
+              FROM seq WHERE prev_type IS NOT NULL
+              GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // Cohort retention: users grouped by first-activity day, each
     // cohort's distinct active users at day-offset k — the retention
     // matrix. Two partial-agged aggregates (first day per user,

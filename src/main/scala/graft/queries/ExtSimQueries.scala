@@ -358,6 +358,63 @@ object ExtSimQueries {
                      CAST(SUM(CASE WHEN cos >= kc + 1e-9 THEN neighbor_id ELSE 0 END) AS BIGINT) AS id_checksum,
                      TRUE AS recall_ok
               FROM top JOIN kth USING (query_id)
+              GROUP BY query_id ORDER BY query_id""")),
+
+    // PQ codebook save→load→serve round trip
+    // ([[Similarity.PqIndex.save]]/[[load]]) — codebooks are what a
+    // 100 TB deployment trains once and ships to every encode/serve
+    // job, so the persistence path is a first-class operator. Same
+    // probe-contract gate as ext_sim_pq_topk (oracle replays the
+    // exact brute-force side; the PQ side carries its 0.80 recall
+    // floor), but SERVED FROM THE LOADED BOOKS, plus a
+    // roundtrip_exact flag pinning bit-identity of every centroid
+    // coordinate through the (m, centroid_id)-ordered parquet round
+    // trip — an ordering or precision regression flips the flag
+    // before it could subtly degrade serving recall.
+    Declared(
+      "ext_sim_pq_load",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val built = Similarity.PqIndex.build(emb, "vec_id", "embedding",
+          m = 16, ks = 64, dim = 64, iters = 3)
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_pq_load_").toString
+        Similarity.PqIndex.save(s, built, path)
+        val loaded = Similarity.PqIndex.load(s, path)
+        val exact = loaded.books.map(_.map(_.toSeq).toSeq).toSeq ==
+          built.books.map(_.map(_.toSeq).toSeq).toSeq
+        val bf = PlanCache.cached("pqBfTop10/vec20", emb)(e =>
+          Similarity.bruteForceTopK(e, e.where(col("vec_id") < 20),
+            "vec_id", "embedding", k = 10))
+        val pq = Similarity.pqTopK(emb, emb.where(col("vec_id") < 20),
+          "vec_id", "embedding", k = 10, loaded, rerank = 8)
+        val flag = bf.select("query_id", "neighbor_id")
+          .join(pq.select("query_id", "neighbor_id"),
+            Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("__h"))
+          .crossJoin(bf.agg(count(lit(1)).as("__n")))
+          .select((col("__h") * 5 >= col("__n") * 4).as("recall_ok"))
+        topkChecksum(bf).crossJoin(flag)
+          .withColumn("roundtrip_exact", lit(exact))
+          .orderBy("query_id")
+      },
+      Some("""WITH sc AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos
+                FROM embeddings q JOIN embeddings c
+                  ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+              rk AS (
+                SELECT query_id, neighbor_id, cos,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cos DESC, neighbor_id) AS rnk
+                FROM sc),
+              top AS (SELECT * FROM rk WHERE rnk <= 10),
+              kth AS (SELECT query_id, MIN(cos) AS kc FROM top GROUP BY query_id)
+              SELECT query_id, COUNT(*) AS n_rows,
+                     CAST(SUM(CASE WHEN cos >= kc + 1e-9 THEN 1 ELSE 0 END) AS BIGINT) AS n_clear,
+                     CAST(SUM(CASE WHEN cos >= kc + 1e-9 THEN neighbor_id ELSE 0 END) AS BIGINT) AS id_checksum,
+                     TRUE AS recall_ok, TRUE AS roundtrip_exact
+              FROM top JOIN kth USING (query_id)
               GROUP BY query_id ORDER BY query_id"""))
   )
 }

@@ -134,6 +134,43 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("temperedTokenBudget: isqrt shares, prefix membership, tail upsampled") {
+    import spark.implicits._
+    def refRank(i: Long): Long = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest((i.toString + "mix").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    // skewed strata: 'a' 100 rows, 'b' 9 → weights isqrt = 10 and 3,
+    // so 'b' gets 3/13 ≈ 23% of the budget vs its 8% natural share
+    val df = spark.range(100).toDF("id").withColumn("g", lit("a"))
+      .union(spark.range(1000, 1009).toDF("id").withColumn("g", lit("b")))
+      .withColumn("toks", lit(7L))
+    val kept = Sampling.temperedTokenBudget(df, Seq("g"), col("id"),
+        col("toks"), totalBudget = 130L)
+      .select("id").as[Long].collect().toSet
+    // reference: target_g = 130·w div 13; per group walk ids by
+    // (md5 rank, id), keep while the exclusive 7-token prefix < target
+    val groups = Map("a" -> (0L until 100L), "b" -> (1000L until 1009L))
+    val weights = groups.map { case (g, ids) => g -> math.sqrt(ids.size).toLong }
+    val wsum = weights.values.sum
+    val exp = groups.flatMap { case (g, ids) =>
+      val target = 130L * weights(g) / wsum
+      ids.sortBy(i => (refRank(i), i)).zipWithIndex
+        .collect { case (i, idx) if 7L * idx < target => i }
+    }.toSet
+    assert(kept == exp)
+    // 'b' kept strictly more than its proportional share of the
+    // admitted docs would be (23% of the budget vs 8% of the corpus)
+    val bKept = kept.count(_ >= 1000L)
+    assert(bKept.toDouble / kept.size > 9.0 / 109.0)
+    assert(kept.size < 109)
+    intercept[IllegalArgumentException] {
+      Sampling.temperedTokenBudget(df, Seq.empty, col("id"), col("toks"), 100L)
+    }
+  }
+
   test("independent salts decorrelate decisions on the same key") {
     import spark.implicits._
     val both = ids.select(

@@ -136,11 +136,14 @@ class SpeculationSpec extends AnyFunSuite {
     // the round-11 CDC/window family crosses execution dimensions the
     // minhash test doesn't: max_by partial aggregation merged across
     // executor JVMs (applyLog), sort-based window frames fed by a
-    // network shuffle (scd2's lead, debounce's lag). Run the GATED
-    // queries verbatim (each carries a total ORDER BY) and require
-    // row-for-row equality between one-JVM and two-JVM execution.
+    // network shuffle (scd2's lead, debounce's lag), the tempered
+    // mixture's DECIMAL share division + broadcast-join + per-stratum
+    // prefix sum (mixture), and a two-phase countDistinct merged
+    // across JVMs (transitions). Run the GATED queries verbatim (each
+    // carries a total ORDER BY) and require row-for-row equality
+    // between one-JVM and two-JVM execution.
     val names = Seq("ext_pipeline_merge", "ext_pipeline_scd2",
-      "ext_dedup_debounce")
+      "ext_dedup_debounce", "ext_pipeline_mixture", "ext_rel_transitions")
     def run(s: SparkSession): Map[String, Seq[String]] =
       names.map(n => n -> graft.SparkEntry.queries(n)(s, "/root/testdata/sf0.001")
         .collect().map(_.toString).toSeq).toMap

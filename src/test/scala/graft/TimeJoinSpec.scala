@@ -243,6 +243,31 @@ class TimeJoinSpec extends SparkSpec {
       ("v", 5L, 1L)))
   }
 
+  test("transitions: consecutive pairs per key, ties by tie column, first event excluded") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1: A →(tie at t=100, ordered by id: B before C)→ B → C
+      (1L, ts(50), 1L, "A"),
+      (1L, ts(100), 2L, "B"),
+      (1L, ts(100), 3L, "C"),
+      // u2: A → B
+      (2L, ts(10), 4L, "A"),
+      (2L, ts(20), 5L, "B"),
+      // u3: single event, contributes no pair
+      (3L, ts(10), 6L, "A")
+    ).toDF("user_id", "t", "event_id", "state")
+    val got = TimeJoin.transitions(ev, Seq("user_id"), "t", "state",
+        tieCols = Seq("event_id"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(
+      ("A", "B", 2L, 2L),  // u1 and u2
+      ("B", "C", 1L, 1L))) // u1's tied pair, ordered by event_id
+    intercept[IllegalArgumentException] {
+      TimeJoin.transitions(ev, Seq.empty, "t", "state")
+    }
+  }
+
   test("batch sessionize segmentation equals the streaming mergeAll fold") {
     import spark.implicits._
     import graft.streaming.Sessionize
