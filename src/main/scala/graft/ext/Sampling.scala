@@ -217,6 +217,31 @@ object Sampling {
       .drop("__prefix", "__target")
   }
 
+  /** Curriculum staging: append an `out` column assigning each row to
+    * one of `nBuckets` equal-count stages per stratum, walking rows in
+    * `orderCols` order (supply a difficulty proxy plus a unique
+    * tie-breaker to make the order total — SQL NTILE puts its
+    * remainder rows in the LEADING buckets, identically on both
+    * engines, but tied rows land arbitrarily). "Quartile the corpus
+    * by length per language, train easy→hard" is
+    * `curriculumBuckets(docs, Seq("lang"), Seq($"n_chars", $"doc_id"), 4)`.
+    *
+    * Scale shape: one window per stratum — same single
+    * shuffle-and-sort cost and per-stratum skew contract as
+    * [[tokenBudget]]; there is deliberately no unpartitioned variant.
+    */
+  def curriculumBuckets(df: DataFrame, strataCols: Seq[String],
+                        orderCols: Seq[Column], nBuckets: Int,
+                        out: String = "stage"): DataFrame = {
+    require(nBuckets > 0, s"nBuckets=$nBuckets must be positive")
+    require(strataCols.nonEmpty,
+      "curriculumBuckets requires strata columns: an unpartitioned ntile cannot scale")
+    require(orderCols.nonEmpty, "curriculumBuckets needs order columns")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCols.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn(out, ntile(nBuckets).over(w))
+  }
+
   def packBins(df: DataFrame, partCols: Seq[String], orderCol: Column,
                tokensCol: Column, budget: Int, out: String = "bin"): DataFrame = {
     require(budget > 0, s"budget=$budget must be positive")

@@ -176,6 +176,47 @@ object Stats {
       .withColumn("bucket_lo", col("bucket") * width)
   }
 
+  /** Population stability index between an `expected` (reference) and
+    * an `actual` sample of `value` over the SAME fixed equi-width
+    * bucketing — the standard drift alarm between dataset versions,
+    * train/serving distributions, or split halves (PSI < 0.1 stable,
+    * 0.1–0.25 drifting, > 0.25 shifted). ONE row:
+    * `(psi_e9, n_expected, n_actual)`.
+    *
+    * Determinism contract (the [[graft.queries]] e9 pattern): each
+    * bucket's share is floored at 1e-6 (the conventional zero-bucket
+    * guard — PSI is infinite on a truly-empty-vs-occupied bucket),
+    * its term `(p−q)·ln(p/q)` — non-negative by construction — is
+    * rounded ONCE to an e9-scaled BIGINT, and the cross-bucket sum is
+    * integer, so float summation order can never flip the result.
+    *
+    * Scale shape: two partial-aggregated [[histogram]] scans (shuffle
+    * rows ≤ nBuckets each); everything after runs on ≤ nBuckets rows
+    * against two broadcast single-row totals.
+    */
+  def psi(expected: DataFrame, actual: DataFrame, value: Column,
+          width: Int, nBuckets: Int): DataFrame = {
+    val he = histogram(expected, Nil, value, width, nBuckets)
+      .select(col("bucket"), col("n").as("__ne"))
+    val ha = histogram(actual, Nil, value, width, nBuckets)
+      .select(col("bucket"), col("n").as("__na"))
+    val grid = expected.sparkSession.range(nBuckets).toDF("bucket")
+    val j = grid.join(he, Seq("bucket"), "left")
+      .join(ha, Seq("bucket"), "left")
+      .na.fill(0L, Seq("__ne", "__na"))
+    val tot = j.agg(sum(col("__ne")).as("__te"), sum(col("__na")).as("__ta"))
+    j.crossJoin(broadcast(tot))
+      .select(col("__ne"), col("__na"),
+        greatest(col("__ne") / col("__te"), lit(1e-6)).as("__p"),
+        greatest(col("__na") / col("__ta"), lit(1e-6)).as("__q"))
+      .select(col("__ne"), col("__na"),
+        round((col("__p") - col("__q")) * log(col("__p") / col("__q")) * lit(1e9))
+          .cast("bigint").as("__term_e9"))
+      .agg(sum(col("__term_e9")).as("psi_e9"),
+        sum(col("__ne")).as("n_expected"),
+        sum(col("__na")).as("n_actual"))
+  }
+
   // ----- Key-skew profiling -----------------------------------------
 
   /** Key-frequency skew profile of `key`: ONE row —

@@ -475,6 +475,31 @@ object ExtPipelineQueries {
               FROM r WHERE prefix < target
               GROUP BY lang ORDER BY lang""")),
 
+    // Curriculum staging ([[Sampling.curriculumBuckets]]): quartile
+    // each language by document length (doc_id tie-break makes the
+    // order total), train easy→hard. NTILE's leading-bucket remainder
+    // rule is identical on both engines; per-stage counts, char sums
+    // and id checksums pin every stage boundary.
+    Declared(
+      "ext_pipeline_curriculum",
+      (s, d) =>
+        Sampling.curriculumBuckets(Tables.documents(s, d), Seq("lang"),
+            Seq(col("n_chars"), col("doc_id")), nBuckets = 4)
+          .groupBy("lang", "stage")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("chars"),
+            sum(col("doc_id")).as("id_checksum"))
+          .orderBy("lang", "stage"),
+      Some("""WITH st AS (
+                SELECT lang, doc_id, n_chars,
+                       NTILE(4) OVER (PARTITION BY lang
+                         ORDER BY n_chars, doc_id) AS stage
+                FROM documents)
+              SELECT lang, stage, COUNT(*) AS n_docs,
+                     CAST(SUM(n_chars) AS BIGINT) AS chars,
+                     CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+              FROM st GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     Declared(
       "ext_pipeline_split",
       (s, d) => {

@@ -406,6 +406,43 @@ object ExtStatsQueries {
                 UNION ALL SELECT 'in_set:o_orderstatus', v_set FROM m
                 UNION ALL SELECT 'range:price_cents', v_range FROM m
                 UNION ALL SELECT 'matches:o_orderpriority', v_match FROM m)
-              ORDER BY rule"""))
+              ORDER BY rule""")),
+
+    // Population stability index ([[Stats.psi]]) between the train
+    // and val splits' length distributions — the dataset-version
+    // drift alarm, here doubling as a SPLIT-QUALITY check (a hash
+    // split should NOT drift: psi ≈ 0). Two partial-aggregated
+    // histogram scans; each bucket's (p−q)·ln(p/q) term rounds ONCE
+    // to an e9 BIGINT and the cross-bucket sum is integer, so float
+    // summation order cannot flip the gate.
+    Declared(
+      "ext_stats_psi",
+      (s, d) => {
+        val sp = Sampling.withSplit(Tables.documents(s, d), col("doc_id"),
+          valPct = 10, testPct = 10)
+        Stats.psi(sp.where(col("split") === "train"),
+          sp.where(col("split") === "val"),
+          col("n_chars"), width = 50, nBuckets = 16)
+      },
+      Some("""WITH s AS (
+                SELECT n_chars,
+                       CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 8) AS BIGINT) % 100 AS sb
+                FROM documents),
+              e AS (SELECT least(15, n_chars // 50) AS b, COUNT(*) AS ne
+                    FROM s WHERE sb >= 20 GROUP BY 1),
+              a AS (SELECT least(15, n_chars // 50) AS b, COUNT(*) AS na
+                    FROM s WHERE sb < 10 GROUP BY 1),
+              g AS (SELECT unnest(range(16)) AS b),
+              j AS (SELECT g.b, coalesce(e.ne, 0) AS ne, coalesce(a.na, 0) AS na
+                    FROM g LEFT JOIN e USING (b) LEFT JOIN a USING (b)),
+              t AS (SELECT SUM(ne) AS te, SUM(na) AS ta FROM j),
+              terms AS (SELECT ne, na,
+                          CAST(round((greatest(ne / te, 1e-6) - greatest(na / ta, 1e-6))
+                            * ln(greatest(ne / te, 1e-6) / greatest(na / ta, 1e-6)) * 1e9) AS BIGINT) AS term_e9
+                        FROM j, t)
+              SELECT CAST(SUM(term_e9) AS BIGINT) AS psi_e9,
+                     CAST(SUM(ne) AS BIGINT) AS n_expected,
+                     CAST(SUM(na) AS BIGINT) AS n_actual
+              FROM terms"""))
   )
 }

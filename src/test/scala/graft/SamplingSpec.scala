@@ -171,6 +171,23 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("curriculumBuckets: ntile remainder leads, strata independent, order respected") {
+    import spark.implicits._
+    // stratum 'a': 10 rows → ntile(4) sizes 3,3,2,2 with the extra
+    // rows in the LEADING stages; 'b': 4 rows → one per stage
+    val df = (0 until 10).map(i => ("a", i)).toDF("g", "v")
+      .union(Seq(("b", 100), ("b", 101), ("b", 102), ("b", 103)).toDF("g", "v"))
+    val got = Sampling.curriculumBuckets(df, Seq("g"), Seq(col("v")), 4)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    val expA = Seq(0, 1, 2).map(("a", _, 1)) ++ Seq(3, 4, 5).map(("a", _, 2)) ++
+      Seq(6, 7).map(("a", _, 3)) ++ Seq(8, 9).map(("a", _, 4))
+    val expB = Seq(100, 101, 102, 103).zip(1 to 4).map { case (v, s) => ("b", v, s) }
+    assert(got == (expA ++ expB).toSet)
+    intercept[IllegalArgumentException] {
+      Sampling.curriculumBuckets(df, Seq.empty, Seq(col("v")), 4)
+    }
+  }
+
   test("independent salts decorrelate decisions on the same key") {
     import spark.implicits._
     val both = ids.select(

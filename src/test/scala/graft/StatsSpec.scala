@@ -102,6 +102,32 @@ class StatsSpec extends SparkSpec {
       (7L, 700L, 2L)))
   }
 
+  test("psi: zero on identical samples, hand-computed on a known shift, floor on empty buckets") {
+    import spark.implicits._
+    def df(vs: Seq[Int]) = vs.toDF("v")
+    // identical distributions → every term is exactly 0
+    val same = df(Seq(1, 1, 5, 12, 18))
+    val z = Stats.psi(same, same, col("v"), width = 10, nBuckets = 2)
+      .collect().head
+    assert(z.getLong(0) == 0L && z.getLong(1) == 5L && z.getLong(2) == 5L)
+    // expected 8:2 vs actual 5:5 across two buckets — reference is the
+    // same formula computed independently with Math.log
+    val e = df(Seq.fill(8)(1) ++ Seq.fill(2)(11))
+    val a = df(Seq.fill(5)(1) ++ Seq.fill(5)(11))
+    def term(p: Double, q: Double): Long =
+      math.round((p - q) * math.log(p / q) * 1e9)
+    val got = Stats.psi(e, a, col("v"), width = 10, nBuckets = 2)
+      .collect().head.getLong(0)
+    assert(got == term(0.8, 0.5) + term(0.2, 0.5))
+    // a bucket empty on one side hits the 1e-6 floor instead of ±inf
+    val e2 = df(Seq.fill(10)(1))
+    val a2 = df(Seq.fill(5)(1) ++ Seq.fill(5)(11))
+    val got2 = Stats.psi(e2, a2, col("v"), width = 10, nBuckets = 2)
+      .collect().head.getLong(0)
+    assert(got2 == term(1.0, 0.5) + term(1e-6, 0.5))
+    assert(got2 > 0L)
+  }
+
   test("keySkew: max vs percentile of per-key counts exposes the hot key") {
     import spark.implicits._
     val df = (Seq.fill(10)("a") ++ Seq.fill(2)("b") ++ Seq.fill(2)("c") ++
