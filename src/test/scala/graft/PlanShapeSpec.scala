@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, lit}
+
 /** Physical-plan shape pins for the declared queries: the properties
   * that make each plan scale — broadcast where a side is dim-sized,
   * TakeOrdered instead of a global sort, partial aggregation before
@@ -371,5 +373,94 @@ class PlanShapeSpec extends SparkSpec {
       s"z-sort is partition-local — a global sort would serialize the rewrite:\n$plan")
     assert(count(plan, "Sort \\[") == 1,
       s"expected the single partition-local z sort:\n$plan")
+  }
+
+  test("runtime bloom-filter pruning fires on a selective fact-dim join at scale thresholds") {
+    // At 100 TB the fact side of a selective dim join should be
+    // row-filtered BEFORE its shuffle: Catalyst's InjectRuntimeFilter
+    // builds a bloom filter from the filtered dim keys and plants a
+    // might_contain probe on the fact scan. The rule is threshold-
+    // gated (application side must exceed 10 GB by default), which is
+    // why no fixture-scale plan shows it — this pin drops the size
+    // gate and proves the rule FIRES on our join shape, so the
+    // library's fact-dim joins inherit the pruning exactly where the
+    // real deployment needs it.
+    val conf = spark.conf
+    val enabledKey = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+    val scanKey =
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    val bcastKey = "spark.sql.autoBroadcastJoinThreshold"
+    val before = (conf.get(enabledKey), conf.get(scanKey), conf.get(bcastKey))
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val ord = Tables.load(spark, sfDir, "orders")
+      .where(col("o_orderpriority") === "1-URGENT")
+    def agg() = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .agg(org.apache.spark.sql.functions.sum(col("l_quantity")).as("q"))
+    // reference answer with the rule at its defaults (no probe)
+    val exact = agg().collect().head.get(0)
+    try {
+      conf.set(enabledKey, "true")
+      conf.set(scanKey, "0")
+      // force the shuffle join the fact side has at 100 TB — the rule
+      // only pays (and only fires) when the probe can shrink a
+      // shuffle, not under a fixture-scale broadcast
+      conf.set(bcastKey, "-1")
+      val j = agg()
+      assert(j.queryExecution.optimizedPlan.toString
+          .contains("might_contain"),
+        "InjectRuntimeFilter did not plant a bloom probe on the fact side:\n" +
+          j.queryExecution.optimizedPlan.toString)
+      // and the probed plan still computes the right answer
+      assert(j.collect().head.get(0) == exact)
+    } finally {
+      conf.set(enabledKey, before._1)
+      conf.set(scanKey, before._2)
+      conf.set(bcastKey, before._3)
+    }
+  }
+
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    // The other runtime guard the 100 TB design leans on: a hot join
+    // key concentrates one shuffle partition; AQE's OptimizeSkewedJoin
+    // must split it into parallel sub-reads instead of letting one
+    // task hold the stage. Thresholds are scaled down in proportion to
+    // the fixture so the rule triggers exactly as it would on a
+    // multi-GB hot partition in production.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val before = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set(keys(0), "1.0")
+      conf.set(keys(1), "64KB")
+      conf.set(keys(2), "16KB")
+      conf.set(keys(3), "-1") // force a sort-merge join (broadcast hides skew)
+      conf.set(keys(4), "-1")
+      import spark.implicits._
+      // 60k rows on ONE key vs a uniform spread: one shuffle
+      // partition dwarfs the rest, the shape the splitter must catch
+      val skewed = spark.range(60000).select(lit(0L).as("k"),
+          col("id").as("payload"))
+        .union(spark.range(2000).select((col("id") % 32 + 1).as("k"),
+          col("id").as("payload")))
+      val dim = spark.range(64).select(col("id").as("k"),
+        (col("id") * 2).as("v"))
+      val j = skewed.join(dim, "k").agg(
+        org.apache.spark.sql.functions.sum(col("payload") + col("v")).as("s"))
+      val got = j.collect().head.getLong(0)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the hot partition:\n$plan")
+      // the split join still computes the exact aggregate
+      val expect = (0L until 60000L).map(_ + 0L).sum +
+        (0L until 2000L).map(i => i + (i % 32 + 1) * 2).sum
+      assert(got == expect)
+    } finally before.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
   }
 }

@@ -29,6 +29,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *    must emit byte-identical window rows to the uninterrupted
   *    twin (same input dir, same single-file microbatches, so the
   *    offset log pins identical batch boundaries on both paths).
+  *  - stream-stream interval-join shape: both sides' buffered rows
+  *    live in the join state store — the resumed run must keep
+  *    matching restored buffer rows against input that arrives
+  *    after the kill, and the settled pair set must equal the
+  *    uninterrupted run's with no replayed-batch duplicates.
   *
   * The mid-replay stop polls query progress and calls `stop()` as
   * soon as ≥1 microbatch has committed; with one file per trigger
@@ -158,5 +163,61 @@ class StreamRecoverySpec extends SparkSpec {
     assert(interrupted.nonEmpty, "no windows emitted — fixture/watermark mismatch")
     assert(interrupted == clean,
       "resumed run's settled windows differ from the uninterrupted run's")
+  }
+
+  test("stream-stream interval-join state survives a mid-replay kill: settled pairs equal the uninterrupted run") {
+    // the hardest state shape: BOTH sides buffer rows in the join
+    // state store (time-range-bounded by the watermark), and a kill
+    // can land with one side's row committed to state and its future
+    // matches still unread — recovery must resume matching against
+    // the restored buffer, not just re-ingest input
+    val srcDir = Files.createTempDirectory("graft_recj_src").toString
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("ts", "event_type", "user_id", "event_id")
+    ev.repartitionByRange(8, col("ts")).write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+
+    def run(interrupt: Boolean): DataFrame = {
+      val outDir = Files.createTempDirectory("graft_recj_out").toString + "/out"
+      val ckpt = Files.createTempDirectory("graft_recj_ckpt").toString
+      def start(): StreamingQuery = {
+        def src() = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        val clicks = src().where(col("event_type") === "click")
+          .select("user_id", "ts", "event_id")
+        val purchases = src().where(col("event_type") === "purchase")
+          .select("user_id", "ts", "event_id")
+        StreamingQueries.intervalJoin(clicks, purchases, Seq("user_id"),
+            "ts", "ts", lowerMs = 0L, upperMs = 21600000L,
+            watermark = "30 minutes")
+          .select("l_event_id", "r_event_id")
+          .writeStream.format("parquet")
+          .option("checkpointLocation", ckpt).option("path", outDir)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      }
+      if (interrupt) {
+        val killedAt = runInterrupted(start())
+        assert(killedAt < 7,
+          s"stop raced past the replay (batch $killedAt of 8) — recovery untested")
+        val q2 = start()
+        q2.awaitTermination()
+      } else {
+        val q = start()
+        q.awaitTermination()
+      }
+      spark.read.parquet(outDir)
+    }
+
+    def canon(df: DataFrame): Seq[(Long, Long)] = {
+      import spark.implicits._
+      df.as[(Long, Long)].collect().toSeq.sorted
+    }
+    val interrupted = canon(run(interrupt = true))
+    val clean = canon(run(interrupt = false))
+    assert(interrupted.nonEmpty, "no pairs emitted — fixture/range mismatch")
+    assert(interrupted.distinct.size == interrupted.size,
+      "a committed batch was replayed into the sink (duplicate pairs)")
+    assert(interrupted == clean,
+      "resumed run's settled pair set differs from the uninterrupted run's")
   }
 }
