@@ -92,6 +92,24 @@ object Changelog {
       .drop(opCol)
   }
 
+  /** Time-travel read over an [[scd2]] history: the version of each
+    * key visible at instant `ts` — `valid_from ≤ ts < valid_to` (open
+    * end; a null valid_to is the current version). Deleted keys are
+    * absent by construction: [[scd2]] computes each version's
+    * valid_to from the NEXT log entry — including a delete — before
+    * dropping the delete rows, so a key deleted before `ts` has no
+    * admissible interval.
+    *
+    * Pure map-side filter — time travel over 100 TB of history costs
+    * one pruned scan (lay the history out by valid_from and partition
+    * pruning does the rest), never a join or a window.
+    */
+  def asOf(history: DataFrame, ts: Column,
+           validFrom: String = "valid_from",
+           validTo: String = "valid_to"): DataFrame =
+    history.where(col(validFrom) <= ts &&
+      (col(validTo).isNull || ts < col(validTo)))
+
   /** Diff two snapshot versions by key: one row per key present in
     * either side, `status` ∈ added (only in `b`) / removed (only in
     * `a`) / changed / unchanged. `contentFp` is a fingerprint

@@ -217,6 +217,57 @@ object Stats {
         sum(col("__na")).as("n_actual"))
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov distance per stratum:
+    * `(strata..., ks_num, ks_den, n_a, n_b)` where the KS statistic
+    * is the RATIONAL ks_num / ks_den — max over observed values of
+    * |cumA·n_b − cumB·n_a|, over n_a·n_b. Everything is integer, so
+    * unlike the float-CDF formulation the max can never flip between
+    * engines; ties contribute after both sides' tied rows (the
+    * standard ties convention, implied by evaluating the CDF at
+    * distinct values). [[psi]]'s exact cousin: psi needs a bucketing
+    * choice, KS doesn't — use KS when the metric is already discrete
+    * and psi when it needs quantizing.
+    *
+    * `value` must be integer-typed (quantize floats first, exactly
+    * the decision [[psi]]'s bucketing makes explicit), and
+    * n_a·n_b must fit a long — at 2⁶³ that is ~3e9 rows per side per
+    * stratum; shard the stratum first if you have more.
+    *
+    * Scale shape: one partial-aggregated union-groupBy collapses the
+    * corpus to DISTINCT (stratum, value) rows — the shuffle carries
+    * counts, not rows — then one window per stratum walks those
+    * distinct values. Per-stratum distinct-value cardinality is the
+    * skew contract (quantization bounds it when the metric is
+    * continuous).
+    */
+  def ks(a: DataFrame, b: DataFrame, strataCols: Seq[String],
+         value: Column): DataFrame = {
+    require(strataCols.nonEmpty,
+      "ks requires strata columns: an unpartitioned CDF walk cannot scale")
+    val strata = strataCols.map(col)
+    def tag(df: DataFrame, ca: Long, cb: Long) =
+      df.select(strata ++ Seq(value.cast("long").as("__v"),
+        lit(ca).as("__ca"), lit(cb).as("__cb")): _*)
+    val u = tag(a, 1L, 0L).unionByName(tag(b, 0L, 1L))
+      .groupBy(strata :+ col("__v"): _*)
+      .agg(sum(col("__ca")).as("__ca"), sum(col("__cb")).as("__cb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strata: _*).orderBy(col("__v"))
+    val whole = org.apache.spark.sql.expressions.Window
+      .partitionBy(strata: _*)
+    u.withColumn("__cuma", sum(col("__ca")).over(w))
+      .withColumn("__cumb", sum(col("__cb")).over(w))
+      .withColumn("__na", sum(col("__ca")).over(whole))
+      .withColumn("__nb", sum(col("__cb")).over(whole))
+      .groupBy(strata: _*)
+      .agg(max(abs(col("__cuma") * col("__nb") - col("__cumb") * col("__na")))
+          .as("ks_num"),
+        max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"))
+      .withColumn("ks_den", col("n_a") * col("n_b"))
+      .select(strata ++ Seq(col("ks_num"), col("ks_den"),
+        col("n_a"), col("n_b")): _*)
+  }
+
   // ----- Key-skew profiling -----------------------------------------
 
   /** Key-frequency skew profile of `key`: ONE row —

@@ -103,6 +103,38 @@ object TextStats {
     regexp_replace(regexp_replace(regexp_replace(text,
       "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
 
+  /** Canonical form of a URL for crawl dedup — the variants that don't
+    * change the fetched resource collapse to one key: scheme and host
+    * lowercase, leading `www.` and explicit default ports (`:80`,
+    * `:443`) dropped, fragment dropped, trailing path slash dropped,
+    * tracking query params (`utm_*`, `fbclid`, `gclid`) removed with
+    * the remaining params kept IN ORDER (param reordering is not
+    * assumed safe). A string that doesn't parse as `scheme://host…`
+    * passes through unchanged — never null out an id column.
+    *
+    * Pure map-side codegen (regexp extracts + one higher-order array
+    * filter); every pattern is single-match and Java-vs-RE2 agreeing,
+    * so the DuckDB twin canonicalizes identically. One scan at 100 TB.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val u0 = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(u0, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host = regexp_replace(
+      regexp_replace(
+        lower(regexp_extract(u0, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)),
+        "^www\\.", ""),
+      ":(80|443)$", "")
+    val rest = regexp_extract(u0, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$", 1)
+    val path = regexp_replace(regexp_extract(rest, "^([^?]*)", 1), "/$", "")
+    val q = regexp_extract(rest, "\\?(.*)$", 1)
+    val kept = filter(split(q, "&"),
+      x => !(x.rlike("^(utm_|fbclid=|gclid=)") || x === lit("")))
+    when(scheme === "" || host === "", url).otherwise(
+      concat(scheme, lit("://"), host, path,
+        when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+          .otherwise(lit(""))))
+  }
+
   /** Quality features per document: token count, distinct-token count,
     * type/token decile, mean token length ×10 (integer — portable).
     * The text is split ONCE into a `toks` column; downstream features

@@ -752,6 +752,49 @@ object ExtPipelineQueries {
                      strftime(ts, '%Y-%m-%d %H:%M:%S') AS vf,
                      strftime(vto, '%Y-%m-%d %H:%M:%S') AS vt,
                      CASE WHEN vto IS NULL THEN 1 ELSE 0 END AS cur
-              FROM v WHERE op <> 'D' ORDER BY event_id"""))
+              FROM v WHERE op <> 'D' ORDER BY event_id""")),
+
+    // Time travel ([[Changelog.asOf]]): the snapshot visible at
+    // 2024-01-16T00:00Z, read straight off the same SCD-2 history as
+    // ext_pipeline_scd2 with ONE map-side interval filter — no join,
+    // no window. Keys whose last pre-instant entry was a delete must
+    // be absent (the delete capped the previous version's valid_to);
+    // per-type counts plus id/cents checksums pin exactly which
+    // version of every key the instant sees.
+    Declared(
+      "ext_pipeline_time_travel",
+      (s, d) => {
+        val log = Tables.events(s, d).select(
+          col("user_id").as("k"), col("event_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("cents"),
+          col("event_type"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"))
+        val hist = Changelog.scd2(log, "k", "op", Seq("ts", "event_id"), "ts")
+        Changelog.asOf(hist, to_timestamp(lit("2024-01-16 00:00:00")))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_keys"),
+            sum(col("k")).as("key_checksum"),
+            sum(col("event_id")).as("version_checksum"),
+            sum(col("cents")).as("cents_checksum"))
+          .orderBy("event_type")
+      },
+      Some("""WITH log AS (
+                SELECT user_id AS k, event_id, ts,
+                       CAST(round(value * 100) AS BIGINT) AS cents, event_type,
+                       CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+                FROM events),
+              v AS (
+                SELECT *, LEAD(ts) OVER (PARTITION BY k ORDER BY ts, event_id) AS vto
+                FROM log),
+              snap AS (
+                SELECT * FROM v
+                WHERE op <> 'D'
+                  AND ts <= TIMESTAMP '2024-01-16 00:00:00'
+                  AND (vto IS NULL OR TIMESTAMP '2024-01-16 00:00:00' < vto))
+              SELECT event_type, COUNT(*) AS n_keys,
+                     CAST(SUM(k) AS BIGINT) AS key_checksum,
+                     CAST(SUM(event_id) AS BIGINT) AS version_checksum,
+                     CAST(SUM(cents) AS BIGINT) AS cents_checksum
+              FROM snap GROUP BY 1 ORDER BY event_type"""))
   )
 }

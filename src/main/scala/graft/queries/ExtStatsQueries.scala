@@ -443,6 +443,43 @@ object ExtStatsQueries {
               SELECT CAST(SUM(term_e9) AS BIGINT) AS psi_e9,
                      CAST(SUM(ne) AS BIGINT) AS n_expected,
                      CAST(SUM(na) AS BIGINT) AS n_actual
-              FROM terms"""))
+              FROM terms""")),
+
+    // Exact two-sample Kolmogorov–Smirnov per language ([[Stats.ks]]):
+    // the rational-arithmetic drift test — max |cumA·n_b − cumB·n_a|
+    // over distinct n_chars values, an INTEGER, so the statistic is
+    // bit-exact on both engines with no bucketing choice. Same
+    // train-vs-val pairing as ext_stats_psi, per stratum.
+    Declared(
+      "ext_stats_ks",
+      (s, d) => {
+        val sp = Sampling.withSplit(Tables.documents(s, d), col("doc_id"),
+          valPct = 10, testPct = 10)
+        Stats.ks(sp.where(col("split") === "train"),
+            sp.where(col("split") === "val"),
+            Seq("lang"), col("n_chars"))
+          .orderBy("lang")
+      },
+      Some("""WITH s AS (
+                SELECT lang, n_chars,
+                       CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 8) AS BIGINT) % 100 AS sb
+                FROM documents),
+              u AS (SELECT lang, n_chars AS v,
+                           SUM(CASE WHEN sb >= 20 THEN 1 ELSE 0 END) AS ca,
+                           SUM(CASE WHEN sb < 10 THEN 1 ELSE 0 END) AS cb
+                    FROM s WHERE sb >= 20 OR sb < 10
+                    GROUP BY 1, 2),
+              c AS (SELECT lang,
+                           SUM(ca) OVER (PARTITION BY lang ORDER BY v) AS cuma,
+                           SUM(cb) OVER (PARTITION BY lang ORDER BY v) AS cumb,
+                           SUM(ca) OVER (PARTITION BY lang) AS na,
+                           SUM(cb) OVER (PARTITION BY lang) AS nb
+                    FROM u)
+              SELECT lang,
+                     CAST(MAX(ABS(cuma * nb - cumb * na)) AS BIGINT) AS ks_num,
+                     CAST(MAX(na) * MAX(nb) AS BIGINT) AS ks_den,
+                     CAST(MAX(na) AS BIGINT) AS n_a,
+                     CAST(MAX(nb) AS BIGINT) AS n_b
+              FROM c GROUP BY lang ORDER BY lang"""))
   )
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Curation, Dedup, Graph, Multimodal, PlanCache, Sampling, Search, Similarity, Skew, Stats, TextStats, TimeJoin}
+import graft.ext.{Curation, Dedup, Graph, Hashing, Multimodal, PlanCache, Sampling, Search, Similarity, Skew, Stats, TextStats, TimeJoin}
 import org.apache.spark.sql.functions._
 
 import ExtShared._
@@ -229,6 +229,79 @@ object ExtTextQueries {
               SELECT regexp_replace(url, '^https?://', '') AS domain,
                      COUNT(*) AS n_urls, COUNT(DISTINCT doc_id) AS n_docs
               FROM u GROUP BY 1 ORDER BY domain""")),
+
+    // URL canonicalization for crawl dedup ([[TextStats.canonicalUrl]]):
+    // deterministic variant URLs synthesized per doc (the domains-row
+    // pattern) — page 2k and 2k+1 carry the SAME resource as
+    // `HTTPS://WWW.…:443/…/` vs `…?utm_source=feed&gclid=…` — must
+    // collapse to one canonical key (n_canon = half n_raw per host),
+    // while a kept non-tracking param survives in order. The canonical-
+    // string checksum pins every byte of the rewrite on both engines.
+    Declared(
+      "ext_text_url_canon",
+      (s, d) => {
+        val page = expr("doc_id div 2").cast("string")
+        val hostN = (expr("doc_id div 2") % 7).cast("string")
+        val raw = when(col("doc_id") % 2 === 0,
+          concat(lit("HTTPS://WWW.EX-"), hostN, lit(".EXAMPLE.ORG:443/p/"),
+            page, lit("/")))
+          .otherwise(concat(lit("https://ex-"), hostN, lit(".example.org/p/"),
+            page, lit("?utm_source=feed&gclid="), col("doc_id").cast("string")))
+        val extra = when(col("doc_id") % 4 === 0,
+          concat(lit("http://keep.example.net/a?q="),
+            (col("doc_id") % 5).cast("string"), lit("&utm_medium=x")))
+        val urls = Tables.documents(s, d)
+          .select(explode(array(raw, extra)).as("u"))
+          .where(col("u").isNotNull)
+        urls.withColumn("canon", TextStats.canonicalUrl(col("u")))
+          .groupBy(regexp_extract(col("canon"), "://([^/?]+)", 1).as("host"))
+          .agg(count(lit(1)).as("n_urls"),
+            countDistinct(col("u")).as("n_raw"),
+            countDistinct(col("canon")).as("n_canon"),
+            sum(Hashing.h32(col("canon"))).as("canon_checksum"))
+          .orderBy("host")
+      },
+      Some("""WITH r AS (
+                SELECT CASE WHEN doc_id % 2 = 0 THEN
+                         'HTTPS://WWW.EX-' || (doc_id // 2) % 7 || '.EXAMPLE.ORG:443/p/' || (doc_id // 2) || '/'
+                       ELSE
+                         'https://ex-' || (doc_id // 2) % 7 || '.example.org/p/' || (doc_id // 2) || '?utm_source=feed&gclid=' || doc_id
+                       END AS u
+                FROM documents
+                UNION ALL
+                SELECT 'http://keep.example.net/a?q=' || doc_id % 5 || '&utm_medium=x' AS u
+                FROM documents WHERE doc_id % 4 = 0),
+              p AS (
+                SELECT u, regexp_replace(u, '#.*$', '') AS u2 FROM r),
+              x AS (
+                SELECT u,
+                       lower(regexp_extract(u2, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+                       regexp_replace(regexp_replace(
+                         lower(regexp_extract(u2, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+                         '^www\.', ''), ':(80|443)$', '') AS hst,
+                       regexp_extract(u2, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$', 1) AS rest
+                FROM p),
+              y AS (
+                SELECT u, sch, hst,
+                       regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/$', '') AS pth,
+                       list_filter(string_split(regexp_extract(rest, '\?(.*)$', 1), '&'),
+                         q -> NOT regexp_matches(q, '^(utm_|fbclid=|gclid=)') AND q <> '') AS kept
+                FROM x),
+              c AS (
+                SELECT u,
+                       CASE WHEN sch = '' OR hst = '' THEN u
+                            ELSE sch || '://' || hst || pth ||
+                                 CASE WHEN len(kept) > 0
+                                      THEN '?' || array_to_string(kept, '&')
+                                      ELSE '' END
+                       END AS canon
+                FROM y)
+              SELECT regexp_extract(canon, '://([^/?]+)', 1) AS host,
+                     COUNT(*) AS n_urls,
+                     COUNT(DISTINCT u) AS n_raw,
+                     COUNT(DISTINCT canon) AS n_canon,
+                     CAST(SUM(CAST('0x' || substr(md5(canon), 1, 8) AS BIGINT)) AS BIGINT) AS canon_checksum
+              FROM c GROUP BY 1 ORDER BY host""")),
 
     // Rolling-hash fingerprints: the oracle recomputes every k-byte
     // window NAIVELY (exact double polynomial, k=8·base=31 stays under

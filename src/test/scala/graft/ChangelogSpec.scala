@@ -11,6 +11,8 @@ import graft.ext.{Changelog, Hashing}
 class ChangelogSpec extends SparkSpec {
   import spark.implicits._
 
+  private def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+
   test("applyLog: insert, update, delete, passthrough; latest seq wins out of order") {
     val snap = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
       .toDF("k", "name", "v")
@@ -91,6 +93,27 @@ class ChangelogSpec extends SparkSpec {
     val out = Changelog.scd2(log, "k", "op", Seq("ts", "id"), "ts")
     assert(out.count() == 1L)
     assert(out.where(col("is_current")).count() == 0L)
+  }
+
+  test("asOf: version visible at the instant, delete closes the interval, boundaries inclusive-exclusive") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, "U", 10L, ts(100), "v1"),
+      (1L, "U", 20L, ts(200), "v2"),
+      (1L, "D", 30L, ts(300), "x"),
+      (2L, "U", 40L, ts(150), "w1")
+    ).toDF("k", "op", "seq", "t", "payload")
+    val hist = Changelog.scd2(log, "k", "op", Seq("seq"), "t")
+    def at(sec: Long): Set[(Long, String)] =
+      Changelog.asOf(hist, lit(ts(sec)))
+        .select("k", "payload").as[(Long, String)].collect().toSet
+    assert(at(50) == Set.empty)                       // before any version
+    assert(at(100) == Set(1L -> "v1"))                // valid_from inclusive
+    assert(at(199) == Set(1L -> "v1", 2L -> "w1"))
+    assert(at(200) == Set(1L -> "v2", 2L -> "w1"))    // valid_to exclusive
+    assert(at(299) == Set(1L -> "v2", 2L -> "w1"))
+    assert(at(300) == Set(2L -> "w1"))                // delete closes k=1
+    assert(at(10000) == Set(2L -> "w1"))              // current version persists
   }
 
   test("diff labels added / removed / changed / unchanged") {

@@ -77,4 +77,27 @@ class RedactSpec extends SparkSpec {
     // never a join or a second scan of the text
     assert(!plan.contains("Join"), plan)
   }
+
+  test("canonicalUrl: each rewrite rule, kept-param order, non-URL passthrough") {
+    val cases = Seq(
+      // scheme+host lowercase, www and default port stripped,
+      // trailing slash and fragment dropped
+      ("HTTPS://WWW.Ex.ORG:443/A/b/#frag", "https://ex.org/A/b"),
+      ("http://ex.org:80/", "http://ex.org"),
+      // tracking params go, others stay in their original order
+      ("https://ex.org/p?utm_source=a&b=2&gclid=z&a=1", "https://ex.org/p?b=2&a=1"),
+      ("https://ex.org/p?utm_source=a&fbclid=x", "https://ex.org/p"),
+      // path case is preserved; only scheme/host fold
+      ("https://EX.org/CaSe", "https://ex.org/CaSe"),
+      // host-only and root-slash collapse to the same key
+      ("https://ex.org", "https://ex.org"),
+      ("https://ex.org/", "https://ex.org"),
+      // not a URL → unchanged, never nulled
+      ("plain text", "plain text"),
+      ("www.ex.org/no-scheme", "www.ex.org/no-scheme"))
+    val got = cases.map(_._1).toDF("u")
+      .select(TextStats.canonicalUrl(col("u"))).as[String].collect().toSeq
+    assert(got == cases.map(_._2),
+      cases.map(_._1).zip(got).mkString("\n"))
+  }
 }

@@ -128,6 +128,36 @@ class StatsSpec extends SparkSpec {
     assert(got2 > 0L)
   }
 
+  test("ks: hand-computed rational distance, zero on identical samples, ties convention") {
+    import spark.implicits._
+    def df(vs: Seq[(String, Int)]) = vs.toDF("g", "v")
+    // identical samples → ks_num = 0 exactly
+    val s = df(Seq(("x", 1), ("x", 5), ("x", 9)))
+    val z = Stats.ks(s, s, Seq("g"), col("v")).collect().head
+    assert(z.getLong(1) == 0L && z.getLong(2) == 9L)
+    // a = {1,2,3,4}, b = {3,4,5,6}: cumA·nb − cumB·na peaks at v=2
+    // (2·4 − 0·4 = 8) and v=6 symmetric; D = 8/16 = 1/2
+    val a = df(Seq(1, 2, 3, 4).map(("x", _)))
+    val b = df(Seq(3, 4, 5, 6).map(("x", _)))
+    val r = Stats.ks(a, b, Seq("g"), col("v")).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((8L, 16L, 4L, 4L)))
+    // ties count wholly at their value: a = {1,1}, b = {1,2} →
+    // at v=1 cumA=2, cumB=1 → |2·2 − 1·2| = 2; at v=2 |4 − 4| = 0
+    val ta = df(Seq(("x", 1), ("x", 1)))
+    val tb = df(Seq(("x", 1), ("x", 2)))
+    val t = Stats.ks(ta, tb, Seq("g"), col("v")).collect().head
+    assert((t.getLong(1), t.getLong(2)) == ((2L, 4L)))
+    // strata are independent rows
+    val m = Stats.ks(
+      df(Seq(("x", 1), ("y", 1))), df(Seq(("x", 1), ("y", 9))),
+      Seq("g"), col("v"))
+    assert(m.count() == 2)
+    intercept[IllegalArgumentException] {
+      Stats.ks(a, b, Seq.empty, col("v"))
+    }
+  }
+
   test("keySkew: max vs percentile of per-key counts exposes the hot key") {
     import spark.implicits._
     val df = (Seq.fill(10)("a") ++ Seq.fill(2)("b") ++ Seq.fill(2)("c") ++
