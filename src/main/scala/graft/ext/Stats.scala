@@ -268,6 +268,52 @@ object Stats {
         col("n_a"), col("n_b")): _*)
   }
 
+  /** Rolling z-score anomaly flags: for each row, compare its integer
+    * measure against the mean ± z·σ of the SAME key's rows in the
+    * trailing `(ts − windowMs, ts)` window — EXCLUSIVE of the current
+    * row and of its same-millisecond peers, so a spike can never mask
+    * itself and tied timestamps cannot make the verdict order-
+    * dependent. The live-metric twin of [[zOutlierFlags]]: the flag
+    * is decided by the identical integer cross-multiplication
+    * (n·x − s)² > z²·(n·q − s²) in DECIMAL(38,0), no division, no
+    * sqrt, no float — bit-exact on both engines. Rows with fewer than
+    * `minN` trailing observations flag false (no evidence, no alarm);
+    * a null measure flags null. The same DECIMAL moment-overflow
+    * loud-failure contract as [[zOutlierFlags]] applies.
+    *
+    * Scale shape: ONE hash shuffle on the keys + one in-partition
+    * sort serves all three frame aggregates (shared window); per-key
+    * event volume is the skew contract, the same as
+    * [[TimeJoin.sessionize]]'s.
+    */
+  def rollingZOutliers(df: DataFrame, keys: Seq[String], tsCol: String,
+                       ints: Column, windowMs: Long, z: Int = 3,
+                       minN: Int = 2, out: String = "is_outlier"): DataFrame = {
+    require(keys.nonEmpty, "rollingZOutliers needs key columns")
+    require(windowMs > 0, s"windowMs=$windowMs must be positive")
+    require(z > 0, s"z=$z must be positive")
+    require(minN >= 2, s"minN=$minN: variance needs at least 2 observations")
+    val D = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.toIndexedSeq.map(col): _*)
+      .orderBy(unix_millis(col(tsCol)))
+      .rangeBetween(-windowMs, -1)
+    val c = ints.cast("long")
+    val n = count(c).over(w)
+    val s = sum(c.cast(D)).over(w)
+    val q = sum(c.cast(D) * c.cast(D)).over(w)
+    val dev = n.cast(D) * c.cast(D) - s
+    val varN3 = n.cast(D) * q - s * s
+    val rawFlag = dev * dev > lit(z * z) * varN3
+    df.withColumn(out,
+      when(c.isNull, lit(null).cast("boolean"))
+        .when(n < minN, lit(false))
+        .when(rawFlag.isNull || varN3 < 0,
+          raise_error(lit("rollingZOutliers: moment overflow (n*B^2 " +
+            "headroom exceeded) - quantize the measure coarser upstream")))
+        .otherwise(rawFlag))
+  }
+
   // ----- Key-skew profiling -----------------------------------------
 
   /** Key-frequency skew profile of `key`: ONE row —

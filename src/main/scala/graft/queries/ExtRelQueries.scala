@@ -568,6 +568,50 @@ object ExtRelQueries {
               FROM seq WHERE prev_type IS NOT NULL
               GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // Rolling anomaly detection ([[Stats.rollingZOutliers]]): each
+    // event's cents value vs the trailing 48 h of its event type,
+    // |x − μ| > 3σ decided by the integer cross-multiplication
+    // (n·x − s)² > 9(n·q − s²) in DECIMAL/HUGEINT over EXCLUSIVE
+    // trailing frames — live-metric monitoring with zero float
+    // anywhere, so borderline rows cannot flip across engines. The
+    // census pins flag counts AND which events fire (id checksum).
+    Declared(
+      "ext_rel_anomaly",
+      (s, d) =>
+        Stats.rollingZOutliers(
+            Tables.events(s, d)
+              .withColumn("cents", round(col("value") * 100).cast("long")),
+            Seq("event_type"), "ts", col("cents"),
+            windowMs = 172800000L, z = 3, minN = 10)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_flagged"),
+            sum(when(col("is_outlier"), col("event_id")).otherwise(0L))
+              .as("flagged_checksum"))
+          .orderBy("event_type"),
+      Some("""WITH e AS (
+                SELECT event_type, event_id, epoch_ms(ts) AS ms,
+                       CAST(round(value * 100) AS BIGINT) AS c
+                FROM events),
+              m AS (
+                SELECT event_type, event_id, c,
+                       COUNT(c) OVER w AS n,
+                       SUM(CAST(c AS HUGEINT)) OVER w AS s,
+                       SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) OVER w AS q
+                FROM e
+                WINDOW w AS (PARTITION BY event_type ORDER BY ms
+                             RANGE BETWEEN 172800000 PRECEDING AND 1 PRECEDING)),
+              f AS (
+                SELECT event_type, event_id,
+                       CASE WHEN n < 10 THEN FALSE
+                            ELSE (n * c - s) * (n * c - s) > 9 * (n * q - s * s)
+                       END AS flag
+                FROM m)
+              SELECT event_type, COUNT(*) AS n_events,
+                     CAST(SUM(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+                     CAST(SUM(CASE WHEN flag THEN event_id ELSE 0 END) AS BIGINT) AS flagged_checksum
+              FROM f GROUP BY 1 ORDER BY event_type""")),
+
     // Cohort retention: users grouped by first-activity day, each
     // cohort's distinct active users at day-offset k — the retention
     // matrix. Two partial-agged aggregates (first day per user,

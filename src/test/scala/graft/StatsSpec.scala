@@ -158,6 +158,38 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("rollingZOutliers: exclusive trailing frame, same-ms peers excluded, minN gate, null propagates") {
+    import spark.implicits._
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val rows = Seq(
+      ("k", t(1), Some(10L), "warm1"),   // n=0 → false (minN)
+      ("k", t(2), Some(10L), "warm2"),   // n=1 → false (minN)
+      ("k", t(3), Some(10L), "flat"),    // frame {10,10}: dev=0 → false
+      // two rows at the SAME second: A's frame is {10,10,10} — its
+      // 1000-valued peer must be excluded, else varN3 balloons and
+      // the 16 would NOT flag (9·varN3 = 26 462 700 ≫ dev² = 324)
+      ("k", t(4), Some(16L), "spikeA"),
+      ("k", t(4), Some(1000L), "spikeB"),
+      ("k", t(5), None, "nullrow"),
+      ("x", t(4), Some(99L), "otherkey") // keys independent: n=0 → false
+    ).toDF("k", "ts", "c", "tag")
+    val got = Stats.rollingZOutliers(rows, Seq("k"), "ts", col("c"),
+        windowMs = 100000L, minN = 2)
+      .select("tag", "is_outlier")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null else r.getBoolean(1))).toMap
+    assert(got("warm1") == false && got("warm2") == false)
+    assert(got("flat") == false)
+    assert(got("spikeA") == true,
+      "same-ms peer leaked into the trailing frame")
+    assert(got("spikeB") == true) // 1000 vs {10,10,10}, sigma=0
+    assert(got("nullrow") == null)
+    assert(got("otherkey") == false)
+    intercept[IllegalArgumentException] {
+      Stats.rollingZOutliers(rows, Seq("k"), "ts", col("c"), 1000L, minN = 1)
+    }
+  }
+
   test("keySkew: max vs percentile of per-key counts exposes the hot key") {
     import spark.implicits._
     val df = (Seq.fill(10)("a") ++ Seq.fill(2)("b") ++ Seq.fill(2)("c") ++
