@@ -287,10 +287,20 @@ object TimeJoin {
     * timestamp ORDER BY, whose interval bound is closed the same way.
     *
     * Scale shape: one hash shuffle on the keys and one in-partition
-    * sort serve every aggregate attached to the spec; Spark evaluates
-    * a trailing range frame with a sliding two-pointer pass, O(rows +
-    * evictions), never re-summing the window per row. Per-key row
-    * count is the skew contract, as with any keyed window.
+    * sort serve every aggregate attached to the spec. COST CAVEAT
+    * (measured, not theoretical): Spark's sliding frame maintains its
+    * row buffer with a two-pointer pass but RE-EVALUATES every
+    * attached aggregate over the whole buffer each time the buffer
+    * changes — there is no retraction — so the total cost is
+    * O(rows × frame), fine for the per-entity frames this spec is
+    * for (a user's trailing hour is a handful of rows) but a blow-up
+    * when few keys hold dense frames (236 s for 5 keys × ~1300-row
+    * frames, [[graft.ext.Stats.rollingZOutliers]]'s history). For
+    * count/sum-shaped moments at that density, use the running-frame
+    * DIFFERENCE formulation rollingZOutliers switched to; min/max
+    * have no subtraction trick and genuinely need the bounded frame.
+    * Per-key row count is the skew contract, as with any keyed
+    * window.
     */
   def trailingWindow(keys: Seq[String], tsCol: String,
                      widthMs: Long): org.apache.spark.sql.expressions.WindowSpec = {
