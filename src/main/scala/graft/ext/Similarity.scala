@@ -102,11 +102,14 @@ object Similarity {
       greatest(lit(-127L), least(lit(127L),
         floor(x.cast("double") * 127d + 0.5d))))
 
-  /** Exact integer dot product of two quantized vectors. Overflow-free
-    * by construction: |q| ≤ 127, so dim·127² ≤ 2^24 for any dim ≤ 1024.
+  /** Exact integer dot product of two quantized vectors — the native
+    * codegen'd [[graft.functions.DotProductLong]] (the interpreted HOF
+    * `aggregate(zip_with(..))` form it replaced is the differential
+    * baseline in DedupSimilaritySpec). Overflow-free by construction:
+    * |q| ≤ 127, so dim·127² ≤ 2^24 for any dim ≤ 1024.
     */
   def quantizedDot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.DotProductLong.dot(a, b)
 
   /** Brute-force top-k in the quantized domain: [[bruteForceTopK]]'s
     * shape (broadcast queries, one corpus scan, per-query rank window)
@@ -629,13 +632,14 @@ object Similarity {
       }
     }(lutEncoder)
     val q = broadcast(withLut)
+    // scoring is the native codegen'd LutSum gather loop — the HOF
+    // zip_with/element_at/aggregate form paid interpreted-lambda cost
+    // on every (query, candidate) pair and is kept as the differential
+    // baseline in PqSpec
     q.crossJoin(encoded)
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        aggregate(
-          zip_with(col("codes"), col("lut"),
-            (c, row) => element_at(row, c + 1)),
-          lit(0d), (acc, x) => acc + x).as("score"))
+        graft.functions.LutSum.lutSum(col("codes"), col("lut")).as("score"))
   }
 
   /** PQ ANN top-k: ADC shortlist + exact re-rank — the standard

@@ -73,4 +73,52 @@ class PqSpec extends SparkSpec {
     info(s"max |ADC - cosine| over all pairs: $maxErr")
     assert(maxErr < 0.35, s"ADC error $maxErr implausibly large for 8x16 codebooks")
   }
+
+  test("native serving kernels are bit-equal to their HOF baselines; bad inputs fail loudly") {
+    import spark.implicits._
+    import graft.functions.{DotProductLong, LutSum}
+    // deterministic pseudo-random fixtures (seeded off the row id)
+    val rows = spark.range(200)
+      .select(col("id"),
+        transform(sequence(lit(0), lit(15)),
+          j => pmod(col("id") * 31 + j * 17, lit(255)) - 127).as("a"),
+        transform(sequence(lit(0), lit(15)),
+          j => pmod(col("id") * 13 + j * 7, lit(255)) - 127).as("b"),
+        transform(sequence(lit(0), lit(15)),
+          j => (pmod(col("id") + j, lit(8))).cast("int")).as("codes"),
+        transform(sequence(lit(0), lit(15)), j =>
+          transform(sequence(lit(0), lit(7)),
+            c => (col("id") * lit(0.001) + j * lit(0.01) + c * lit(0.1)))).as("lut"))
+    // integer dot: native vs aggregate(zip_with(..)) — exact equality
+    val dotDiff = rows.select(
+        (DotProductLong.dot(col("a"), col("b")) -
+          aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+            lit(0L), (acc, x) => acc + x)).as("d"))
+      .agg(sum(abs(col("d")))).head.getLong(0)
+    assert(dotDiff == 0L)
+    // ADC lut sum: native vs zip_with/element_at/aggregate — BIT equal
+    // (same left-to-right float order), not just within epsilon
+    val lutDiff = rows.select(
+        (LutSum.lutSum(col("codes"), col("lut")) ===
+          aggregate(zip_with(col("codes"), col("lut"),
+              (c, row) => element_at(row, c + 1)),
+            lit(0d), (acc, x) => acc + x)).as("eq"))
+      .where(!col("eq")).count()
+    assert(lutDiff == 0L)
+    // loud failures: dimension mismatch and out-of-table code (the
+    // IllegalArgumentException may or may not arrive wrapped in a
+    // SparkException depending on where codegen evaluates it)
+    def root(t: Throwable): Throwable =
+      if (t.getCause == null) t else root(t.getCause)
+    val e1 = intercept[Exception] {
+      Seq((Seq(1L, 2L), Seq(1L))).toDF("a", "b")
+        .select(DotProductLong.dot(col("a"), col("b"))).collect()
+    }
+    assert(root(e1).getMessage.contains("mismatched array lengths"))
+    val e2 = intercept[Exception] {
+      Seq((Seq(9), Seq(Seq(0.1, 0.2)))).toDF("codes", "lut")
+        .select(LutSum.lutSum(col("codes"), col("lut"))).collect()
+    }
+    assert(root(e2).getMessage.contains("outside table"))
+  }
 }
