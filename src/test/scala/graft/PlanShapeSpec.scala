@@ -419,6 +419,28 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("sim serving rows run the native kernels, not interpreted HOF lambdas") {
+    // a regression back to aggregate(zip_with(..)) would keep results
+    // bit-identical (the kernels replicate the HOF summation order)
+    // while silently re-paying ~1µs/element interpretation on every
+    // (query, candidate) pair — only the plan shows the difference.
+    // Traverse the analyzed tree: plan STRINGS truncate long project
+    // lists, so a contains() check false-negatives.
+    def uses(name: String, pred: org.apache.spark.sql.catalyst.expressions.Expression => Boolean): Boolean =
+      SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.analyzed
+        .collect { case p => p.expressions }.flatten
+        .exists(_.exists(pred))
+    assert(uses("ext_sim_quantized_topk",
+        _.isInstanceOf[graft.functions.DotProductLong]),
+      "quantized scan lost the native integer dot")
+    assert(uses("ext_sim_pq_topk", _.isInstanceOf[graft.functions.LutSum]),
+      "PQ ADC scoring lost the native lookup-sum kernel")
+    assert(uses("ext_sim_cosine_topk",
+        _.isInstanceOf[graft.functions.DotProduct]),
+      "cosine scoring lost the native double dot")
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
     // The other runtime guard the 100 TB design leans on: a hot join
     // key concentrates one shuffle partition; AQE's OptimizeSkewedJoin
