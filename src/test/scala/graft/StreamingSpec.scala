@@ -564,4 +564,38 @@ class StreamingSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("timestamp_ntz"), e.getMessage.take(300))
   }
+
+  test("gated stream queries restore the session's shuffle partitions after their replay") {
+    // ExtStreamQueries runs replays under 8 state partitions and MUST
+    // restore the session default before returning — a leak would
+    // silently run every later batch query in the same session at 8
+    // partitions, a performance bug no correctness gate would catch
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "13") // sentinel distinct from the replay's 8
+      SparkEntry.queries("ext_stream_dedup")(spark, "/root/testdata/sf0.001")
+        .collect()
+      assert(spark.conf.get(key) == "13",
+        "statePartitions leaked its 8-partition setting into the session")
+    } finally spark.conf.set(key, before)
+  }
+
+  test("gated stream results are identical under the RocksDB state store provider") {
+    // the provider a big-state production deployment runs; not
+    // adopted for the bench (measured no win at fixture state sizes)
+    // but the results contract must hold under it
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(key)
+    def run(): Seq[String] =
+      SparkEntry.queries("ext_stream_dedup")(spark, "/root/testdata/sf0.001")
+        .collect().map(_.toString).toSeq
+    val default = run()
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      assert(run() == default,
+        "RocksDB state store changed the settled dedup result")
+    } finally before.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
 }
