@@ -237,4 +237,71 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("temperedTokenBudget invariants on generated strata: overshoot ≤ 1 doc, first doc survives, shares tempered") {
+    import spark.implicits._
+    import graft.ext.Sampling
+    val strataGen = Gen.listOfN(4, Gen.chooseNum(1, 60))
+    sample(strataGen, 6).foreach { sizes =>
+      val rows = sizes.zipWithIndex.flatMap { case (n, g) =>
+        (0 until n).map(i => (s"g$g", g * 1000L + i, 5L + (i % 11)))
+      }
+      val df = rows.toDF("g", "id", "toks")
+      val budget = 200L
+      val kept = Sampling.temperedTokenBudget(df, Seq("g"), col("id"),
+          col("toks"), budget)
+        .select("g", "id", "toks").as[(String, Long, Long)].collect()
+      val weights = sizes.map(n => math.sqrt(n.toDouble).toLong)
+      val wsum = weights.sum
+      sizes.zipWithIndex.foreach { case (n, g) =>
+        val target = budget * weights(g) / wsum
+        val keptG = kept.filter(_._1 == s"g$g")
+        val tokens = keptG.map(_._3).sum
+        // every stratum keeps at least its first (hash-order) doc as
+        // long as its share is non-zero, and never overshoots the
+        // share by more than one document's tokens
+        if (target > 0) assert(keptG.nonEmpty, s"stratum g$g starved (target=$target)")
+        if (keptG.nonEmpty)
+          assert(tokens - keptG.map(_._3).max < target,
+            s"g$g overshot: $tokens tokens for target $target")
+      }
+    }
+  }
+
+  test("ks is symmetric up to sample swap and bounded by its denominator on generated samples") {
+    import spark.implicits._
+    import graft.ext.Stats
+    val vGen = Gen.listOfN(30, Gen.chooseNum(0, 20))
+    sample(Gen.zip(vGen, vGen), 6).foreach { case (as, bs) =>
+      val a = as.map(("g", _)).toDF("g", "v")
+      val b = bs.map(("g", _)).toDF("g", "v")
+      val r1 = Stats.ks(a, b, Seq("g"), col("v")).collect().head
+      val r2 = Stats.ks(b, a, Seq("g"), col("v")).collect().head
+      assert(r1.getLong(1) == r2.getLong(1), "KS distance is symmetric")
+      assert(r1.getLong(1) >= 0L && r1.getLong(1) <= r1.getLong(2),
+        "0 ≤ ks_num ≤ ks_den")
+      assert(r1.getLong(2) == as.size.toLong * bs.size)
+    }
+  }
+
+  test("transitions conserve counts: sum of pairs = events - entities, on generated streams") {
+    import spark.implicits._
+    import graft.ext.TimeJoin
+    val evGen = Gen.listOfN(40,
+      Gen.zip(Gen.chooseNum(1, 5), Gen.chooseNum(0, 1000), Gen.oneOf("A", "B", "C")))
+    sample(evGen, 6).foreach { evs =>
+      // unique (user, ts) pairs via the index as a tie column
+      val rows = evs.zipWithIndex.map { case ((u, t, s), i) =>
+        (u.toLong, new java.sql.Timestamp(t * 1000L), i.toLong, s)
+      }
+      val df = rows.toDF("u", "ts", "eid", "state")
+      val total = TimeJoin.transitions(df, Seq("u"), "ts", "state",
+          tieCols = Seq("eid"))
+        .agg(coalesce(sum(col("n_transitions")), lit(0L)))
+        .head.getLong(0)
+      val users = rows.map(_._1).distinct.size
+      assert(total == rows.size - users,
+        "every event except each entity's first contributes exactly one pair")
+    }
+  }
 }
