@@ -217,6 +217,41 @@ object Sampling {
       .drop("__prefix", "__target")
   }
 
+  /** α=0.5 temperature UPSAMPLING — the dual of
+    * [[temperedTokenBudget]]: instead of cutting head strata down to
+    * their tempered share, repeat tail strata up to it. Each stratum
+    * gets the integer repeat factor
+    * `ceil(temperedShare / naturalShare)` =
+    * `ceil(isqrt(n_g)·N / (Σ isqrt·n_g))` (exact DECIMAL integral
+    * arithmetic, ≥ 1 always, 1 for head strata by construction), and
+    * every row is emitted once per epoch with an `epoch` column in
+    * [0, factor) — the "repeat small languages k× per training pass"
+    * primitive, with the epoch index preserved so downstream shuffling
+    * can decorrelate repeats (salt with it).
+    *
+    * Scale shape: the per-stratum counts are one partial-aggregated
+    * groupBy (rows = |strata|), factors broadcast back, and the
+    * expansion is a pure map-side `explode(sequence(...))` — no
+    * shuffle of the corpus, output volume = Σ n_g·f_g by design.
+    * Same isqrt exactness bound and null-stratum contract as
+    * [[temperedTokenBudget]].
+    */
+  def temperedRepeats(df: DataFrame, strataCols: Seq[String],
+                      out: String = "epoch"): DataFrame = {
+    require(strataCols.nonEmpty, "temperedRepeats requires strata columns")
+    val strata = strataCols.map(col)
+    val counts = df.groupBy(strata: _*).agg(count(lit(1)).as("__n"))
+      .withColumn("__w", floor(sqrt(col("__n").cast("double"))).cast("bigint"))
+    val tot = counts.agg(sum(col("__n")).as("__tot"), sum(col("__w")).as("__wsum"))
+    val factors = counts.crossJoin(tot)
+      .withColumn("__f",
+        expr("CAST((CAST(__w AS DECIMAL(38,0)) * __tot + CAST(__wsum AS DECIMAL(38,0)) * __n - 1) AS DECIMAL(38,0)) div (CAST(__wsum AS DECIMAL(38,0)) * __n)"))
+      .select(strata :+ col("__f"): _*)
+    df.join(broadcast(factors), strataCols)
+      .withColumn(out, explode(sequence(lit(0L), col("__f") - 1)))
+      .drop("__f")
+  }
+
   /** Curriculum staging: append an `out` column assigning each row to
     * one of `nBuckets` equal-count stages per stratum, walking rows in
     * `orderCols` order (supply a difficulty proxy plus a unique

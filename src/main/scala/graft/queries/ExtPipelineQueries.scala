@@ -475,6 +475,35 @@ object ExtPipelineQueries {
               FROM r WHERE prefix < target
               GROUP BY lang ORDER BY lang""")),
 
+    // α=0.5 temperature upsampling ([[Sampling.temperedRepeats]]) —
+    // the mixture row's dual: tail languages repeat
+    // ceil(temperedShare/naturalShare) times per pass (en stays at 1,
+    // every tail language doubles on these fixtures), each repeat
+    // tagged with its epoch index. Integer-exact factor arithmetic on
+    // both engines; the epoch-weighted id checksum pins both
+    // membership and per-row repeat counts.
+    Declared(
+      "ext_pipeline_epochs",
+      (s, d) =>
+        Sampling.temperedRepeats(Tables.documents(s, d), Seq("lang"))
+          .groupBy("lang")
+          .agg(max(col("epoch") + 1).as("factor"),
+            count(lit(1)).as("n_rows"),
+            sum(col("doc_id") * (col("epoch") + 1)).as("epoch_checksum"))
+          .orderBy("lang"),
+      Some("""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+              w AS (SELECT lang, n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM c),
+              t AS (SELECT SUM(n) AS nn, SUM(w) AS wsum FROM w),
+              f AS (SELECT lang,
+                           CAST((CAST(w AS HUGEINT) * nn + CAST(wsum AS HUGEINT) * n - 1)
+                                // (CAST(wsum AS HUGEINT) * n) AS BIGINT) AS f
+                    FROM w, t),
+              e AS (SELECT d.lang, d.doc_id, unnest(range(f.f)) AS epoch
+                    FROM documents d JOIN f USING (lang))
+              SELECT lang, MAX(epoch + 1) AS factor, COUNT(*) AS n_rows,
+                     CAST(SUM(doc_id * (epoch + 1)) AS BIGINT) AS epoch_checksum
+              FROM e GROUP BY lang ORDER BY lang""")),
+
     // Curriculum staging ([[Sampling.curriculumBuckets]]): quartile
     // each language by document length (doc_id tie-break makes the
     // order total), train easy→hard. NTILE's leading-bucket remainder

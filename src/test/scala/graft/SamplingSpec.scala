@@ -171,6 +171,28 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("temperedRepeats: head stays at 1, tail factors are the exact ceil, epochs tag every repeat") {
+    import spark.implicits._
+    // 'a' 100 rows, 'b' 9: w = (10, 3), N = 109, Σw = 13
+    // f_a = ceil(10·109 / (13·100)) = ceil(1090/1300) = 1
+    // f_b = ceil(3·109 / (13·9)) = ceil(327/117) = 3
+    val df = spark.range(100).toDF("id").withColumn("g", lit("a"))
+      .union(spark.range(1000, 1009).toDF("id").withColumn("g", lit("b")))
+    val out = Sampling.temperedRepeats(df, Seq("g"))
+      .select("g", "id", "epoch")
+      .as[(String, Long, Long)].collect()
+    val byG = out.groupBy(_._1)
+    assert(byG("a").size == 100 && byG("a").forall(_._3 == 0L))
+    assert(byG("b").size == 27) // 9 rows × factor 3
+    // each tail row appears exactly once per epoch 0,1,2
+    (1000L until 1009L).foreach { id =>
+      assert(byG("b").filter(_._2 == id).map(_._3).sorted.toSeq == Seq(0L, 1L, 2L))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.temperedRepeats(df, Seq.empty)
+    }
+  }
+
   test("curriculumBuckets: ntile remainder leads, strata independent, order respected") {
     import spark.implicits._
     // stratum 'a': 10 rows → ntile(4) sizes 3,3,2,2 with the extra
