@@ -193,6 +193,21 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("temperedTokenBudget: a stratum whose integer share rounds to zero is dropped whole") {
+    import spark.implicits._
+    // budget 3 over weights (10, 3): target_a = 3·10 div 13 = 2,
+    // target_b = 3·3 div 13 = 0 — integer shares are floor division,
+    // so a stratum can price out entirely under a tiny budget; that
+    // must surface as zero rows, never a negative-prefix artifact
+    val df = spark.range(100).toDF("id").withColumn("g", lit("a"))
+      .union(spark.range(1000, 1009).toDF("id").withColumn("g", lit("b")))
+      .withColumn("toks", lit(1L))
+    val kept = Sampling.temperedTokenBudget(df, Seq("g"), col("id"),
+        col("toks"), totalBudget = 3L)
+      .select("g").as[String].collect()
+    assert(kept.count(_ == "a") == 2 && !kept.contains("b"))
+  }
+
   test("curriculumBuckets: ntile remainder leads, strata independent, order respected") {
     import spark.implicits._
     // stratum 'a': 10 rows → ntile(4) sizes 3,3,2,2 with the extra

@@ -190,6 +190,20 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("ks: a stratum present in only one sample yields the 0/0 no-evidence row") {
+    import spark.implicits._
+    val a = Seq(("x", 1), ("y", 5)).toDF("g", "v")
+    val b = Seq(("x", 2)).toDF("g", "v")
+    val rows = Stats.ks(a, b, Seq("g"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // y exists only in a: every cumB is 0 and n_b = 0, so both the
+    // numerator (|cumA·0 − 0·nA|) and denominator collapse to 0 —
+    // "no evidence", not a spurious max-drift verdict
+    assert(rows("y") == ((0L, 0L, 1L, 0L)))
+    assert(rows("x")._2 == 1L) // 1·1 denominator on the shared stratum
+  }
+
   test("keySkew: max vs percentile of per-key counts exposes the hot key") {
     import spark.implicits._
     val df = (Seq.fill(10)("a") ++ Seq.fill(2)("b") ++ Seq.fill(2)("c") ++

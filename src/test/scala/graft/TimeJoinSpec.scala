@@ -266,6 +266,18 @@ class TimeJoinSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TimeJoin.transitions(ev, Seq.empty, "t", "state")
     }
+    // a null timestamp sorts FIRST in the per-key window (nulls-first
+    // ASC), so the null-ts event is the entity's first — it feeds a
+    // pair into its successor but never consumes one; same contract
+    // as sessionize's null handling, pinned so it can't drift
+    val withNull = Seq(
+      (9L, None, 1L, "Z"),
+      (9L, Some(ts(10)), 2L, "A")
+    ).toDF("user_id", "t", "event_id", "state")
+    val nz = TimeJoin.transitions(withNull, Seq("user_id"), "t", "state",
+        tieCols = Seq("event_id"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(nz == Set(("Z", "A", 1L)))
   }
 
   test("batch sessionize segmentation equals the streaming mergeAll fold") {
