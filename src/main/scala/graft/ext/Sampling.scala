@@ -186,6 +186,15 @@ object Sampling {
     * the share is `budget·w div Σw` in DECIMAL(38,0)/HUGEINT integral
     * arithmetic, so no float threshold anywhere can flip a membership.
     *
+    * By default the tempering is over ROW counts; set
+    * `weighByTokens = true` to temper over each stratum's TOKEN MASS
+    * (Σ tokensCol) instead — the convention most multilingual
+    * sampling papers use, and materially different when strata have
+    * skewed document lengths (a language of few huge documents is
+    * "bigger" by mass than by count). Same isqrt exactness bound
+    * (token mass at 100 TB still ≪ 2^52 per stratum... if not, scale
+    * the unit upstream).
+    *
     * Scale shape: one partial-aggregated groupBy produces the
     * per-stratum counts (rows = |strata|, tiny), the share relation
     * broadcasts back onto the corpus, and the selection is the same
@@ -195,13 +204,15 @@ object Sampling {
     */
   def temperedTokenBudget(df: DataFrame, strataCols: Seq[String], key: Column,
                           tokensCol: Column, totalBudget: Long,
-                          salt: String = "mix"): DataFrame = {
+                          salt: String = "mix",
+                          weighByTokens: Boolean = false): DataFrame = {
     require(totalBudget > 0, s"totalBudget=$totalBudget must be positive")
     require(strataCols.nonEmpty,
       "temperedTokenBudget requires strata columns: an unpartitioned prefix-sum cannot scale")
     val strata = strataCols.map(col)
+    val mass = if (weighByTokens) sum(tokensCol.cast("long")) else count(lit(1))
     val weights = df.groupBy(strata: _*)
-      .agg(count(lit(1)).as("__n"))
+      .agg(mass.as("__n"))
       .withColumn("__w", floor(sqrt(col("__n").cast("double"))).cast("bigint"))
     val wsum = weights.agg(sum(col("__w")).as("__wsum"))
     val targets = weights.crossJoin(wsum)

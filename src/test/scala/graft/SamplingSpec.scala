@@ -193,6 +193,31 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("temperedTokenBudget weighByTokens: mass-based weights shift shares toward long-doc strata") {
+    import spark.implicits._
+    // 'a': 64 docs of 1 token (mass 64); 'b': 4 docs of 100 tokens
+    // (mass 400). By COUNT, w = (8, 2) → b gets 2/10 of the budget;
+    // by MASS, w = (8, 20) → b gets 20/28. Same corpus, opposite head.
+    val df = spark.range(64).toDF("id").withColumn("g", lit("a"))
+        .withColumn("toks", lit(1L))
+      .union(spark.range(1000, 1004).toDF("id").withColumn("g", lit("b"))
+        .withColumn("toks", lit(100L)))
+    def keptTokens(byTokens: Boolean): Map[String, Long] =
+      Sampling.temperedTokenBudget(df, Seq("g"), col("id"), col("toks"),
+          totalBudget = 200L, weighByTokens = byTokens)
+        .groupBy("g").agg(sum(col("toks")).as("t"))
+        .as[(String, Long)].collect().toMap
+    val byCount = keptTokens(byTokens = false)
+    val byMass = keptTokens(byTokens = true)
+    // count weights: target_b = 200·2 div 10 = 40 → 0 full docs of 100
+    // survive beyond the always-kept first (prefix 0 < 40) → exactly 1
+    assert(byCount("b") == 100L)
+    // mass weights: target_b = 200·20 div 28 = 142 → first doc
+    // (prefix 0) and second (prefix 100 < 142) survive
+    assert(byMass("b") == 200L)
+    assert(byMass.getOrElse("a", 0L) < byCount("a"))
+  }
+
   test("temperedTokenBudget: a stratum whose integer share rounds to zero is dropped whole") {
     import spark.implicits._
     // budget 3 over weights (10, 3): target_a = 3·10 div 13 = 2,
