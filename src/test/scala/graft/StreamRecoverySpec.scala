@@ -220,4 +220,56 @@ class StreamRecoverySpec extends SparkSpec {
     assert(interrupted == clean,
       "resumed run's settled pair set differs from the uninterrupted run's")
   }
+
+  test("flatMapGroupsWithState session state survives a mid-replay kill: settled sessions equal the uninterrupted run") {
+    // the fourth and most custom state shape: Sessionize buffers
+    // per-user events in user-defined state and seals sessions on
+    // event-time timeout — a kill can land with open sessions
+    // buffered; the restart must resume those buffers, keep merging
+    // in-gap arrivals, and seal to exactly the uninterrupted
+    // segmentation (completing the recovery matrix: dedup / window /
+    // interval join / sessionize)
+    val srcDir = Files.createTempDirectory("graft_recs_src").toString
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id").cast("string").as("key"), col("ts"))
+    ev.repartitionByRange(8, col("ts")).write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+
+    def run(interrupt: Boolean): DataFrame = {
+      val outDir = Files.createTempDirectory("graft_recs_out").toString + "/out"
+      val ckpt = Files.createTempDirectory("graft_recs_ckpt").toString
+      def start(): StreamingQuery = {
+        val src = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        graft.streaming.Sessionize.sessions(src, gapMs = 1800000L,
+            watermark = "30 minutes")
+          .writeStream.format("parquet")
+          .option("checkpointLocation", ckpt).option("path", outDir)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      }
+      if (interrupt) {
+        val killedAt = runInterrupted(start())
+        assert(killedAt < 7,
+          s"stop raced past the replay (batch $killedAt of 8) — recovery untested")
+        val q2 = start()
+        q2.awaitTermination()
+      } else {
+        val q = start()
+        q.awaitTermination()
+      }
+      spark.read.parquet(outDir)
+    }
+
+    def canon(df: DataFrame): Seq[(String, Long, Long, Long)] = {
+      import spark.implicits._
+      df.select(col("key"), unix_millis(col("start")),
+          unix_millis(col("end")), col("n_events"))
+        .as[(String, Long, Long, Long)].collect().toSeq.sorted
+    }
+    val interrupted = canon(run(interrupt = true))
+    val clean = canon(run(interrupt = false))
+    assert(interrupted.nonEmpty, "no sessions sealed — fixture/gap mismatch")
+    assert(interrupted == clean,
+      "resumed run's settled sessions differ from the uninterrupted run's")
+  }
 }
