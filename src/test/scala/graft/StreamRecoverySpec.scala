@@ -34,6 +34,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *    matching restored buffer rows against input that arrives
   *    after the kill, and the settled pair set must equal the
   *    uninterrupted run's with no replayed-batch duplicates.
+  *  - custom-state sessionize shape (flatMapGroupsWithState): open
+  *    per-user session buffers live in user-defined state — the
+  *    resumed run must keep merging in-gap arrivals into the
+  *    restored buffers and seal the same segmentation.
   *
   * The mid-replay stop polls query progress and calls `stop()` as
   * soon as ≥1 microbatch has committed; with one file per trigger
