@@ -284,6 +284,68 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("transitions equal a naive in-memory fold on generated streams (full pair sets)") {
+    import spark.implicits._
+    import graft.ext.TimeJoin
+    val evGen = Gen.listOfN(40,
+      Gen.zip(Gen.chooseNum(1, 4), Gen.chooseNum(0, 50), Gen.oneOf("A", "B", "C")))
+    sample(evGen, 6).foreach { evs =>
+      val rows = evs.zipWithIndex.map { case ((u, t, s), i) =>
+        (u.toLong, new java.sql.Timestamp(t * 1000L), i.toLong, s)
+      }
+      val engine = TimeJoin.transitions(rows.toDF("u", "ts", "eid", "state"),
+          Seq("u"), "ts", "state", tieCols = Seq("eid"))
+        .as[(String, String, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+      val naive = rows.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+        es.sortBy(e => (e._2.getTime, e._3)).map(_._4)
+          .sliding(2).collect { case Seq(a, b) => ((a, b), u) }.toSeq
+      }
+      val expected = naive.groupBy(_._1).map { case (k, hits) =>
+        k -> (hits.size.toLong, hits.map(_._2).distinct.size.toLong)
+      }
+      assert(engine == expected)
+    }
+  }
+
+  test("psi is zero on identical samples and non-negative on generated pairs") {
+    import spark.implicits._
+    import graft.ext.Stats
+    val vGen = Gen.listOfN(40, Gen.chooseNum(0, 60))
+    sample(Gen.zip(vGen, vGen), 6).foreach { case (as, bs) =>
+      val a = as.toDF("v")
+      val b = bs.toDF("v")
+      assert(Stats.psi(a, a, col("v"), width = 10, nBuckets = 8)
+        .collect().head.getLong(0) == 0L)
+      // every term (p−q)·ln(p/q) is non-negative (same sign), so the
+      // e9 sum must be ≥ 0 on any pair of samples
+      assert(Stats.psi(a, b, col("v"), width = 10, nBuckets = 8)
+        .collect().head.getLong(0) >= 0L)
+    }
+  }
+
+  test("canonicalUrl is idempotent on generated variant URLs") {
+    import spark.implicits._
+    import graft.ext.TextStats
+    val urlGen = for {
+      scheme <- Gen.oneOf("http", "HTTPS", "https")
+      www <- Gen.oneOf("", "www.", "WWW.")
+      host <- Gen.oneOf("ex.org", "A.Example.net", "x-1.co")
+      port <- Gen.oneOf("", ":443", ":80", ":8080")
+      path <- Gen.oneOf("", "/", "/a", "/a/B/", "/a%20b")
+      q <- Gen.oneOf("", "?utm_source=x", "?a=1&utm_medium=y&b=2", "?a=1")
+      frag <- Gen.oneOf("", "#f", "#a/b?c")
+    } yield s"$scheme://$www$host$port$path$q$frag"
+    sample(Gen.listOfN(20, urlGen), 5).foreach { urls =>
+      val df = urls.toDF("u")
+        .select(TextStats.canonicalUrl(col("u")).as("c1"))
+        .select(col("c1"), TextStats.canonicalUrl(col("c1")).as("c2"))
+      val bad = df.where(col("c1") =!= col("c2")).collect()
+      assert(bad.isEmpty,
+        s"canonicalization not idempotent: ${bad.take(3).mkString(", ")}")
+    }
+  }
+
   test("transitions conserve counts: sum of pairs = events - entities, on generated streams") {
     import spark.implicits._
     import graft.ext.TimeJoin
