@@ -475,6 +475,39 @@ object ExtPipelineQueries {
               FROM r WHERE prefix < target
               GROUP BY lang ORDER BY lang""")),
 
+    // The mass-weighted mixture convention (weighByTokens = true):
+    // tempering weights from isqrt(Σ n_chars) per language instead of
+    // isqrt(count) — what multilingual sampling papers actually
+    // compute, materially different under skewed document lengths.
+    // Same all-integer share/selection machinery as
+    // ext_pipeline_mixture; the two rows pin both conventions.
+    Declared(
+      "ext_pipeline_mixture_mass",
+      (s, d) =>
+        Sampling.temperedTokenBudget(Tables.documents(s, d), Seq("lang"),
+            col("doc_id"), col("n_chars"), totalBudget = 60000L,
+            weighByTokens = true)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("n_chars")).as("chars_kept"),
+            sum(col("doc_id")).as("id_checksum"))
+          .orderBy("lang"),
+      Some("""WITH c AS (SELECT lang, SUM(n_chars) AS n FROM documents GROUP BY lang),
+              w AS (SELECT lang, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM c),
+              t AS (SELECT lang,
+                           CAST(CAST(60000 AS HUGEINT) * w // (SELECT SUM(w) FROM w) AS BIGINT) AS target
+                    FROM w),
+              r AS (SELECT d.lang, d.doc_id, d.n_chars, t.target,
+                           SUM(d.n_chars) OVER (PARTITION BY d.lang ORDER BY
+                             CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'mix'), 1, 8) AS BIGINT),
+                             d.doc_id) - d.n_chars AS prefix
+                    FROM documents d JOIN t USING (lang))
+              SELECT lang, COUNT(*) AS n_kept,
+                     CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
+                     CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+              FROM r WHERE prefix < target
+              GROUP BY lang ORDER BY lang""")),
+
     // α=0.5 temperature upsampling ([[Sampling.temperedRepeats]]) —
     // the mixture row's dual: tail languages repeat
     // ceil(temperedShare/naturalShare) times per pass (en stays at 1,
