@@ -132,10 +132,18 @@ object Graph {
     var ranks = sym.select(col("src").as("v")).distinct()
       .withColumn("r", lit(scale))
     for (_ <- 1 to iters) {
+      // the contribution sum accumulates in DECIMAL(38,0), not long:
+      // the DuckDB twin's SUM(BIGINT) is HUGEINT, so a long sum here
+      // could wrap (silently in a non-ANSI session) at V·scale ≈
+      // 2^63/85 while the oracle keeps exact — decimal keeps both
+      // engines bit-identical at any V·scale below 10^38, and the
+      // final per-node rank (≤ total mass ≈ V·scale) still fits the
+      // long the `div 100` returns
       ranks = sym.join(ranks, sym("src") === ranks("v"))
         .select(col("dst"), expr("r div d").as("c"))
         .groupBy("dst")
-        .agg((lit(teleport) + expr("(85 * sum(c)) div 100")).as("r"))
+        .agg((lit(teleport) +
+          expr("(85 * sum(cast(c as decimal(38,0)))) div 100")).as("r"))
         .select(col("dst").as("v"), col("r"))
     }
     ranks.select(col("v").as("node"), col("r").as("pr"))

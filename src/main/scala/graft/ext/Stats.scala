@@ -194,6 +194,15 @@ object Stats {
     * Scale shape: two partial-aggregated [[histogram]] scans (shuffle
     * rows ≤ nBuckets each); everything after runs on ≤ nBuckets rows
     * against two broadcast single-row totals.
+    *
+    * Contract: `value` must be NON-NEGATIVE (inherited from
+    * [[histogram]]'s non-negative-integer bucketing). A negative value
+    * produces a negative bucket id that falls off the `range(nBuckets)`
+    * grid join — excluded from psi_e9 AND from n_expected/n_actual
+    * without an error — so quantize signed metrics to a non-negative
+    * scale first (shift, or abs, whichever the drift question means).
+    * The caller can audit the contract cheaply: n_expected/n_actual
+    * equal the input row counts iff no value was out of range.
     */
   def psi(expected: DataFrame, actual: DataFrame, value: Column,
           width: Int, nBuckets: Int): DataFrame = {
@@ -271,7 +280,9 @@ object Stats {
 
   /** Rolling z-score anomaly flags: for each row, compare its integer
     * measure against the mean ± z·σ of the SAME key's rows in the
-    * trailing `(ts − windowMs, ts)` window — EXCLUSIVE of the current
+    * trailing `[ts − windowMs, ts − 1]` ms window (equivalently
+    * `[ts − windowMs, ts)`: the left endpoint IS included, the row's
+    * own millisecond is not) — EXCLUSIVE of the current
     * row and of its same-millisecond peers, so a spike can never mask
     * itself and tied timestamps cannot make the verdict order-
     * dependent. The live-metric twin of [[zOutlierFlags]]: the flag

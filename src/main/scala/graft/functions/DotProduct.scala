@@ -164,6 +164,10 @@ case class LutSum(left: Expression, right: Expression)
     var s = 0.0
     var i = 0
     while (i < codes.length) {
+      // a null inner row is a malformed lookup table (upstream bug) —
+      // without this check getArray would NPE in generated code,
+      // breaking the operator's loud-IllegalArgumentException contract
+      if (lut.isNullAt(i)) throw LutSum.nullRow(i)
       val row = lut.getArray(i)
       val c = codes(i)
       if (c < 0 || c >= row.numElements()) throw LutSum.outOfRange(c, row.numElements())
@@ -188,6 +192,9 @@ case class LutSum(left: Expression, right: Expression)
          |}
          |double $s = 0.0;
          |for (int $i = 0; $i < $codes.length; $i++) {
+         |  if ($b.isNullAt($i)) {
+         |    throw graft.functions.LutSum.nullRow($i);
+         |  }
          |  org.apache.spark.sql.catalyst.util.ArrayData $row = $b.getArray($i);
          |  int $c = $codes[$i];
          |  if ($c < 0 || $c >= $row.numElements()) {
@@ -216,4 +223,9 @@ object LutSum {
   def outOfRange(c: Int, n: Int): IllegalArgumentException =
     new IllegalArgumentException(
       s"graft_lut_sum: code $c outside table of $n centroids — codebook/codes mismatch")
+
+  /** Shared by eval and generated code. */
+  def nullRow(i: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"graft_lut_sum: null lookup-table row at subspace $i — malformed LUT upstream")
 }

@@ -377,9 +377,17 @@ object ExtSimQueries {
         val emb = Tables.embeddings(s, d)
         val built = Similarity.PqIndex.build(emb, "vec_id", "embedding",
           m = 16, ks = 64, dim = 64, iters = 3)
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_pq_load_").toString
-        Similarity.PqIndex.save(s, built, path)
+        // ONE saved-codebook dir per (session, corpus plan, params):
+        // save is the build-once half of the round trip, so it runs
+        // once — a fresh createTempDirectory per invocation leaked a
+        // dir every Bench replay (up to 6×) and did filesystem side
+        // effects at plan-construction time
+        val path = PlanCache.artifact("pqLoad/save/vec_id/embedding/16/64/64/3", emb) { _ =>
+          val p = java.nio.file.Files
+            .createTempDirectory("graft_pq_load_").toString
+          Similarity.PqIndex.save(s, built, p)
+          p
+        }
         val loaded = Similarity.PqIndex.load(s, path)
         val exact = loaded.books.map(_.map(_.toSeq).toSeq).toSeq ==
           built.books.map(_.map(_.toSeq).toSeq).toSeq

@@ -142,6 +142,54 @@ object ExtStatsQueries {
           .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
       }),
 
+    // THE 100 TB profile path under the gate, probe-contract style
+    // (the ext_stats_skew_approx template): [[Stats.profileApprox]]
+    // swaps exact multi-column COUNT(DISTINCT) — whose Expand
+    // multiplies shuffle volume by |cols| — for approx_count_distinct
+    // (HLL++, partial-aggregated, ONE plain scan for any column
+    // count). The row carries the EXACT profile (replayable by the
+    // oracle) plus a per-column boolean pinning the sketch estimate
+    // within ±5% + 2 of it; a broken sketch path flips its own row
+    // red. HLL++ is hash-deterministic (no RNG), so the flag is
+    // replay-stable; at fixture cardinalities the sparse-mode
+    // estimate is exact, and the 5% bound is ~2.5× the configured
+    // 2% rsd at any corpus size. Retires the last spec-only sketch
+    // path — every approx operator now has a gated row.
+    Declared(
+      "ext_stats_profile_approx",
+      (s, d) => {
+        val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        val docs = Tables.documents(s, d)
+        val exact = Stats.profile(docs, cols)
+        val approx = Stats.profileApprox(docs, cols)
+          .select(col("column"), col("n_distinct").as("__nda"))
+        exact.join(approx, "column")
+          .select(col("column"), col("n_rows"), col("n_nulls"),
+            col("n_distinct"), col("min_int"), col("max_int"),
+            col("max_strlen"),
+            (abs(col("__nda") - col("n_distinct")) <=
+              greatest(round(col("n_distinct") * 0.05), lit(2L))).as("nd_ok"))
+          .orderBy("column")
+      },
+      Some {
+        def one(c: String, integral: Boolean) = {
+          val mn = if (integral) s"COALESCE(CAST(MIN($c) AS BIGINT), -1)"
+                   else "CAST(-1 AS BIGINT)"
+          val mx = if (integral) s"COALESCE(CAST(MAX($c) AS BIGINT), -1)"
+                   else "CAST(-1 AS BIGINT)"
+          s"""SELECT '$c' AS "column", COUNT(*) AS n_rows,
+                     CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                     CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+                     $mn AS min_int, $mx AS max_int,
+                     COALESCE(CAST(MAX(LEN(CAST($c AS VARCHAR))) AS BIGINT), -1) AS max_strlen,
+                     TRUE AS nd_ok
+              FROM documents"""
+        }
+        Seq(one("doc_id", true), one("text", false), one("lang", false),
+          one("source", false), one("n_chars", true))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+      }),
+
     // Equi-width length histogram per language ([[Stats.histogram]]):
     // integral-div bucketing end to end (bucket edges cannot drift
     // between engines), last bucket absorbs the tail. Shuffle rows
