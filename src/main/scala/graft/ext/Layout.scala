@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Data-layout operators: multi-dimensional clustering for scan
@@ -55,5 +55,86 @@ object Layout {
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
+  }
+
+  /** Data-file census of a parquet directory: (n_files, total_bytes),
+    * counting data files only (metadata/commit markers like _SUCCESS
+    * and dotfiles are skipped). Pure driver-side filesystem metadata —
+    * one recursive listing, O(files), no Spark job; at 100 TB this is
+    * a namenode/object-store LIST, the same call every table-format
+    * maintenance job starts with.
+    */
+  def census(spark: SparkSession, dir: String): (Long, Long) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(p, true)
+    var n = 0L
+    var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (f.isFile && !name.startsWith("_") && !name.startsWith(".")) {
+        n += 1
+        bytes += f.getLen
+      }
+    }
+    (n, bytes)
+  }
+
+  /** File count [[compact]] will bin-pack `dir` into for a target
+    * file size: ceil(current data bytes / targetBytes), floored at 1.
+    * Exposed so callers (and the gated census row) can pin the
+    * contract without re-deriving it.
+    */
+  def compactFileCount(spark: SparkSession, dir: String, targetBytes: Long): Int = {
+    require(targetBytes > 0, s"targetBytes=$targetBytes must be positive")
+    val (_, bytes) = census(spark, dir)
+    math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+  }
+
+  /** The planned (pre-write) frame of [[compact]]: read the aged
+    * directory and range-partition it into [[compactFileCount]]
+    * partitions on `sortCols`, each internally sorted — so the
+    * rewritten files carry pairwise-DISJOINT `sortCols` min-max
+    * spans and a reader's predicate pruning works exactly as it did
+    * before compaction (the whole point of compacting carefully: a
+    * plain `coalesce` rewrite would interleave ranges and destroy
+    * the stats).
+    *
+    * Scale shape: ONE range-partitioning exchange (the sampling pass
+    * is the range partitioner's) + a partition-LOCAL sort — the same
+    * never-a-global-sort discipline as [[zOrderPlan]]; a 100 TB
+    * compaction is one shuffle wave wide. Sizing note: the range
+    * partitioner balances ROWS, so output files land near
+    * `targetBytes` in proportion to how uniform row widths are —
+    * the right contract for a corpus of similar documents; heavily
+    * mixed-width corpora should compact per width stratum.
+    */
+  def compactPlan(spark: SparkSession, dir: String, sortCols: Seq[String],
+                  targetBytes: Long): DataFrame = {
+    require(sortCols.nonEmpty, "compact needs sort columns (pruning stats " +
+      "are per-sort-key; an unsorted compaction is just coalesce)")
+    val n = compactFileCount(spark, dir, targetBytes)
+    spark.read.parquet(dir)
+      .repartitionByRange(n, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+  }
+
+  /** Compact an aged multi-file parquet directory into ~`targetBytes`
+    * files at `outDir`, preserving `sortCols` order (globally range-
+    * partitioned, locally sorted — min-max pruning stats survive).
+    * THE most common 100 TB lake-maintenance job: streaming ingest
+    * and incremental merges leave thousands of small files whose
+    * per-file open/footer cost dominates scans; this rewrites them
+    * into scan-sized files in one shuffle. Returns
+    * (files_before, files_after).
+    */
+  def compact(spark: SparkSession, dir: String, outDir: String,
+              sortCols: Seq[String], targetBytes: Long): (Long, Long) = {
+    val (before, _) = census(spark, dir)
+    compactPlan(spark, dir, sortCols, targetBytes)
+      .write.mode("overwrite").parquet(outDir)
+    val (after, _) = census(spark, outDir)
+    (before, after)
   }
 }

@@ -383,6 +383,72 @@ object ExtPipelineQueries {
                      CAST(16 AS BIGINT) AS n_files, TRUE AS files_disjoint
               FROM z""")),
 
+    // Small-file compaction ([[graft.ext.Layout.compact]]): the
+    // documents corpus is first written FRAGMENTED (32 round-robin
+    // files — the aged-ingest shape streaming upserts leave behind),
+    // then compacted into ~quarter-of-the-data target-size files
+    // range-partitioned + locally sorted on doc_id, and read back.
+    // Row identity (count + id/content-fp checksums) is
+    // oracle-replayed; the layout contract is pinned structurally
+    // Spark-side (file boundaries come from range-partitioner
+    // sampling, not run-deterministic): files_reduced (32 → ~4),
+    // files_ok (post-census file count equals compactFileCount's
+    // ceil(bytes/target) contract), files_disjoint (per-file doc_id
+    // min-max spans pairwise disjoint under the running-max test —
+    // the property that keeps parquet min-max pruning alive through
+    // the rewrite; a coalesce-style rewrite interleaves ranges and
+    // flips it).
+    Declared(
+      "ext_pipeline_compact",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        // fixture prep (the AGED input dir) is memoized per (session,
+        // corpus plan): what the replayed timings measure is the
+        // compaction itself, not the fragmentation setup
+        val fragDir = PlanCache.artifact("compact/frag/32/doc_id/text", docs) { dd =>
+          val p = new java.io.File(sys.props("java.io.tmpdir"),
+            s"graft_compact_frag_${d.replaceAll("[^A-Za-z0-9.]", "_")}").toString
+          dd.repartition(32).write.mode("overwrite").parquet(p)
+          p
+        }
+        // target = a quarter of the data -> expected file count is 4
+        // at EVERY sf (scale-stable booleans); same no-leak
+        // deterministic-out-dir discipline as ext_pipeline_shard_export
+        val (nBefore, bytes) = graft.ext.Layout.census(s, fragDir)
+        val target = math.max(1L, (bytes + 3) / 4)
+        val out = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_compact_out_${d.replaceAll("[^A-Za-z0-9.]", "_")}").toString
+        graft.ext.Layout.compact(s, fragDir, out, Seq("doc_id"), target)
+        val expected = graft.ext.Layout.compactFileCount(s, fragDir, target).toLong
+        val back = s.read.parquet(out).withColumn("__file", input_file_name())
+        val w = org.apache.spark.sql.expressions.Window.orderBy("kmin")
+        // file-count-sized frame (~4 rows): the single-partition
+        // window is over the file census, never the data
+        val files = back.groupBy("__file")
+          .agg(min("doc_id").as("kmin"), max("doc_id").as("kmax"))
+          .withColumn("__prev_max", max("kmax").over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+          .agg(count(lit(1)).as("__nf"),
+            sum(when(col("__prev_max").isNotNull &&
+              col("__prev_max") >= col("kmin"), 1L).otherwise(0L)).as("__ovl"))
+        back.agg(count(lit(1)).as("n_rows"),
+            sum(col("doc_id")).as("id_checksum"),
+            (sum(Hashing.h60(col("text")) % 1000000007L) % 1000000007L)
+              .as("fp_checksum"))
+          .crossJoin(files)
+          .select(col("n_rows"), col("id_checksum"), col("fp_checksum"),
+            (lit(nBefore) > col("__nf")).as("files_reduced"),
+            (col("__nf") === lit(expected)).as("files_ok"),
+            (col("__ovl") === 0).as("files_disjoint"))
+      },
+      Some("""SELECT COUNT(*) AS n_rows,
+                     CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+                     CAST(SUM(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 1000000007)
+                          % 1000000007 AS BIGINT) AS fp_checksum,
+                     TRUE AS files_reduced, TRUE AS files_ok,
+                     TRUE AS files_disjoint
+              FROM documents""")),
+
     // Deterministic split + stratified-downsampling census: every row
     // is assigned val/test/train by a salted hash of its id, and
     // independently marked kept/dropped by a per-language per-mille
