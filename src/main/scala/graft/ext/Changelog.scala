@@ -58,6 +58,56 @@ object Changelog {
       latest.where(col(opCol) =!= deleteOp).drop(opCol))
   }
 
+  /** Merge one changelog BATCH into a standing keyed STORE — the
+    * incremental step behind [[graft.streaming.StreamMerge]]'s
+    * continuous upsert. Unlike [[applyLog]] (which produces the final
+    * snapshot), the store is the full changelog-shaped relation — key,
+    * payload, `opCol`, `seqCols` — with exactly one row per key:
+    * each key's highest-seq entry seen so far, INCLUDING delete
+    * tombstones. Keeping tombstones (with their seq) is what makes
+    * the merge order-independent and idempotent:
+    *
+    *  - a late, lower-seq entry for a deleted key loses to the
+    *    tombstone instead of resurrecting it;
+    *  - re-applying any batch (the restart-replay case) re-offers
+    *    entries the store already absorbed at equal-or-higher seq —
+    *    a no-op by the max_by;
+    *  - batches may arrive in ANY interleaving: the result is always
+    *    latest-per-key over everything offered, i.e.
+    *    `mergeBatch(mergeBatch(s, b1), b2) ≡ latest(s ∪ b1 ∪ b2)`.
+    *
+    * The serving snapshot is `store.where(op =!= deleteOp).drop(op,
+    * seq...)` — read-side tombstone elision, compaction's job to
+    * physically drop (a tombstone may be discarded once every replica
+    * of the log below its seq is retired).
+    *
+    * Scale shape: the batch collapses to latest-per-key map-side
+    * (same max_by as [[applyLog]]); the 100 TB store then crosses ONE
+    * key anti-join (broadcast under AQE for a typical batch ≪ store —
+    * the store itself never shuffles), and only the TOUCHED store
+    * rows (semi-join, batch-key-sized) re-enter the max_by against
+    * the batch's winners. Same seq contract as [[applyLog]]: the
+    * seqCols tuple is unique and non-null per entry.
+    */
+  def mergeBatch(store: DataFrame, batch: DataFrame, keyCol: String,
+                 opCol: String, seqCols: Seq[String]): DataFrame = {
+    require(seqCols.nonEmpty, "mergeBatch needs at least one seq column")
+    val cols = store.columns.toIndexedSeq
+    require(batch.columns.toSet == cols.toSet,
+      s"store/batch schema mismatch: ${cols.mkString(",")} vs ${batch.columns.mkString(",")}")
+    val carried = cols.filterNot(_ == keyCol)
+    def latest(df: DataFrame): DataFrame =
+      df.groupBy(col(keyCol))
+        .agg(max_by(struct(carried.map(col): _*),
+          struct(seqCols.toIndexedSeq.map(col): _*)).as("__m"))
+        .select(col(keyCol) +: carried.map(c => col(s"__m.$c").as(c)): _*)
+    val bl = latest(batch.select(cols.map(col): _*))
+    val untouched = store.join(bl.select(keyCol), Seq(keyCol), "left_anti")
+    val touched = store.join(bl.select(keyCol), Seq(keyCol), "left_semi")
+    untouched.unionByName(latest(touched.unionByName(bl)))
+      .select(cols.map(col): _*)
+  }
+
   /** Expand a changelog into SCD-type-2 history: one VERSION row per
     * non-delete log entry, valid over [`validFrom`, `validTo`) —
     * `validFrom` is the entry's own `tsCol`, `validTo` the NEXT

@@ -3,8 +3,8 @@ package graft.queries
 import java.util.concurrent.atomic.AtomicLong
 
 import graft.Tables
-import graft.ext.{Dedup, Hashing}
-import graft.streaming.{Sessionize, StreamingQueries}
+import graft.ext.{Dedup, Hashing, PlanCache}
+import graft.streaming.{Sessionize, StreamMerge, StreamingQueries}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -53,6 +53,21 @@ object ExtStreamQueries {
     val name = s"${base}_${runSeq.incrementAndGet()}"
     Option(lastSink.put(base, name)).foreach(s.catalog.dropTempView(_))
     name
+  }
+
+  /** Fresh on-disk working dirs for `base` (store/checkpoint of the
+    * merge replay), RELEASING the previous run's — the filesystem twin
+    * of [[freshSink]]'s release discipline: Bench replays each query
+    * up to 6× in one JVM, and leaving every replay's store versions +
+    * offset log behind accumulates unboundedly.
+    */
+  private val lastDirs = new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+  private def freshDirs(base: String, n: Int): Seq[String] = {
+    val dirs = (1 to n).map(i => java.nio.file.Files
+      .createTempDirectory(s"graft_${base}_$i").toString)
+    Option(lastDirs.put(base, dirs)).foreach(_.foreach(p =>
+      org.apache.spark.network.util.JavaUtils.deleteRecursively(new java.io.File(p))))
+    dirs
   }
 
   /** Run `body` (a streaming replay) with 8 shuffle/state partitions,
@@ -482,6 +497,87 @@ object ExtStreamQueries {
                      CAST(COALESCE(SUM(CASE WHEN pid IS NULL
                             THEN cid % 1000000007 END), 0)
                           % 1000000007 AS BIGINT) AS unmatched_checksum
-              FROM keep GROUP BY user_id ORDER BY user_id"""))
+              FROM keep GROUP BY user_id ORDER BY user_id""")),
+
+    // Continuous CDC merge ([[StreamMerge]]) — the streaming twin of
+    // ext_pipeline_merge, and the deployment shape of an
+    // incrementally-maintained corpus: the SAME events-derived
+    // changelog, split into 8 ts-ranged files and replayed as a file
+    // stream, is foreachBatch-folded into a persisted versioned
+    // snapshot store seeded with the customer table. The settled
+    // store, tombstones elided, must equal the one-shot batch merge —
+    // the oracle IS ext_pipeline_merge's, verbatim: insert, update,
+    // delete, and passthrough rows all pinned by value through the
+    // incremental fold. Store versions commit via Spark's own
+    // _SUCCESS markers (self-describing — no pointer file to lose);
+    // [[graft.ext.Changelog.mergeBatch]]'s tombstone-retaining
+    // max_by makes the fold order-independent and idempotent, which
+    // StreamRecoverySpec separately proves under a mid-replay kill.
+    Declared(
+      "ext_stream_merge",
+      (s, d) => {
+        val k = col("user_id") + 1450
+        val ev = Tables.events(s, d)
+        // source prep memoized per (session, events plan): the replay
+        // (not the changelog export) is what the timings measure
+        val srcDir = PlanCache.artifact("streamMerge/src/8/1450", ev) { e =>
+          val p = java.nio.file.Files
+            .createTempDirectory("graft_smerge_src").toString
+          e.select(
+              k.as("c_custkey"),
+              concat(lit("u"), k.cast("string")).as("c_name"),
+              (k % 25).cast("int").as("c_nationkey"),
+              col("value").as("c_acctbal"),
+              col("event_type").as("c_mktsegment"),
+              when(col("event_type") === "error", "D").otherwise("U").as("op"),
+              col("ts"), col("event_id"))
+            .repartitionByRange(8, col("ts"))
+            .write.mode("overwrite").parquet(p)
+          p
+        }
+        val Seq(storeDir, ckpt) = freshDirs("smerge", 2)
+        // seed = the standing snapshot, with bookkeeping columns below
+        // any log entry's seq so every streamed change outranks it
+        StreamMerge.seed(Tables.customer(s, d).select(
+          col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"), col("c_mktsegment"),
+          lit("U").as("op"), timestamp_millis(lit(0L)).as("ts"),
+          lit(-1L).as("event_id")), storeDir)
+        val schema = s.read.parquet(srcDir).schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        val q = StreamMerge.start(stream, storeDir, ckpt,
+          "c_custkey", "op", Seq("ts", "event_id"))
+        q.awaitTermination()
+        StreamMerge.snapshot(s, storeDir, "op", Seq("ts", "event_id"))
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+            round(col("c_acctbal") * 100).cast("long").as("bal_cents"),
+            col("c_mktsegment"))
+          .orderBy("c_custkey")
+      },
+      Some("""WITH log AS (
+                SELECT user_id + 1450 AS k,
+                       'u' || CAST(user_id + 1450 AS VARCHAR) AS c_name,
+                       CAST((user_id + 1450) % 25 AS INTEGER) AS c_nationkey,
+                       value AS c_acctbal, event_type AS c_mktsegment,
+                       CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                       ts, event_id
+                FROM events),
+              latest AS (
+                SELECT k, c_name, c_nationkey, c_acctbal, c_mktsegment, op FROM (
+                  SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+                    ORDER BY ts DESC, event_id DESC) AS rn FROM log)
+                WHERE rn = 1),
+              merged AS (
+                SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal,
+                       c.c_mktsegment
+                FROM customer c ANTI JOIN latest l ON c.c_custkey = l.k
+                UNION ALL
+                SELECT k, c_name, c_nationkey, c_acctbal, c_mktsegment
+                FROM latest WHERE op <> 'D')
+              SELECT c_custkey, c_name, c_nationkey,
+                     CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+                     c_mktsegment
+              FROM merged ORDER BY c_custkey"""))
   )
 }

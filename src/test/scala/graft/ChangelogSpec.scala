@@ -59,6 +59,52 @@ class ChangelogSpec extends SparkSpec {
     }
   }
 
+  test("mergeBatch: split-invariant, idempotent, tombstones block lower-seq resurrection") {
+    // the laws StreamMerge's exactly-once story rests on: folding a
+    // log in ANY batch split (including re-applying a batch, the
+    // restart-replay case) must equal latest-per-key over the union
+    val store0 = Seq((1L, "a", "U", 0L), (2L, "b", "U", 0L))
+      .toDF("k", "name", "op", "seq")
+    val b1 = Seq((1L, "a1", "U", 2L), (3L, "c", "U", 1L), (2L, "?", "D", 3L))
+      .toDF("k", "name", "op", "seq")
+    // b2 arrives LATER but carries lower seqs (out-of-order delivery):
+    // key 1's seq-1 update and key 2's seq-1 update must both LOSE —
+    // key 2 to the retained tombstone
+    val b2 = Seq((1L, "aOld", "U", 1L), (2L, "bOld", "U", 1L), (4L, "d", "U", 1L))
+      .toDF("k", "name", "op", "seq")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val folded = canon(Changelog.mergeBatch(
+      Changelog.mergeBatch(store0, b1, "k", "op", Seq("seq")),
+      b2, "k", "op", Seq("seq")))
+    val oneShot = canon(Changelog.mergeBatch(store0,
+      b1.unionByName(b2), "k", "op", Seq("seq")))
+    assert(folded == oneShot, "fold over batch splits diverged from the one-shot merge")
+    assert(folded == Seq(
+      (1L, "a1", "U", 2L), (2L, "?", "D", 3L),
+      (3L, "c", "U", 1L), (4L, "d", "U", 1L)))
+    // idempotency: re-applying b2 (restart replay) is a no-op
+    val replayed = canon(Changelog.mergeBatch(
+      Changelog.mergeBatch(
+        Changelog.mergeBatch(store0, b1, "k", "op", Seq("seq")),
+        b2, "k", "op", Seq("seq")),
+      b2, "k", "op", Seq("seq")))
+    assert(replayed == folded, "re-applying a batch changed the store")
+    // serving snapshot elides the tombstone
+    val snap = Changelog.mergeBatch(store0, b1.unionByName(b2), "k", "op", Seq("seq"))
+    val served = snap.where(col("op") =!= "D").select("k").as[Long].collect().sorted
+    assert(served.toSeq == Seq(1L, 3L, 4L))
+  }
+
+  test("mergeBatch rejects a batch whose schema differs from the store's") {
+    val store = Seq((1L, "a", "U", 0L)).toDF("k", "name", "op", "seq")
+    val batch = Seq((1L, "U", 1L)).toDF("k", "op", "seq")
+    intercept[IllegalArgumentException] {
+      Changelog.mergeBatch(store, batch, "k", "op", Seq("seq"))
+    }
+  }
+
   test("scd2: versions chain, deletes close without opening, last version is current") {
     import java.sql.Timestamp
     def t(s: Int) = new Timestamp(s * 1000L)

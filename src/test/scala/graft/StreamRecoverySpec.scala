@@ -276,4 +276,64 @@ class StreamRecoverySpec extends SparkSpec {
     assert(interrupted == clean,
       "resumed run's settled sessions differ from the uninterrupted run's")
   }
+
+  test("foreachBatch CDC merge survives a mid-replay kill: settled store equals the uninterrupted run") {
+    // the fifth recovery shape, and the only one whose state lives
+    // OUTSIDE Spark's checkpoint: the store is our own versioned
+    // parquet directory, so the kill exercises StreamMerge's own
+    // exactly-once machinery — _SUCCESS-gated versions (a partial
+    // write is invisible and overwritten on replay) plus the
+    // latestVersion >= batchId skip (a committed version whose
+    // offsets never committed must not be double-applied). A kill can
+    // land in either window; both must settle to the uninterrupted
+    // twin's store.
+    import graft.streaming.StreamMerge
+    val srcDir = Files.createTempDirectory("graft_recm_src").toString
+    val ev = Tables.events(spark, "/root/testdata/sf0.001").select(
+      col("user_id").as("k"),
+      round(col("value") * 100).cast("long").as("cents"),
+      when(col("event_type") === "error", "D").otherwise("U").as("op"),
+      col("ts"), col("event_id"))
+    ev.repartitionByRange(8, col("ts")).write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    // at least one key's LATEST entry must be a delete, or the
+    // tombstone path is untested
+    import spark.implicits._
+    val deletedKeys = ev.groupBy("k")
+      .agg(max_by(col("op"), struct(col("ts"), col("event_id"))).as("lastOp"))
+      .where(col("lastOp") === "D").select("k").as[Long].collect().toSet
+    assert(deletedKeys.nonEmpty, "fixture has no latest-entry deletes — merge recovery untested on tombstones")
+
+    def run(interrupt: Boolean): Seq[(Long, Long)] = {
+      val storeDir = Files.createTempDirectory("graft_recm_store").toString
+      val ckpt = Files.createTempDirectory("graft_recm_ckpt").toString
+      StreamMerge.seed(spark.range(0, 100).select(
+        col("id").as("k"), lit(0L).as("cents"), lit("U").as("op"),
+        timestamp_millis(lit(0L)).as("ts"), lit(-1L).as("event_id")), storeDir)
+      def start() = StreamMerge.start(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir),
+        storeDir, ckpt, "k", "op", Seq("ts", "event_id"))
+      if (interrupt) {
+        val killedAt = runInterrupted(start())
+        assert(killedAt < 7,
+          s"stop raced past the replay (batch $killedAt of 8) — recovery untested")
+        val q2 = start()
+        q2.awaitTermination()
+      } else {
+        val q = start()
+        q.awaitTermination()
+      }
+      StreamMerge.snapshot(spark, storeDir, "op", Seq("ts", "event_id"))
+        .select("k", "cents").as[(Long, Long)].collect().toSeq.sorted
+    }
+
+    val interrupted = run(interrupt = true)
+    val clean = run(interrupt = false)
+    assert(interrupted.nonEmpty, "empty settled store — seed/changelog mismatch")
+    assert(interrupted.map(_._1).toSet.intersect(deletedKeys).isEmpty,
+      "a deleted key survived in the settled store (tombstone lost in recovery)")
+    assert(interrupted == clean,
+      "resumed run's settled store differs from the uninterrupted run's")
+  }
 }
