@@ -188,9 +188,16 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 }
 
 /** `SparkSessionExtensions` entry point: injects
-  * [[BandedRangeJoinRule]] into the operator-optimization batch.
+  * [[BandedRangeJoinRule]] into the operator-optimization batch and
+  * registers the native kernels ([[graft.functions.Registry]]) in the
+  * session FunctionRegistry, so a config-only consumer
+  * (`spark.sql.extensions=graft.plans.GraftExtensions` from PySpark /
+  * JDBC) gets both the plan rewrite and SQL access to `graft_dot`,
+  * `graft_md5_prefix`, etc.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => BandedRangeJoinRule)
+    graft.functions.Registry.all.foreach(ext.injectFunction)
+  }
 }
