@@ -86,4 +86,56 @@ class ChaosSpec extends SparkSpec {
     // exactly once despite the injected reduce-stage failures
     assert(mapRuns.value == 8)
   }
+
+  test("iterative graph ops converge oracle-equal under injected task failures") {
+    // the multi-round interaction the single-stage chaos tests above
+    // don't cover: pageRank re-reads a PERSISTED symmetrized edge
+    // relation every iteration, and kCore pins each round's survivor
+    // set as a localCheckpoint leaf — injected first-attempt failures
+    // land inside those materializations, and task retry must rebuild
+    // the cached/checkpointed blocks to the same bits the clean run
+    // produces (integer fixed-point arithmetic: ANY divergence is
+    // visible, no float tolerance to hide behind). A checkpointed
+    // block lost AFTER materialization (executor death) is the
+    // documented loud-failure trade-off of localCheckpoint — see
+    // PlanCache.checkpointed's scaladoc — not a silent-recovery path.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def edges(chaos: Boolean) = {
+      val src = spark.range(0, 400).repartition(8).as[Long].mapPartitions { it =>
+        if (chaos) {
+          val tc = TaskContext.get()
+          if (tc.attemptNumber() == 0 && tc.partitionId() % 2 == 0)
+            throw new RuntimeException("injected crash (iterative chaos)")
+        }
+        it
+      }.toDF("x")
+      // quadratic residues give IRREGULAR degrees: uniform ranks or an
+      // all-or-nothing core would make the equality checks vacuous
+      // (a 2-regular graph is pageRank's fixed point)
+      src.select((col("x") % 57).as("a"), ((col("x") * col("x") + 1) % 61).as("b"))
+        .where(col("a") =!= col("b"))
+    }
+    def pr(chaos: Boolean) =
+      graft.ext.Graph.pageRank(edges(chaos), "a", "b", iters = 5,
+          cacheTag = s"chaos/pr/$chaos")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prClean = pr(chaos = false)
+    val prChaos = pr(chaos = true)
+    assert(prClean.nonEmpty)
+    assert(prClean.values.toSet.size > 1,
+      "uniform ranks — the propagation check is vacuous on this graph")
+    assert(prChaos == prClean,
+      "pageRank diverged from the clean run under injected task failures")
+    def kc(chaos: Boolean) =
+      graft.ext.Graph.kCore(edges(chaos), "a", "b", k = 8, rounds = 3,
+          cacheTag = s"chaos/kc/$chaos")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kcClean = kc(chaos = false)
+    val kcChaos = kc(chaos = true)
+    assert(kcClean.nonEmpty && kcClean.size < prClean.size,
+      s"need a PARTIAL core (got ${kcClean.size} of ${prClean.size}) or the peel cascade is untested")
+    assert(kcChaos == kcClean,
+      "kCore diverged from the clean run under injected task failures")
+  }
 }
