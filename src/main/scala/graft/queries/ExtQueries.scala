@@ -21,6 +21,7 @@ object ExtQueries {
     ExtRelQueries.all ++
     ExtSimQueries.all ++
     ExtPipelineQueries.all ++
+    ExtVersionQueries.all ++
     ExtGraphQueries.all ++
     ExtStreamQueries.all
 }
