@@ -485,4 +485,39 @@ class PlanShapeSpec extends SparkSpec {
       v.fold(conf.unset(k))(conf.set(k, _))
     }
   }
+
+  test("Changelog.mergeBatch: the store never shuffles — batch keys broadcast to BOTH joins") {
+    // the 100 TB contract of the continuous CDC merge: per batch the
+    // store crosses one broadcast anti-join (untouched rows) and one
+    // broadcast semi-join (touched rows), both building on the
+    // BATCH-keys side; the only hash exchange of store-derived rows
+    // is the touched-keys max_by, which is batch-sized. A plan that
+    // sort-merge- or shuffle-hash-joined the store would re-shuffle
+    // the full corpus every microbatch.
+    import org.apache.spark.sql.functions.{col, concat, lit, when}
+    val store = Tables.customer(spark, sfDir).select(
+      col("c_custkey"), col("c_name"), col("c_acctbal"),
+      lit("U").as("op"), lit(0L).as("seq"))
+    val batch = Tables.events(spark, sfDir).limit(200).select(
+      (col("user_id") + 100).as("c_custkey"),
+      concat(lit("u"), col("user_id")).as("c_name"),
+      col("value").as("c_acctbal"),
+      when(col("event_type") === "error", "D").otherwise("U").as("op"),
+      col("event_id").as("seq"))
+    val m = graft.ext.Changelog.mergeBatch(store, batch, "c_custkey", "op", Seq("seq"))
+    m.collect()
+    val plan = m.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("LeftAnti, BuildRight"),
+      s"untouched-store path must broadcast the batch keys:\n$plan")
+    assert(plan.contains("LeftSemi, BuildRight"),
+      s"touched-store path must broadcast the batch keys:\n$plan")
+    assert(count(plan, "BroadcastHashJoin") >= 2)
+    assert(count(plan, "SortMergeJoin|ShuffledHashJoin") == 0,
+      s"the store side must never shuffle for the merge joins:\n$plan")
+    // the batch-keys broadcast is built ONCE and reused by the second
+    // join, not recomputed per consumer
+    assert(plan.contains("ReusedExchange"),
+      s"expected the batch-keys broadcast to be reused across the two joins:\n$plan")
+  }
 }
