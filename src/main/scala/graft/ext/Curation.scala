@@ -369,6 +369,45 @@ object Curation {
       .sortWithinPartitions(partCols.map(col) :+ col(keyCol): _*)
   }
 
+  /** Contiguous global sequence ids 0..N−1 in `orderCol` order — the
+    * "number the corpus" step of a corpus build (stable example ids,
+    * shard-offset bookkeeping, join keys for downstream systems that
+    * want dense longs). THE scale trap this replaces: the SQL
+    * formulation `ROW_NUMBER() OVER (ORDER BY k)` is a GLOBAL window,
+    * which Spark executes by moving every row to one partition (the
+    * WindowExec single-partition warning) — a 100 TB corpus dies
+    * there. This is the distributed twin: one range-partitioning
+    * exchange + partition-local sort (the [[graft.ext.Layout
+    * .compactPlan]] discipline — range partitions ARE the global
+    * order), then zipWithIndex's two-phase indexing: a lightweight
+    * job collecting per-partition COUNTS (row counts only — no data
+    * moves) and a map-side add of each partition's cumulative
+    * offset. One shuffle plus one metadata job at any corpus size.
+    *
+    * The RDD hop (zipWithIndex has no Column-API equivalent) leaves
+    * whole-stage codegen for exactly the indexing map; everything
+    * upstream/downstream of the returned frame plans normally. Ties
+    * in `orderCol` get arbitrary-but-valid consecutive ids — pass a
+    * unique key (or append one as a tiebreaker) when the mapping must
+    * be reproducible across runs.
+    */
+  def assignIds(df: DataFrame, orderCol: String, out: String = "seq_id",
+                partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    require(!df.columns.contains(out), s"output column $out already exists")
+    val n = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(n, col(orderCol))
+      .sortWithinPartitions(orderCol)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        out, org.apache.spark.sql.types.LongType, nullable = false))
+    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(indexed, schema)
+  }
+
   /** Run the pipeline over `docs`. Near-dup threshold is the rational
     * jaccardNum/jaccardDen (integer cross-multiplication — no float
     * compare anywhere).

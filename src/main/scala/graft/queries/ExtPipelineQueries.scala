@@ -452,6 +452,40 @@ object ExtPipelineQueries {
                      TRUE AS files_disjoint
               FROM documents""")),
 
+    // Distributed global row numbering ([[Curation.assignIds]]): the
+    // scalable twin of ROW_NUMBER() OVER (ORDER BY k) — which Spark
+    // executes through ONE partition (the WindowExec warning; a
+    // 100 TB corpus dies there) — as one range exchange + local sort
+    // + zipWithIndex's count-job/offset-add. The per-bucket census
+    // pins the EXACT (seq_id, doc_id) mapping: mod-p products detect
+    // any transposition, bucket min/max pin contiguity, and the
+    // oracle replays the single-window formulation DuckDB can afford
+    // at fixture scale.
+    Declared(
+      "ext_pipeline_ids",
+      (s, d) => {
+        val ids = Curation.assignIds(
+          Tables.documents(s, d).select("doc_id", "n_chars"), "doc_id")
+        ids.groupBy(expr("seq_id div 500").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min("seq_id").as("seq_min"), max("seq_id").as("seq_max"),
+            (sum((col("seq_id") % 1000000007L) * (col("doc_id") % 1000000007L)
+              % 1000000007L) % 1000000007L).as("map_checksum"),
+            sum(col("n_chars")).as("chars"))
+          .orderBy("bucket")
+      },
+      Some("""WITH r AS (
+                SELECT doc_id, n_chars,
+                       ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS seq_id
+                FROM documents)
+              SELECT seq_id // 500 AS bucket, COUNT(*) AS n,
+                     CAST(MIN(seq_id) AS BIGINT) AS seq_min,
+                     CAST(MAX(seq_id) AS BIGINT) AS seq_max,
+                     CAST(SUM(((seq_id % 1000000007) * (doc_id % 1000000007))
+                          % 1000000007) % 1000000007 AS BIGINT) AS map_checksum,
+                     CAST(SUM(n_chars) AS BIGINT) AS chars
+              FROM r GROUP BY bucket ORDER BY bucket""")),
+
     // Deterministic split + stratified-downsampling census: every row
     // is assigned val/test/train by a salted hash of its id, and
     // independently marked kept/dropped by a per-language per-mille

@@ -223,4 +223,27 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getLong(2)))
     assert(out.toSeq == Seq((3L, 3L)))
   }
+
+  test("assignIds: contiguous 0..N-1 in key order, partition-count invariant, no global window") {
+    import spark.implicits._
+    // scrambled input order and a non-dense key space: ids must come
+    // out dense and key-ordered whatever the layout
+    val rnd = new scala.util.Random(7)
+    val keys = rnd.shuffle((0 until 500).map(i => i.toLong * 3 + 1))
+    val df = keys.map(k => (k, s"v$k")).toDF("k", "v").repartition(7)
+    def mapping(partitions: Int): Seq[(Long, Long)] =
+      Curation.assignIds(df, "k", partitions = partitions)
+        .select("seq_id", "k").as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    val m8 = mapping(8)
+    assert(m8.map(_._1) == (0L until 500L), "ids not contiguous 0..N-1")
+    assert(m8.map(_._2) == keys.sorted, "ids do not follow key order")
+    // partition-count invariance: the mapping is a function of the
+    // DATA (unique keys), never of the physical layout
+    assert(mapping(3) == m8)
+    assert(mapping(1) == m8)
+    // the scale contract: no single-partition global window anywhere
+    val plan = Curation.assignIds(df, "k").queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"assignIds must never plan a global window:\n$plan")
+  }
 }
