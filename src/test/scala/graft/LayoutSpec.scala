@@ -222,6 +222,49 @@ class LayoutSpec extends SparkSpec {
       s"compaction should at least halve decoded rows ($compDecoded vs $fragDecoded)")
   }
 
+  test("compact composes with StreamMerge: a settled store version compacts without changing the snapshot") {
+    // the maintenance loop a production store actually runs: the
+    // continuous merge leaves one small file per shuffle partition
+    // per version; compaction rewrites the CURRENT version into
+    // scan-sized files and the serving snapshot must be unchanged
+    import graft.streaming.StreamMerge
+    import org.apache.spark.sql.streaming.Trigger
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_cms_src").toString
+    Tables.events(spark, "/root/testdata/sf0.001").select(
+        col("user_id").as("k"),
+        round(col("value") * 100).cast("long").as("cents"),
+        when(col("event_type") === "error", "D").otherwise("U").as("op"),
+        col("ts"), col("event_id"))
+      .repartitionByRange(4, col("ts")).write.mode("overwrite").parquet(srcDir)
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_cms_store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cms_ckpt").toString
+    StreamMerge.seed(spark.range(0, 100).select(
+      col("id").as("k"), lit(0L).as("cents"), lit("U").as("op"),
+      timestamp_millis(lit(0L)).as("ts"), lit(-1L).as("event_id")), storeDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val q = StreamMerge.start(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(srcDir),
+      storeDir, ckpt, "k", "op", Seq("ts", "event_id"),
+      trigger = Trigger.AvailableNow())
+    q.awaitTermination()
+
+    import spark.implicits._
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.select("k", "cents").as[(Long, Long)].collect().toSeq.sorted
+    val before = canon(StreamMerge.snapshot(spark, storeDir, "op", Seq("ts", "event_id")))
+    assert(before.nonEmpty)
+
+    val v = StreamMerge.latestVersion(spark, storeDir).get
+    val vDir = s"$storeDir/v$v"
+    val (_, bytes) = Layout.census(spark, vDir)
+    val outDir = java.nio.file.Files.createTempDirectory("graft_cms_out").toString + "/out"
+    val (nb, na) = Layout.compact(spark, vDir, outDir, Seq("k"), targetBytes = bytes)
+    assert(na == 1L && na < nb, s"expected 1 compacted file from $nb")
+    val after = canon(spark.read.parquet(outDir)
+      .where(col("op") =!= "D").drop("op", "ts", "event_id"))
+    assert(after == before, "compaction changed the serving snapshot")
+  }
+
   private implicit class JListOps[A](l: java.util.List[A]) {
     def asScala: scala.collection.mutable.Buffer[A] =
       scala.jdk.CollectionConverters.ListHasAsScala(l).asScala
