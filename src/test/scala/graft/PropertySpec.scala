@@ -366,4 +366,45 @@ class PropertySpec extends SparkSpec {
         "every event except each entity's first contributes exactly one pair")
     }
   }
+
+  test("mergeBatch folds over ANY batch split (with duplicate re-delivery) equal a naive latest-per-key") {
+    // the law StreamMerge's exactly-once rests on, against generated
+    // logs: random keyed ops with UNIQUE seqs, randomly split into
+    // batches in random order WITH duplicated deliveries — the fold
+    // must equal the naive in-memory argmax-per-key, tombstones
+    // retained, and the served snapshot the non-deleted subset
+    import spark.implicits._
+    import graft.ext.Changelog
+    val entryGen = for {
+      k <- Gen.choose(0L, 11L)
+      op <- Gen.frequency(4 -> Gen.const("U"), 1 -> Gen.const("D"))
+      v <- Gen.choose(0L, 999L)
+    } yield (k, v, op)
+    val logGen = Gen.listOfN(40, entryGen)
+    sample(logGen, 6).zipWithIndex.foreach { case (entries, trial) =>
+      // unique seq per entry (the contract); permuted so seq order
+      // is decoupled from list order
+      val rnd = new scala.util.Random(trial)
+      val seqs = rnd.shuffle((1L to entries.size.toLong).toList)
+      val log = entries.zip(seqs).map { case ((k, v, op), s) => (k, v, op, s) }
+      // random contiguous split into 1..5 batches, delivered in a
+      // random order, with one batch re-delivered (the replay case)
+      val nb = 1 + rnd.nextInt(5)
+      val batches0 = log.grouped(math.max(1, (log.size + nb - 1) / nb)).toSeq
+      val delivered = rnd.shuffle(batches0 ++ Seq(batches0(rnd.nextInt(batches0.size))))
+      val store0 = Seq.empty[(Long, Long, String, Long)]
+        .toDF("k", "v", "op", "seq")
+      val folded = delivered.foldLeft(store0) { (st, b) =>
+        Changelog.mergeBatch(st, b.toDF("k", "v", "op", "seq"), "k", "op", Seq("seq"))
+      }
+      val got = folded.as[(Long, Long, String, Long)].collect().toSeq.sorted
+      val naive = log.groupBy(_._1).map { case (_, es) => es.maxBy(_._4) }
+        .toSeq.sorted
+      assert(got == naive,
+        s"trial $trial: fold over ${delivered.size} deliveries diverged from naive latest-per-key")
+      val served = folded.where(col("op") =!= "D")
+        .select("k").as[Long].collect().toSet
+      assert(served == naive.filter(_._3 != "D").map(_._1).toSet)
+    }
+  }
 }
