@@ -51,9 +51,14 @@ object Registry {
     case l if l.foldable => l.dataType match {
       case ArrayType(ArrayType(StringType, _), _) =>
         val outer = l.eval().asInstanceOf[ArrayData]
+        require(outer != null, s"$fn: lists must not be null")
         (0 until outer.numElements()).map { i =>
+          require(!outer.isNullAt(i), s"$fn: list $i is null")
           val inner = outer.getArray(i)
-          (0 until inner.numElements()).map(j => inner.getUTF8String(j).toString)
+          (0 until inner.numElements()).map { j =>
+            require(!inner.isNullAt(j), s"$fn: word $j of list $i is null")
+            inner.getUTF8String(j).toString
+          }
         }
       case dt => throw new IllegalArgumentException(
         s"$fn: lists must be array<array<string>>, got ${dt.sql}")
