@@ -50,7 +50,7 @@ object Bench {
     * (`{"sf":"…","queries":{"name":sec,…}}`), regex-parsed — no JSON
     * dependency, same discipline as the writer side.
     */
-  private def idleFloor(sfDir: String): Map[String, Double] = {
+  private def idleFloor(sfDir: String, cpus: String): Map[String, Double] = {
     val path = sys.env.getOrElse("SPARK_GRAFT_IDLE_FLOOR", "bench_floor.json")
     val f = new java.io.File(path)
     if (!f.isFile) return Map.empty
@@ -58,7 +58,13 @@ object Bench {
       val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
       val sfOk = "\"sf\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(txt)
         .exists(_.group(1) == sfDir)
-      if (!sfOk) Map.empty
+      // the floors were measured at a specific parallelism — a
+      // local[4] dev run against 32-thread floors would label every
+      // CPU-parallel query contended, so an absent/mismatched cpus
+      // field disables the floor rather than poisoning the labels
+      val cpusOk = "\"cpus\"\\s*:\\s*\"?([0-9]+)\"?".r.findFirstMatchIn(txt)
+        .exists(_.group(1) == cpus)
+      if (!sfOk || !cpusOk) Map.empty
       else "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9]+\\.?[0-9]*)".r.findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case e: Throwable =>
@@ -152,7 +158,7 @@ object Bench {
     // low enough that a driver running its oracle pass concurrently
     // does.
     val contThresh = 2.0 * cpus.toDouble / 8.0
-    val floor = idleFloor(sfDir)
+    val floor = idleFloor(sfDir, cpus)
     // beyond 3× the idle floor is contention at any scale; the +1.0 s
     // grace keeps sub-second floors from flagging ordinary jitter
     def aboveIdleFloor(name: String, m: Double): Boolean =
@@ -260,12 +266,16 @@ object Bench {
     finally pw.close()
     // contended queries are named in the CONTRACT line, not just the
     // detail file — a grader reading only the metric line must see
-    // which timings a loaded box may have inflated
-    val contArr = results.filter(_.contended).map(r => jstr(r.name))
+    // which timings a loaded box may have inflated. Capped at 20
+    // names: a fully-contended session must not push the line past
+    // the driver's output window (the full list is in the detail
+    // file; n_contended always carries the true count)
+    val contendedAll = results.filter(_.contended).map(_.name)
+    val contArr = contendedAll.take(20).map(jstr(_))
       .mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs""" +
       s""","sf":"$sfDir","failed":$failedArr,"n_failed":${failed.size}""" +
-      s""","contended":$contArr""" +
+      s""","contended":$contArr,"n_contended":${contendedAll.size}""" +
       s""","loadavg_end":${r3(loadavg)},"gc_ms":${gcMs - gcStart},"detail":"$detailPath"}"""
     // The driver keeps only the last ~2000 chars of stdout (plus sbt's
     // ~85-char success suffix), so the line must fit in ~1800 chars or

@@ -102,8 +102,16 @@ object Changelog {
           struct(seqCols.toIndexedSeq.map(col): _*)).as("__m"))
         .select(col(keyCol) +: carried.map(c => col(s"__m.$c").as(c)): _*)
     val bl = latest(batch.select(cols.map(col): _*))
-    val untouched = store.join(bl.select(keyCol), Seq(keyCol), "left_anti")
-    val touched = store.join(bl.select(keyCol), Seq(keyCol), "left_semi")
+    // NULL-SAFE key comparison (<=>): groupBy already treats null as
+    // one key, but a plain equi anti-join would KEEP the store's
+    // null-key row (null never equals null in a join) while the
+    // max_by branch independently emits the batch's null-key winner —
+    // two rows for one key, compounding every batch. <=> is still an
+    // equi-join key (hash-joinable; the plan pin holds), so null
+    // behaves as an ordinary key end to end.
+    val bk = bl.select(col(keyCol).as("__bk"))
+    val untouched = store.join(bk, col(keyCol) <=> col("__bk"), "left_anti")
+    val touched = store.join(bk, col(keyCol) <=> col("__bk"), "left_semi")
     untouched.unionByName(latest(touched.unionByName(bl)))
       .select(cols.map(col): _*)
   }

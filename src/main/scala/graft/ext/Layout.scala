@@ -58,27 +58,36 @@ object Layout {
   }
 
   /** Data-file census of a parquet directory: (n_files, total_bytes),
-    * counting data files only (metadata/commit markers like _SUCCESS
-    * and dotfiles are skipped). Pure driver-side filesystem metadata —
-    * one recursive listing, O(files), no Spark job; at 100 TB this is
-    * a namenode/object-store LIST, the same call every table-format
-    * maintenance job starts with.
+    * counting data files only — hidden names (`_`/`.` prefixes) are
+    * skipped at EVERY path level, not just the leaf, so `_temporary/`
+    * leftovers from a crashed writer and `_spark_metadata/` streaming
+    * sink logs (exactly the aged-ingest shapes [[compact]] targets)
+    * never inflate the census Spark's own reader would ignore. Pure
+    * driver-side filesystem metadata — one recursive listing,
+    * O(files), no Spark job; at 100 TB this is a namenode/object-store
+    * LIST, the same call every table-format maintenance job starts
+    * with.
     */
   def census(spark: SparkSession, dir: String): (Long, Long) = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val it = fs.listFiles(p, true)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def hidden(name: String) = name.startsWith("_") || name.startsWith(".")
     var n = 0L
     var bytes = 0L
-    while (it.hasNext) {
-      val f = it.next()
-      val name = f.getPath.getName
-      if (f.isFile && !name.startsWith("_") && !name.startsWith(".")) {
-        n += 1
-        bytes += f.getLen
+    def walk(p: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(p).foreach { s =>
+        if (!hidden(s.getPath.getName)) {
+          if (s.isDirectory) walk(s.getPath)
+          else { n += 1; bytes += s.getLen }
+        }
       }
-    }
+    walk(root)
     (n, bytes)
+  }
+
+  private def fileCountFor(bytes: Long, targetBytes: Long): Int = {
+    require(targetBytes > 0, s"targetBytes=$targetBytes must be positive")
+    math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
   }
 
   /** File count [[compact]] will bin-pack `dir` into for a target
@@ -86,11 +95,8 @@ object Layout {
     * Exposed so callers (and the gated census row) can pin the
     * contract without re-deriving it.
     */
-  def compactFileCount(spark: SparkSession, dir: String, targetBytes: Long): Int = {
-    require(targetBytes > 0, s"targetBytes=$targetBytes must be positive")
-    val (_, bytes) = census(spark, dir)
-    math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-  }
+  def compactFileCount(spark: SparkSession, dir: String, targetBytes: Long): Int =
+    fileCountFor(census(spark, dir)._2, targetBytes)
 
   /** The planned (pre-write) frame of [[compact]]: read the aged
     * directory and range-partition it into [[compactFileCount]]
@@ -111,12 +117,15 @@ object Layout {
     * mixed-width corpora should compact per width stratum.
     */
   def compactPlan(spark: SparkSession, dir: String, sortCols: Seq[String],
-                  targetBytes: Long): DataFrame = {
+                  targetBytes: Long): DataFrame =
+    planFor(spark, dir, sortCols, compactFileCount(spark, dir, targetBytes))
+
+  private def planFor(spark: SparkSession, dir: String, sortCols: Seq[String],
+                      nFiles: Int): DataFrame = {
     require(sortCols.nonEmpty, "compact needs sort columns (pruning stats " +
       "are per-sort-key; an unsorted compaction is just coalesce)")
-    val n = compactFileCount(spark, dir, targetBytes)
     spark.read.parquet(dir)
-      .repartitionByRange(n, sortCols.map(col): _*)
+      .repartitionByRange(nFiles, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
   }
 
@@ -131,8 +140,10 @@ object Layout {
     */
   def compact(spark: SparkSession, dir: String, outDir: String,
               sortCols: Seq[String], targetBytes: Long): (Long, Long) = {
-    val (before, _) = census(spark, dir)
-    compactPlan(spark, dir, sortCols, targetBytes)
+    // one LIST serves both the before-count and the sizing (a 100 TB
+    // directory listing is not free; don't repeat it per derived number)
+    val (before, bytes) = census(spark, dir)
+    planFor(spark, dir, sortCols, fileCountFor(bytes, targetBytes))
       .write.mode("overwrite").parquet(outDir)
     val (after, _) = census(spark, outDir)
     (before, after)

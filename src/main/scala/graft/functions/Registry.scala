@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType}
 
@@ -33,18 +33,26 @@ object Registry {
     if (args.length != n) throw new IllegalArgumentException(
       s"$fn expects $n arguments, got ${args.length}")
 
-  private def intLit(fn: String, arg: String, e: Expression): Int = e match {
-    case Literal(v: Int, IntegerType) => v
-    case Literal(v: Long, LongType) if v.isValidInt => v.toInt
+  // any FOLDABLE integer expression qualifies (`7 + 8`, `CAST(3 AS
+  // INT)`), matching the documented contract and listsLit's behavior
+  // — not just bare Literal nodes
+  private def longLit(fn: String, arg: String, e: Expression): Long = e match {
+    case f if f.foldable && (f.dataType == IntegerType || f.dataType == LongType) =>
+      f.eval() match {
+        case v: Int => v.toLong
+        case v: Long => v
+        case null => throw new IllegalArgumentException(
+          s"$fn: $arg must not be null")
+      }
     case other => throw new IllegalArgumentException(
       s"$fn: $arg must be an integer literal, got ${other.sql}")
   }
 
-  private def longLit(fn: String, arg: String, e: Expression): Long = e match {
-    case Literal(v: Int, IntegerType) => v.toLong
-    case Literal(v: Long, LongType) => v
-    case other => throw new IllegalArgumentException(
-      s"$fn: $arg must be an integer literal, got ${other.sql}")
+  private def intLit(fn: String, arg: String, e: Expression): Int = {
+    val v = longLit(fn, arg, e)
+    require(v >= Int.MinValue && v <= Int.MaxValue,
+      s"$fn: $arg out of int range: $v")
+    v.toInt
   }
 
   private def listsLit(fn: String, e: Expression): Seq[Seq[String]] = e match {

@@ -419,10 +419,12 @@ object ExtPipelineQueries {
         // deterministic-out-dir discipline as ext_pipeline_shard_export
         val (nBefore, bytes) = graft.ext.Layout.census(s, fragDir)
         val target = math.max(1L, (bytes + 3) / 4)
+        // ceil(bytes/target) from the census already taken — don't
+        // re-LIST the directory per derived number
+        val expected = math.max(1L, (bytes + target - 1) / target)
         val out = new java.io.File(sys.props("java.io.tmpdir"),
           s"graft_compact_out_${d.replaceAll("[^A-Za-z0-9.]", "_")}").toString
         graft.ext.Layout.compact(s, fragDir, out, Seq("doc_id"), target)
-        val expected = graft.ext.Layout.compactFileCount(s, fragDir, target).toLong
         val back = s.read.parquet(out).withColumn("__file", input_file_name())
         val w = org.apache.spark.sql.expressions.Window.orderBy("kmin")
         // file-count-sized frame (~4 rows): the single-partition

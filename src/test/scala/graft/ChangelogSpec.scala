@@ -97,6 +97,27 @@ class ChangelogSpec extends SparkSpec {
     assert(served.toSeq == Seq(1L, 3L, 4L))
   }
 
+  test("mergeBatch treats a null key as one ordinary key (no duplicate accumulation)") {
+    // a plain equi anti-join never matches null=null, so without
+    // null-safe keys the store's null row survives UNTOUCHED while
+    // the max_by emits the batch's null winner — two rows for one
+    // key, compounding per batch
+    val store = Seq((Option(1L), "a", "U", 1L), (Option.empty[Long], "n0", "U", 1L))
+      .toDF("k", "name", "op", "seq")
+    val b1 = Seq((Option.empty[Long], "n1", "U", 2L))
+      .toDF("k", "name", "op", "seq")
+    val b2 = Seq((Option.empty[Long], "n2", "U", 3L))
+      .toDF("k", "name", "op", "seq")
+    val out = Changelog.mergeBatch(
+      Changelog.mergeBatch(store, b1, "k", "op", Seq("seq")),
+      b2, "k", "op", Seq("seq"))
+      .orderBy("seq")
+      .collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(1), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, "a", 1L), (-1L, "n2", 3L)),
+      s"null key must hold exactly one (latest) row, got ${out.toSeq}")
+  }
+
   test("mergeBatch rejects a batch whose schema differs from the store's") {
     val store = Seq((1L, "a", "U", 0L)).toDF("k", "name", "op", "seq")
     val batch = Seq((1L, "U", 1L)).toDF("k", "op", "seq")

@@ -222,6 +222,33 @@ class LayoutSpec extends SparkSpec {
       s"compaction should at least halve decoded rows ($compDecoded vs $fragDecoded)")
   }
 
+  test("census ignores hidden files at EVERY path level, matching Spark's reader") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_census").toString
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val (n0, b0) = Layout.census(spark, dir)
+    assert(n0 == 1L && b0 > 0)
+    // crashed-writer leftovers and streaming-sink logs: data-shaped
+    // files inside _-prefixed SUBDIRECTORIES, which spark.read
+    // ignores — census must too (a leaf-name-only filter would count
+    // the nested part file and skew compact's sizing)
+    val tmp = new java.io.File(dir, "_temporary/0/attempt_1")
+    assert(tmp.mkdirs())
+    Seq((9L, "x")).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString + "/part")
+    // (a REAL _spark_metadata manifest would make spark.read parse it
+    // as a streaming-sink log — a different code path; a generic
+    // hidden dir exercises the same census filter without it)
+    val meta = new java.io.File(dir, "_commit_log")
+    assert(meta.mkdirs())
+    java.nio.file.Files.writeString(new java.io.File(meta, "0").toPath, "{}")
+    val (n1, b1) = Layout.census(spark, dir)
+    assert((n1, b1) == (n0, b0),
+      s"hidden-subdir contents leaked into the census: ($n1, $b1) vs ($n0, $b0)")
+    assert(spark.read.parquet(dir).count() == 2L)
+  }
+
   test("compact composes with StreamMerge: a settled store version compacts without changing the snapshot") {
     // the maintenance loop a production store actually runs: the
     // continuous merge leaves one small file per shuffle partition
