@@ -186,9 +186,15 @@ object ExtSimQueries {
         val emb = Tables.embeddings(s, d)
         val built = Similarity.IvfIndex.build(emb, "vec_id", "embedding",
           k = 16, iters = 3)
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_ivf_load_").toString
-        Similarity.IvfIndex.save(s, built, path)
+        // saved-once per (session, corpus plan, params), same as the
+        // PQ row: save is the build-once half of the round trip — a
+        // fresh temp dir per invocation leaked one per Bench replay
+        val path = PlanCache.artifact("ivfLoad/save/vec_id/embedding/16/3", emb) { _ =>
+          val p = java.nio.file.Files
+            .createTempDirectory("graft_ivf_load_").toString
+          Similarity.IvfIndex.save(s, built, p)
+          p
+        }
         val loaded = Similarity.IvfIndex.load(s, path)
         val exact = loaded.centers.map(_.toSeq).toSeq ==
           built.centers.map(_.toSeq).toSeq
