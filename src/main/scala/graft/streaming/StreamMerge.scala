@@ -85,6 +85,20 @@ object StreamMerge {
   /** Read the current store (full changelog shape, tombstones
     * included); empty-store reads are the caller's branch — the
     * streaming apply uses the batch's own schema for that case.
+    *
+    * Version-level snapshot isolation falls out of the layout: a
+    * reader only ever binds to a COMMITTED version directory (the
+    * `_SUCCESS` filter), never to the one mid-write, so concurrent
+    * serving reads see a consistent store while the merge runs —
+    * with `retain` sized above the longest reader (a version a
+    * long query is still scanning must not be vacuumed under it).
+    * ONE writer per storeDir is an (unchecked) caller obligation, as
+    * with any directory-pointer scheme: Structured Streaming's query
+    * lock is per-CHECKPOINT, so two queries with different
+    * checkpoints pointed at one storeDir would interleave version
+    * writes and vacuums — keep the storeDir↔checkpoint mapping 1:1
+    * (the batch-id-reset guard in [[applyBatch]] catches the common
+    * slip of re-pointing a FRESH checkpoint at an old store).
     */
   def readStore(spark: SparkSession, storeDir: String): Option[DataFrame] =
     latestVersion(spark, storeDir)
@@ -106,10 +120,20 @@ object StreamMerge {
     * point. `snapshot` must already carry `opCol` (any non-delete
     * value) and `seqCols` BELOW any future log entry's seq, so every
     * streamed change outranks its seed row. Written as version -1
-    * (batch ids start at 0).
+    * (batch ids start at 0). Refuses a store that already has
+    * committed versions: version -1 would sort below them, never be
+    * read, and be vacuumed on the next batch — a silent no-op where
+    * the caller intended a reset (delete the storeDir first for
+    * that).
     */
-  def seed(snapshot: DataFrame, storeDir: String): Unit =
+  def seed(snapshot: DataFrame, storeDir: String): Unit = {
+    val existing = versions(snapshot.sparkSession, storeDir)
+    require(existing.isEmpty,
+      s"seed: store $storeDir already has committed versions " +
+        s"(${existing.mkString(", ")}) — the seed would be invisible; " +
+        "delete the store first to reset it")
     snapshot.write.mode("overwrite").parquet(versionDir(storeDir, -1L))
+  }
 
   /** Apply one changelog microbatch to the store — the foreachBatch
     * body, public for reuse and for direct testing. Skips batches at
@@ -119,9 +143,24 @@ object StreamMerge {
   def applyBatch(batch: DataFrame, id: Long, storeDir: String,
                  keyCol: String, opCol: String, seqCols: Seq[String],
                  retain: Int = 2): Unit = {
+    require(retain >= 1,
+      s"retain=$retain: the vacuum must keep at least the version just written")
     val spark = batch.sparkSession
     val latest = latestVersion(spark, storeDir)
-    if (latest.exists(_ >= id)) return // already applied before the crash
+    // replay-skip is legitimate ONLY for the exact last-committed
+    // batch (crash between the version commit and the offset-log
+    // commit). A store AHEAD of the incoming id means a FRESH
+    // checkpoint was pointed at an old store — Structured Streaming
+    // restarts batch ids at 0, and silently skipping every replayed
+    // id until the stream catches up would drop real changes with
+    // healthy-looking progress. Fail loudly instead.
+    if (latest.exists(_ > id))
+      throw new IllegalStateException(
+        s"store $storeDir is at version ${latest.get} but batch $id arrived — " +
+          "a new checkpoint was pointed at an existing store (batch ids " +
+          "restart at 0). Keep the storeDir<->checkpoint mapping 1:1, or " +
+          "reset the store alongside the checkpoint.")
+    if (latest.contains(id)) return // already applied before the crash
     val cur = latest.map(v => spark.read.parquet(versionDir(storeDir, v)))
       .getOrElse(batch.limit(0)) // first batch of an unseeded store
     // the microbatch feeds three consumers inside mergeBatch (latest,
@@ -145,7 +184,9 @@ object StreamMerge {
   def start(changelog: DataFrame, storeDir: String, checkpointDir: String,
             keyCol: String, opCol: String, seqCols: Seq[String],
             retain: Int = 2,
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(retain >= 1,
+      s"retain=$retain: the vacuum must keep at least the version just written")
     changelog.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -153,4 +194,5 @@ object StreamMerge {
         applyBatch(b, id, storeDir, keyCol, opCol, seqCols, retain)
       }
       .start()
+  }
 }

@@ -92,6 +92,8 @@ object StreamingQueries {
                    watermark: String = "30 minutes",
                    lPrefix: String = "l_", rPrefix: String = "r_",
                    joinType: String = "inner"): DataFrame = {
+    require(keys.nonEmpty, "intervalJoin needs at least one equi-key " +
+      "(same contract as the batch twin TimeJoin.rangeJoin)")
     require(upperMs > lowerMs, s"empty range [$lowerMs, $upperMs)")
     require(Set("inner", "left_outer").contains(joinType),
       s"joinType=$joinType: stream-stream interval joins support inner and left_outer")
@@ -112,13 +114,19 @@ object StreamingQueries {
     * dimension on `keys` (left join — events with no dimension row
     * survive with nulls, they must not silently vanish from a
     * pipeline). Spark re-plans the static side per microbatch, so a
-    * small dimension broadcasts (no stream shuffle at all) and a
-    * refreshed dimension table is picked up on the next batch —
-    * the standard streaming enrichment shape; no state, no
+    * small dimension broadcasts (the planner's size estimate /
+    * autoBroadcastJoinThreshold decides — deliberately NOT a forced
+    * broadcast hint, which would collect a tens-of-GB dimension to
+    * the driver every microbatch and die on the 8 GB broadcast
+    * ceiling; same restraint as [[incrementalDedup]]'s store join)
+    * and a refreshed dimension table is picked up on the next
+    * batch — the standard streaming enrichment shape; no state, no
     * watermark needed.
     */
-  def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
-    stream.join(broadcast(dim), keys, "left")
+  def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "enrich needs at least one join key")
+    stream.join(dim, keys, "left")
+  }
 
   /** Streaming ingest dedup: the streaming twin of
     * [[graft.ext.Dedup.incrementalExact]]. Each document of the

@@ -336,4 +336,37 @@ class StreamRecoverySpec extends SparkSpec {
     assert(interrupted == clean,
       "resumed run's settled store differs from the uninterrupted run's")
   }
+
+  test("StreamMerge guards: batch-id reset fails loudly; exact replay skips; seed refuses a live store") {
+    import graft.streaming.StreamMerge
+    import spark.implicits._
+    val storeDir = Files.createTempDirectory("graft_smg_store").toString
+    def batch(seq: Long, name: String) =
+      Seq((1L, name, "U", seq)).toDF("k", "name", "op", "seq")
+    StreamMerge.applyBatch(batch(1L, "a"), 0L, storeDir, "k", "op", Seq("seq"))
+    StreamMerge.applyBatch(batch(2L, "b"), 1L, storeDir, "k", "op", Seq("seq"))
+    assert(StreamMerge.latestVersion(spark, storeDir).contains(1L))
+    // exact replay of the last committed batch (crash between version
+    // commit and offset commit) is an idempotent skip
+    StreamMerge.applyBatch(batch(99L, "STALE"), 1L, storeDir, "k", "op", Seq("seq"))
+    val served = StreamMerge.snapshot(spark, storeDir, "op", Seq("seq"))
+      .select("name").as[String].collect().toSeq
+    assert(served == Seq("b"), s"replay skip must not re-apply: $served")
+    // a FRESH checkpoint's batch 0 against a store at v1 is a reset —
+    // silently skipping would drop every change until ids catch up
+    val e = intercept[IllegalStateException] {
+      StreamMerge.applyBatch(batch(3L, "c"), 0L, storeDir, "k", "op", Seq("seq"))
+    }
+    assert(e.getMessage.contains("checkpoint"), e.getMessage)
+    // seeding a store with committed versions would be an invisible
+    // no-op (version -1 never read, vacuumed next batch) — refuse
+    intercept[IllegalArgumentException] {
+      StreamMerge.seed(batch(0L, "seed"), storeDir)
+    }
+    // the vacuum must never delete the version just written
+    intercept[IllegalArgumentException] {
+      StreamMerge.applyBatch(batch(4L, "d"), 2L, storeDir, "k", "op", Seq("seq"),
+        retain = 0)
+    }
+  }
 }

@@ -299,7 +299,7 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
-  test("stream-static enrich equals the batch left join, dimension broadcast, unmatched kept") {
+  test("stream-static enrich equals the batch left join, unmatched kept") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val evs = realEvents
