@@ -139,11 +139,18 @@ class SpeculationSpec extends AnyFunSuite {
     // network shuffle (scd2's lead, debounce's lag), the tempered
     // mixture's DECIMAL share division + broadcast-join + per-stratum
     // prefix sum (mixture), and a two-phase countDistinct merged
-    // across JVMs (transitions). Run the GATED queries verbatim (each
-    // carries a total ORDER BY) and require row-for-row equality
-    // between one-JVM and two-JVM execution.
+    // across JVMs (transitions). Round 12 adds the lifecycle ops'
+    // multi-JVM dimensions: the streaming foreachBatch CDC merge
+    // (store versions written through real executors' output commit,
+    // stream_merge), compaction's range-exchange rewrite + census
+    // over executor-committed files (compact), and zipWithIndex's
+    // per-partition offsets collected across JVMs (ids). Run the
+    // GATED queries verbatim (each carries a total ORDER BY) and
+    // require row-for-row equality between one-JVM and two-JVM
+    // execution.
     val names = Seq("ext_pipeline_merge", "ext_pipeline_scd2",
-      "ext_dedup_debounce", "ext_pipeline_mixture", "ext_rel_transitions")
+      "ext_dedup_debounce", "ext_pipeline_mixture", "ext_rel_transitions",
+      "ext_stream_merge", "ext_pipeline_compact", "ext_pipeline_ids")
     def run(s: SparkSession): Map[String, Seq[String]] =
       names.map(n => n -> graft.SparkEntry.queries(n)(s, "/root/testdata/sf0.001")
         .collect().map(_.toString).toSeq).toMap
