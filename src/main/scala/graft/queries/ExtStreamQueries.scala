@@ -4,7 +4,7 @@ import java.util.concurrent.atomic.AtomicLong
 
 import graft.Tables
 import graft.ext.{Dedup, Hashing, PlanCache}
-import graft.streaming.{Sessionize, StreamMerge, StreamingQueries}
+import graft.streaming.{Sessionize, StreamIngest, StreamMerge, StreamingQueries}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -578,6 +578,56 @@ object ExtStreamQueries {
               SELECT c_custkey, c_name, c_nationkey,
                      CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
                      c_mktsegment
-              FROM merged ORDER BY c_custkey"""))
+              FROM merged ORDER BY c_custkey""")),
+
+    // Store-backed continuous ingest dedup ([[StreamIngest]]) — the
+    // UNBOUNDED-horizon twin of ext_stream_dedup: same 20% slice
+    // streamed (8 doc_id-ranged files), same standing-corpus
+    // fingerprints, same oracle — but the dedup state is the durable
+    // versioned fingerprint STORE rolled forward per batch, not
+    // Spark's watermark-bounded state store. A duplicate arriving
+    // any number of batches later is still dropped (no watermark
+    // horizon), restarts rebuild nothing (the store IS the state),
+    // and each batch costs one anti-join against the 8-byte store
+    // column — the batch incremental path's exact shape, continuous.
+    // The settled corpus (accepted docs of committed batches) must
+    // produce the same kept-fingerprint SET as the one-shot batch
+    // dedup, which is what the oracle replays.
+    Declared(
+      "ext_stream_ingest",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val srcDir = PlanCache.artifact("streamIngest/src/8/mod5", docs) { dd =>
+          val p = java.nio.file.Files
+            .createTempDirectory("graft_singest_src").toString
+          dd.where(col("doc_id") % 5 === 0)
+            .repartitionByRange(8, col("doc_id"))
+            .write.mode("overwrite").parquet(p)
+          p
+        }
+        val Seq(storeDir, ckpt) = freshDirs("singest", 2)
+        StreamIngest.seed(docs.where(col("doc_id") % 5 =!= 0), "text", storeDir)
+        val schema = s.read.parquet(srcDir).schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        val q = StreamIngest.start(stream, storeDir, ckpt, "doc_id", "text")
+        q.awaitTermination()
+        docs.where(col("doc_id") % 5 === 0)
+          .agg(count(lit(1)).as("n_batch"))
+          .crossJoin(StreamIngest.corpus(s, storeDir).agg(
+            count(lit(1)).as("n_new"),
+            coalesce(sum(Hashing.h60(col("text")) % 1000000007L), lit(0L))
+              .as("fp_checksum")))
+      },
+      Some("""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+              batch AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+              store AS (SELECT DISTINCT md5(text) AS fp FROM corpus),
+              fresh AS (SELECT b.* FROM batch b ANTI JOIN store s ON md5(b.text) = s.fp),
+              fps AS (SELECT DISTINCT CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS fp
+                      FROM fresh)
+              SELECT (SELECT COUNT(*) FROM batch) AS n_batch,
+                     COUNT(*) AS n_new,
+                     CAST(COALESCE(SUM(fp % 1000000007), 0) AS BIGINT) AS fp_checksum
+              FROM fps"""))
   )
 }

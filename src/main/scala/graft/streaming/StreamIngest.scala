@@ -1,0 +1,138 @@
+package graft.streaming
+
+import graft.ext.{Dedup, Hashing}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Continuous exact-dedup corpus ingestion with an UNBOUNDED dedup
+  * horizon: each microbatch is deduplicated against the versioned
+  * fingerprint store ([[graft.ext.Dedup.fingerprintStore]]'s 8-byte
+  * rows), the accepted documents land in the corpus, and the store
+  * rolls forward with the accepted fingerprints — the "build the
+  * corpus AND its dedup index in one pass" ingest topology.
+  *
+  * The contrast with [[StreamingQueries.incrementalDedup]] is the
+  * state story, and it is the 100 TB decision:
+  *
+  *  - `incrementalDedup` keeps in-stream dedup state in Spark's
+  *    state store, bounded by the WATERMARK — duplicates farther
+  *    apart than the delay are re-admitted (the streaming contract),
+  *    and state lives in executor memory/RocksDB per partition.
+  *  - This operator keeps NO Spark state at all: the horizon is the
+  *    whole corpus ever accepted (a duplicate of a document ingested
+  *    a year ago is still dropped), state is the O(docs) fingerprint
+  *    store on durable storage (~0.3% of corpus bytes), restarts are
+  *    free (nothing to rebuild — the store IS the checkpointed
+  *    state), and the dedup joins are the batch path's exact shape:
+  *    one anti-join of the microbatch against the store column.
+  *
+  * Store layout (same self-describing version discipline as
+  * [[StreamMerge]], whose version/commit helpers this reuses):
+  * `storeDir/v<batchId>/` fingerprint-store versions gated by
+  * `_SUCCESS`, vacuumed to `retain`; `storeDir/docs/b<batchId>/`
+  * the batch's ACCEPTED documents — written before the version
+  * commits, never vacuumed (they are the corpus), and readable
+  * exactly-once via [[corpus]] (only batches at or below the
+  * committed store version count; a crash between the docs write
+  * and the version commit leaves an invisible docs dir that the
+  * replay overwrites).
+  *
+  * Crash windows mirror [[StreamMerge.applyBatch]]: recompute-and-
+  * overwrite below the version commit, skip at it, loud failure on a
+  * batch-id reset. Re-applying a batch recomputes the same fresh set
+  * (the store it dedups against is the same version), so the
+  * overwrite is idempotent.
+  */
+object StreamIngest {
+
+  private def docsDir(storeDir: String, id: Long) = s"$storeDir/docs/b$id"
+
+  /** The settled corpus: accepted documents of every COMMITTED batch
+    * (docs dirs at or below the store's latest version — a docs dir
+    * whose version never committed is invisible, exactly-once).
+    */
+  def corpus(spark: SparkSession, storeDir: String): DataFrame = {
+    val latest = StreamMerge.latestVersion(spark, storeDir).getOrElse(
+      throw new IllegalStateException(s"no committed store version under $storeDir"))
+    val (fs, docsPath) = fsOf(spark, s"$storeDir/docs")
+    val dirs =
+      if (!fs.exists(docsPath)) Seq.empty
+      else fs.listStatus(docsPath)
+        .toIndexedSeq.filter(_.isDirectory)
+        .map(_.getPath)
+        .filter(p => "^b(-?\\d+)$".r.findFirstMatchIn(p.getName)
+          .exists(_.group(1).toLong <= latest))
+        .map(_.toString)
+    require(dirs.nonEmpty,
+      s"no committed ingest batches under $storeDir/docs (store at v$latest)")
+    spark.read.parquet(dirs: _*)
+  }
+
+  private def fsOf(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  /** Seed the fingerprint store with a standing corpus's fingerprints
+    * (the "existing corpus, now ingest incrementally" entry point):
+    * arrivals matching the standing corpus are dropped without its
+    * documents ever entering this store's corpus dirs. Same
+    * empty-store contract as [[StreamMerge.seed]].
+    */
+  def seed(standingCorpus: DataFrame, textCol: String, storeDir: String): Unit =
+    StreamMerge.seed(Dedup.fingerprintStore(standingCorpus, textCol), storeDir)
+
+  /** Apply one microbatch: dedup against the current store
+    * ([[Dedup.incrementalExact]] — anti-join on the 8-byte column,
+    * min-id within batch), append the survivors to the corpus, roll
+    * the store forward. Public for reuse and direct testing.
+    */
+  def applyBatch(batch: DataFrame, id: Long, storeDir: String,
+                 idCol: String, textCol: String, retain: Int = 2): Unit = {
+    require(retain >= 1,
+      s"retain=$retain: the vacuum must keep at least the version just written")
+    val spark = batch.sparkSession
+    val latest = StreamMerge.latestVersion(spark, storeDir)
+    if (latest.exists(_ > id))
+      throw new IllegalStateException(
+        s"store $storeDir is at version ${latest.get} but batch $id arrived — " +
+          "a new checkpoint was pointed at an existing store (batch ids " +
+          "restart at 0). Keep the storeDir<->checkpoint mapping 1:1, or " +
+          "reset the store alongside the checkpoint.")
+    if (latest.contains(id)) return // already applied before the crash
+    val cur = latest
+      .map(v => spark.read.parquet(s"$storeDir/v$v"))
+      .getOrElse(batch.sparkSession.range(0).select(col("id").as("fp")).limit(0))
+    batch.persist()
+    try {
+      val fresh = Dedup.incrementalExact(batch, idCol, textCol, cur).persist()
+      try {
+        // corpus first, version second: the version commit is the
+        // transaction boundary that makes the docs dir visible
+        fresh.write.mode("overwrite").parquet(docsDir(storeDir, id))
+        cur.unionByName(fresh.select(Hashing.h60(col(textCol)).as("fp")))
+          .write.mode("overwrite").parquet(s"$storeDir/v$id")
+      } finally fresh.unpersist(false)
+    } finally batch.unpersist(false)
+    val (fs, _) = fsOf(spark, storeDir)
+    StreamMerge.versions(spark, storeDir).dropRight(retain).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$storeDir/v$v"), true)
+    }
+  }
+
+  /** Start the continuous ingest of a streaming `docs` source. */
+  def start(docs: DataFrame, storeDir: String, checkpointDir: String,
+            idCol: String, textCol: String, retain: Int = 2,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(retain >= 1,
+      s"retain=$retain: the vacuum must keep at least the version just written")
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (b: Dataset[Row], id: Long) =>
+        applyBatch(b, id, storeDir, idCol, textCol, retain)
+      }
+      .start()
+  }
+}

@@ -337,6 +337,64 @@ class StreamRecoverySpec extends SparkSpec {
       "resumed run's settled store differs from the uninterrupted run's")
   }
 
+  test("store-backed ingest dedup survives a mid-replay kill: settled corpus is exactly-once") {
+    // the sixth recovery shape: StreamIngest keeps NO Spark state —
+    // the versioned fingerprint store plus the per-batch docs dirs
+    // ARE the state, so the kill exercises the two-step commit
+    // (docs written before the version; an uncommitted docs dir must
+    // stay invisible to corpus() and be overwritten on replay).
+    // Duplicates deliberately straddle the kill point (texts repeat
+    // every 350 ids over 800 ids): if the restarted query resumed
+    // from a lost/stale store, re-sent texts would be re-admitted.
+    import graft.streaming.StreamIngest
+    val srcDir = Files.createTempDirectory("graft_reci_src").toString
+    val nFiles = 16
+    val perFile = 50
+    val nTexts = 350
+    val inStore = 50
+    def text(id: org.apache.spark.sql.Column) =
+      concat(lit("doc "), (id % nTexts).cast("string"))
+    (0 until nFiles).foreach { i =>
+      spark.range(i.toLong * perFile, (i + 1).toLong * perFile)
+        .select(col("id").as("doc_id"), text(col("id")).as("text"))
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    val standing = spark.range(0, inStore).select(text(col("id")).as("text"))
+    val schema = spark.read.parquet(srcDir).schema
+
+    def run(interrupt: Boolean): Seq[String] = {
+      val storeDir = Files.createTempDirectory("graft_reci_store").toString
+      val ckpt = Files.createTempDirectory("graft_reci_ckpt").toString
+      StreamIngest.seed(standing, "text", storeDir)
+      def start() = StreamIngest.start(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir),
+        storeDir, ckpt, "doc_id", "text")
+      if (interrupt) {
+        val killedAt = runInterrupted(start())
+        assert(killedAt < nFiles - 1,
+          s"stop raced past the replay (batch $killedAt of $nFiles) — recovery untested")
+        val q2 = start()
+        q2.awaitTermination()
+      } else {
+        val q = start()
+        q.awaitTermination()
+      }
+      import spark.implicits._
+      StreamIngest.corpus(spark, storeDir).select("text").as[String]
+        .collect().toSeq.sorted
+    }
+
+    val interrupted = run(interrupt = true)
+    assert(interrupted.size == nTexts - inStore,
+      s"expected ${nTexts - inStore} accepted docs, got ${interrupted.size}")
+    assert(interrupted.distinct.size == interrupted.size,
+      "duplicate texts in the settled corpus (store lost or docs dir double-counted)")
+    assert(interrupted.toSet == (inStore until nTexts).map(i => s"doc $i").toSet)
+    assert(interrupted == run(interrupt = false),
+      "resumed run's settled corpus differs from the uninterrupted run's")
+  }
+
   test("StreamMerge guards: batch-id reset fails loudly; exact replay skips; seed refuses a live store") {
     import graft.streaming.StreamMerge
     import spark.implicits._
