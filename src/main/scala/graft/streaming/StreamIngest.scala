@@ -43,6 +43,18 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * batch-id reset. Re-applying a batch recomputes the same fresh set
   * (the store it dedups against is the same version), so the
   * overwrite is idempotent.
+  *
+  * NEAR-dedup ingest composes rather than streams: greedy near-dedup
+  * is ORDER-DEPENDENT (accept A then reject B~A, vs accept B first —
+  * different corpora from the same arrivals), so a continuously
+  * self-updating near-dup store has no arrival-order-independent
+  * contract to gate. The production pattern is this operator for the
+  * exact pass, with the incremental near-dedup batch operators
+  * ([[graft.ext.Dedup.incrementalLshCandidates]] /
+  * [[graft.ext.Dedup.incrementalSimhashCandidates]]) run per
+  * ingest epoch against the standing band/signature stores — each
+  * epoch's accept set is deterministic given its batch, and the
+  * stores roll forward exactly like this one's.
   */
 object StreamIngest {
 
