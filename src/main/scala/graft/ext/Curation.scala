@@ -369,6 +369,34 @@ object Curation {
       .sortWithinPartitions(partCols.map(col) :+ col(keyCol): _*)
   }
 
+  /** k-anonymity suppression: keep only rows whose QUASI-IDENTIFIER
+    * combination (`quasiCols` — e.g. language × source × region)
+    * occurs at least `k` times — the standard long-tail privacy gate
+    * for training corpora: a document whose metadata combination is
+    * nearly unique can re-identify its author even after
+    * [[graft.ext.TextStats]]-style PII redaction scrubs the text, so
+    * rare combinations are suppressed outright rather than published.
+    *
+    * Scale shape: ONE partial-aggregated groupBy over the quasi
+    * columns (shuffle rows bounded by combination cardinality, never
+    * corpus size) and a semi-join back — combination counts are
+    * dimension-sized, so the join broadcasts and the corpus never
+    * shuffles. NULL-SAFE key comparison throughout: a null quasi
+    * value is one ordinary combination (groupBy already counts it as
+    * one group; a plain equi semi-join would silently drop every
+    * null-combo row however frequent).
+    */
+  def kAnonymize(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymize needs quasi-identifier columns")
+    require(k >= 1, s"k=$k must be positive")
+    val kept = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= k)
+      .select(quasiCols.map(c => col(c).as(s"__q_$c")): _*)
+    val cond = quasiCols.map(c => df(c) <=> kept(s"__q_$c")).reduce(_ && _)
+    df.join(kept, cond, "left_semi")
+  }
+
   /** Contiguous global sequence ids 0..N−1 in `orderCol` order — the
     * "number the corpus" step of a corpus build (stable example ids,
     * shard-offset bookkeeping, join keys for downstream systems that

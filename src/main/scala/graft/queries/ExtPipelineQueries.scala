@@ -454,6 +454,45 @@ object ExtPipelineQueries {
                      TRUE AS files_disjoint
               FROM documents""")),
 
+    // k-anonymity suppression ([[Curation.kAnonymize]], k = 8 over
+    // the (lang, source) quasi-identifier): rows whose metadata
+    // combination occurs < 8 times are suppressed — the long-tail
+    // privacy gate PII redaction can't provide (near-unique metadata
+    // re-identifies even with clean text). One combination-bounded
+    // groupBy + a broadcast semi-join; the per-lang census with id
+    // checksums pins exactly WHICH rows survive, and the suppressed
+    // count pins the complement.
+    Declared(
+      "ext_pipeline_kanon",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val kept = Curation.kAnonymize(docs, Seq("lang", "source"), k = 8)
+        kept.groupBy("lang")
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("doc_id")).as("id_checksum"))
+          .unionByName(
+            docs.agg(count(lit(1)).as("__n")).crossJoin(
+              kept.agg(count(lit(1)).as("__k")))
+              .select(lit("__suppressed").as("lang"),
+                (col("__n") - col("__k")).as("n_kept"),
+                lit(-1L).as("id_checksum")))
+          .orderBy("lang")
+      },
+      Some("""WITH ok AS (
+                SELECT lang, source FROM documents
+                GROUP BY lang, source HAVING COUNT(*) >= 8),
+              kept AS (
+                SELECT d.* FROM documents d SEMI JOIN ok
+                ON d.lang = ok.lang AND d.source = ok.source)
+              SELECT lang, COUNT(*) AS n_kept,
+                     CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+              FROM kept GROUP BY lang
+              UNION ALL
+              SELECT '__suppressed' AS lang,
+                     (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM kept) AS n_kept,
+                     CAST(-1 AS BIGINT) AS id_checksum
+              ORDER BY lang""")),
+
     // Distributed global row numbering ([[Curation.assignIds]]): the
     // scalable twin of ROW_NUMBER() OVER (ORDER BY k) — which Spark
     // executes through ONE partition (the WindowExec warning; a

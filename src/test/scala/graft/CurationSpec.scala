@@ -224,6 +224,27 @@ class CurationSpec extends SparkSpec {
     assert(out.toSeq == Seq((3L, 3L)))
   }
 
+  test("kAnonymize keeps frequent combos (including null) and suppresses rare ones, rows unchanged") {
+    import spark.implicits._
+    // combo (a, x): 3 rows — kept at k=3; (a, y): 1 row — suppressed;
+    // (null, x): 3 rows — kept ONLY if the join is null-safe;
+    // (b, null): 1 row — suppressed
+    val rows = Seq(
+      (1L, Some("a"), Some("x")), (2L, Some("a"), Some("x")), (3L, Some("a"), Some("x")),
+      (4L, Some("a"), Some("y")),
+      (5L, None, Some("x")), (6L, None, Some("x")), (7L, None, Some("x")),
+      (8L, Some("b"), None))
+    val df = rows.toDF("id", "q1", "q2")
+    val kept = Curation.kAnonymize(df, Seq("q1", "q2"), k = 3)
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(kept == Seq(1L, 2L, 3L, 5L, 6L, 7L),
+      s"expected the two frequent combos (incl. the null one), got $kept")
+    // schema passthrough: the operator filters, never reshapes
+    assert(Curation.kAnonymize(df, Seq("q1", "q2"), k = 1).columns.toSeq
+      == df.columns.toSeq)
+    assert(Curation.kAnonymize(df, Seq("q1", "q2"), k = 1).count() == rows.size)
+  }
+
   test("assignIds: contiguous 0..N-1 in key order, partition-count invariant, no global window") {
     import spark.implicits._
     // scrambled input order and a non-dense key space: ids must come
