@@ -486,6 +486,14 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("ext_pipeline_kanon: combo counts broadcast to a semi-join — the corpus never shuffles for the filter") {
+    val plan = planOf("ext_pipeline_kanon")
+    assert(plan.contains("LeftSemi, BuildRight"),
+      s"the survivor filter must broadcast the combination list:\n$plan")
+    assert(count(plan, "SortMergeJoin") == 0,
+      s"the corpus must not shuffle for a combination-bounded filter:\n$plan")
+  }
+
   test("Changelog.mergeBatch: the store never shuffles — batch keys broadcast to BOTH joins") {
     // the 100 TB contract of the continuous CDC merge: per batch the
     // store crosses one broadcast anti-join (untouched rows) and one
