@@ -466,7 +466,11 @@ object ExtPipelineQueries {
       "ext_pipeline_kanon",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val kept = Curation.kAnonymize(docs, Seq("lang", "source"), k = 8)
+        // the survivor relation feeds BOTH the census and the
+        // suppressed count — PlanCache'd so the corpus scan + combo
+        // groupBy + semi-join execute once, not per consumer
+        val kept = PlanCache.cached("kanon/lang,source/8", docs)(
+          Curation.kAnonymize(_, Seq("lang", "source"), k = 8))
         kept.groupBy("lang")
           .agg(count(lit(1)).as("n_kept"),
             sum(col("doc_id")).as("id_checksum"))
@@ -478,12 +482,17 @@ object ExtPipelineQueries {
                 lit(-1L).as("id_checksum")))
           .orderBy("lang")
       },
+      // IS NOT DISTINCT FROM, not `=`: the impl's semi-join is
+      // null-safe by contract (a frequent null combo is KEPT), and
+      // the oracle must pin that contract, not silently diverge the
+      // day the fixture carries a null quasi value
       Some("""WITH ok AS (
                 SELECT lang, source FROM documents
                 GROUP BY lang, source HAVING COUNT(*) >= 8),
               kept AS (
                 SELECT d.* FROM documents d SEMI JOIN ok
-                ON d.lang = ok.lang AND d.source = ok.source)
+                ON d.lang IS NOT DISTINCT FROM ok.lang
+               AND d.source IS NOT DISTINCT FROM ok.source)
               SELECT lang, COUNT(*) AS n_kept,
                      CAST(SUM(doc_id) AS BIGINT) AS id_checksum
               FROM kept GROUP BY lang

@@ -63,8 +63,16 @@ object StreamIngest {
   /** The settled corpus: accepted documents of every COMMITTED batch
     * (docs dirs at or below the store's latest version — a docs dir
     * whose version never committed is invisible, exactly-once).
+    *
+    * "Nothing accepted yet" is a legitimate state of a continuous
+    * pipeline (seeded store, no batches committed): pass
+    * `emptySchema` to get an empty frame of the expected document
+    * schema in that state — the schema cannot be derived from a
+    * store holding only fingerprints. Without it the empty state
+    * fails loudly with the distinction spelled out.
     */
-  def corpus(spark: SparkSession, storeDir: String): DataFrame = {
+  def corpus(spark: SparkSession, storeDir: String,
+             emptySchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     val latest = StreamMerge.latestVersion(spark, storeDir).getOrElse(
       throw new IllegalStateException(s"no committed store version under $storeDir"))
     val (fs, docsPath) = fsOf(spark, s"$storeDir/docs")
@@ -76,9 +84,15 @@ object StreamIngest {
         .filter(p => "^b(-?\\d+)$".r.findFirstMatchIn(p.getName)
           .exists(_.group(1).toLong <= latest))
         .map(_.toString)
-    require(dirs.nonEmpty,
-      s"no committed ingest batches under $storeDir/docs (store at v$latest)")
-    spark.read.parquet(dirs: _*)
+    if (dirs.isEmpty) emptySchema match {
+      case Some(schema) =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      case None => throw new IllegalStateException(
+        s"no committed ingest batches under $storeDir/docs (store at " +
+          s"v$latest — seeded but nothing accepted yet); pass emptySchema " +
+          "to read this state as an empty corpus")
+    }
+    else spark.read.parquet(dirs: _*)
   }
 
   private def fsOf(spark: SparkSession, dir: String) = {
@@ -105,15 +119,10 @@ object StreamIngest {
     require(retain >= 1,
       s"retain=$retain: the vacuum must keep at least the version just written")
     val spark = batch.sparkSession
-    val latest = StreamMerge.latestVersion(spark, storeDir)
-    if (latest.exists(_ > id))
-      throw new IllegalStateException(
-        s"store $storeDir is at version ${latest.get} but batch $id arrived — " +
-          "a new checkpoint was pointed at an existing store (batch ids " +
-          "restart at 0). Keep the storeDir<->checkpoint mapping 1:1, or " +
-          "reset the store alongside the checkpoint.")
-    if (latest.contains(id)) return // already applied before the crash
-    val cur = latest
+    // guard/skip/vacuum are StreamMerge's (shared version machinery —
+    // one implementation of the exactly-once bookkeeping, not two)
+    if (StreamMerge.replaySkip(spark, storeDir, id)) return
+    val cur = StreamMerge.latestVersion(spark, storeDir)
       .map(v => spark.read.parquet(s"$storeDir/v$v"))
       .getOrElse(batch.sparkSession.range(0).select(col("id").as("fp")).limit(0))
     batch.persist()
@@ -127,10 +136,7 @@ object StreamIngest {
           .write.mode("overwrite").parquet(s"$storeDir/v$id")
       } finally fresh.unpersist(false)
     } finally batch.unpersist(false)
-    val (fs, _) = fsOf(spark, storeDir)
-    StreamMerge.versions(spark, storeDir).dropRight(retain).foreach { v =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$storeDir/v$v"), true)
-    }
+    StreamMerge.vacuum(spark, storeDir, retain)
   }
 
   /** Start the continuous ingest of a streaming `docs` source. */

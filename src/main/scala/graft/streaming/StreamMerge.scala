@@ -127,12 +127,49 @@ object StreamMerge {
     * that).
     */
   def seed(snapshot: DataFrame, storeDir: String): Unit = {
-    val existing = versions(snapshot.sparkSession, storeDir)
+    // a seed-ONLY store may be re-seeded: the bootstrap "seed; start"
+    // script must be rerunnable after a crash between the seed commit
+    // and the first batch commit (nothing has consumed the store
+    // yet). Post-ingest versions make the guard fire — there the
+    // seed WOULD be invisible.
+    val existing = versions(snapshot.sparkSession, storeDir).filter(_ != -1L)
     require(existing.isEmpty,
-      s"seed: store $storeDir already has committed versions " +
+      s"seed: store $storeDir already has committed ingest versions " +
         s"(${existing.mkString(", ")}) — the seed would be invisible; " +
         "delete the store first to reset it")
     snapshot.write.mode("overwrite").parquet(versionDir(storeDir, -1L))
+  }
+
+  /** Shared exactly-once bookkeeping for versioned-store foreachBatch
+    * sinks ([[applyBatch]], [[StreamIngest.applyBatch]]): returns
+    * true if the batch must be SKIPPED (exact replay of the last
+    * committed version — crash between the version commit and the
+    * offset-log commit), throws on a batch-id reset (a fresh
+    * checkpoint pointed at an old store: ids restart at 0, and
+    * silently skipping until the stream caught up would drop real
+    * changes with healthy-looking progress).
+    */
+  private[streaming] def replaySkip(spark: SparkSession, storeDir: String,
+                                    id: Long): Boolean = {
+    val latest = latestVersion(spark, storeDir)
+    if (latest.exists(_ > id))
+      throw new IllegalStateException(
+        s"store $storeDir is at version ${latest.get} but batch $id arrived — " +
+          "a new checkpoint was pointed at an existing store (batch ids " +
+          "restart at 0). Keep the storeDir<->checkpoint mapping 1:1, or " +
+          "reset the store alongside the checkpoint.")
+    latest.contains(id)
+  }
+
+  /** Drop store versions beyond the newest `retain` (the docs dirs of
+    * [[StreamIngest]] are never touched — they are the corpus).
+    */
+  private[streaming] def vacuum(spark: SparkSession, storeDir: String,
+                                retain: Int): Unit = {
+    val (fs, _) = fsOf(spark, storeDir)
+    versions(spark, storeDir).dropRight(retain).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(versionDir(storeDir, v)), true)
+    }
   }
 
   /** Apply one changelog microbatch to the store — the foreachBatch
@@ -146,22 +183,9 @@ object StreamMerge {
     require(retain >= 1,
       s"retain=$retain: the vacuum must keep at least the version just written")
     val spark = batch.sparkSession
-    val latest = latestVersion(spark, storeDir)
-    // replay-skip is legitimate ONLY for the exact last-committed
-    // batch (crash between the version commit and the offset-log
-    // commit). A store AHEAD of the incoming id means a FRESH
-    // checkpoint was pointed at an old store — Structured Streaming
-    // restarts batch ids at 0, and silently skipping every replayed
-    // id until the stream catches up would drop real changes with
-    // healthy-looking progress. Fail loudly instead.
-    if (latest.exists(_ > id))
-      throw new IllegalStateException(
-        s"store $storeDir is at version ${latest.get} but batch $id arrived — " +
-          "a new checkpoint was pointed at an existing store (batch ids " +
-          "restart at 0). Keep the storeDir<->checkpoint mapping 1:1, or " +
-          "reset the store alongside the checkpoint.")
-    if (latest.contains(id)) return // already applied before the crash
-    val cur = latest.map(v => spark.read.parquet(versionDir(storeDir, v)))
+    if (replaySkip(spark, storeDir, id)) return // already applied before the crash
+    val cur = latestVersion(spark, storeDir)
+      .map(v => spark.read.parquet(versionDir(storeDir, v)))
       .getOrElse(batch.limit(0)) // first batch of an unseeded store
     // the microbatch feeds three consumers inside mergeBatch (latest,
     // anti, semi) — pin it for the one action instead of re-running
@@ -170,10 +194,7 @@ object StreamMerge {
     try Changelog.mergeBatch(cur, batch, keyCol, opCol, seqCols)
       .write.mode("overwrite").parquet(versionDir(storeDir, id))
     finally batch.unpersist(false)
-    val (fs, _) = fsOf(spark, storeDir)
-    versions(spark, storeDir).dropRight(retain).foreach { v =>
-      fs.delete(new org.apache.hadoop.fs.Path(versionDir(storeDir, v)), true)
-    }
+    vacuum(spark, storeDir, retain)
   }
 
   /** Start the continuous merge of a streaming `changelog` into

@@ -488,9 +488,12 @@ class PlanShapeSpec extends SparkSpec {
 
   test("ext_pipeline_kanon: combo counts broadcast to a semi-join — the corpus never shuffles for the filter") {
     val plan = planOf("ext_pipeline_kanon")
-    assert(plan.contains("LeftSemi, BuildRight"),
+    // BroadcastHashJoin specifically: 'LeftSemi, BuildRight' alone
+    // would also match a ShuffledHashJoin, which shuffles the corpus
+    // — the exact regression this pin exists to catch
+    assert(count(plan, "BroadcastHashJoin [^\n]*LeftSemi, BuildRight") >= 1,
       s"the survivor filter must broadcast the combination list:\n$plan")
-    assert(count(plan, "SortMergeJoin") == 0,
+    assert(count(plan, "SortMergeJoin|ShuffledHashJoin") == 0,
       s"the corpus must not shuffle for a combination-bounded filter:\n$plan")
   }
 
