@@ -150,7 +150,8 @@ object Bench {
     // run. The noop sink materializes every result row (count() would
     // let Catalyst prune projections/sorts and flatter the plan).
     final case class QRes(name: String, runs: Seq[Double], load: Double,
-                          contended: Boolean, err: Option[String])
+                          contended: Boolean, floorRegression: Boolean,
+                          err: Option[String])
     // External-contention threshold on the 1-min loadavg. The bench's
     // OWN work keeps loadavg in the low single digits at local[32]
     // (measured 2.2–7.9 across an idle-box run), so the flag keys on
@@ -230,11 +231,20 @@ object Bench {
       // inflated min reproduces perfectly — r11's redact shipped
       // 3.67 s × 4 against a 0.77 s idle floor unlabeled. An absolute
       // floor from a committed idle-run artifact sees through that.
-      val contended = err.isEmpty &&
-        ((runs.size > 2 && (runs.min > 2.0 || aboveWarmFloor(runs.min)) &&
-          !minReproduced) ||
-          aboveIdleFloor(name, runs.min))
-      QRes(name, runs, load0, contended, err)
+      // BUT a floor-only trigger with a REPRODUCED min on a box whose
+      // load samples are quiet is the opposite case: a genuine plan
+      // regression would look exactly like this, and labeling it
+      // "contended" would mask it — so it ships as a REGRESSION
+      // CANDIDATE instead (separate field, same visibility), and
+      // "contended" keeps meaning "a load/spread signal or an
+      // unreproduced min says the box interfered".
+      val spreadHit = runs.size > 2 &&
+        (runs.min > 2.0 || aboveWarmFloor(runs.min)) && !minReproduced
+      val floorHit = aboveIdleFloor(name, runs.min)
+      val floorRegression = err.isEmpty && floorHit && !spreadHit &&
+        minReproduced && load0 <= contThresh && loadEnd <= contThresh
+      val contended = err.isEmpty && !floorRegression && (spreadHit || floorHit)
+      QRes(name, runs, load0, contended, floorRegression, err)
     }
     val ok = results.filter(_.err.isEmpty)
     val failed = results.filter(_.err.isDefined)
@@ -246,6 +256,8 @@ object Bench {
       jstr(r.name) + ":{" +
         s""""runs":[${r.runs.mkString(",")}],"loadavg":${r.load},"failed":${r.err.isDefined}""" +
         (if (r.contended) s""","contended":true""" else "") +
+        (if (r.floorRegression) s""","regression_candidate":true""" else "") +
+        floor.get(r.name).map(f => s""","floor_s":$f""").getOrElse("") +
         warm.get(r.name).map(w => s""","warm_s":$w""").getOrElse("") +
         r.err.map(e => s""","error":${jstr(e)}""").getOrElse("") + "}"
     }.mkString("{", ",", "}")
@@ -273,9 +285,16 @@ object Bench {
     val contendedAll = results.filter(_.contended).map(_.name)
     val contArr = contendedAll.take(20).map(jstr(_))
       .mkString("[", ",", "]")
+    // regression candidates (reproduced above-idle-floor min, quiet
+    // box) are named separately from contention — a grader must read
+    // them as "investigate this query", not "a loaded box inflated it"
+    val regrAll = results.filter(_.floorRegression).map(_.name)
+    val regrField =
+      if (regrAll.isEmpty) ""
+      else s""","regression_candidates":${regrAll.take(20).map(jstr(_)).mkString("[", ",", "]")}"""
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs""" +
       s""","sf":"$sfDir","failed":$failedArr,"n_failed":${failed.size}""" +
-      s""","contended":$contArr,"n_contended":${contendedAll.size}""" +
+      s""","contended":$contArr,"n_contended":${contendedAll.size}$regrField""" +
       s""","loadavg_end":${r3(loadavg)},"gc_ms":${gcMs - gcStart},"detail":"$detailPath"}"""
     // The driver keeps only the last ~2000 chars of stdout (plus sbt's
     // ~85-char success suffix), so the line must fit in ~1800 chars or
@@ -294,7 +313,7 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qmap""" +
         s""","sf":"$sfDir","n_queries":${ok.size},"queries_omitted":${ok.size - kept.size}""" +
-        s""","n_failed":${failed.size},"contended":$contArr,"detail":"$detailPath"}"""
+        s""","n_failed":${failed.size},"contended":$contArr$regrField,"detail":"$detailPath"}"""
     }
     val out =
       if (line.length <= 1800) line

@@ -88,13 +88,55 @@ object Changelog {
     * rows (semi-join, batch-key-sized) re-enter the max_by against
     * the batch's winners. Same seq contract as [[applyLog]]: the
     * seqCols tuple is unique and non-null per entry.
+    *
+    * SCHEMA EVOLUTION is additive-only: a batch whose schema is a
+    * SUPERSET of the store's (new columns appended mid-stream — the
+    * way real lakes evolve) is accepted — the store side is
+    * null-backfilled and the merged store adopts the wider schema —
+    * while a batch MISSING a store column (narrowing) or carrying a
+    * DRIFTED type on a shared column name fails loudly: silently
+    * union-coercing `seq: long` against `seq: string` (or dropping a
+    * payload column) would corrupt every later version. Column names
+    * `__bk`/`__m` are reserved (join/agg temporaries).
+    *
+    * BROADCAST GUARD: the two store-side joins are "the store never
+    * shuffles" only while the batch-keys side BROADCASTS, so the hint
+    * is forced explicitly (never left to a size estimate AQE might
+    * get wrong — an estimate above `autoBroadcastJoinThreshold` would
+    * silently degrade to sort-merge-joining the 100 TB store). What a
+    * forced hint cannot bound is driver/executor memory: a
+    * pathological batch with more distinct keys than fit in one
+    * broadcast would OOM instead, so `maxBroadcastKeys` (> 0) counts
+    * the batch's distinct keys first — one cheap job over the (small,
+    * typically persisted) batch side — and fails with "split the
+    * batch" before building an undeliverable broadcast. 0 disables
+    * the pre-count for callers that bound batch size upstream.
     */
   def mergeBatch(store: DataFrame, batch: DataFrame, keyCol: String,
-                 opCol: String, seqCols: Seq[String]): DataFrame = {
+                 opCol: String, seqCols: Seq[String],
+                 maxBroadcastKeys: Long = 10000000L): DataFrame = {
     require(seqCols.nonEmpty, "mergeBatch needs at least one seq column")
-    val cols = store.columns.toIndexedSeq
-    require(batch.columns.toSet == cols.toSet,
-      s"store/batch schema mismatch: ${cols.mkString(",")} vs ${batch.columns.mkString(",")}")
+    val storeCols = store.columns.toIndexedSeq
+    val batchCols = batch.columns.toIndexedSeq
+    val narrowed = storeCols.filterNot(batchCols.contains)
+    require(narrowed.isEmpty,
+      s"batch narrows the store schema (missing: ${narrowed.mkString(",")}) — " +
+        "evolution is additive-only: a batch may ADD columns, never drop them")
+    val storeTypes = store.schema.fields.map(f => f.name -> f.dataType).toMap
+    val drifted = batch.schema.fields
+      .filter(f => storeTypes.get(f.name).exists(_ != f.dataType))
+    require(drifted.isEmpty,
+      "store/batch column types drifted: " + drifted.map(f =>
+        s"${f.name} (store ${storeTypes(f.name).simpleString} vs " +
+          s"batch ${f.dataType.simpleString})").mkString(", "))
+    // store order first, new batch columns appended — the widened
+    // schema every later version (and reader) sees
+    val cols = storeCols ++ batchCols.filterNot(storeCols.contains)
+    Seq("__bk", "__m").foreach(t => require(!cols.contains(t),
+      s"column name $t is reserved by mergeBatch's join/agg temporaries"))
+    val batchTypes = batch.schema.fields.map(f => f.name -> f.dataType).toMap
+    val widened = cols.filterNot(storeCols.contains)
+      .foldLeft(store)((d, c) => d.withColumn(c, lit(null).cast(batchTypes(c))))
     val carried = cols.filterNot(_ == keyCol)
     def latest(df: DataFrame): DataFrame =
       df.groupBy(col(keyCol))
@@ -102,6 +144,11 @@ object Changelog {
           struct(seqCols.toIndexedSeq.map(col): _*)).as("__m"))
         .select(col(keyCol) +: carried.map(c => col(s"__m.$c").as(c)): _*)
     val bl = latest(batch.select(cols.map(col): _*))
+    if (maxBroadcastKeys > 0)
+      require(bl.limit(math.min(maxBroadcastKeys + 1, Int.MaxValue).toInt)
+        .count() <= maxBroadcastKeys,
+        s"batch has more than $maxBroadcastKeys distinct keys — too large to " +
+          "broadcast against the store; split the batch (or raise maxBroadcastKeys)")
     // NULL-SAFE key comparison (<=>): groupBy already treats null as
     // one key, but a plain equi anti-join would KEEP the store's
     // null-key row (null never equals null in a join) while the
@@ -109,9 +156,9 @@ object Changelog {
     // two rows for one key, compounding every batch. <=> is still an
     // equi-join key (hash-joinable; the plan pin holds), so null
     // behaves as an ordinary key end to end.
-    val bk = bl.select(col(keyCol).as("__bk"))
-    val untouched = store.join(bk, col(keyCol) <=> col("__bk"), "left_anti")
-    val touched = store.join(bk, col(keyCol) <=> col("__bk"), "left_semi")
+    val bk = broadcast(bl.select(col(keyCol).as("__bk")))
+    val untouched = widened.join(bk, col(keyCol) <=> col("__bk"), "left_anti")
+    val touched = widened.join(bk, col(keyCol) <=> col("__bk"), "left_semi")
     untouched.unionByName(latest(touched.unionByName(bl)))
       .select(cols.map(col): _*)
   }

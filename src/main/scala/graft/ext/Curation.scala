@@ -380,21 +380,101 @@ object Curation {
     * Scale shape: ONE partial-aggregated groupBy over the quasi
     * columns (shuffle rows bounded by combination cardinality, never
     * corpus size) and a semi-join back — combination counts are
-    * dimension-sized, so the join broadcasts and the corpus never
-    * shuffles. NULL-SAFE key comparison throughout: a null quasi
-    * value is one ordinary combination (groupBy already counts it as
-    * one group; a plain equi semi-join would silently drop every
-    * null-combo row however frequent).
+    * dimension-sized, so the join side carries an EXPLICIT
+    * `broadcast()` hint (a size estimate above the auto threshold
+    * would otherwise silently degrade to sort-merge-joining the
+    * 100 TB corpus) and the corpus never shuffles. NULL-SAFE key
+    * comparison throughout: a null quasi value is one ordinary
+    * combination (groupBy already counts it as one group; a plain
+    * equi semi-join would silently drop every null-combo row however
+    * frequent).
+    *
+    * `maxBroadcastCombos` (> 0) pre-counts the surviving combination
+    * list and fails loudly when it exceeds the cap — the forced hint
+    * means an unexpectedly high-cardinality quasi set (someone passes
+    * a near-unique column) would otherwise surface as a broadcast
+    * OOM. The pre-count costs one extra pass over the corpus groupBy,
+    * so it defaults OFF; enable it when the quasi columns'
+    * cardinality is not bounded by construction.
     */
-  def kAnonymize(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+  def kAnonymize(df: DataFrame, quasiCols: Seq[String], k: Long,
+                 maxBroadcastCombos: Long = 0L): DataFrame = {
     require(quasiCols.nonEmpty, "kAnonymize needs quasi-identifier columns")
     require(k >= 1, s"k=$k must be positive")
     val kept = df.groupBy(quasiCols.map(col): _*)
       .agg(count(lit(1)).as("__n"))
       .where(col("__n") >= k)
       .select(quasiCols.map(c => col(c).as(s"__q_$c")): _*)
-    val cond = quasiCols.map(c => df(c) <=> kept(s"__q_$c")).reduce(_ && _)
-    df.join(kept, cond, "left_semi")
+    if (maxBroadcastCombos > 0)
+      require(kept.limit(math.min(maxBroadcastCombos + 1, Int.MaxValue).toInt)
+        .count() <= maxBroadcastCombos,
+        s"more than $maxBroadcastCombos quasi-identifier combinations survive — " +
+          "too many to broadcast; coarsen the quasi columns (see " +
+          "kAnonymizeGeneralized) or raise maxBroadcastCombos")
+    val bkept = broadcast(kept)
+    val cond = quasiCols.map(c => df(c) <=> bkept(s"__q_$c")).reduce(_ && _)
+    df.join(bkept, cond, "left_semi")
+  }
+
+  /** Generalize-then-suppress k-anonymity: combinations below `k` get
+    * their `generalizeCol` value COARSENED to `otherValue` first (one
+    * rung of a generalization hierarchy — "rare source → 'other'"),
+    * pooling the long tail into per-remaining-quasi buckets; only
+    * rows whose COARSENED combination still falls below `k` are
+    * suppressed. Strictly dominates suppression-only
+    * ([[kAnonymize]]): rows in frequent combinations are untouched
+    * (so nothing kept there changes), while pooled rare rows survive
+    * whenever their bucket reaches `k` — suppression-only over-drops
+    * exactly those (every long-tail language × rare-source document
+    * dies even when publishing it as source='other' is safe). Kept
+    * rows are returned WITH the coarsened value: publishing the
+    * original rare value would re-identify the row the coarsening
+    * just protected.
+    *
+    * Scale shape: the corpus crosses one combo-bounded groupBy
+    * (map-side partial), one broadcast inner join (attach the row's
+    * coarsened value), and one broadcast semi-join (the kept
+    * coarsened combinations) — the pooled recount happens entirely on
+    * the DIMENSION side (a groupBy of the combo-count relation, never
+    * a second corpus pass), and the corpus never shuffles, the same
+    * contract as [[kAnonymize]]. Null quasi values are ordinary
+    * combination values throughout (null-safe joins); a rare null
+    * coarsens to `otherValue` like any rare value.
+    */
+  def kAnonymizeGeneralized(df: DataFrame, quasiCols: Seq[String], k: Long,
+                            generalizeCol: Option[String] = None,
+                            otherValue: String = "other"): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymizeGeneralized needs quasi-identifier columns")
+    require(k >= 1, s"k=$k must be positive")
+    val gcol = generalizeCol.getOrElse(quasiCols.last)
+    require(quasiCols.contains(gcol),
+      s"generalizeCol $gcol must be one of the quasi columns ${quasiCols.mkString(",")}")
+    require(df.schema(gcol).dataType ==
+      org.apache.spark.sql.types.StringType,
+      s"generalizeCol $gcol must be a string column (coarsening writes '$otherValue')")
+    val rest = quasiCols.filterNot(_ == gcol)
+    // combo counts (dimension-sized), each tagged with its coarsened
+    // generalize value: rare combos pool under otherValue
+    val coarse = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__g", when(col("__n") < k, lit(otherValue)).otherwise(col(gcol)))
+    // pooled recount on the coarsened combination — dimension-side only
+    val keptCombos = broadcast(coarse
+      .groupBy((rest.map(col) :+ col("__g")): _*)
+      .agg(sum(col("__n")).as("__cn"))
+      .where(col("__cn") >= k)
+      .select((rest.map(c => col(c).as(s"__q_$c")) :+ col("__g").as("__q_g")): _*))
+    // attach each row's coarsened value (exactly one combo row per
+    // row's combination — the inner join never duplicates)
+    val cdim = broadcast(coarse.select(
+      (quasiCols.map(c => col(c).as(s"__c_$c")) :+ col("__g")): _*))
+    val markCond = quasiCols.map(c => df(c) <=> cdim(s"__c_$c")).reduce(_ && _)
+    val marked = df.join(cdim, markCond)
+      .select(df.columns.toIndexedSeq.map(c =>
+        if (c == gcol) cdim("__g").as(gcol) else df(c)): _*)
+    val keepCond = rest.map(c => marked(c) <=> keptCombos(s"__q_$c"))
+      .foldLeft(marked(gcol) <=> keptCombos("__q_g"))(_ && _)
+    marked.join(keptCombos, keepCond, "left_semi")
   }
 
   /** Contiguous global sequence ids 0..N−1 in `orderCol` order — the

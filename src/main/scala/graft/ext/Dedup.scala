@@ -72,7 +72,17 @@ object Dedup {
   def incrementalExact(batch: DataFrame, idCol: String, textCol: String,
                        store: DataFrame): DataFrame = {
     val hashed = batch.withColumn("__fp", Hashing.h60(col(textCol)))
-    val fresh = hashed.join(store, col("__fp") === store("fp"), "left_anti")
+    // NULL-SAFE fingerprint compare (<=>): h60(null text) is null, and
+    // a plain === anti-join never matches null=null — a null-text row
+    // would be re-admitted on EVERY batch (and, in the StreamIngest
+    // deployment, append a fresh null fp to the store each time:
+    // unbounded duplicate accumulation under the operator's
+    // "a duplicate ingested a year ago is still dropped" contract).
+    // With <=> null content is one ordinary content value, matching
+    // the null-key discipline of [[Changelog.mergeBatch]] and
+    // [[graft.ext.Curation.kAnonymize]]; <=> is still an equi-join
+    // key, so the anti-join stays hash-joinable.
+    val fresh = hashed.join(store, col("__fp") <=> store("fp"), "left_anti")
     // min-id per fingerprint as ONE window over the anti-join output
     // (same single shuffle on __fp a groupBy would cost), not a
     // groupBy + semi-join back onto `fresh`: the self-join referenced

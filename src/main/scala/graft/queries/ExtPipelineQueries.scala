@@ -443,7 +443,16 @@ object ExtPipelineQueries {
           .crossJoin(files)
           .select(col("n_rows"), col("id_checksum"), col("fp_checksum"),
             (lit(nBefore) > col("__nf")).as("files_reduced"),
-            (col("__nf") === lit(expected)).as("files_ok"),
+            // bounded range, not exact equality: Spark writes NO file
+            // for an empty range partition, so a sampler boundary
+            // collapse (tiny or heavily skewed doc_id data) can
+            // legitimately produce one file fewer than
+            // ceil(bytes/target) — the contract is "within one of the
+            // target count, and never more", not a sampler-dependent
+            // exact number (files_reduced separately pins the
+            // compaction happened at all)
+            (col("__nf") <= lit(expected) &&
+              col("__nf") >= lit(math.max(1L, expected - 1))).as("files_ok"),
             (col("__ovl") === 0).as("files_disjoint"))
       },
       Some("""SELECT COUNT(*) AS n_rows,

@@ -118,12 +118,61 @@ class ChangelogSpec extends SparkSpec {
       s"null key must hold exactly one (latest) row, got ${out.toSeq}")
   }
 
-  test("mergeBatch rejects a batch whose schema differs from the store's") {
+  test("mergeBatch rejects a batch that NARROWS the store schema") {
     val store = Seq((1L, "a", "U", 0L)).toDF("k", "name", "op", "seq")
     val batch = Seq((1L, "U", 1L)).toDF("k", "op", "seq")
-    intercept[IllegalArgumentException] {
+    val e = intercept[IllegalArgumentException] {
       Changelog.mergeBatch(store, batch, "k", "op", Seq("seq"))
     }
+    assert(e.getMessage.contains("narrows"), e.getMessage)
+  }
+
+  test("mergeBatch accepts an additive batch: store null-backfilled, wider schema adopted, old rows intact") {
+    val store = Seq((1L, "a", "U", 1L), (2L, "b", "U", 1L))
+      .toDF("k", "name", "op", "seq")
+    // mid-stream evolution: the batch adds a `lang` column; it updates
+    // key 1 and inserts key 3, key 2 passes through null-backfilled
+    val batch = Seq((1L, "a2", "en", "U", 2L), (3L, "c", "de", "U", 2L))
+      .toDF("k", "name", "lang", "op", "seq")
+    val out = Changelog.mergeBatch(store, batch, "k", "op", Seq("seq"))
+    assert(out.columns.toSeq == Seq("k", "name", "op", "seq", "lang"),
+      "merged store must adopt the widened schema (store order + new columns)")
+    val rows = out.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(4)))).toSeq
+    assert(rows == Seq((1L, "a2", Some("en")), (2L, "b", None), (3L, "c", Some("de"))))
+    // and a FURTHER batch at the widened schema folds normally
+    val b2 = Seq((2L, "b2", "fr", "U", 3L)).toDF("k", "name", "lang", "op", "seq")
+    val out2 = Changelog.mergeBatch(out, b2, "k", "op", Seq("seq"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(4)))).toSeq
+    assert(out2 == Seq((1L, "a2", Some("en")), (2L, "b2", Some("fr")), (3L, "c", Some("de"))))
+  }
+
+  test("mergeBatch rejects a drifted type on a shared column name") {
+    val store = Seq((1L, "a", "U", 0L)).toDF("k", "name", "op", "seq")
+    val batch = Seq((1L, "a", "U", "one")).toDF("k", "name", "op", "seq")
+    val e = intercept[IllegalArgumentException] {
+      Changelog.mergeBatch(store, batch, "k", "op", Seq("seq"))
+    }
+    assert(e.getMessage.contains("drifted"), e.getMessage)
+  }
+
+  test("mergeBatch reserves its temp names and guards the batch-keys broadcast") {
+    val store = Seq((1L, "a", "U", 0L)).toDF("k", "__bk", "op", "seq")
+    val batch = Seq((1L, "b", "U", 1L)).toDF("k", "__bk", "op", "seq")
+    val e = intercept[IllegalArgumentException] {
+      Changelog.mergeBatch(store, batch, "k", "op", Seq("seq"))
+    }
+    assert(e.getMessage.contains("reserved"), e.getMessage)
+    // over-threshold batch: loud "split the batch", never a silent
+    // sort-merge join of the store side
+    val s2 = Seq((1L, "a", "U", 0L)).toDF("k", "name", "op", "seq")
+    val big = Seq((1L, "x", "U", 1L), (2L, "y", "U", 1L), (3L, "z", "U", 1L))
+      .toDF("k", "name", "op", "seq")
+    val g = intercept[IllegalArgumentException] {
+      Changelog.mergeBatch(s2, big, "k", "op", Seq("seq"), maxBroadcastKeys = 2L)
+    }
+    assert(g.getMessage.contains("split the batch"), g.getMessage)
   }
 
   test("scd2: versions chain, deletes close without opening, last version is current") {

@@ -243,6 +243,43 @@ class CurationSpec extends SparkSpec {
     assert(Curation.kAnonymize(df, Seq("q1", "q2"), k = 1).columns.toSeq
       == df.columns.toSeq)
     assert(Curation.kAnonymize(df, Seq("q1", "q2"), k = 1).count() == rows.size)
+    // combo-cardinality guard: over-threshold fails loudly instead of
+    // attempting an undeliverable broadcast (2 distinct frequent
+    // combos survive k=3; cap at 1)
+    val g = intercept[IllegalArgumentException] {
+      Curation.kAnonymize(df, Seq("q1", "q2"), k = 3, maxBroadcastCombos = 1L)
+        .count()
+    }
+    assert(g.getMessage.contains("coarsen"), g.getMessage)
+  }
+
+  test("kAnonymizeGeneralized pools rare values under 'other' and suppresses strictly less") {
+    import spark.implicits._
+    // lang=en × src=web: 3 rows — frequent, kept untouched;
+    // lang=fr × three DISTINCT rare sources (1 row each): suppression-
+    // only kills all 3, generalization pools them into (fr, other)=3 ≥ k;
+    // lang=zh × one rare source (1 row): pooled (zh, other)=1 < k —
+    // still suppressed even after coarsening
+    val df = Seq(
+      (1L, "en", "web"), (2L, "en", "web"), (3L, "en", "web"),
+      (4L, "fr", "s1"), (5L, "fr", "s2"), (6L, "fr", "s3"),
+      (7L, "zh", "s9")).toDF("id", "lang", "source")
+    val plain = Curation.kAnonymize(df, Seq("lang", "source"), k = 3)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(plain == Seq(1L, 2L, 3L))
+    val gen = Curation.kAnonymizeGeneralized(df, Seq("lang", "source"), k = 3)
+    val got = gen.select("id", "source").as[(Long, String)].collect().sortBy(_._1).toSeq
+    // strictly fewer suppressed; pooled rows carry the COARSENED value
+    // (publishing the original rare value would re-identify them)
+    assert(got == Seq((1L, "web"), (2L, "web"), (3L, "web"),
+      (4L, "other"), (5L, "other"), (6L, "other")), s"got $got")
+    assert(gen.columns.toSeq == df.columns.toSeq)
+    // a rare NULL source coarsens and pools like any rare value
+    val withNull = df.union(
+      Seq((8L, "fr", Option.empty[String])).toDF("id", "lang", "source"))
+    val gotNull = Curation.kAnonymizeGeneralized(withNull, Seq("lang", "source"), k = 3)
+      .where($"lang" === "fr").select("id").as[Long].collect().sorted.toSeq
+    assert(gotNull == Seq(4L, 5L, 6L, 8L), s"got $gotNull")
   }
 
   test("assignIds: contiguous 0..N-1 in key order, partition-count invariant, no global window") {

@@ -53,6 +53,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Dedup.incrementalExact(batch, "doc_id", "text", rolled).count() == 0)
   }
 
+  test("incrementalExact treats null text as one content value (no per-batch re-admission)") {
+    import spark.implicits._
+    // the unbounded-horizon contract: once a null-text row is
+    // accepted, its (null) fingerprint enters the store and every
+    // later null-text arrival must be dropped — a plain === anti-join
+    // never matches null=null and would re-admit it each batch
+    val b1 = Seq((1L, Option("alpha")), (2L, Option.empty[String]),
+      (3L, Option.empty[String])).toDF("doc_id", "text")
+    val empty = Dedup.fingerprintStore(b1.limit(0), "text")
+    val kept1 = Dedup.incrementalExact(b1, "doc_id", "text", empty)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept1 == Seq(1L, 2L), s"in-batch null dedup must keep min id: $kept1")
+    // roll the store forward with the accepted rows' fingerprints
+    // (exactly what StreamIngest.applyBatch does) and re-offer null
+    val rolled = empty.union(
+      b1.where($"doc_id" <= 2).select(graft.ext.Hashing.h60($"text").as("fp")))
+    val b2 = Seq((9L, Option.empty[String]), (10L, Option("beta")))
+      .toDF("doc_id", "text")
+    val kept2 = Dedup.incrementalExact(b2, "doc_id", "text", rolled)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept2 == Seq(10L),
+      s"a store null fingerprint must drop later null-text arrivals: $kept2")
+  }
+
   test("incrementalLshCandidates: batch-vs-store bucket collisions, cap skips, no batch-batch pairs") {
     import spark.implicits._
     // hand-built band relations: (doc_id, band, sig)
