@@ -542,7 +542,7 @@ object ExtStreamQueries {
           col("c_custkey"), col("c_name"), col("c_nationkey"),
           col("c_acctbal"), col("c_mktsegment"),
           lit("U").as("op"), timestamp_millis(lit(0L)).as("ts"),
-          lit(-1L).as("event_id")), storeDir)
+          lit(-1L).as("event_id")), storeDir, "c_custkey")
         val schema = s.read.parquet(srcDir).schema
         val stream = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(srcDir)

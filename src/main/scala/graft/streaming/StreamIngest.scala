@@ -27,16 +27,19 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *    state), and the dedup joins are the batch path's exact shape:
   *    one anti-join of the microbatch against the store column.
   *
-  * Store layout (same self-describing version discipline as
-  * [[StreamMerge]], whose version/commit helpers this reuses):
-  * `storeDir/v<batchId>/` fingerprint-store versions gated by
-  * `_SUCCESS`, vacuumed to `retain`; `storeDir/docs/b<batchId>/`
-  * the batch's ACCEPTED documents — written before the version
-  * commits, never vacuumed (they are the corpus), and readable
-  * exactly-once via [[corpus]] (only batches at or below the
-  * committed store version count; a crash between the docs write
-  * and the version commit leaves an invisible docs dir that the
-  * replay overwrites).
+  * Store layout: the fingerprint store is the key-hash-BUCKETED
+  * versioned store ([[BucketStore]], bucketed on the fingerprint
+  * itself) — a microbatch READS only the buckets its fingerprints
+  * hash into (the anti-join can only match within a bucket) and
+  * REWRITES only those, so per-trigger store I/O is O(batch ×
+  * store/B) instead of the flat layout's O(store) rewrite (at 100 TB
+  * the fingerprint store is ~300 GB — still far too much to rewrite
+  * per trigger). `storeDir/docs/b<batchId>/` holds the batch's
+  * ACCEPTED documents — written before the version commits, never
+  * vacuumed (they are the corpus), and readable exactly-once via
+  * [[corpus]] (only batches at or below the committed store version
+  * count; a crash between the docs write and the version commit
+  * leaves an invisible docs dir that the replay overwrites).
   *
   * Crash windows mirror [[StreamMerge.applyBatch]]: recompute-and-
   * overwrite below the version commit, skip at it, loud failure on a
@@ -54,7 +57,8 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * [[graft.ext.Dedup.incrementalSimhashCandidates]]) run per
   * ingest epoch against the standing band/signature stores — each
   * epoch's accept set is deterministic given its batch, and the
-  * stores roll forward exactly like this one's.
+  * stores roll forward exactly like this one's (gated end to end by
+  * `ext_pipeline_epoch_ingest`).
   */
 object StreamIngest {
 
@@ -104,44 +108,59 @@ object StreamIngest {
     * (the "existing corpus, now ingest incrementally" entry point):
     * arrivals matching the standing corpus are dropped without its
     * documents ever entering this store's corpus dirs. Same
-    * empty-store contract as [[StreamMerge.seed]].
+    * empty-store contract as [[StreamMerge.seed]]; the store buckets
+    * on the fingerprint column.
     */
-  def seed(standingCorpus: DataFrame, textCol: String, storeDir: String): Unit =
-    StreamMerge.seed(Dedup.fingerprintStore(standingCorpus, textCol), storeDir)
+  def seed(standingCorpus: DataFrame, textCol: String, storeDir: String,
+           nBuckets: Int = BucketStore.DefaultBuckets): Unit =
+    StreamMerge.seed(Dedup.fingerprintStore(standingCorpus, textCol),
+      storeDir, "fp", nBuckets)
 
-  /** Apply one microbatch: dedup against the current store
-    * ([[Dedup.incrementalExact]] — anti-join on the 8-byte column,
-    * min-id within batch), append the survivors to the corpus, roll
-    * the store forward. Public for reuse and direct testing.
+  /** Apply one microbatch: dedup against the TOUCHED BUCKETS of the
+    * current store ([[Dedup.incrementalExact]] — anti-join on the
+    * 8-byte column; a fingerprint can only collide within its own
+    * bucket, so the rest of the store is never read), append the
+    * survivors to the corpus, roll only those buckets forward. Public
+    * for reuse and direct testing.
     */
   def applyBatch(batch: DataFrame, id: Long, storeDir: String,
-                 idCol: String, textCol: String, retain: Int = 2): Unit = {
+                 idCol: String, textCol: String, retain: Int = 2,
+                 nBuckets: Int = BucketStore.DefaultBuckets): Unit = {
     require(retain >= 1,
       s"retain=$retain: the vacuum must keep at least the version just written")
     val spark = batch.sparkSession
-    // guard/skip/vacuum are StreamMerge's (shared version machinery —
-    // one implementation of the exactly-once bookkeeping, not two)
+    // guard/skip are StreamMerge's (shared version machinery — one
+    // implementation of the exactly-once bookkeeping, not two)
     if (StreamMerge.replaySkip(spark, storeDir, id)) return
-    val cur = StreamMerge.latestVersion(spark, storeDir)
-      .map(v => spark.read.parquet(s"$storeDir/v$v"))
-      .getOrElse(batch.sparkSession.range(0).select(col("id").as("fp")).limit(0))
     batch.persist()
     try {
+      val nb = StreamMerge.latestVersion(spark, storeDir)
+        .map(v => BucketStore.readManifest(spark, storeDir, v).nBuckets)
+        .getOrElse(nBuckets)
+      // store buckets key on the fingerprint, so the batch's texts
+      // hash straight to the buckets their duplicates must live in
+      val touched = batch
+        .select(BucketStore.bucketOf(Hashing.h60(col(textCol)), nb).as("__tb"))
+        .distinct().collect().map(_.getLong(0)).toSet
+      val cur = BucketStore.read(spark, storeDir, Some(touched))
+        .getOrElse(spark.range(0).select(col("id").as("fp")))
       val fresh = Dedup.incrementalExact(batch, idCol, textCol, cur).persist()
       try {
         // corpus first, version second: the version commit is the
         // transaction boundary that makes the docs dir visible
         fresh.write.mode("overwrite").parquet(docsDir(storeDir, id))
-        cur.unionByName(fresh.select(Hashing.h60(col(textCol)).as("fp")))
-          .write.mode("overwrite").parquet(s"$storeDir/v$id")
+        BucketStore.writeVersion(
+          cur.unionByName(fresh.select(Hashing.h60(col(textCol)).as("fp"))),
+          storeDir, id, col("fp"), nb)
       } finally fresh.unpersist(false)
     } finally batch.unpersist(false)
-    StreamMerge.vacuum(spark, storeDir, retain)
+    BucketStore.vacuum(spark, storeDir, retain)
   }
 
   /** Start the continuous ingest of a streaming `docs` source. */
   def start(docs: DataFrame, storeDir: String, checkpointDir: String,
             idCol: String, textCol: String, retain: Int = 2,
+            nBuckets: Int = BucketStore.DefaultBuckets,
             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     require(retain >= 1,
       s"retain=$retain: the vacuum must keep at least the version just written")
@@ -149,7 +168,7 @@ object StreamIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (b: Dataset[Row], id: Long) =>
-        applyBatch(b, id, storeDir, idCol, textCol, retain)
+        applyBatch(b, id, storeDir, idCol, textCol, retain, nBuckets)
       }
       .start()
   }

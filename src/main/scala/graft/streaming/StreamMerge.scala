@@ -17,22 +17,25 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * log (gated: `ext_stream_merge` hash-matches `ext_pipeline_merge`'s
   * oracle).
   *
-  * Store layout: `storeDir/v<batchId>/` parquet versions, one per
-  * applied microbatch, each holding the full changelog-shaped store
-  * (key, payload, op, seq — latest entry per key, tombstones
-  * retained; see [[Changelog.mergeBatch]] for why tombstones make
-  * the fold order-independent and idempotent). The COMMIT MARKER is
-  * Spark's own `_SUCCESS` file: a version exists iff its write
-  * committed, so there is no separate pointer file whose loss could
-  * orphan the store — [[latestVersion]] derives the current version
-  * from a listing, the same self-describing-directory discipline as
-  * the parquet sink's manifest.
+  * Store layout: the key-hash-BUCKETED versioned store
+  * ([[BucketStore]] — `v<id>/data/__b=<k>/` bucket dirs + a
+  * bucket→owner manifest per version, committed by a `_SUCCESS`
+  * marker written last). The 100 TB consequence, and the reason the
+  * layout is bucketed at all: a microbatch REWRITES ONLY THE BUCKETS
+  * ITS KEYS TOUCH and references every other bucket from the previous
+  * version — per-trigger I/O is O(batch keys × store/B), where the
+  * flat predecessor layout rewrote the entire store every trigger
+  * (O(store) write amplification; a minutes-level trigger against a
+  * 100 TB store never keeps up). The COMPUTE plan tightens the same
+  * way: only the touched buckets are even read — the anti/semi joins
+  * of [[Changelog.mergeBatch]] run against store/B-sized relations,
+  * and the untouched store is never opened.
   *
   * Exactly-once under crash/restart, case by case (the window the
   * gated recovery spec kills into):
-  *  - crash mid-`v<id>` write → no `_SUCCESS`, version invisible;
-  *    the replayed batch recomputes from `v<latest>` and OVERWRITES
-  *    the partial dir;
+  *  - crash mid-version write (data, manifest, or between) → no
+  *    `_SUCCESS`, version invisible; the replayed batch deletes the
+  *    partial dir and recomputes from `v<latest>`;
   *  - crash after the version committed but before the streaming
   *    offset log did → the replayed batch sees `latestVersion >= id`
   *    and SKIPS (already applied);
@@ -41,72 +44,35 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *    so even a skip-logic bug degrades to a no-op re-merge, not a
   *    double-apply.
   *
-  * Scale shape: per batch, ONE map-side latest-per-key collapse of
-  * the microbatch, one broadcast anti/semi join against the store
-  * (the 100 TB store never shuffles), and a store rewrite. The full
-  * rewrite per batch is the parquet-files trade-off — a table format
-  * with row-level deletes (Delta/Iceberg) would turn it into an
-  * append + compaction, which is exactly what [[graft.ext.Layout
-  * .compact]] models; `retain` bounds the version history the same
-  * way their VACUUM does.
+  * Version-level snapshot isolation falls out of the layout exactly
+  * as before: a reader binds only to COMMITTED manifests, and a
+  * version that still owns buckets for any retained manifest is
+  * never vacuumed ([[BucketStore.vacuum]]) — size `retain` above the
+  * longest reader. ONE writer per storeDir remains the (unchecked)
+  * caller obligation; the batch-id-reset guard in [[applyBatch]]
+  * catches the common slip of re-pointing a FRESH checkpoint at an
+  * old store.
   */
 object StreamMerge {
 
-  private def fsOf(spark: SparkSession, dir: String) = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
-  }
-
-  private def versionDir(storeDir: String, id: Long) = s"$storeDir/v$id"
-
-  private val VersionName = "^v(-?\\d+)$".r
-
-  /** Committed version ids under `storeDir` (a version counts iff its
-    * `_SUCCESS` marker exists), ascending. Driver-side metadata
-    * listing, O(retained versions).
-    */
-  def versions(spark: SparkSession, storeDir: String): Seq[Long] = {
-    val (fs, p) = fsOf(spark, storeDir)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toIndexedSeq
-      .filter(_.isDirectory)
-      .flatMap(s => s.getPath.getName match {
-        case VersionName(id)
-          if fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")) =>
-            Some(id.toLong)
-        case _ => None
-      }).sorted
-  }
+  /** Committed version ids (ascending) — see [[BucketStore.versions]]. */
+  def versions(spark: SparkSession, storeDir: String): Seq[Long] =
+    BucketStore.versions(spark, storeDir)
 
   /** Latest committed version id, or None for an empty store. */
   def latestVersion(spark: SparkSession, storeDir: String): Option[Long] =
-    versions(spark, storeDir).lastOption
+    BucketStore.latestVersion(spark, storeDir)
 
   /** Read the current store (full changelog shape, tombstones
-    * included); empty-store reads are the caller's branch — the
-    * streaming apply uses the batch's own schema for that case.
-    *
-    * Version-level snapshot isolation falls out of the layout: a
-    * reader only ever binds to a COMMITTED version directory (the
-    * `_SUCCESS` filter), never to the one mid-write, so concurrent
-    * serving reads see a consistent store while the merge runs —
-    * with `retain` sized above the longest reader (a version a
-    * long query is still scanning must not be vacuumed under it).
-    * ONE writer per storeDir is an (unchecked) caller obligation, as
-    * with any directory-pointer scheme: Structured Streaming's query
-    * lock is per-CHECKPOINT, so two queries with different
-    * checkpoints pointed at one storeDir would interleave version
-    * writes and vacuums — keep the storeDir↔checkpoint mapping 1:1
-    * (the batch-id-reset guard in [[applyBatch]] catches the common
-    * slip of re-pointing a FRESH checkpoint at an old store).
+    * included): the manifest-driven union of every bucket's owning
+    * dir. None when no version has committed.
     */
   def readStore(spark: SparkSession, storeDir: String): Option[DataFrame] =
-    latestVersion(spark, storeDir)
-      .map(v => spark.read.parquet(versionDir(storeDir, v)))
+    BucketStore.read(spark, storeDir)
 
   /** Serving snapshot: current store with tombstones elided and the
     * changelog bookkeeping columns dropped — [[Changelog.applyLog]]'s
-    * output shape. One map-side filter over the latest version.
+    * output shape. One map-side filter over the current buckets.
     */
   def snapshot(spark: SparkSession, storeDir: String, opCol: String,
                seqCols: Seq[String], deleteOp: String = "D"): DataFrame = {
@@ -120,13 +86,15 @@ object StreamMerge {
     * point. `snapshot` must already carry `opCol` (any non-delete
     * value) and `seqCols` BELOW any future log entry's seq, so every
     * streamed change outranks its seed row. Written as version -1
-    * (batch ids start at 0). Refuses a store that already has
-    * committed versions: version -1 would sort below them, never be
-    * read, and be vacuumed on the next batch — a silent no-op where
-    * the caller intended a reset (delete the storeDir first for
-    * that).
+    * (batch ids start at 0), bucketed on `keyCol` — the bucket count
+    * is FIXED here for the store's lifetime. Refuses a store that
+    * already has committed ingest versions: version -1 would sort
+    * below them, never be read, and be vacuumed on the next batch — a
+    * silent no-op where the caller intended a reset (delete the
+    * storeDir first for that).
     */
-  def seed(snapshot: DataFrame, storeDir: String): Unit = {
+  def seed(snapshot: DataFrame, storeDir: String, keyCol: String,
+           nBuckets: Int = BucketStore.DefaultBuckets): Unit = {
     // a seed-ONLY store may be re-seeded: the bootstrap "seed; start"
     // script must be rerunnable after a crash between the seed commit
     // and the first batch commit (nothing has consumed the store
@@ -137,7 +105,7 @@ object StreamMerge {
       s"seed: store $storeDir already has committed ingest versions " +
         s"(${existing.mkString(", ")}) — the seed would be invisible; " +
         "delete the store first to reset it")
-    snapshot.write.mode("overwrite").parquet(versionDir(storeDir, -1L))
+    BucketStore.writeVersion(snapshot, storeDir, -1L, col(keyCol), nBuckets)
   }
 
   /** Shared exactly-once bookkeeping for versioned-store foreachBatch
@@ -161,40 +129,40 @@ object StreamMerge {
     latest.contains(id)
   }
 
-  /** Drop store versions beyond the newest `retain` (the docs dirs of
-    * [[StreamIngest]] are never touched — they are the corpus).
-    */
-  private[streaming] def vacuum(spark: SparkSession, storeDir: String,
-                                retain: Int): Unit = {
-    val (fs, _) = fsOf(spark, storeDir)
-    versions(spark, storeDir).dropRight(retain).foreach { v =>
-      fs.delete(new org.apache.hadoop.fs.Path(versionDir(storeDir, v)), true)
-    }
-  }
-
   /** Apply one changelog microbatch to the store — the foreachBatch
     * body, public for reuse and for direct testing. Skips batches at
-    * or below the committed version (restart replay); vacuums
-    * versions older than the newest `retain`.
+    * or below the committed version (restart replay); reads and
+    * rewrites ONLY the buckets the batch's keys touch; vacuums
+    * versions no retained manifest references.
     */
   def applyBatch(batch: DataFrame, id: Long, storeDir: String,
                  keyCol: String, opCol: String, seqCols: Seq[String],
-                 retain: Int = 2): Unit = {
+                 retain: Int = 2,
+                 nBuckets: Int = BucketStore.DefaultBuckets): Unit = {
     require(retain >= 1,
       s"retain=$retain: the vacuum must keep at least the version just written")
     val spark = batch.sparkSession
     if (replaySkip(spark, storeDir, id)) return // already applied before the crash
-    val cur = latestVersion(spark, storeDir)
-      .map(v => spark.read.parquet(versionDir(storeDir, v)))
-      .getOrElse(batch.limit(0)) // first batch of an unseeded store
-    // the microbatch feeds three consumers inside mergeBatch (latest,
-    // anti, semi) — pin it for the one action instead of re-running
-    // the source slice thrice
+    // the microbatch feeds four consumers (touched-bucket probe +
+    // mergeBatch's latest/anti/semi) — pin it for the one action
+    // instead of re-running the source slice each time
     batch.persist()
-    try Changelog.mergeBatch(cur, batch, keyCol, opCol, seqCols)
-      .write.mode("overwrite").parquet(versionDir(storeDir, id))
-    finally batch.unpersist(false)
-    vacuum(spark, storeDir, retain)
+    try {
+      // the store's own bucket count wins over the parameter: the
+      // mapping key→bucket must never move across versions
+      val nb = latestVersion(spark, storeDir)
+        .map(v => BucketStore.readManifest(spark, storeDir, v).nBuckets)
+        .getOrElse(nBuckets)
+      val touched = batch
+        .select(BucketStore.bucketOf(col(keyCol), nb).as("__tb"))
+        .distinct().collect().map(_.getLong(0)).toSet
+      val cur = BucketStore.read(spark, storeDir, Some(touched))
+        .getOrElse(batch.limit(0)) // first batch of an unseeded store
+      BucketStore.writeVersion(
+        Changelog.mergeBatch(cur, batch, keyCol, opCol, seqCols),
+        storeDir, id, col(keyCol), nb)
+    } finally batch.unpersist(false)
+    BucketStore.vacuum(spark, storeDir, retain)
   }
 
   /** Start the continuous merge of a streaming `changelog` into
@@ -205,6 +173,7 @@ object StreamMerge {
   def start(changelog: DataFrame, storeDir: String, checkpointDir: String,
             keyCol: String, opCol: String, seqCols: Seq[String],
             retain: Int = 2,
+            nBuckets: Int = BucketStore.DefaultBuckets,
             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     require(retain >= 1,
       s"retain=$retain: the vacuum must keep at least the version just written")
@@ -212,7 +181,7 @@ object StreamMerge {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (b: Dataset[Row], id: Long) =>
-        applyBatch(b, id, storeDir, keyCol, opCol, seqCols, retain)
+        applyBatch(b, id, storeDir, keyCol, opCol, seqCols, retain, nBuckets)
       }
       .start()
   }

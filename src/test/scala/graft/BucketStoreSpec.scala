@@ -1,0 +1,183 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ext.Changelog
+import graft.streaming.{BucketStore, StreamIngest, StreamMerge}
+
+/** The bucketed version store's 100 TB contract, pinned on files —
+  * not just results: a microbatch must REWRITE ONLY THE BUCKETS ITS
+  * KEYS TOUCH (the whole point of the layout; the flat predecessor
+  * rewrote the entire store every trigger), while the settled store
+  * stays hash-identical to the flat full-merge fold.
+  */
+class BucketStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bucketDirs(storeDir: String, id: Long): Set[Long] = {
+    val d = new java.io.File(s"$storeDir/v$id/data")
+    if (!d.isDirectory) Set.empty
+    else d.listFiles.toIndexedSeq.filter(_.isDirectory)
+      .map(_.getName).collect { case s if s.startsWith("__b=") =>
+        s.stripPrefix("__b=").toLong
+      }.toSet
+  }
+
+  private def mergeBatchDf(keys: Seq[Long], name: String, seq: Long): DataFrame =
+    keys.map(k => (k, s"$name-$k", "U", seq)).toDF("k", "name", "op", "seq")
+
+  test("a 1-key merge batch rewrites exactly 1 bucket; the rest are carried by reference") {
+    val storeDir = Files.createTempDirectory("graft_bks_store").toString
+    val nb = 8
+    // seed 100 keys — with B=8 every bucket is populated
+    StreamMerge.seed(
+      spark.range(0, 100).select(col("id").as("k"),
+        concat(lit("seed-"), col("id")).as("name"),
+        lit("U").as("op"), lit(-1L).as("seq")),
+      storeDir, "k", nb)
+    val seedBuckets = bucketDirs(storeDir, -1L)
+    assert(seedBuckets == (0L until nb).toSet,
+      s"seed should populate all $nb buckets, got $seedBuckets")
+
+    StreamMerge.applyBatch(mergeBatchDf(Seq(7L), "b0", 0L), 0L, storeDir,
+      "k", "op", Seq("seq"), retain = 2, nBuckets = nb)
+
+    // THE pin: version 0's data dir holds exactly the one bucket key 7 hashes to
+    val touched = bucketDirs(storeDir, 0L)
+    assert(touched.size == 1, s"1-key batch rewrote ${touched.size} buckets: $touched")
+    val expected = spark.range(1).select(
+      pmod(xxhash64(lit(7L)), lit(nb.toLong))).as[Long].head()
+    assert(touched == Set(expected))
+
+    // manifest: the touched bucket is owned by v0, every other bucket
+    // still points at the seed version — reference, not copy
+    val m = BucketStore.readManifest(spark, storeDir, 0L)
+    assert(m.owners(expected) == 0L)
+    assert((m.owners - expected).values.toSet == Set(-1L),
+      s"untouched buckets must keep the seed as owner: ${m.owners}")
+
+    // and the served snapshot still reflects the merge
+    val served = StreamMerge.snapshot(spark, storeDir, "op", Seq("seq"))
+      .where(col("k") === 7L).select("name").as[String].collect().toSeq
+    assert(served == Seq("b0-7"))
+    assert(StreamMerge.snapshot(spark, storeDir, "op", Seq("seq")).count() == 100)
+  }
+
+  test("settled bucketed store equals the flat full-merge fold, tombstones included") {
+    val storeDir = Files.createTempDirectory("graft_bkf_store").toString
+    val batches = Seq(
+      Seq((1L, "a", "U", 0L), (2L, "b", "U", 0L), (9L, "x", "U", 0L)),
+      Seq((1L, "a2", "U", 1L), (3L, "c", "U", 1L)),
+      Seq((2L, "", "D", 2L), (4L, "d", "U", 2L)))
+    def df(rows: Seq[(Long, String, String, Long)]) =
+      rows.toDF("k", "name", "op", "seq")
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      StreamMerge.applyBatch(df(rows), i.toLong, storeDir, "k", "op", Seq("seq"),
+        retain = 2, nBuckets = 4)
+    }
+    // flat oracle: the same fold without any bucketing
+    val flat = batches.map(df).foldLeft(df(Seq.empty[(Long, String, String, Long)])) {
+      (store, b) => Changelog.mergeBatch(store, b, "k", "op", Seq("seq"))
+    }
+    val got = StreamMerge.readStore(spark, storeDir).get
+      .select("k", "name", "op", "seq").as[(Long, String, String, Long)]
+      .collect().toSeq.sorted
+    val want = flat.select("k", "name", "op", "seq")
+      .as[(Long, String, String, Long)].collect().toSeq.sorted
+    assert(got == want, s"bucketed fold diverged from flat fold:\n$got\nvs\n$want")
+    assert(got.exists(_._3 == "D"), "tombstone missing from settled store")
+  }
+
+  test("vacuum never deletes a version that still owns buckets for a retained manifest") {
+    val storeDir = Files.createTempDirectory("graft_bkv_store").toString
+    val nb = 8
+    StreamMerge.seed(
+      spark.range(0, 100).select(col("id").as("k"), lit("s").as("name"),
+        lit("U").as("op"), lit(-1L).as("seq")),
+      storeDir, "k", nb)
+    // 5 batches all touching the SAME key → same single bucket;
+    // retain=2 means v0..v2's bucket data is fully superseded
+    (0 to 4).foreach { i =>
+      StreamMerge.applyBatch(mergeBatchDf(Seq(7L), s"b$i", i.toLong), i.toLong,
+        storeDir, "k", "op", Seq("seq"), retain = 2, nBuckets = nb)
+    }
+    val left = BucketStore.versions(spark, storeDir)
+    // seed still owns the 7 untouched buckets for v3/v4's manifests —
+    // it must survive any retain; v0..v2 own nothing a retained
+    // manifest references and must be gone
+    assert(left.contains(-1L), s"seed version vacuumed out from under the store: $left")
+    assert(left.toSet.intersect(Set(0L, 1L, 2L)).isEmpty,
+      s"fully superseded versions not vacuumed: $left")
+    assert(left.toSet.contains(4L))
+    // and the store still reads whole: all 100 keys, key 7 at its last write
+    val snap = StreamMerge.snapshot(spark, storeDir, "op", Seq("seq"))
+    assert(snap.count() == 100)
+    assert(snap.where(col("k") === 7L).select("name").as[String].head() == "b4-7")
+  }
+
+  test("a 1-new-doc ingest batch rewrites exactly 1 fingerprint bucket") {
+    val storeDir = Files.createTempDirectory("graft_bki_store").toString
+    val nb = 8
+    StreamIngest.seed(
+      spark.range(0, 200).select(concat(lit("doc "), col("id")).as("text")),
+      "text", storeDir, nb)
+    assert(bucketDirs(storeDir, -1L) == (0L until nb).toSet)
+    StreamIngest.applyBatch(
+      Seq((9999L, "a brand new doc")).toDF("doc_id", "text"),
+      0L, storeDir, "doc_id", "text", retain = 2, nBuckets = nb)
+    val touched = bucketDirs(storeDir, 0L)
+    assert(touched.size == 1,
+      s"1-doc ingest batch rewrote ${touched.size} buckets: $touched")
+    // a duplicate-only batch still commits a version (exactly-once
+    // bookkeeping) but accepts nothing new into the corpus
+    StreamIngest.applyBatch(
+      Seq((10000L, "a brand new doc"), (10001L, "doc 3")).toDF("doc_id", "text"),
+      1L, storeDir, "doc_id", "text", retain = 2, nBuckets = nb)
+    assert(StreamIngest.corpus(spark, storeDir).count() == 1)
+  }
+
+  test("bucket count is fixed for the store's lifetime; reserved column name refused") {
+    val storeDir = Files.createTempDirectory("graft_bkc_store").toString
+    StreamMerge.seed(mergeBatchDf(Seq(1L), "s", -1L), storeDir, "k", nBuckets = 4)
+    val e = intercept[IllegalArgumentException] {
+      BucketStore.writeVersion(mergeBatchDf(Seq(2L), "x", 0L), storeDir, 0L,
+        col("k"), nBuckets = 8)
+    }
+    assert(e.getMessage.contains("buckets"), e.getMessage)
+    // applyBatch must adopt the STORE's count, not the parameter —
+    // a key's bucket may never move across versions
+    StreamMerge.applyBatch(mergeBatchDf(Seq(2L), "x", 0L), 0L, storeDir,
+      "k", "op", Seq("seq"), retain = 2, nBuckets = 16)
+    assert(BucketStore.readManifest(spark, storeDir, 0L).nBuckets == 4)
+    intercept[IllegalArgumentException] {
+      BucketStore.writeVersion(
+        Seq((1L, 0L)).toDF("k", "__b"), storeDir, 1L, col("k"), 4)
+    }
+  }
+
+  test("additive schema evolution: buckets written before the new column read back null-backfilled") {
+    val storeDir = Files.createTempDirectory("graft_bke_store").toString
+    val nb = 4
+    StreamMerge.seed(
+      spark.range(0, 50).select(col("id").as("k"), lit("s").as("name"),
+        lit("U").as("op"), lit(-1L).as("seq")),
+      storeDir, "k", nb)
+    // batch adds a column; it touches ONE bucket — the other buckets'
+    // files still carry the narrow schema on disk
+    StreamMerge.applyBatch(
+      Seq((7L, "b", "en", "U", 0L)).toDF("k", "name", "lang", "op", "seq"),
+      0L, storeDir, "k", "op", Seq("seq"), retain = 2, nBuckets = nb)
+    val m = BucketStore.readManifest(spark, storeDir, 0L)
+    assert(m.schema.fieldNames.contains("lang"),
+      s"manifest schema did not adopt the widened shape: ${m.schema.simpleString}")
+    val store = StreamMerge.readStore(spark, storeDir).get
+    assert(store.columns.toSeq == m.schema.fieldNames.toSeq)
+    assert(store.count() == 50)
+    assert(store.where(col("k") === 7L).select("lang").as[String].head() == "en")
+    assert(store.where(col("k") =!= 7L && col("lang").isNotNull).count() == 0,
+      "old buckets must read back with lang null-backfilled")
+  }
+}

@@ -249,12 +249,14 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 2L)
   }
 
-  test("compact composes with StreamMerge: a settled store version compacts without changing the snapshot") {
+  test("compact composes with StreamMerge: a settled store's buckets compact without changing the snapshot") {
     // the maintenance loop a production store actually runs: the
     // continuous merge leaves one small file per shuffle partition
-    // per version; compaction rewrites the CURRENT version into
-    // scan-sized files and the serving snapshot must be unchanged
-    import graft.streaming.StreamMerge
+    // per touched bucket per version; compaction rewrites each
+    // CURRENT bucket dir into scan-sized files (BucketStore
+    // .bucketPaths is exactly this maintenance surface) and the
+    // serving snapshot must be unchanged
+    import graft.streaming.{BucketStore, StreamMerge}
     import org.apache.spark.sql.streaming.Trigger
     val srcDir = java.nio.file.Files.createTempDirectory("graft_cms_src").toString
     Tables.events(spark, "/root/testdata/sf0.001").select(
@@ -267,7 +269,7 @@ class LayoutSpec extends SparkSpec {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_cms_ckpt").toString
     StreamMerge.seed(spark.range(0, 100).select(
       col("id").as("k"), lit(0L).as("cents"), lit("U").as("op"),
-      timestamp_millis(lit(0L)).as("ts"), lit(-1L).as("event_id")), storeDir)
+      timestamp_millis(lit(0L)).as("ts"), lit(-1L).as("event_id")), storeDir, "k")
     val schema = spark.read.parquet(srcDir).schema
     val q = StreamMerge.start(
       spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(srcDir),
@@ -281,13 +283,18 @@ class LayoutSpec extends SparkSpec {
     val before = canon(StreamMerge.snapshot(spark, storeDir, "op", Seq("ts", "event_id")))
     assert(before.nonEmpty)
 
-    val v = StreamMerge.latestVersion(spark, storeDir).get
-    val vDir = s"$storeDir/v$v"
-    val (_, bytes) = Layout.census(spark, vDir)
-    val outDir = java.nio.file.Files.createTempDirectory("graft_cms_out").toString + "/out"
-    val (nb, na) = Layout.compact(spark, vDir, outDir, Seq("k"), targetBytes = bytes)
-    assert(na == 1L && na < nb, s"expected 1 compacted file from $nb")
-    val after = canon(spark.read.parquet(outDir)
+    // compact every bucket of the CURRENT version into one file each
+    val outRoot = java.nio.file.Files.createTempDirectory("graft_cms_out").toString
+    val outDirs = BucketStore.bucketPaths(spark, storeDir).toSeq.sortBy(_._1)
+      .map { case (b, bDir) =>
+        val (_, bytes) = Layout.census(spark, bDir)
+        val outDir = s"$outRoot/b$b"
+        val (nb, na) = Layout.compact(spark, bDir, outDir, Seq("k"), targetBytes = bytes)
+        assert(na == 1L && na <= nb, s"bucket $b: expected 1 compacted file from $nb")
+        outDir
+      }
+    assert(outDirs.nonEmpty)
+    val after = canon(spark.read.parquet(outDirs: _*)
       .where(col("op") =!= "D").drop("op", "ts", "event_id"))
     assert(after == before, "compaction changed the serving snapshot")
   }

@@ -309,7 +309,8 @@ class StreamRecoverySpec extends SparkSpec {
       val ckpt = Files.createTempDirectory("graft_recm_ckpt").toString
       StreamMerge.seed(spark.range(0, 100).select(
         col("id").as("k"), lit(0L).as("cents"), lit("U").as("op"),
-        timestamp_millis(lit(0L)).as("ts"), lit(-1L).as("event_id")), storeDir)
+        timestamp_millis(lit(0L)).as("ts"), lit(-1L).as("event_id")),
+        storeDir, "k")
       def start() = StreamMerge.start(
         spark.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(srcDir),
@@ -419,7 +420,7 @@ class StreamRecoverySpec extends SparkSpec {
     // seeding a store with committed versions would be an invisible
     // no-op (version -1 never read, vacuumed next batch) — refuse
     intercept[IllegalArgumentException] {
-      StreamMerge.seed(batch(0L, "seed"), storeDir)
+      StreamMerge.seed(batch(0L, "seed"), storeDir, "k")
     }
     // the vacuum must never delete the version just written
     intercept[IllegalArgumentException] {
