@@ -511,6 +511,90 @@ object ExtPipelineQueries {
                      CAST(-1 AS BIGINT) AS id_checksum
               ORDER BY lang""")),
 
+    // Generalize-then-suppress k-anonymity ([[Curation
+    // .kAnonymizeGeneralized]], same k = 8 and quasi set as
+    // ext_pipeline_kanon): rare (lang, source) combinations first
+    // coarsen source → 'other' (one generalization rung), the pooled
+    // buckets recount, and only rows whose COARSENED combination
+    // still falls below k are suppressed. The census groups by the
+    // PUBLISHED (coarsened) values — pooled 'other' buckets appear as
+    // such, with id checksums pinning exactly which rows survive —
+    // and the __suppressed meta rows pin the domination contract:
+    // generalization suppresses strictly fewer rows than
+    // suppression-only at equal k (general_fewer = 1), because the
+    // long-tail rows suppression-only over-drops survive whenever
+    // their pooled bucket reaches k. Scale shape: the corpus crosses
+    // one combo-bounded groupBy plus two broadcast joins; the pooled
+    // recount is dimension-side only and the corpus never shuffles
+    // (kAnonymize's contract, kept).
+    Declared(
+      "ext_pipeline_kanon_general",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val keptG = PlanCache.cached("kanon_gen/lang,source/8", docs)(
+          Curation.kAnonymizeGeneralized(_, Seq("lang", "source"), k = 8))
+        // suppression-only twin — shares ext_pipeline_kanon's cache tag,
+        // so the two rows build the survivor relation once between them
+        val keptP = PlanCache.cached("kanon/lang,source/8", docs)(
+          Curation.kAnonymize(_, Seq("lang", "source"), k = 8))
+        val base = docs.agg(count(lit(1)).as("__n"))
+          .crossJoin(keptG.agg(count(lit(1)).as("__kg")))
+          .crossJoin(keptP.agg(count(lit(1)).as("__kp")))
+        keptG.groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_checksum"))
+          .unionByName(base.select(
+            lit("__suppressed").as("lang"), lit("general").as("source"),
+            (col("__n") - col("__kg")).as("n_kept"), lit(-1L).as("id_checksum")))
+          .unionByName(base.select(
+            lit("__suppressed").as("lang"), lit("plain").as("source"),
+            (col("__n") - col("__kp")).as("n_kept"), lit(-1L).as("id_checksum")))
+          .unionByName(base.select(
+            lit("__suppressed").as("lang"), lit("general_fewer").as("source"),
+            when(col("__kg") > col("__kp"), 1L).otherwise(0L).as("n_kept"),
+            lit(-1L).as("id_checksum")))
+          .orderBy("lang", "source")
+      },
+      Some("""WITH counts AS (
+                SELECT lang, source, COUNT(*) AS n FROM documents
+                GROUP BY lang, source),
+              coarse AS (
+                SELECT lang, source,
+                       CASE WHEN n < 8 THEN 'other' ELSE source END AS g, n
+                FROM counts),
+              okg AS (
+                SELECT lang, g FROM coarse GROUP BY lang, g
+                HAVING SUM(n) >= 8),
+              marked AS (
+                SELECT d.doc_id, d.lang, c.g AS source FROM documents d
+                JOIN coarse c ON d.lang IS NOT DISTINCT FROM c.lang
+                             AND d.source IS NOT DISTINCT FROM c.source),
+              keptg AS (
+                SELECT m.* FROM marked m SEMI JOIN okg
+                  ON m.lang IS NOT DISTINCT FROM okg.lang
+                 AND m.source IS NOT DISTINCT FROM okg.g),
+              okp AS (SELECT lang, source FROM counts WHERE n >= 8),
+              keptp AS (
+                SELECT d.doc_id FROM documents d SEMI JOIN okp
+                  ON d.lang IS NOT DISTINCT FROM okp.lang
+                 AND d.source IS NOT DISTINCT FROM okp.source)
+              SELECT lang, source, COUNT(*) AS n_kept,
+                     CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+              FROM keptg GROUP BY lang, source
+              UNION ALL
+              SELECT '__suppressed', 'general',
+                     (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM keptg),
+                     CAST(-1 AS BIGINT)
+              UNION ALL
+              SELECT '__suppressed', 'plain',
+                     (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM keptp),
+                     CAST(-1 AS BIGINT)
+              UNION ALL
+              SELECT '__suppressed', 'general_fewer',
+                     CASE WHEN (SELECT COUNT(*) FROM keptg) > (SELECT COUNT(*) FROM keptp)
+                          THEN 1 ELSE 0 END,
+                     CAST(-1 AS BIGINT)
+              ORDER BY lang, source""")),
+
     // Distributed global row numbering ([[Curation.assignIds]]): the
     // scalable twin of ROW_NUMBER() OVER (ORDER BY k) — which Spark
     // executes through ONE partition (the WindowExec warning; a

@@ -638,6 +638,96 @@ object ExtRelQueries {
                      (day - c_day) AS k,
                      COUNT(DISTINCT e.user_id) AS users
               FROM e JOIN f ON e.user_id = f.user_id
-              GROUP BY 1, 2 ORDER BY cohort, k"""))
+              GROUP BY 1, 2 ORDER BY cohort, k""")),
+
+    // --- Correlated subqueries (SQL surface) ---------------------------
+    // Users write correlated predicates constantly; the engine's
+    // contract is that Catalyst DECORRELATES them to hash joins — a
+    // per-row subquery execution or a nested-loop join would be a
+    // 100 TB death sentence. These three rows run the SQL text
+    // through spark.sql over registered views (the exact path a
+    // JDBC/PySpark user takes) and PlanShapeSpec pins the decorrelated
+    // shapes: EXISTS → hash LEFT SEMI, NOT EXISTS → hash LEFT ANTI,
+    // correlated scalar aggregates → one grouped aggregate joined
+    // back (never BroadcastNestedLoop/CartesianProduct).
+
+    // Correlated EXISTS: segments censused over customers having at
+    // least one high-value order. Aggregated output keeps the row
+    // compact while the EXISTS predicate still gates every customer.
+    Declared(
+      "ext_rel_exists",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("graft_corr_customer")
+        Tables.orders(s, d).createOrReplaceTempView("graft_corr_orders")
+        s.sql("""SELECT c_mktsegment, COUNT(*) AS n,
+                        CAST(SUM(c_custkey) AS BIGINT) AS id_checksum
+                 FROM graft_corr_customer c
+                 WHERE EXISTS (SELECT 1 FROM graft_corr_orders o
+                               WHERE o.o_custkey = c.c_custkey
+                                 AND o.o_totalprice > 200000)
+                 GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n,
+                     CAST(SUM(c_custkey) AS BIGINT) AS id_checksum
+              FROM customer c
+              WHERE EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_custkey = c.c_custkey
+                              AND o.o_totalprice > 200000)
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // Correlated NOT EXISTS: customers with no order since a date (1998-01-01 splits the sf0.01 fixture 8/1492) —
+    // the churn query. Decorrelates to a hash LEFT ANTI join (dq11
+    // covers only the uncorrelated NOT IN form).
+    Declared(
+      "ext_rel_not_exists",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("graft_corr_customer")
+        Tables.orders(s, d).createOrReplaceTempView("graft_corr_orders")
+        s.sql("""SELECT c_mktsegment, COUNT(*) AS n,
+                        CAST(SUM(c_custkey) AS BIGINT) AS id_checksum
+                 FROM graft_corr_customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM graft_corr_orders o
+                                   WHERE o.o_custkey = c.c_custkey
+                                     AND o.o_orderdate >= DATE '1998-01-01')
+                 GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n,
+                     CAST(SUM(c_custkey) AS BIGINT) AS id_checksum
+              FROM customer c
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_custkey = c.c_custkey
+                                  AND o.o_orderdate >= DATE '1998-01-01')
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // Correlated scalar subqueries: orders 1.5x above their own
+    // customer's average order value. TWO correlated scalar
+    // aggregates over the same relation — Catalyst must decorrelate
+    // each into a grouped aggregate joined back on o_custkey (and
+    // merge them; never execute per row). The threshold is the
+    // integer cross-multiplication 2*price*n > 3*sum(price) — exact
+    // decimal arithmetic on both engines, no float-membership flip.
+    Declared(
+      "ext_rel_scalar_subq",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("graft_corr_orders")
+        s.sql("""SELECT o_orderpriority, COUNT(*) AS n,
+                        CAST(SUM(o_orderkey) AS BIGINT) AS id_checksum
+                 FROM graft_corr_orders o
+                 WHERE 2 * o.o_totalprice *
+                         (SELECT COUNT(*) FROM graft_corr_orders o2
+                          WHERE o2.o_custkey = o.o_custkey)
+                     > 3 * (SELECT SUM(o2.o_totalprice) FROM graft_corr_orders o2
+                            WHERE o2.o_custkey = o.o_custkey)
+                 GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n,
+                     CAST(SUM(o_orderkey) AS BIGINT) AS id_checksum
+              FROM orders o
+              WHERE 2 * o.o_totalprice *
+                      (SELECT COUNT(*) FROM orders o2
+                       WHERE o2.o_custkey = o.o_custkey)
+                  > 3 * (SELECT SUM(o2.o_totalprice) FROM orders o2
+                         WHERE o2.o_custkey = o.o_custkey)
+              GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 }

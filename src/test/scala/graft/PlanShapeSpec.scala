@@ -531,4 +531,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("ReusedExchange"),
       s"expected the batch-keys broadcast to be reused across the two joins:\n$plan")
   }
+
+  test("correlated subqueries decorrelate to hash joins — never per-row plans or nested loops") {
+    // the SQL-surface contract: EXISTS → hash LEFT SEMI, NOT EXISTS →
+    // hash LEFT ANTI, a correlated scalar aggregate → ONE grouped
+    // aggregate joined back on the correlation key. A
+    // BroadcastNestedLoopJoin or CartesianProduct here is the
+    // 100 TB death sentence these rows exist to rule out.
+    val ex = planOf("ext_rel_exists")
+    assert(count(ex, "Join [^\n]*LeftSemi") >= 1,
+      s"EXISTS must decorrelate to a LEFT SEMI hash join:\n$ex")
+    // sf0.001 leaves no churned customer, so AQE collapses the FINAL
+    // plan to EmptyRelation — the decorrelation pin reads the INITIAL
+    // plan (the shape Catalyst chose before runtime pruning)
+    val nxDf = SparkEntry.queries("ext_rel_not_exists")(spark, sfDir)
+    nxDf.collect()
+    val nx = nxDf.queryExecution.executedPlan.toString
+    assert(count(nx, "Join [^\n]*LeftAnti") >= 1,
+      s"NOT EXISTS must decorrelate to a LEFT ANTI hash join:\n$nx")
+    val sc = planOf("ext_rel_scalar_subq")
+    // each correlated scalar aggregate becomes a grouped aggregate
+    // whose result joins back — aggregates run once over the
+    // relation, never once per outer row
+    assert(count(sc, "HashAggregate") >= 2,
+      s"correlated scalar aggregates must decorrelate to grouped aggregates:\n$sc")
+    assert(count(sc, "BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin") >= 2,
+      s"decorrelated scalars must join back, once per subquery:\n$sc")
+    Seq("ext_rel_exists" -> ex, "ext_rel_not_exists" -> nx,
+        "ext_rel_scalar_subq" -> sc).foreach { case (n, p) =>
+      assert(count(p, "BroadcastNestedLoopJoin|CartesianProduct") == 0,
+        s"$n: correlated subquery fell back to a nested-loop plan:\n$p")
+    }
+  }
 }
