@@ -516,6 +516,81 @@ object Curation {
     spark.createDataFrame(indexed, schema)
   }
 
+  /** One epoch's accepted documents plus the batch/exact-survivor
+    * counts the ingest audit wants ([[epochIngest]]).
+    */
+  final case class EpochResult(accepted: DataFrame, nBatch: DataFrame,
+                               nExact: DataFrame)
+
+  /** Epoch-composed near-dedup ingest: fold `epochs` (in order) into
+    * a standing corpus, each epoch running the production two-pass
+    * policy — (1) exact-fingerprint dedup against the rolling
+    * fingerprint store ([[Dedup.incrementalExact]]: anti-join on the
+    * 8-byte fp, min-id within batch), then (2) MinHash-LSH near-dedup
+    * of the exact survivors against the rolling BAND store
+    * ([[Dedup.incrementalLshCandidates]] + exact n-gram-Jaccard
+    * verification on candidates only): a survivor verified ≥
+    * `jaccardNum/jaccardDen` similar to ANY standing-corpus doc is
+    * dropped; batch-internal near-dups both survive (they meet again
+    * as store entries in the NEXT epoch). Accepted docs roll all
+    * three artifacts forward: corpus ids, fingerprint store, band
+    * store.
+    *
+    * This is the composition the streaming ingest deliberately does
+    * NOT attempt ([[graft.streaming.StreamIngest]]'s scaladoc): greedy
+    * near-dedup is arrival-order-dependent, so the gateable contract
+    * is PER-EPOCH — each epoch's accept set is deterministic given
+    * its batch and the stores as of the previous epoch, and this
+    * function pins exactly that fold (epochs ordered, stores rolled
+    * between them).
+    *
+    * Scale shape per epoch: the batch hashes/LSHes map-side; the
+    * corpus is touched only through the fingerprint COLUMN (anti-join)
+    * and the band STORE (bucket-capped equi-join) — corpus text is
+    * never re-read, nothing quadratic in corpus size runs, exactly
+    * the per-epoch cost of the two incremental operators. Each
+    * epoch's accept set is [[PlanCache.checkpointed]] (keyed
+    * `cacheTag/e<i>`): epoch i+1's three rolled stores all reference
+    * it, and without the cut the fold's lineage — and the planning
+    * time — grows geometrically with epoch count.
+    *
+    * `verifyDocs` supplies the text relation for Jaccard verification
+    * (normally the full documents table: the df-capped stop-shingle
+    * set is estimated over the whole collection, and candidate pairs
+    * always span batch + corpus).
+    */
+  def epochIngest(standing: DataFrame, epochs: Seq[DataFrame],
+                  verifyDocs: DataFrame, idCol: String, textCol: String,
+                  cacheTag: String, k: Int = 16, rowsPerBand: Int = 4,
+                  maxBucket: Int = 64, dfCap: Int = 100,
+                  jaccardNum: Int = 4, jaccardDen: Int = 5): Seq[EpochResult] = {
+    require(epochs.nonEmpty, "epochIngest needs at least one epoch")
+    def bandsOf(df: DataFrame) = Dedup.lshBands(
+      Dedup.minhashSignatures(Dedup.tokenHashes(df, idCol, textCol), k),
+      k, rowsPerBand)
+    var fpStore = Dedup.fingerprintStore(standing, textCol)
+    var bandStore = bandsOf(standing)
+    epochs.zipWithIndex.map { case (batch0, i) =>
+      val batch = batch0.select(col(idCol), col(textCol))
+      val exact = Dedup.incrementalExact(batch, idCol, textCol, fpStore)
+      val cands = Dedup.incrementalLshCandidates(bandsOf(exact), bandStore,
+        maxBucket)
+      val nearDrop = Dedup.ngramJaccardOnCandidates(verifyDocs, idCol, textCol,
+          cands.select(col("doc_new").as("doc_a"), col("doc_corpus").as("doc_b")),
+          dfCap)
+        .where(col("inter") * jaccardDen >= col("uni") * jaccardNum)
+        .select(col("doc_a").as(idCol)).distinct()
+      val accepted = PlanCache.checkpointed(s"$cacheTag/e$i",
+        exact.join(nearDrop, Seq(idCol), "left_anti"))(identity)
+      fpStore = fpStore.unionByName(
+        accepted.select(Hashing.h60(col(textCol)).as("fp")).distinct())
+      bandStore = bandStore.unionByName(bandsOf(accepted))
+      EpochResult(accepted,
+        batch.agg(count(lit(1)).as("n_batch")),
+        exact.agg(count(lit(1)).as("n_exact")))
+    }
+  }
+
   /** Run the pipeline over `docs`. Near-dup threshold is the rational
     * jaccardNum/jaccardDen (integer cross-multiplication — no float
     * compare anywhere).

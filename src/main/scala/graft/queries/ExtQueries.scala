@@ -21,7 +21,9 @@ object ExtQueries {
     ExtRelQueries.all ++
     ExtSimQueries.all ++
     ExtPipelineQueries.all ++
+    ExtSamplingQueries.all ++
     ExtVersionQueries.all ++
     ExtGraphQueries.all ++
-    ExtStreamQueries.all
+    ExtStreamQueries.all ++
+    ExtSourceQueries.all
 }

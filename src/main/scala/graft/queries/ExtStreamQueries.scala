@@ -3,10 +3,12 @@ package graft.queries
 import java.util.concurrent.atomic.AtomicLong
 
 import graft.Tables
-import graft.ext.{Dedup, Hashing, PlanCache}
+import graft.ext.{Curation, Dedup, Hashing, PlanCache}
 import graft.streaming.{Sessionize, StreamIngest, StreamMerge, StreamingQueries}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
+
+import ExtShared._
 
 /** Streaming family: gated `Trigger.AvailableNow` replays of the
   * streaming operators — the rows that put Structured Streaming under
@@ -628,6 +630,158 @@ object ExtStreamQueries {
               SELECT (SELECT COUNT(*) FROM batch) AS n_batch,
                      COUNT(*) AS n_new,
                      CAST(COALESCE(SUM(fp % 1000000007), 0) AS BIGINT) AS fp_checksum
-              FROM fps"""))
+              FROM fps""")),
+
+    // Epoch-composed near-dedup ingest ([[Curation.epochIngest]]):
+    // the composition [[StreamIngest]]'s scaladoc promises but
+    // deliberately does not stream (greedy near-dedup is
+    // arrival-order-dependent — the gateable contract is PER-EPOCH).
+    // Three ordered epochs fold into the standing quarter of the
+    // corpus; each epoch runs exact-fp dedup against the rolling
+    // fingerprint store, then LSH near-dedup of the exact survivors
+    // against the rolling BAND store (bucket-capped candidates,
+    // n-gram-Jaccard ≥ 4/5 verification), and the accepted docs roll
+    // both stores forward. The oracle replays the same greedy fold
+    // epoch by epoch — so a doc accepted in epoch 1 correctly KILLS
+    // its near-dup arriving in epoch 2, which is exactly the
+    // order-dependence contract under pin. Per-epoch accepted
+    // id-checksums gate the exact accept SETS, not just counts; the
+    // epoch=-1 row pins the settled corpus.
+    Declared(
+      "ext_pipeline_epoch_ingest",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val standing = docs.where(col("doc_id") % 4 === 0)
+        val eps = Seq(1, 2, 3).map(e => docs.where(col("doc_id") % 4 === e))
+        val res = Curation.epochIngest(standing, eps, docs, "doc_id", "text",
+          cacheTag = s"epochIngest/mod4/$MaxBucket/$DfCap",
+          maxBucket = MaxBucket, dfCap = DfCap)
+        val epochRows = res.zipWithIndex.map { case (r, i) =>
+          r.nBatch.crossJoin(r.nExact).crossJoin(
+            r.accepted.agg(count(lit(1)).as("n_accepted"),
+              coalesce(sum(col("doc_id")), lit(0L)).as("id_checksum")))
+            .select(lit(i + 1L).as("epoch"), col("n_batch"), col("n_exact"),
+              col("n_accepted"), col("id_checksum"))
+        }
+        val finalCorpus = res.map(_.accepted.select("doc_id"))
+          .foldLeft(standing.select("doc_id"))(_ unionByName _)
+        epochRows.reduce(_ unionByName _)
+          .unionByName(finalCorpus.agg(count(lit(1)).as("n_accepted"),
+              coalesce(sum(col("doc_id")), lit(0L)).as("id_checksum"))
+            .select(lit(-1L).as("epoch"), lit(-1L).as("n_batch"),
+              lit(-1L).as("n_exact"), col("n_accepted"), col("id_checksum")))
+          .orderBy("epoch")
+      },
+      Some(s"""WITH $minhashSigCte,
+               $cappedShingleCte,
+               fpt AS (SELECT doc_id,
+                              CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS fp
+                       FROM documents),
+               c0 AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 0),
+
+               b1 AS (SELECT doc_id, fp FROM fpt WHERE doc_id % 4 = 1),
+               cf1 AS (SELECT DISTINCT f.fp FROM fpt f JOIN c0 USING (doc_id)),
+               s1 AS (SELECT doc_id FROM (
+                        SELECT b.doc_id,
+                               ROW_NUMBER() OVER (PARTITION BY b.fp ORDER BY b.doc_id) AS rn
+                        FROM b1 b
+                        WHERE NOT EXISTS (SELECT 1 FROM cf1
+                                          WHERE cf1.fp IS NOT DISTINCT FROM b.fp))
+                      WHERE rn = 1),
+               sb1 AS (SELECT g.* FROM sigs g JOIN c0 USING (doc_id)),
+               ok1 AS (SELECT band, sig FROM sb1
+                       GROUP BY band, sig HAVING COUNT(*) <= $MaxBucket),
+               cd1 AS (SELECT DISTINCT n.doc_id AS doc_a, st.doc_id AS doc_b
+                       FROM (SELECT g.* FROM sigs g JOIN s1 USING (doc_id)) n
+                       JOIN (SELECT sb1.* FROM sb1 JOIN ok1 USING (band, sig)) st
+                         ON n.band = st.band AND n.sig = st.sig
+                        AND n.doc_id <> st.doc_id),
+               i1 AS (SELECT doc_a, doc_b, COUNT(*) AS inter FROM cd1
+                      JOIN fsh fa ON fa.doc_id = doc_a
+                      JOIN fsh fb ON fb.doc_id = doc_b AND fa.sh = fb.sh
+                      GROUP BY doc_a, doc_b),
+               dr1 AS (SELECT DISTINCT i.doc_a FROM i1 i
+                       JOIN card ca ON i.doc_a = ca.doc_id
+                       JOIN card cb ON i.doc_b = cb.doc_id
+                       WHERE inter * 5 >= (ca.n + cb.n - inter) * 4),
+               a1 AS (SELECT s1.doc_id FROM s1 ANTI JOIN dr1 ON s1.doc_id = dr1.doc_a),
+               c1 AS (SELECT doc_id FROM c0 UNION ALL SELECT doc_id FROM a1),
+
+               b2 AS (SELECT doc_id, fp FROM fpt WHERE doc_id % 4 = 2),
+               cf2 AS (SELECT DISTINCT f.fp FROM fpt f JOIN c1 USING (doc_id)),
+               s2 AS (SELECT doc_id FROM (
+                        SELECT b.doc_id,
+                               ROW_NUMBER() OVER (PARTITION BY b.fp ORDER BY b.doc_id) AS rn
+                        FROM b2 b
+                        WHERE NOT EXISTS (SELECT 1 FROM cf2
+                                          WHERE cf2.fp IS NOT DISTINCT FROM b.fp))
+                      WHERE rn = 1),
+               sb2 AS (SELECT g.* FROM sigs g JOIN c1 USING (doc_id)),
+               ok2 AS (SELECT band, sig FROM sb2
+                       GROUP BY band, sig HAVING COUNT(*) <= $MaxBucket),
+               cd2 AS (SELECT DISTINCT n.doc_id AS doc_a, st.doc_id AS doc_b
+                       FROM (SELECT g.* FROM sigs g JOIN s2 USING (doc_id)) n
+                       JOIN (SELECT sb2.* FROM sb2 JOIN ok2 USING (band, sig)) st
+                         ON n.band = st.band AND n.sig = st.sig
+                        AND n.doc_id <> st.doc_id),
+               i2 AS (SELECT doc_a, doc_b, COUNT(*) AS inter FROM cd2
+                      JOIN fsh fa ON fa.doc_id = doc_a
+                      JOIN fsh fb ON fb.doc_id = doc_b AND fa.sh = fb.sh
+                      GROUP BY doc_a, doc_b),
+               dr2 AS (SELECT DISTINCT i.doc_a FROM i2 i
+                       JOIN card ca ON i.doc_a = ca.doc_id
+                       JOIN card cb ON i.doc_b = cb.doc_id
+                       WHERE inter * 5 >= (ca.n + cb.n - inter) * 4),
+               a2 AS (SELECT s2.doc_id FROM s2 ANTI JOIN dr2 ON s2.doc_id = dr2.doc_a),
+               c2 AS (SELECT doc_id FROM c1 UNION ALL SELECT doc_id FROM a2),
+
+               b3 AS (SELECT doc_id, fp FROM fpt WHERE doc_id % 4 = 3),
+               cf3 AS (SELECT DISTINCT f.fp FROM fpt f JOIN c2 USING (doc_id)),
+               s3 AS (SELECT doc_id FROM (
+                        SELECT b.doc_id,
+                               ROW_NUMBER() OVER (PARTITION BY b.fp ORDER BY b.doc_id) AS rn
+                        FROM b3 b
+                        WHERE NOT EXISTS (SELECT 1 FROM cf3
+                                          WHERE cf3.fp IS NOT DISTINCT FROM b.fp))
+                      WHERE rn = 1),
+               sb3 AS (SELECT g.* FROM sigs g JOIN c2 USING (doc_id)),
+               ok3 AS (SELECT band, sig FROM sb3
+                       GROUP BY band, sig HAVING COUNT(*) <= $MaxBucket),
+               cd3 AS (SELECT DISTINCT n.doc_id AS doc_a, st.doc_id AS doc_b
+                       FROM (SELECT g.* FROM sigs g JOIN s3 USING (doc_id)) n
+                       JOIN (SELECT sb3.* FROM sb3 JOIN ok3 USING (band, sig)) st
+                         ON n.band = st.band AND n.sig = st.sig
+                        AND n.doc_id <> st.doc_id),
+               i3 AS (SELECT doc_a, doc_b, COUNT(*) AS inter FROM cd3
+                      JOIN fsh fa ON fa.doc_id = doc_a
+                      JOIN fsh fb ON fb.doc_id = doc_b AND fa.sh = fb.sh
+                      GROUP BY doc_a, doc_b),
+               dr3 AS (SELECT DISTINCT i.doc_a FROM i3 i
+                       JOIN card ca ON i.doc_a = ca.doc_id
+                       JOIN card cb ON i.doc_b = cb.doc_id
+                       WHERE inter * 5 >= (ca.n + cb.n - inter) * 4),
+               a3 AS (SELECT s3.doc_id FROM s3 ANTI JOIN dr3 ON s3.doc_id = dr3.doc_a),
+               c3 AS (SELECT doc_id FROM c2 UNION ALL SELECT doc_id FROM a3)
+
+               SELECT CAST(1 AS BIGINT) AS epoch,
+                      (SELECT COUNT(*) FROM b1) AS n_batch,
+                      (SELECT COUNT(*) FROM s1) AS n_exact,
+                      (SELECT COUNT(*) FROM a1) AS n_accepted,
+                      CAST((SELECT COALESCE(SUM(doc_id), 0) FROM a1) AS BIGINT) AS id_checksum
+               UNION ALL
+               SELECT CAST(2 AS BIGINT),
+                      (SELECT COUNT(*) FROM b2), (SELECT COUNT(*) FROM s2),
+                      (SELECT COUNT(*) FROM a2),
+                      CAST((SELECT COALESCE(SUM(doc_id), 0) FROM a2) AS BIGINT)
+               UNION ALL
+               SELECT CAST(3 AS BIGINT),
+                      (SELECT COUNT(*) FROM b3), (SELECT COUNT(*) FROM s3),
+                      (SELECT COUNT(*) FROM a3),
+                      CAST((SELECT COALESCE(SUM(doc_id), 0) FROM a3) AS BIGINT)
+               UNION ALL
+               SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+                      (SELECT COUNT(*) FROM c3),
+                      CAST((SELECT COALESCE(SUM(doc_id), 0) FROM c3) AS BIGINT)
+               ORDER BY epoch"""))
   )
 }
