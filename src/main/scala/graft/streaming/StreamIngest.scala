@@ -139,9 +139,7 @@ object StreamIngest {
         .getOrElse(nBuckets)
       // store buckets key on the fingerprint, so the batch's texts
       // hash straight to the buckets their duplicates must live in
-      val touched = batch
-        .select(BucketStore.bucketOf(Hashing.h60(col(textCol)), nb).as("__tb"))
-        .distinct().collect().map(_.getLong(0)).toSet
+      val touched = BucketStore.touchedBuckets(batch, Hashing.h60(col(textCol)), nb)
       val cur = BucketStore.read(spark, storeDir, Some(touched))
         .getOrElse(spark.range(0).select(col("id").as("fp")))
       val fresh = Dedup.incrementalExact(batch, idCol, textCol, cur).persist()

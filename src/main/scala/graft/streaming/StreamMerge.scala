@@ -153,9 +153,7 @@ object StreamMerge {
       val nb = latestVersion(spark, storeDir)
         .map(v => BucketStore.readManifest(spark, storeDir, v).nBuckets)
         .getOrElse(nBuckets)
-      val touched = batch
-        .select(BucketStore.bucketOf(col(keyCol), nb).as("__tb"))
-        .distinct().collect().map(_.getLong(0)).toSet
+      val touched = BucketStore.touchedBuckets(batch, col(keyCol), nb)
       val cur = BucketStore.read(spark, storeDir, Some(touched))
         .getOrElse(batch.limit(0)) // first batch of an unseeded store
       BucketStore.writeVersion(
