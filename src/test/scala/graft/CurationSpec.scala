@@ -304,4 +304,44 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("Window"),
       s"assignIds must never plan a global window:\n$plan")
   }
+
+  test("epochIngest: exact dups die on the rolling fp store, near-dups on the rolling band store, order pinned per epoch") {
+    import spark.implicits._
+    val fresh2 = (enStop ++ (1 to 27).map("u" + _)).mkString(" ")
+    val otherNear = other.replace("v14", "zz") // near-dup of `other`, same margin as nearDup/base
+    val standing = Seq((1L, base)).toDF("doc_id", "text")
+    val e1 = Seq((10L, base),      // exact dup of the STANDING corpus
+                 (11L, nearDup),   // near-dup of the standing corpus
+                 (12L, other),     // fresh
+                 (13L, other))     // in-batch exact dup of 12 (min-id keeps 12)
+      .toDF("doc_id", "text")
+    val e2 = Seq((20L, other),     // exact dup of a doc ACCEPTED IN EPOCH 1
+                 (21L, otherNear), // near-dup of a doc accepted in epoch 1
+                 (22L, fresh2))    // fresh
+      .toDF("doc_id", "text")
+    val all = standing.unionByName(e1).unionByName(e2)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").as[Long].collect().toSet
+    def n(df: org.apache.spark.sql.DataFrame) = df.as[Long].head()
+
+    val fwd = Curation.epochIngest(standing, Seq(e1, e2), all,
+      "doc_id", "text", cacheTag = "spec/epoch/fwd")
+    assert(n(fwd(0).nBatch) == 4 && n(fwd(0).nExact) == 2,
+      "epoch 1 exact pass must drop the store dup AND the in-batch dup")
+    assert(ids(fwd(0).accepted) == Set(12L))
+    assert(ids(fwd(1).accepted) == Set(22L),
+      "epoch 2 must drop both the exact and the NEAR dup of an epoch-1 accept — the rolling stores")
+
+    // reversed epochs accept a DIFFERENT corpus: greedy near-dedup is
+    // arrival-order-dependent, which is exactly why the gateable
+    // contract is per-epoch (StreamIngest scaladoc / commit ec32f9f)
+    val rev = Curation.epochIngest(standing, Seq(e2, e1), all,
+      "doc_id", "text", cacheTag = "spec/epoch/rev")
+    // 20/21 are now only batch-internal near-dups: both survive by policy
+    assert(ids(rev(0).accepted) == Set(20L, 21L, 22L))
+    // ...and the whole of e1 dies against the grown corpus (also the
+    // empty-accept epoch path: empty checkpoint, empty store roll)
+    assert(ids(rev(1).accepted) == Set.empty[Long])
+    assert(ids(fwd(1).accepted) != ids(rev(0).accepted))
+  }
 }
