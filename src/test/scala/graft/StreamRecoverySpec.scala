@@ -428,4 +428,77 @@ class StreamRecoverySpec extends SparkSpec {
         retain = 0)
     }
   }
+
+  test("CDC merge restarts ACROSS an additive schema change: widened batches fold into the narrow store exactly-once") {
+    // the lake-evolution shape: a stream runs on schema A, stops, and
+    // RESTARTS from the same checkpoint with schema B = A + lang (the
+    // file source's schema is caller-supplied, so a restart is where
+    // evolution actually enters a production pipeline). The first
+    // wide batch must widen the BUCKETED store (mergeBatch's additive
+    // contract: old buckets stay narrow on disk, the manifest adopts
+    // the wide schema, reads null-backfill), and a kill mid-phase-B —
+    // possibly landing before OR after the widening version committed
+    // — must still settle identical to the uninterrupted twin.
+    import graft.streaming.StreamMerge
+    import spark.implicits._
+    val schemaB = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cents", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("op", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("seq", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType)))
+    val schemaA = org.apache.spark.sql.types.StructType(schemaB.fields.dropRight(1))
+
+    def run(interrupt: Boolean): (Seq[(Long, Long, Option[String])], Seq[String]) = {
+      val srcDir = Files.createTempDirectory("graft_recev_src").toString
+      val storeDir = Files.createTempDirectory("graft_recev_store").toString
+      val ckpt = Files.createTempDirectory("graft_recev_ckpt").toString
+      // phase A: 4 narrow files over keys 0..39
+      (0 until 4).foreach { i =>
+        spark.range(i.toLong * 25, (i + 1).toLong * 25).select(
+            (col("id") % 40).as("k"), (col("id") * 10).as("cents"),
+            lit("U").as("op"), col("id").as("seq"))
+          .coalesce(1).write.mode("append").parquet(srcDir)
+      }
+      def start(schema: org.apache.spark.sql.types.StructType) = StreamMerge.start(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir),
+        storeDir, ckpt, "k", "op", Seq("seq"))
+      start(schemaA).awaitTermination()
+
+      // phase B: 4 wide files, updating ONLY keys 0..19 — so the
+      // settled store must mix wide rows (lang set) with narrow-era
+      // rows read back null-backfilled
+      (4 until 8).foreach { i =>
+        spark.range(i.toLong * 25, (i + 1).toLong * 25).select(
+            (col("id") % 20).as("k"), (col("id") * 10).as("cents"),
+            lit("U").as("op"), col("id").as("seq"),
+            concat(lit("L"), (col("id") % 3).cast("string")).as("lang"))
+          .coalesce(1).write.mode("append").parquet(srcDir)
+      }
+      if (interrupt) {
+        val killedAt = runInterrupted(start(schemaB))
+        assert(killedAt < 7,
+          s"stop raced past the phase-B replay (batch $killedAt of 8) — evolution recovery untested")
+        start(schemaB).awaitTermination()
+      } else start(schemaB).awaitTermination()
+
+      val snap = StreamMerge.snapshot(spark, storeDir, "op", Seq("seq"))
+      (snap.select(col("k"), col("cents"), col("lang"))
+         .as[(Long, Long, Option[String])].collect().toSeq.sorted,
+       snap.columns.toSeq)
+    }
+
+    val (settled, cols) = run(interrupt = true)
+    assert(cols.contains("lang"), s"store did not adopt the widened schema: $cols")
+    assert(settled.map(_._1) == (0L until 40L),
+      "settled store must hold exactly one row per key")
+    // keys 0..19: latest entry is wide (lang set); 20..39: narrow era only
+    assert(settled.filter(_._1 < 20).forall(_._3.exists(_.startsWith("L"))),
+      "wide-era keys lost their lang value")
+    assert(settled.filter(_._1 >= 20).forall(_._3.isEmpty),
+      "narrow-era keys must read back null-backfilled, not dropped or defaulted")
+    assert(settled == run(interrupt = false)._1,
+      "resumed run's settled store differs from the uninterrupted run's across the schema change")
+  }
 }
