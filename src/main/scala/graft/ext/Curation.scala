@@ -443,7 +443,8 @@ object Curation {
     */
   def kAnonymizeGeneralized(df: DataFrame, quasiCols: Seq[String], k: Long,
                             generalizeCol: Option[String] = None,
-                            otherValue: String = "other"): DataFrame = {
+                            otherValue: String = "other",
+                            maxBroadcastCombos: Long = 0L): DataFrame = {
     require(quasiCols.nonEmpty, "kAnonymizeGeneralized needs quasi-identifier columns")
     require(k >= 1, s"k=$k must be positive")
     val gcol = generalizeCol.getOrElse(quasiCols.last)
@@ -458,6 +459,16 @@ object Curation {
     val coarse = df.groupBy(quasiCols.map(col): _*)
       .agg(count(lit(1)).as("__n"))
       .withColumn("__g", when(col("__n") < k, lit(otherValue)).otherwise(col(gcol)))
+    // same guard contract as kAnonymize, on the relation both
+    // broadcasts derive from: the forced hints below mean an
+    // unexpectedly high-cardinality quasi set would otherwise surface
+    // as a broadcast OOM mid-job instead of this loud pre-flight
+    if (maxBroadcastCombos > 0)
+      require(coarse.limit(math.min(maxBroadcastCombos + 1, Int.MaxValue).toInt)
+        .count() <= maxBroadcastCombos,
+        s"more than $maxBroadcastCombos quasi-identifier combinations — too " +
+          "many to broadcast; coarsen further (pre-bucket a near-unique " +
+          "column) or raise maxBroadcastCombos")
     // pooled recount on the coarsened combination — dimension-side only
     val keptCombos = broadcast(coarse
       .groupBy((rest.map(col) :+ col("__g")): _*)

@@ -280,6 +280,14 @@ class CurationSpec extends SparkSpec {
     val gotNull = Curation.kAnonymizeGeneralized(withNull, Seq("lang", "source"), k = 3)
       .where($"lang" === "fr").select("id").as[Long].collect().sorted.toSeq
     assert(gotNull == Seq(4L, 5L, 6L, 8L), s"got $gotNull")
+    // guard parity with kAnonymize: over-threshold combo cardinality
+    // fails the loud pre-flight, not a mid-job broadcast OOM (the df
+    // has 5 distinct (lang, source) combos; cap at 2)
+    val g = intercept[IllegalArgumentException] {
+      Curation.kAnonymizeGeneralized(df, Seq("lang", "source"), k = 3,
+        maxBroadcastCombos = 2L).count()
+    }
+    assert(g.getMessage.contains("coarsen"), g.getMessage)
   }
 
   test("assignIds: contiguous 0..N-1 in key order, partition-count invariant, no global window") {
