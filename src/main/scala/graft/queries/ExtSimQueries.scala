@@ -504,6 +504,64 @@ object ExtSimQueries {
                      CAST(SUM(CASE WHEN cos >= kc + 1e-9 THEN neighbor_id ELSE 0 END) AS BIGINT) AS id_checksum,
                      TRUE AS recall_ok, TRUE AS roundtrip_exact
               FROM top JOIN kth USING (query_id)
+              GROUP BY query_id ORDER BY query_id""")),
+
+    // PQ codebook MAINTENANCE — the PQ sibling of ext_sim_ivf_append:
+    // the codebooks were trained BEFORE a tenth of the corpus existed
+    // (standing = vec_id % 10 ≠ 0) and the delta is absorbed by
+    // ENCODING against the frozen books — m nearest-centroid lookups
+    // per arrival, no retrain (retraining codebooks re-encodes the
+    // ENTIRE corpus: 100 TB of codes rewritten — strictly a
+    // compaction-scale decision, never an ingest-path one). Same
+    // probe-contract gate as ext_sim_pq_topk (oracle replays the
+    // exact brute-force side) with TWO flags: recall_ok pins the
+    // overall 0.80 floor under stale books, and delta_recall_ok pins
+    // the DELTA-member brute neighbors (22-25 of 200, oracle-counted)
+    // at a 0.80 floor (measured 0.91-1.0 across fixtures) — vectors
+    // encoded by stale codebooks must be findable, not merely stored.
+    Declared(
+      "ext_sim_pq_append",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        // frozen codebooks: trained on the standing 90% only
+        val index = Similarity.PqIndex.build(
+          emb.where(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
+          m = 16, ks = 64, dim = 64, iters = 3)
+        val bf = PlanCache.cached("pqBfTop10/vec20", emb)(e =>
+          Similarity.bruteForceTopK(e, e.where(col("vec_id") < 20),
+            "vec_id", "embedding", k = 10))
+        val pq = Similarity.pqTopK(emb, emb.where(col("vec_id") < 20),
+          "vec_id", "embedding", k = 10, index, rerank = 8)
+        val flags = bf.select(col("query_id"), col("neighbor_id"),
+            (col("neighbor_id") % 10 === 0).cast("long").as("__d"))
+          .join(pq.select("query_id", "neighbor_id")
+            .withColumn("__hit", lit(1L)),
+            Seq("query_id", "neighbor_id"), "left")
+          .agg(count(lit(1)).as("__n"),
+            sum(coalesce(col("__hit"), lit(0L))).as("__h"),
+            sum(col("__d")).as("__nd"),
+            sum(col("__d") * coalesce(col("__hit"), lit(0L))).as("__hd"))
+          .select((col("__h") * 5 >= col("__n") * 4).as("recall_ok"),
+            (col("__hd") * 5 >= col("__nd") * 4).as("delta_recall_ok"))
+        topkChecksum(bf).crossJoin(flags).orderBy("query_id")
+      },
+      Some("""WITH sc AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos
+                FROM embeddings q JOIN embeddings c
+                  ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+              rk AS (
+                SELECT query_id, neighbor_id, cos,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cos DESC, neighbor_id) AS rnk
+                FROM sc),
+              top AS (SELECT * FROM rk WHERE rnk <= 10),
+              kth AS (SELECT query_id, MIN(cos) AS kc FROM top GROUP BY query_id)
+              SELECT query_id, COUNT(*) AS n_rows,
+                     CAST(SUM(CASE WHEN cos >= kc + 1e-9 THEN 1 ELSE 0 END) AS BIGINT) AS n_clear,
+                     CAST(SUM(CASE WHEN cos >= kc + 1e-9 THEN neighbor_id ELSE 0 END) AS BIGINT) AS id_checksum,
+                     TRUE AS recall_ok, TRUE AS delta_recall_ok
+              FROM top JOIN kth USING (query_id)
               GROUP BY query_id ORDER BY query_id"""))
   )
 }
