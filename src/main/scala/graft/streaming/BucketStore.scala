@@ -66,6 +66,15 @@ object BucketStore {
 
   private[streaming] val BucketCol = "__b"
 
+  /** Sentinel manifest owner for a bucket a version CLAIMS but wrote
+    * no data for — a bucket [[purgeKeys]] emptied entirely. A claimed-
+    * empty bucket must not keep its previous owner (the stale copy is
+    * exactly what the purge removed) and cannot point at a data dir
+    * that does not exist, so the manifest marks it empty explicitly
+    * and [[read]] skips it.
+    */
+  private val EmptyOwner = Long.MinValue
+
   /** The stable bucket of a key — pmod of the 64-bit hash, never
     * null (a null key hashes to the seed), identical on every
     * version of the store.
@@ -117,11 +126,26 @@ object BucketStore {
   def latestVersion(spark: SparkSession, storeDir: String): Option[Long] =
     versions(spark, storeDir).lastOption
 
+  /** The exactly-once INGEST watermark of the latest committed
+    * version: the highest streaming batch id absorbed into the store.
+    * Distinct from the version id — a maintenance commit
+    * ([[purgeKeys]]) advances the version WITHOUT advancing the batch
+    * watermark, so the stream's replay-skip logic keys on this, never
+    * on the version id (against which a maintenance version would
+    * read as "batch already applied" and silently swallow the next
+    * real batch).
+    */
+  def latestBatch(spark: SparkSession, storeDir: String): Option[Long] =
+    latestVersion(spark, storeDir)
+      .map(v => readManifest(spark, storeDir, v).batch)
+
   /** A committed version's bucket map: the fixed bucket count, the
-    * store schema as of that version, and bucket -> owning version.
+    * store schema as of that version, bucket -> owning version
+    * ([[EmptyOwner]] marks a claimed-empty bucket), and the ingest
+    * batch watermark as of that version.
     */
   final case class Manifest(nBuckets: Int, schema: StructType,
-                            owners: Map[Long, Long])
+                            owners: Map[Long, Long], batch: Long)
 
   def readManifest(spark: SparkSession, storeDir: String, id: Long): Manifest = {
     val (fs, _) = fsOf(spark, storeDir)
@@ -139,7 +163,11 @@ object BucketStore {
     Manifest(kv("buckets").toInt,
       org.apache.spark.sql.types.DataType.fromJson(kv("schema"))
         .asInstanceOf[StructType],
-      owners)
+      owners,
+      // manifests written before the version/batch split carry no
+      // batch key; there the two sequences were the same by
+      // construction, so the version id IS the watermark
+      kv.get("batch").map(_.toLong).getOrElse(id))
   }
 
   private def writeManifest(spark: SparkSession, storeDir: String, id: Long,
@@ -148,7 +176,8 @@ object BucketStore {
     val p = new org.apache.hadoop.fs.Path(versionDir(storeDir, id), "manifest")
     val out = fs.create(p, true)
     try {
-      val txt = s"buckets=${m.nBuckets}\nschema=${m.schema.json}\n" +
+      val txt = s"buckets=${m.nBuckets}\nbatch=${m.batch}\n" +
+        s"schema=${m.schema.json}\n" +
         m.owners.toSeq.sorted.map { case (b, v) => s"$b\t$v" }.mkString("\n")
       out.write(txt.getBytes("UTF-8"))
     } finally out.close()
@@ -169,6 +198,7 @@ object BucketStore {
     latestVersion(spark, storeDir).map { v =>
       val m = readManifest(spark, storeDir, v)
       val owners = only.fold(m.owners)(sel => m.owners.filter(kv => sel(kv._1)))
+        .filter(_._2 != EmptyOwner) // claimed-empty buckets hold no data
       val paths = owners.toSeq.sorted.map { case (b, owner) =>
         s"${versionDir(storeDir, owner)}/data/$BucketCol=$b"
       }
@@ -189,9 +219,11 @@ object BucketStore {
   def bucketPaths(spark: SparkSession, storeDir: String): Map[Long, String] = {
     val v = latestVersion(spark, storeDir).getOrElse(
       throw new IllegalStateException(s"no committed store version under $storeDir"))
-    readManifest(spark, storeDir, v).owners.map { case (b, owner) =>
-      b -> s"${versionDir(storeDir, owner)}/data/$BucketCol=$b"
-    }
+    readManifest(spark, storeDir, v).owners
+      .filter(_._2 != EmptyOwner)
+      .map { case (b, owner) =>
+        b -> s"${versionDir(storeDir, owner)}/data/$BucketCol=$b"
+      }
   }
 
   /** Commit `df` as version `id`: write its rows partitioned by
@@ -201,9 +233,18 @@ object BucketStore {
     * it touches — for a merge that is `mergeBatch(touched-buckets
     * read, batch)`. Deletes any uncommitted leftover of `id` first
     * (the replay-overwrite window).
+    *
+    * `batch` is the ingest watermark the manifest records (defaults
+    * to `id` — the streaming case, where this version IS batch `id`);
+    * a maintenance commit passes the PREVIOUS watermark so the
+    * stream's replay-skip logic is unaffected. `claim` names buckets
+    * this version owns even if `df` wrote no rows into them — a
+    * purge that empties a bucket must not leave the stale copy as
+    * owner; claimed-but-unwritten buckets are marked [[EmptyOwner]].
     */
   def writeVersion(df: DataFrame, storeDir: String, id: Long, key: Column,
-                   nBuckets: Int): Unit = {
+                   nBuckets: Int, batch: Option[Long] = None,
+                   claim: Set[Long] = Set.empty): Unit = {
     require(nBuckets >= 1, s"nBuckets=$nBuckets must be positive")
     val spark = df.sparkSession
     require(!df.columns.contains(BucketCol),
@@ -234,8 +275,10 @@ object BucketStore {
       .flatMap(s => BucketName.findFirstMatchIn(s.getPath.getName)
         .map(_.group(1).toLong))
     val owners = prev.map(_.owners).getOrElse(Map.empty[Long, Long]) ++
+      (claim -- written).map(_ -> EmptyOwner) ++
       written.map(_ -> id)
-    writeManifest(spark, storeDir, id, Manifest(nBuckets, df.schema, owners))
+    writeManifest(spark, storeDir, id,
+      Manifest(nBuckets, df.schema, owners, batch.getOrElse(id)))
     fs.create(new org.apache.hadoop.fs.Path(vdir, "_SUCCESS"), true).close()
   }
 
@@ -249,10 +292,99 @@ object BucketStore {
     val vs = versions(spark, storeDir)
     val retained = vs.takeRight(retain)
     val referenced = retained.toSet ++
-      retained.flatMap(v => readManifest(spark, storeDir, v).owners.values)
+      retained.flatMap(v => readManifest(spark, storeDir, v)
+        .owners.values.filter(_ != EmptyOwner))
     val (fs, _) = fsOf(spark, storeDir)
     vs.filterNot(referenced).foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(versionDir(storeDir, v)), true)
     }
+  }
+
+  /** What [[purgeKeys]] did: rows physically removed, buckets the key
+    * list hashed into (= buckets rewritten), and superseded bucket-dir
+    * copies scrubbed from older version dirs.
+    */
+  final case class PurgeStats(purgedRows: Long, touchedBuckets: Set[Long],
+                              scrubbedDirs: Long)
+
+  /** PHYSICALLY remove every row whose `keyCol` appears in `keys` from
+    * the store — the right-to-be-forgotten maintenance op. A changelog
+    * DELETE is the wrong tool for erasure: it retains a keyed
+    * tombstone (by design — [[graft.ext.Changelog.mergeBatch]]'s
+    * order-independence needs it) and leaves the key's old rows in
+    * superseded bucket copies. This op removes all of it: live rows,
+    * tombstones, and the stale copies.
+    *
+    * Mechanics: the key list hashes to its touched buckets (a key can
+    * only live in its own bucket — the untouched store is never read,
+    * same pruning as a merge), the touched buckets are rewritten
+    * without the keys as a NEW COMMITTED VERSION claiming every
+    * touched bucket (a bucket emptied entirely is claimed
+    * [[EmptyOwner]], never left to its stale previous owner), and then
+    * every OTHER version's copy of a touched bucket dir is scrubbed.
+    * The commit is a maintenance version: it advances the version id
+    * but carries the PREVIOUS ingest batch watermark, so a stopped
+    * stream restarts cleanly afterwards (its next batch neither skips
+    * nor trips the reset guard). Run it with the stream stopped — the
+    * one-writer-per-store contract.
+    *
+    * Crash windows: below the version commit the partial dir is
+    * invisible (standard [[writeVersion]] discipline); between the
+    * commit and the scrub, re-running the purge completes the scrub
+    * (the rewrite is idempotent — the keys are already gone). After
+    * the purge, older manifests still NAME the scrubbed dirs, so
+    * time-traveling a reader to a pre-purge version fails — inherent
+    * to erasure, not a defect.
+    *
+    * 100 TB shape: cost is O(touched buckets) read+write + one
+    * broadcast of the key list (guarded like
+    * [[graft.ext.Changelog.mergeBatch]] — a list above
+    * `maxBroadcastKeys` distinct keys fails loudly with "split the
+    * list"), plus driver-side fs metadata for the scrub. A forget
+    * list of any realistic size touches a bounded set of buckets;
+    * the corpus never shuffles.
+    */
+  def purgeKeys(spark: SparkSession, storeDir: String, keys: DataFrame,
+                keyCol: String,
+                maxBroadcastKeys: Long = 10000000L): PurgeStats = {
+    val v = latestVersion(spark, storeDir).getOrElse(
+      throw new IllegalStateException(s"no committed store version under $storeDir"))
+    val m = readManifest(spark, storeDir, v)
+    val kdf = keys.select(col(keyCol).as("__pk")).distinct().persist()
+    try {
+      if (maxBroadcastKeys > 0)
+        require(kdf.limit(math.min(maxBroadcastKeys + 1, Int.MaxValue).toInt)
+          .count() <= maxBroadcastKeys,
+          s"forget list has more than $maxBroadcastKeys distinct keys — too " +
+            "large to broadcast against the store; split the list (or raise " +
+            "maxBroadcastKeys)")
+      val touched = touchedBuckets(kdf, col("__pk"), m.nBuckets)
+      val cur = read(spark, storeDir, Some(touched)).get
+      // null-safe (<=>): a null key is an ordinary key here, exactly
+      // as it is in mergeBatch's anti/semi joins
+      val purged = cur.join(broadcast(kdf), col(keyCol) <=> col("__pk"),
+        "left_semi").count()
+      val kept = cur.join(broadcast(kdf), col(keyCol) <=> col("__pk"),
+        "left_anti")
+      writeVersion(kept, storeDir, v + 1, col(keyCol), m.nBuckets,
+        batch = Some(m.batch), claim = touched)
+      // scrub superseded copies of the touched buckets from EVERY
+      // other version dir — committed or not (a crashed write's
+      // leftover holds bytes too)
+      val (fs, root) = fsOf(spark, storeDir)
+      var scrubbed = 0L
+      fs.listStatus(root).foreach { s =>
+        s.getPath.getName match {
+          case VersionName(id) if s.isDirectory && id.toLong != v + 1 =>
+            touched.foreach { b =>
+              val bDir = new org.apache.hadoop.fs.Path(
+                s.getPath, s"data/$BucketCol=$b")
+              if (fs.exists(bDir)) { fs.delete(bDir, true); scrubbed += 1 }
+            }
+          case _ => ()
+        }
+      }
+      PurgeStats(purged, touched, scrubbed)
+    } finally kdf.unpersist(false)
   }
 }

@@ -37,9 +37,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * per trigger). `storeDir/docs/b<batchId>/` holds the batch's
   * ACCEPTED documents — written before the version commits, never
   * vacuumed (they are the corpus), and readable exactly-once via
-  * [[corpus]] (only batches at or below the committed store version
-  * count; a crash between the docs write and the version commit
-  * leaves an invisible docs dir that the replay overwrites).
+  * [[corpus]] (only batches at or below the committed manifest's
+  * batch watermark count; a crash between the docs write and the
+  * version commit leaves an invisible docs dir that the replay
+  * overwrites).
   *
   * Crash windows mirror [[StreamMerge.applyBatch]]: recompute-and-
   * overwrite below the version commit, skip at it, loud failure on a
@@ -77,7 +78,10 @@ object StreamIngest {
     */
   def corpus(spark: SparkSession, storeDir: String,
              emptySchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
-    val latest = StreamMerge.latestVersion(spark, storeDir).getOrElse(
+    // committed = docs batches at or below the manifest's BATCH
+    // watermark (not the version id — a maintenance commit advances
+    // the version without admitting any new batch)
+    val latest = BucketStore.latestBatch(spark, storeDir).getOrElse(
       throw new IllegalStateException(s"no committed store version under $storeDir"))
     val (fs, docsPath) = fsOf(spark, s"$storeDir/docs")
     val dirs =
@@ -134,7 +138,8 @@ object StreamIngest {
     if (StreamMerge.replaySkip(spark, storeDir, id)) return
     batch.persist()
     try {
-      val nb = StreamMerge.latestVersion(spark, storeDir)
+      val latest = StreamMerge.latestVersion(spark, storeDir)
+      val nb = latest
         .map(v => BucketStore.readManifest(spark, storeDir, v).nBuckets)
         .getOrElse(nBuckets)
       // store buckets key on the fingerprint, so the batch's texts
@@ -149,7 +154,8 @@ object StreamIngest {
         fresh.write.mode("overwrite").parquet(docsDir(storeDir, id))
         BucketStore.writeVersion(
           cur.unionByName(fresh.select(Hashing.h60(col(textCol)).as("fp"))),
-          storeDir, id, col("fp"), nb)
+          storeDir, latest.map(_ + 1L).getOrElse(id), col("fp"), nb,
+          batch = Some(id))
       } finally fresh.unpersist(false)
     } finally batch.unpersist(false)
     BucketStore.vacuum(spark, storeDir, retain)

@@ -119,13 +119,18 @@ object StreamMerge {
     */
   private[streaming] def replaySkip(spark: SparkSession, storeDir: String,
                                     id: Long): Boolean = {
-    val latest = latestVersion(spark, storeDir)
+    // keyed on the manifest's ingest BATCH watermark, not the version
+    // id: a maintenance commit (BucketStore.purgeKeys) advances the
+    // version without advancing the watermark, and comparing against
+    // the version id there would read the next real batch as "already
+    // applied" and silently drop it
+    val latest = BucketStore.latestBatch(spark, storeDir)
     if (latest.exists(_ > id))
       throw new IllegalStateException(
-        s"store $storeDir is at version ${latest.get} but batch $id arrived — " +
-          "a new checkpoint was pointed at an existing store (batch ids " +
-          "restart at 0). Keep the storeDir<->checkpoint mapping 1:1, or " +
-          "reset the store alongside the checkpoint.")
+        s"store $storeDir has absorbed batch ${latest.get} but batch $id " +
+          "arrived — a new checkpoint was pointed at an existing store " +
+          "(batch ids restart at 0). Keep the storeDir<->checkpoint " +
+          "mapping 1:1, or reset the store alongside the checkpoint.")
     latest.contains(id)
   }
 
@@ -150,15 +155,20 @@ object StreamMerge {
     try {
       // the store's own bucket count wins over the parameter: the
       // mapping key→bucket must never move across versions
-      val nb = latestVersion(spark, storeDir)
+      val latest = latestVersion(spark, storeDir)
+      val nb = latest
         .map(v => BucketStore.readManifest(spark, storeDir, v).nBuckets)
         .getOrElse(nBuckets)
       val touched = BucketStore.touchedBuckets(batch, col(keyCol), nb)
       val cur = BucketStore.read(spark, storeDir, Some(touched))
         .getOrElse(batch.limit(0)) // first batch of an unseeded store
+      // version id = next in the store's own sequence (maintenance
+      // commits may have advanced it past the batch ids); the batch
+      // id lands in the manifest as the exactly-once watermark
       BucketStore.writeVersion(
         Changelog.mergeBatch(cur, batch, keyCol, opCol, seqCols),
-        storeDir, id, col(keyCol), nb)
+        storeDir, latest.map(_ + 1L).getOrElse(id), col(keyCol), nb,
+        batch = Some(id))
     } finally batch.unpersist(false)
     BucketStore.vacuum(spark, storeDir, retain)
   }

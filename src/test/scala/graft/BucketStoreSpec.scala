@@ -180,4 +180,107 @@ class BucketStoreSpec extends SparkSpec {
     assert(store.where(col("k") =!= 7L && col("lang").isNotNull).count() == 0,
       "old buckets must read back with lang null-backfilled")
   }
+
+  /** Every row readable from ANY parquet file anywhere under the
+    * store dir — committed, superseded, or leftover. The erasure
+    * assertion has to scan bytes, not manifests.
+    */
+  private def allBytes(storeDir: String): DataFrame = {
+    def walk(d: java.io.File): Seq[java.io.File] =
+      d.listFiles.toIndexedSeq.flatMap { f =>
+        if (f.isDirectory) walk(f)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
+      }
+    val files = walk(new java.io.File(storeDir)).map(_.toString)
+    val v = BucketStore.latestVersion(spark, storeDir).get
+    spark.read.schema(BucketStore.readManifest(spark, storeDir, v).schema)
+      .parquet(files: _*)
+  }
+
+  test("purgeKeys erases every trace: live rows, tombstones, and superseded copies") {
+    val storeDir = Files.createTempDirectory("graft_bkp_store").toString
+    val nb = 8
+    StreamMerge.seed(
+      spark.range(0, 100).select(col("id").as("k"),
+        concat(lit("seed-"), col("id")).as("name"),
+        lit("U").as("op"), lit(-1L).as("seq")),
+      storeDir, "k", nb)
+    // batch 0: update key 7, tombstone key 9 — so the purge set spans
+    // a live updated key, a tombstoned key, and an untouched key (13)
+    StreamMerge.applyBatch(
+      Seq((7L, "b0-7", "U", 0L), (9L, "", "D", 0L)).toDF("k", "name", "op", "seq"),
+      0L, storeDir, "k", "op", Seq("seq"), retain = 10, nBuckets = nb)
+    // retain=10 keeps the seed's superseded copies of the touched
+    // buckets on disk — exactly the residue the purge must scrub
+    assert(allBytes(storeDir).where(col("k").isin(7L, 9L)).count() >= 4,
+      "fixture should hold superseded copies before the purge")
+
+    val stats = BucketStore.purgeKeys(spark, storeDir,
+      Seq(7L, 9L, 13L).toDF("k"), "k")
+    assert(stats.purgedRows == 3, s"current-version rows purged: $stats")
+
+    val snap = StreamMerge.snapshot(spark, storeDir, "op", Seq("seq"))
+    assert(snap.count() == 97)
+    assert(snap.where(col("k").isin(7L, 9L, 13L)).count() == 0)
+    // THE erasure pin: no file anywhere under the store still holds
+    // the keys — not as live rows, not as tombstones, not in
+    // superseded bucket copies of older versions
+    assert(allBytes(storeDir).where(col("k").isin(7L, 9L, 13L)).count() == 0,
+      "purged keys still present in store bytes")
+    // re-running the purge (the crash-between-commit-and-scrub
+    // replay) is a no-op that still succeeds
+    val again = BucketStore.purgeKeys(spark, storeDir,
+      Seq(7L, 9L, 13L).toDF("k"), "k")
+    assert(again.purgedRows == 0)
+    assert(StreamMerge.snapshot(spark, storeDir, "op", Seq("seq")).count() == 97)
+  }
+
+  test("a purge that empties a bucket claims it empty instead of leaving the stale owner") {
+    val storeDir = Files.createTempDirectory("graft_bkpe_store").toString
+    val nb = 2
+    StreamMerge.seed(
+      spark.range(0, 10).select(col("id").as("k"), lit("s").as("name"),
+        lit("U").as("op"), lit(-1L).as("seq")),
+      storeDir, "k", nb)
+    // purge every key of bucket 0 — the rewritten relation writes no
+    // rows there, so the manifest must claim it empty explicitly
+    val b0 = spark.range(0, 10)
+      .where(pmod(xxhash64(col("id")), lit(nb.toLong)) === 0L)
+      .select(col("id").as("k"))
+    val n0 = b0.count()
+    assert(n0 > 0, "fixture needs at least one key in bucket 0")
+    val stats = BucketStore.purgeKeys(spark, storeDir, b0, "k")
+    assert(stats.purgedRows == n0)
+    val snap = StreamMerge.snapshot(spark, storeDir, "op", Seq("seq"))
+    assert(snap.count() == 10 - n0)
+    assert(allBytes(storeDir).join(b0, Seq("k"), "left_semi").count() == 0)
+  }
+
+  test("purge is a maintenance commit: the batch watermark holds and the stream resumes") {
+    val storeDir = Files.createTempDirectory("graft_bkpw_store").toString
+    val nb = 4
+    StreamMerge.seed(
+      spark.range(0, 20).select(col("id").as("k"), lit("s").as("name"),
+        lit("U").as("op"), lit(-1L).as("seq")),
+      storeDir, "k", nb)
+    StreamMerge.applyBatch(mergeBatchDf(Seq(3L), "b0", 0L), 0L, storeDir,
+      "k", "op", Seq("seq"), retain = 2, nBuckets = nb)
+    BucketStore.purgeKeys(spark, storeDir, Seq(5L).toDF("k"), "k")
+    // the purge advanced the VERSION but not the batch watermark:
+    // batch 1 must apply normally — neither skipped ("already
+    // applied") nor rejected by the reset guard
+    assert(BucketStore.latestBatch(spark, storeDir).contains(0L))
+    StreamMerge.applyBatch(mergeBatchDf(Seq(6L), "b1", 1L), 1L, storeDir,
+      "k", "op", Seq("seq"), retain = 2, nBuckets = nb)
+    assert(BucketStore.latestBatch(spark, storeDir).contains(1L))
+    val snap = StreamMerge.snapshot(spark, storeDir, "op", Seq("seq"))
+    assert(snap.where(col("k") === 6L).select("name").as[String].head() == "b1-6")
+    assert(snap.where(col("k") === 5L).count() == 0)
+    assert(snap.count() == 19)
+    // and a true replay of batch 1 still skips
+    StreamMerge.applyBatch(mergeBatchDf(Seq(6L), "GHOST", 1L), 1L, storeDir,
+      "k", "op", Seq("seq"), retain = 2, nBuckets = nb)
+    assert(StreamMerge.snapshot(spark, storeDir, "op", Seq("seq"))
+      .where(col("k") === 6L).select("name").as[String].head() == "b1-6")
+  }
 }
