@@ -163,6 +163,108 @@ object Changelog {
       .select(cols.map(col): _*)
   }
 
+  /** Recompute a dimensional (count, sum) aggregate from a
+    * changelog-shaped store — the BASE CASE and the audit twin of the
+    * incremental [[aggDelta]]/[[mergeAggDelta]] maintenance: seed the
+    * materialized aggregate with this over the initial store, then
+    * fold deltas; at any point the folded aggregate must equal this
+    * recompute over the current store. One full scan + one
+    * dim-bounded exchange — what the incremental path exists to
+    * avoid paying per batch.
+    */
+  def aggSnapshot(store: DataFrame, opCol: String, dims: Seq[String],
+                  valCol: String, deleteOp: String = "D",
+                  nCol: String = "n", sumCol: String = "sum"): DataFrame =
+    store.where(col(opCol) =!= deleteOp)
+      .groupBy(dims.map(col): _*)
+      .agg(count(lit(1)).as(nCol), sum(col(valCol)).as(sumCol))
+
+  /** Per-dimension aggregate DELTA of one changelog batch against the
+    * standing key store — incremental materialized-view maintenance.
+    * Returns `(dims..., nCol, sumCol)` where the values are the
+    * CHANGE the batch causes in `aggSnapshot(store)`: fold it into
+    * the maintained aggregate with [[mergeAggDelta]] alongside the
+    * [[mergeBatch]] that folds the batch into the store (delta first,
+    * against the PRE-batch store).
+    *
+    * Construction: the batch collapses to latest-per-key exactly as
+    * [[mergeBatch]] does; for its keys, the post-merge winner is
+    * `latest(storeTouched ∪ batchLatest)` and the pre-image is the
+    * store's current row — the delta is `+winner − pre` over the
+    * non-deleted rows, grouped by `dims`. Because the winner is the
+    * same max_by [[mergeBatch]] commits, the fold TELESCOPES: after
+    * any sequence of batches the maintained aggregate equals the full
+    * recompute, and a re-delivered batch's delta is exactly ZERO
+    * (its entries all lose the max_by at equal seq — the same
+    * property that makes mergeBatch idempotent), so crash-replay
+    * cannot double-count.
+    *
+    * Only self-maintainable aggregates live here (count/sum — avg
+    * derives); min/max under deletes need a per-dim recompute by
+    * construction. Exactness discipline: pass an integer `valCol`
+    * (cents, not dollars) when the maintained view is gated by hash.
+    *
+    * 100 TB shape: the store is touched ONLY via a broadcast semi-join
+    * on the batch's keys (with [[mergeBatch]]'s bucketed store
+    * underneath, only the touched buckets are even read), every
+    * aggregation partial-aggregates map-side, and the output is
+    * dim-cardinality-sized. The corpus is never rescanned — that is
+    * the entire point.
+    */
+  def aggDelta(store: DataFrame, batch: DataFrame, keyCol: String,
+               opCol: String, seqCols: Seq[String], dims: Seq[String],
+               valCol: String, deleteOp: String = "D",
+               nCol: String = "n", sumCol: String = "sum",
+               maxBroadcastKeys: Long = 10000000L): DataFrame = {
+    require(seqCols.nonEmpty, "aggDelta needs at least one seq column")
+    require(dims.nonEmpty, "aggDelta needs at least one dimension column")
+    val needed = (keyCol +: opCol +: seqCols) ++ dims :+ valCol
+    needed.foreach(c => require(store.columns.contains(c) &&
+      batch.columns.contains(c), s"store/batch missing column $c"))
+    Seq("__bk", "__m", "__w").foreach(t => require(!needed.contains(t),
+      s"column name $t is reserved by aggDelta's temporaries"))
+    // project BOTH sides to the columns the delta needs — the store
+    // side drops its payload before the semi-join, and an additive
+    // schema evolution elsewhere in the row is invisible here
+    val proj = needed.distinct.map(col)
+    val carried = needed.distinct.filterNot(_ == keyCol)
+    def latest(df: DataFrame): DataFrame =
+      df.groupBy(col(keyCol))
+        .agg(max_by(struct(carried.map(col): _*),
+          struct(seqCols.toIndexedSeq.map(col): _*)).as("__m"))
+        .select(col(keyCol) +: carried.map(c => col(s"__m.$c").as(c)): _*)
+    val bl = latest(batch.select(proj: _*))
+    if (maxBroadcastKeys > 0)
+      require(bl.limit(math.min(maxBroadcastKeys + 1, Int.MaxValue).toInt)
+        .count() <= maxBroadcastKeys,
+        s"batch has more than $maxBroadcastKeys distinct keys — too large to " +
+          "broadcast against the store; split the batch (or raise maxBroadcastKeys)")
+    val bk = broadcast(bl.select(col(keyCol).as("__bk")))
+    val pre = store.select(proj: _*)
+      .join(bk, col(keyCol) <=> col("__bk"), "left_semi")
+    val winner = latest(pre.unionByName(bl))
+    val live = (df: DataFrame, sign: Int) =>
+      df.where(col(opCol) =!= deleteOp)
+        .select((dims.map(col) :+ lit(sign.toLong).as("__w") :+
+          (col(valCol) * sign).as(valCol)): _*)
+    live(winner, 1).unionByName(live(pre, -1))
+      .groupBy(dims.map(col): _*)
+      .agg(sum(col("__w")).as(nCol), sum(col(valCol)).as(sumCol))
+  }
+
+  /** Fold an [[aggDelta]] into the maintained aggregate: union and
+    * re-aggregate (both relations are dim-cardinality-sized), dropping
+    * dimensions whose live row count reached zero. Null dims group as
+    * ordinary values on both sides — no join, so no null-key
+    * mismatch to guard.
+    */
+  def mergeAggDelta(agg: DataFrame, delta: DataFrame, dims: Seq[String],
+                    nCol: String = "n", sumCol: String = "sum"): DataFrame =
+    agg.unionByName(delta)
+      .groupBy(dims.map(col): _*)
+      .agg(sum(col(nCol)).as(nCol), sum(col(sumCol)).as(sumCol))
+      .where(col(nCol) =!= 0)
+
   /** Expand a changelog into SCD-type-2 history: one VERSION row per
     * non-delete log entry, valid over [`validFrom`, `validTo`) —
     * `validFrom` is the entry's own `tsCol`, `validTo` the NEXT

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ext.{Changelog, Hashing}
+import graft.streaming.{BucketStore, StreamMerge}
 import org.apache.spark.sql.functions._
 
 /** Corpus-versioning family: CDC merge, snapshot diff, SCD-2
@@ -185,6 +186,171 @@ object ExtVersionQueries {
                      CAST(SUM(k) AS BIGINT) AS key_checksum,
                      CAST(SUM(event_id) AS BIGINT) AS version_checksum,
                      CAST(SUM(cents) AS BIGINT) AS cents_checksum
-              FROM snap GROUP BY 1 ORDER BY event_type"""))
+              FROM snap GROUP BY 1 ORDER BY event_type""")),
+
+    // Incremental materialized-view maintenance
+    // ([[Changelog.aggDelta]] / [[Changelog.mergeAggDelta]]): the
+    // per-segment (count, balance-cents sum) view of the SAME merged
+    // table as ext_pipeline_merge, maintained incrementally — seeded
+    // from the customer snapshot, then folded through 4 changelog
+    // batches ALONGSIDE the store fold, each delta computed from the
+    // batch and the pre-batch store only. The gate pins the
+    // telescoping law on real data: the folded aggregate must equal
+    // the full recompute over the final merged table (which is what
+    // the oracle runs). 100 TB shape: per batch, the store is touched
+    // only via a broadcast semi-join on the batch's keys; the corpus
+    // is NEVER rescanned to refresh the view — that full rescan is
+    // exactly what this operator exists to avoid.
+    Declared(
+      "ext_pipeline_matview",
+      (s, d) => {
+        val k = col("user_id") + 1450
+        val seed = Tables.customer(s, d).select(
+          col("c_custkey"), col("c_mktsegment"),
+          round(col("c_acctbal") * 100).cast("long").as("bal_cents"),
+          lit("U").as("op"), timestamp_millis(lit(0L)).as("ts"),
+          lit(-1L).as("event_id"))
+        val log = Tables.events(s, d).select(
+          k.as("c_custkey"), col("event_type").as("c_mktsegment"),
+          round(col("value") * 100).cast("long").as("bal_cents"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"),
+          col("ts"), col("event_id"))
+        var store = seed
+        var agg = Changelog.aggSnapshot(seed, "op", Seq("c_mktsegment"),
+          "bal_cents", nCol = "n", sumCol = "sum_cents")
+        // 4 deterministic batches; broadcast pre-counts off — the
+        // batch sizes are bounded by the fixture, and the fold's
+        // laziness would re-run the count per downstream step
+        (0 until 4).foreach { i =>
+          val b = log.where(pmod(col("event_id"), lit(4)) === i)
+          val delta = Changelog.aggDelta(store, b, "c_custkey", "op",
+            Seq("ts", "event_id"), Seq("c_mktsegment"), "bal_cents",
+            nCol = "n", sumCol = "sum_cents", maxBroadcastKeys = 0L)
+          agg = Changelog.mergeAggDelta(agg, delta, Seq("c_mktsegment"),
+            nCol = "n", sumCol = "sum_cents")
+          store = Changelog.mergeBatch(store, b, "c_custkey", "op",
+            Seq("ts", "event_id"), maxBroadcastKeys = 0L)
+        }
+        agg.orderBy("c_mktsegment")
+      },
+      Some("""WITH log AS (
+                SELECT user_id + 1450 AS k, event_type AS seg,
+                       CAST(round(value * 100) AS BIGINT) AS cents,
+                       CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                       ts, event_id
+                FROM events),
+              latest AS (
+                SELECT k, seg, cents, op FROM (
+                  SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+                    ORDER BY ts DESC, event_id DESC) AS rn FROM log)
+                WHERE rn = 1),
+              merged AS (
+                SELECT c.c_mktsegment AS seg,
+                       CAST(round(c.c_acctbal * 100) AS BIGINT) AS cents
+                FROM customer c ANTI JOIN latest l ON c.c_custkey = l.k
+                UNION ALL
+                SELECT seg, cents FROM latest WHERE op <> 'D')
+              SELECT seg AS c_mktsegment, COUNT(*) AS n,
+                     CAST(SUM(cents) AS BIGINT) AS sum_cents
+              FROM merged GROUP BY 1 ORDER BY 1""")),
+
+    // Right-to-be-forgotten ([[BucketStore.purgeKeys]]): the merged
+    // customer store — seeded snapshot + one applied changelog batch,
+    // persisted in the bucketed version store — physically forgets
+    // every key ≡ 0 (mod 89): live rows, tombstones, AND superseded
+    // bucket copies of older versions. The gated output is the
+    // post-purge serving snapshot census PLUS a `__residual` row that
+    // counts forgotten-key rows across EVERY parquet file still on
+    // disk anywhere under the store — the oracle pins it to ZERO, so
+    // the erasure itself (not just the snapshot view) is under the
+    // gate. 100 TB shape: the key list broadcasts once, only the
+    // buckets it hashes into are read and rewritten, and the scrub is
+    // driver-side fs metadata.
+    Declared(
+      "ext_pipeline_forget",
+      (s, d) => {
+        val k = col("user_id") + 1450
+        val seed = Tables.customer(s, d).select(
+          col("c_custkey"), col("c_mktsegment"),
+          round(col("c_acctbal") * 100).cast("long").as("bal_cents"),
+          lit("U").as("op"), timestamp_millis(lit(0L)).as("ts"),
+          lit(-1L).as("event_id"))
+        val log = Tables.events(s, d).select(
+          k.as("c_custkey"), col("event_type").as("c_mktsegment"),
+          round(col("value") * 100).cast("long").as("bal_cents"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"),
+          col("ts"), col("event_id"))
+        val storeDir = java.nio.file.Files
+          .createTempDirectory("graft_forget_store").toString
+        StreamMerge.seed(seed, storeDir, "c_custkey")
+        StreamMerge.applyBatch(log, 0L, storeDir, "c_custkey", "op",
+          Seq("ts", "event_id"))
+        val keys = seed.select("c_custkey")
+          .union(log.select("c_custkey")).distinct()
+          .where(col("c_custkey") % 89 === 0)
+        BucketStore.purgeKeys(s, storeDir, keys, "c_custkey")
+        val census = StreamMerge
+          .snapshot(s, storeDir, "op", Seq("ts", "event_id"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            sum(col("c_custkey")).as("key_checksum"),
+            sum(col("bal_cents")).as("cents_checksum"))
+        // the erasure probe: every parquet file still under the store
+        // dir — current, superseded, or leftover — semi-joined with
+        // the forgotten keys; must be empty
+        val residual = allStoreBytes(s, storeDir)
+          .join(keys, Seq("c_custkey"), "left_semi")
+          .agg(count(lit(1)).as("n"))
+          .select(lit("__residual").as("c_mktsegment"), col("n"),
+            lit(0L).as("key_checksum"), lit(0L).as("cents_checksum"))
+        census.unionByName(residual).orderBy("c_mktsegment")
+      },
+      Some("""WITH log AS (
+                SELECT user_id + 1450 AS k, event_type AS seg,
+                       CAST(round(value * 100) AS BIGINT) AS cents,
+                       CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                       ts, event_id
+                FROM events),
+              latest AS (
+                SELECT k, seg, cents, op FROM (
+                  SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+                    ORDER BY ts DESC, event_id DESC) AS rn FROM log)
+                WHERE rn = 1),
+              merged AS (
+                SELECT c.c_custkey AS k, c.c_mktsegment AS seg,
+                       CAST(round(c.c_acctbal * 100) AS BIGINT) AS cents
+                FROM customer c ANTI JOIN latest l ON c.c_custkey = l.k
+                UNION ALL
+                SELECT k, seg, cents FROM latest WHERE op <> 'D'),
+              kept AS (SELECT * FROM merged WHERE k % 89 <> 0)
+              SELECT seg AS c_mktsegment, COUNT(*) AS n,
+                     CAST(SUM(k) AS BIGINT) AS key_checksum,
+                     CAST(SUM(cents) AS BIGINT) AS cents_checksum
+              FROM kept GROUP BY 1
+              UNION ALL
+              SELECT '__residual', 0, 0, 0
+              ORDER BY c_mktsegment"""))
   )
+
+  /** Every row readable from ANY parquet file anywhere under a
+    * bucketed store dir — committed, superseded, or crashed-write
+    * leftover. The forget gate's erasure probe has to scan BYTES, not
+    * manifests: a manifest no longer referencing a key proves
+    * nothing about what is still on disk.
+    */
+  private def allStoreBytes(s: org.apache.spark.sql.SparkSession,
+                            storeDir: String): org.apache.spark.sql.DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    val files = scala.collection.mutable.ListBuffer.empty[String]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) files += f.getPath.toString
+    }
+    val v = BucketStore.latestVersion(s, storeDir).getOrElse(
+      throw new IllegalStateException(s"no committed version under $storeDir"))
+    s.read.schema(BucketStore.readManifest(s, storeDir, v).schema)
+      .parquet(files.toSeq: _*)
+  }
 }

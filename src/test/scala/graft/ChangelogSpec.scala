@@ -175,6 +175,40 @@ class ChangelogSpec extends SparkSpec {
     assert(g.getMessage.contains("split the batch"), g.getMessage)
   }
 
+  test("aggDelta: losing late entry nets zero; value move within a dim keeps n, moves sum; null dim is a group") {
+    // store: k1 (dim a, 10), k2 (dim a, 20), k3 (null dim, 5)
+    val store = Seq(
+      (1L, Option("a"), 10L, "U", 5L),
+      (2L, Option("a"), 20L, "U", 5L),
+      (3L, Option.empty[String], 5L, "U", 5L))
+      .toDF("k", "dim", "v", "op", "seq")
+    // batch: k1 LOSES (seq 3 < 5 — delta must be zero for it), k2
+    // value moves 20→25 within dim a (n delta 0, sum delta +5), k3's
+    // null-dim row is deleted, k4 inserts into dim b
+    val batch = Seq(
+      (1L, Option("a"), 999L, "U", 3L),
+      (2L, Option("a"), 25L, "U", 6L),
+      (3L, Option.empty[String], 0L, "D", 6L),
+      (4L, Option("b"), 7L, "U", 6L))
+      .toDF("k", "dim", "v", "op", "seq")
+    val agg0 = Changelog.aggSnapshot(store, "op", Seq("dim"), "v")
+    val delta = Changelog.aggDelta(store, batch, "k", "op", Seq("seq"),
+      Seq("dim"), "v", maxBroadcastKeys = 0L)
+    val folded = Changelog.mergeAggDelta(agg0, delta, Seq("dim"))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    // dim a: still 2 rows (k1 kept old value), sum 10+25; dim b: k4;
+    // null dim emptied by the delete → row dropped entirely
+    assert(folded == Seq((Option("a"), 2L, 35L), (Option("b"), 1L, 7L)),
+      s"got $folded")
+    // and it matches the recompute over the merged store
+    val merged = Changelog.mergeBatch(store, batch, "k", "op", Seq("seq"))
+    val want = Changelog.aggSnapshot(merged, "op", Seq("dim"), "v")
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    assert(folded == want)
+  }
+
   test("scd2: versions chain, deletes close without opening, last version is current") {
     import java.sql.Timestamp
     def t(s: Int) = new Timestamp(s * 1000L)

@@ -407,4 +407,51 @@ class PropertySpec extends SparkSpec {
       assert(served == naive.filter(_._3 != "D").map(_._1).toSet)
     }
   }
+
+  test("aggDelta folds telescope: maintained (count,sum) per dim equals the full recompute, re-delivery included") {
+    // the law incremental materialized-view maintenance rests on:
+    // folding aggDelta/mergeAggDelta alongside mergeBatch over ANY
+    // batch sequence — including a re-delivered batch, whose delta
+    // must be exactly zero — lands on aggSnapshot of the final store
+    import spark.implicits._
+    import graft.ext.Changelog
+    val entryGen = for {
+      k <- Gen.choose(0L, 11L)
+      op <- Gen.frequency(4 -> Gen.const("U"), 1 -> Gen.const("D"))
+      v <- Gen.choose(0L, 999L)
+    } yield (k, k % 3, v, op)
+    val logGen = Gen.listOfN(40, entryGen)
+    sample(logGen, 4).zipWithIndex.foreach { case (entries, trial) =>
+      val rnd = new scala.util.Random(100 + trial)
+      val seqs = rnd.shuffle((1L to entries.size.toLong).toList)
+      val log = entries.zip(seqs).map { case ((k, d, v, op), s) => (k, d, v, op, s) }
+      val nb = 1 + rnd.nextInt(4)
+      val batches0 = log.grouped(math.max(1, (log.size + nb - 1) / nb)).toSeq
+      val delivered = batches0 ++ Seq(batches0(rnd.nextInt(batches0.size)))
+      val store0 = Seq.empty[(Long, Long, Long, String, Long)]
+        .toDF("k", "dim", "v", "op", "seq")
+      var store = store0
+      var agg = Changelog.aggSnapshot(store0, "op", Seq("dim"), "v")
+      delivered.foreach { b =>
+        val bdf = b.toDF("k", "dim", "v", "op", "seq")
+        val delta = Changelog.aggDelta(store, bdf, "k", "op", Seq("seq"),
+          Seq("dim"), "v")
+        agg = Changelog.mergeAggDelta(agg, delta, Seq("dim"))
+        store = Changelog.mergeBatch(store, bdf, "k", "op", Seq("seq"))
+      }
+      val got = agg.select("dim", "n", "sum")
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      val want = Changelog.aggSnapshot(store, "op", Seq("dim"), "v")
+        .select("dim", "n", "sum")
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      assert(got == want,
+        s"trial $trial: folded aggregate diverged from recompute:\n$got\nvs\n$want")
+      // and against a pure in-memory oracle, not just Spark-vs-Spark
+      val naive = log.groupBy(_._1).map { case (_, es) => es.maxBy(_._5) }
+        .filter(_._4 != "D").toSeq
+        .groupBy(_._2).map { case (d, rs) => (d, rs.size.toLong, rs.map(_._3).sum) }
+        .toSeq.sorted
+      assert(got == naive, s"trial $trial: vs naive:\n$got\nvs\n$naive")
+    }
+  }
 }
