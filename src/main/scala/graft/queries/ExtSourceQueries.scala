@@ -128,6 +128,39 @@ object ExtSourceQueries {
           .option("columnNameOfCorruptRecord", "_corrupt")
           .csv(dir))
       },
-      Some(oracleCensus))
+      Some(oracleCensus)),
+
+    // ORC ingest: the third-party COLUMNAR interchange case (no
+    // line-corruption surface — the format is self-describing and
+    // block-checksummed; a torn file fails loudly rather than
+    // quarantining). The contract under the gate is round-trip
+    // fidelity: the documents table written as ORC and read back must
+    // census identically to the parquet source of truth, fingerprints
+    // included. 100 TB shape: a splittable columnar scan with column
+    // pruning and predicate pushdown, same as parquet — the census
+    // reads (doc_id, lang, text) only.
+    Declared(
+      "ext_source_orc",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val dir = PlanCache.artifact("source/orc", docs) { dd =>
+          val p = java.nio.file.Files
+            .createTempDirectory("graft_src_orc").toString
+          dd.select(col("doc_id"), col("lang"), col("source"), col("text"))
+            .write.mode("overwrite").orc(p)
+          p
+        }
+        s.read.orc(dir)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"),
+            sum(col("doc_id")).as("id_checksum"),
+            sum(Hashing.h60(col("text")) % P).as("fp_checksum"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, COUNT(*) AS n,
+                     CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+                     CAST(SUM(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)
+                              % 1000000007) AS BIGINT) AS fp_checksum
+              FROM documents GROUP BY lang ORDER BY lang"""))
   )
 }

@@ -4,7 +4,7 @@ import java.util.concurrent.atomic.AtomicLong
 
 import graft.Tables
 import graft.ext.{Curation, Dedup, Hashing, PlanCache}
-import graft.streaming.{Sessionize, StreamIngest, StreamMerge, StreamingQueries}
+import graft.streaming.{Sessionize, StreamIngest, StreamMatview, StreamMerge, StreamingQueries}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -782,6 +782,74 @@ object ExtStreamQueries {
                SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
                       (SELECT COUNT(*) FROM c3),
                       CAST((SELECT COALESCE(SUM(doc_id), 0) FROM c3) AS BIGINT)
-               ORDER BY epoch"""))
+               ORDER BY epoch""")),
+
+    // Continuous incremental materialized-view maintenance
+    // ([[StreamMatview]]) — the streaming twin of
+    // ext_pipeline_matview, and the completion of the CDC story: the
+    // SAME events changelog replayed over 8 triggers maintains BOTH
+    // the bucketed snapshot store and the per-segment (count,
+    // balance-cents) view, aggregate-first exactly-once. The settled
+    // view must equal the full recompute over the one-shot batch
+    // merge — the oracle IS ext_pipeline_matview's, verbatim, which
+    // makes the three rows (batch fold, streamed fold, recompute)
+    // mutual audits. Per trigger the view refresh is a batch-keys
+    // broadcast against touched store buckets plus batch-sized
+    // aggregations; the corpus is never rescanned after the seed.
+    Declared(
+      "ext_stream_matview",
+      (s, d) => {
+        val k = col("user_id") + 1450
+        val ev = Tables.events(s, d)
+        val srcDir = PlanCache.artifact("streamMatview/src/8/1450", ev) { e =>
+          val p = java.nio.file.Files
+            .createTempDirectory("graft_smv_src").toString
+          e.select(
+              k.as("c_custkey"),
+              col("event_type").as("c_mktsegment"),
+              round(col("value") * 100).cast("long").as("bal_cents"),
+              when(col("event_type") === "error", "D").otherwise("U").as("op"),
+              col("ts"), col("event_id"))
+            .repartitionByRange(8, col("ts"))
+            .write.mode("overwrite").parquet(p)
+          p
+        }
+        val Seq(storeDir, aggDir, ckpt) = freshDirs("smv", 3)
+        StreamMatview.seed(Tables.customer(s, d).select(
+            col("c_custkey"), col("c_mktsegment"),
+            round(col("c_acctbal") * 100).cast("long").as("bal_cents"),
+            lit("U").as("op"), timestamp_millis(lit(0L)).as("ts"),
+            lit(-1L).as("event_id")),
+          storeDir, aggDir, "c_custkey", "op", Seq("c_mktsegment"),
+          "bal_cents", nCol = "n", sumCol = "sum_cents")
+        val schema = s.read.parquet(srcDir).schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        val q = StreamMatview.start(stream, storeDir, aggDir, ckpt,
+          "c_custkey", "op", Seq("ts", "event_id"), Seq("c_mktsegment"),
+          "bal_cents", nCol = "n", sumCol = "sum_cents")
+        q.awaitTermination()
+        StreamMatview.viewSnapshot(s, aggDir).orderBy("c_mktsegment")
+      },
+      Some("""WITH log AS (
+                SELECT user_id + 1450 AS k, event_type AS seg,
+                       CAST(round(value * 100) AS BIGINT) AS cents,
+                       CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                       ts, event_id
+                FROM events),
+              latest AS (
+                SELECT k, seg, cents, op FROM (
+                  SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+                    ORDER BY ts DESC, event_id DESC) AS rn FROM log)
+                WHERE rn = 1),
+              merged AS (
+                SELECT c.c_mktsegment AS seg,
+                       CAST(round(c.c_acctbal * 100) AS BIGINT) AS cents
+                FROM customer c ANTI JOIN latest l ON c.c_custkey = l.k
+                UNION ALL
+                SELECT seg, cents FROM latest WHERE op <> 'D')
+              SELECT seg AS c_mktsegment, COUNT(*) AS n,
+                     CAST(SUM(cents) AS BIGINT) AS sum_cents
+              FROM merged GROUP BY 1 ORDER BY 1"""))
   )
 }

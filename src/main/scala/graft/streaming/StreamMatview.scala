@@ -1,0 +1,137 @@
+package graft.streaming
+
+import graft.ext.Changelog
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Continuous incremental materialized-view maintenance: fold a
+  * change stream into BOTH the keyed snapshot store ([[StreamMerge]])
+  * and a dimensional (count, sum) aggregate of it — the view stays
+  * consistent with the snapshot without ever rescanning it. Per
+  * trigger the aggregate refresh costs [[Changelog.aggDelta]]'s
+  * batch-keys broadcast against the store's touched buckets plus
+  * batch-sized aggregations; the alternative a view over a 100 TB
+  * corpus otherwise forces — a full recompute per refresh interval —
+  * is exactly what this operator removes.
+  *
+  * Layout: the aggregate is its own (single-bucket — it is
+  * dim-cardinality-sized) [[BucketStore]] next to the snapshot store,
+  * with the same `_SUCCESS`-gated version + batch-watermark
+  * discipline.
+  *
+  * Exactly-once is PER STORE, ordered aggregate-first:
+  *
+  *  - each store skips batches at or below its own manifest's batch
+  *    watermark ([[StreamMerge.replaySkip]]), so a replayed batch
+  *    re-applies only to the store(s) that missed it;
+  *  - the aggregate commits BEFORE the snapshot. The delta must be
+  *    computed against the PRE-batch snapshot; committing the
+  *    snapshot first would open a crash window (snapshot at `id`,
+  *    aggregate behind) where the replay's delta reads a store that
+  *    already absorbed the batch — aggregate-first makes the inverse
+  *    window (aggregate at `id`, snapshot behind) the only reachable
+  *    one, and there the replay skips the aggregate and applies the
+  *    snapshot, converging;
+  *  - and independently, a fully-absorbed batch's delta is exactly
+  *    ZERO ([[Changelog.aggDelta]]'s max_by argument), so even a
+  *    double-applied delta of a replayed batch is a no-op, not a
+  *    double-count.
+  */
+object StreamMatview {
+
+  /** The current maintained aggregate: `(dims..., nCol, sumCol)`. */
+  def viewSnapshot(spark: SparkSession, aggDir: String): DataFrame =
+    BucketStore.read(spark, aggDir).getOrElse(
+      throw new IllegalStateException(s"no committed view version under $aggDir"))
+
+  /** Seed BOTH stores from an initial snapshot — the snapshot store
+    * via [[StreamMerge.seed]] (same contract: `opCol` present,
+    * `seqCols` below any future entry), the aggregate store with the
+    * full recompute over the seed ([[Changelog.aggSnapshot]] — the
+    * one full pass, paid once at bootstrap).
+    */
+  def seed(snapshot: DataFrame, storeDir: String, aggDir: String,
+           keyCol: String, opCol: String, dims: Seq[String], valCol: String,
+           nCol: String = "n", sumCol: String = "sum",
+           nBuckets: Int = BucketStore.DefaultBuckets): Unit = {
+    val spark = snapshot.sparkSession
+    StreamMerge.seed(snapshot, storeDir, keyCol, nBuckets)
+    val existing = BucketStore.versions(spark, aggDir).filter(_ != -1L)
+    require(existing.isEmpty,
+      s"seed: view store $aggDir already has committed ingest versions " +
+        s"(${existing.mkString(", ")}) — the seed would be invisible; " +
+        "delete the store first to reset it")
+    BucketStore.writeVersion(
+      Changelog.aggSnapshot(snapshot, opCol, dims, valCol, nCol = nCol,
+        sumCol = sumCol),
+      aggDir, -1L, col(dims.head), nBuckets = 1)
+  }
+
+  /** Apply one changelog microbatch to the view and the snapshot
+    * store, in that order — the foreachBatch body, public for reuse
+    * and direct testing.
+    */
+  def applyBatch(batch: DataFrame, id: Long, storeDir: String, aggDir: String,
+                 keyCol: String, opCol: String, seqCols: Seq[String],
+                 dims: Seq[String], valCol: String,
+                 nCol: String = "n", sumCol: String = "sum",
+                 retain: Int = 2,
+                 nBuckets: Int = BucketStore.DefaultBuckets,
+                 maxBroadcastKeys: Long = 10000000L): Unit = {
+    require(retain >= 1,
+      s"retain=$retain: the vacuum must keep at least the version just written")
+    val spark = batch.sparkSession
+    if (!StreamMerge.replaySkip(spark, aggDir, id)) {
+      // the delta needs the PRE-batch snapshot — guaranteed by the
+      // aggregate-first commit order; a snapshot already at/above
+      // this batch means the two stores were driven independently
+      require(!BucketStore.latestBatch(spark, storeDir).exists(_ >= id),
+        s"snapshot store $storeDir already absorbed batch $id but the view " +
+          s"$aggDir has not — the stores were driven out of order; drive " +
+          "both through StreamMatview only")
+      val nb = BucketStore.latestVersion(spark, storeDir)
+        .map(v => BucketStore.readManifest(spark, storeDir, v).nBuckets)
+        .getOrElse(nBuckets)
+      val touched = BucketStore.touchedBuckets(batch, col(keyCol), nb)
+      val storeTouched = BucketStore.read(spark, storeDir, Some(touched))
+        .getOrElse(batch.limit(0)) // unseeded snapshot store
+      val agg = BucketStore.read(spark, aggDir).getOrElse(
+        Changelog.aggSnapshot(batch.limit(0), opCol, dims, valCol,
+          nCol = nCol, sumCol = sumCol)) // unseeded view: empty, right shape
+      val delta = Changelog.aggDelta(storeTouched, batch, keyCol, opCol,
+        seqCols, dims, valCol, nCol = nCol, sumCol = sumCol,
+        maxBroadcastKeys = maxBroadcastKeys)
+      val av = BucketStore.latestVersion(spark, aggDir)
+      BucketStore.writeVersion(
+        Changelog.mergeAggDelta(agg, delta, dims, nCol, sumCol),
+        aggDir, av.map(_ + 1L).getOrElse(id), col(dims.head), nBuckets = 1,
+        batch = Some(id))
+      BucketStore.vacuum(spark, aggDir, retain)
+    }
+    StreamMerge.applyBatch(batch, id, storeDir, keyCol, opCol, seqCols,
+      retain, nBuckets)
+  }
+
+  /** Start the continuous maintenance of `storeDir` + `aggDir` from a
+    * streaming `changelog`.
+    */
+  def start(changelog: DataFrame, storeDir: String, aggDir: String,
+            checkpointDir: String, keyCol: String, opCol: String,
+            seqCols: Seq[String], dims: Seq[String], valCol: String,
+            nCol: String = "n", sumCol: String = "sum",
+            retain: Int = 2,
+            nBuckets: Int = BucketStore.DefaultBuckets,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(retain >= 1,
+      s"retain=$retain: the vacuum must keep at least the version just written")
+    changelog.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (b: Dataset[Row], id: Long) =>
+        applyBatch(b, id, storeDir, aggDir, keyCol, opCol, seqCols, dims,
+          valCol, nCol, sumCol, retain, nBuckets)
+      }
+      .start()
+  }
+}

@@ -532,6 +532,33 @@ class PlanShapeSpec extends SparkSpec {
       s"expected the batch-keys broadcast to be reused across the two joins:\n$plan")
   }
 
+  test("Changelog.aggDelta: the store is touched only via a broadcast semi-join on batch keys") {
+    // the incremental-matview 100 TB contract: refreshing the
+    // aggregate costs a batch-keys broadcast against the store and
+    // batch-sized aggregations — never a store shuffle, never a
+    // corpus rescan (the store enters the plan once, semi-joined)
+    import org.apache.spark.sql.functions.{col, concat, lit, round, when}
+    val store = Tables.customer(spark, sfDir).select(
+      col("c_custkey"), col("c_mktsegment"),
+      round(col("c_acctbal") * 100).cast("long").as("cents"),
+      lit("U").as("op"), lit(0L).as("seq"))
+    val batch = Tables.events(spark, sfDir).limit(200).select(
+      (col("user_id") + 100).as("c_custkey"),
+      col("event_type").as("c_mktsegment"),
+      round(col("value") * 100).cast("long").as("cents"),
+      when(col("event_type") === "error", "D").otherwise("U").as("op"),
+      col("event_id").as("seq"))
+    val delta = graft.ext.Changelog.aggDelta(store, batch, "c_custkey", "op",
+      Seq("seq"), Seq("c_mktsegment"), "cents", maxBroadcastKeys = 0L)
+    delta.collect()
+    val plan = delta.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(count(plan, "BroadcastHashJoin [^\n]*LeftSemi, BuildRight") >= 1,
+      s"the pre-image probe must broadcast the batch keys:\n$plan")
+    assert(count(plan, "SortMergeJoin|ShuffledHashJoin") == 0,
+      s"the store must never shuffle for a view refresh:\n$plan")
+  }
+
   test("correlated subqueries decorrelate to hash joins — never per-row plans or nested loops") {
     // the SQL-surface contract: EXISTS → hash LEFT SEMI, NOT EXISTS →
     // hash LEFT ANTI, a correlated scalar aggregate → ONE grouped
