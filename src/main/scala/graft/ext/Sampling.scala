@@ -137,6 +137,45 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Deterministic WEIGHTED fixed-size sample: min(k, |stratum|) rows
+    * per stratum, selected by smallest `hash div weight` — an
+    * integer-exact surrogate of weighted reservoir sampling
+    * (Efraimidis–Spirakis keys are u^(1/w); this ranks by the
+    * integer quotient u/w instead, which keeps the defining
+    * properties — selection probability strictly monotone in weight,
+    * membership a pure function of (key, salt, weight) — while
+    * staying exactly reproducible across engines, which floating
+    * pow/log cannot be. The pairwise win law differs from the
+    * exponential race — u/w gives P(i beats j) = wᵢ/2wⱼ for wᵢ ≤ wⱼ
+    * instead of wᵢ/(wᵢ+wⱼ) — documented, not hidden).
+    *
+    * Same key contract as [[reservoirPerStratum]] (unique, non-null
+    * within stratum); `weight` must additionally be a POSITIVE
+    * integral column — zero/null weights divide to null, which sorts
+    * first and permanently seizes slots. Filter them upstream.
+    */
+  def weightedReservoirPerStratum(df: DataFrame, strataCols: Seq[String],
+                                  key: Column, weight: Column, k: Int,
+                                  salt: String = "wres"): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    require(!df.columns.contains("__wpri"),
+      "column name __wpri is reserved by weightedReservoirPerStratum")
+    // integral `div`, not `/`: float division then truncation can
+    // round across the integer boundary and disagree with the
+    // oracle's exact `//`
+    require(!df.columns.contains("__wh") && !df.columns.contains("__ww"),
+      "column names __wh/__ww are reserved by weightedReservoirPerStratum")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCols.map(col): _*)
+      .orderBy(col("__wpri"), key)
+    df.withColumn("__wh", Hashing.h32(concat(key.cast("string"), lit(salt))))
+      .withColumn("__ww", weight.cast("long"))
+      .withColumn("__wpri", expr("__wh div __ww"))
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k)
+      .drop("__rk", "__wpri", "__wh", "__ww")
+  }
+
   /** Deterministic token-budget selection: per stratum, keep documents
     * in salted-hash order until the budget is spent — "give me exactly
     * ~N tokens of each language", the data-mixture primitive that

@@ -43,6 +43,38 @@ object ExtSamplingQueries {
               FROM rk WHERE rk <= 20
               GROUP BY lang ORDER BY lang""")),
 
+    // Deterministic WEIGHTED reservoir
+    // ([[Sampling.weightedReservoirPerStratum]]): k docs per language
+    // selected by smallest hash-div-weight priority, weight = doc
+    // length — longer documents proportionally likelier, membership
+    // still a pure function of (id, salt, weight), integer-exact on
+    // both engines (the float pow/log of textbook A-ES cannot be).
+    // Zero-length docs are excluded on BOTH sides: a zero weight
+    // divides to null, and the engines disagree on null sort order.
+    Declared(
+      "ext_pipeline_reservoir_weighted",
+      (s, d) =>
+        Sampling.weightedReservoirPerStratum(
+            Tables.documents(s, d).where(col("n_chars") > 0),
+            Seq("lang"), col("doc_id"), col("n_chars"), k = 20)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("doc_id")).as("id_checksum"),
+            sum(col("n_chars")).as("chars_kept"))
+          .orderBy("lang"),
+      Some("""WITH rk AS (
+                SELECT lang, doc_id, n_chars,
+                       ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+                         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'wres'), 1, 8) AS BIGINT)
+                           // CAST(n_chars AS BIGINT),
+                         doc_id) AS rk
+                FROM documents WHERE n_chars > 0)
+              SELECT lang, COUNT(*) AS n_kept,
+                     CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+                     CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+              FROM rk WHERE rk <= 20
+              GROUP BY lang ORDER BY lang""")),
+
     // Deterministic token-budget selection ([[Sampling.tokenBudget]]):
     // keep documents per language, hash order, until ~2000 chars are
     // spent — mixture weights → an actual training set. The id

@@ -83,6 +83,44 @@ class SamplingSpec extends SparkSpec {
     assert((s1 -- s2).size == (s2 -- s1).size)
   }
 
+  test("weightedReservoirPerStratum: matches a naive hash-div-weight oracle; equal weights reduce to hash order") {
+    import spark.implicits._
+    val base = spark.range(1, 401).toDF("id")
+      .withColumn("g", when(col("id") % 2 === 0, "a").otherwise("b"))
+      .withColumn("w", (col("id") % 7 + 1).cast("long"))
+    def md5h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val got = Sampling.weightedReservoirPerStratum(base, Seq("g"),
+        col("id"), col("w"), k = 10)
+      .select("id").as[Long].collect().toSet
+    // naive in-memory replay of the integer priority
+    val naive = (1L until 401L).map { id =>
+      (if (id % 2 == 0) "a" else "b", id, md5h32(id.toString + "wres") / (id % 7 + 1))
+    }.groupBy(_._1).flatMap { case (_, rows) =>
+      rows.sortBy(r => (r._3, r._2)).take(10).map(_._2)
+    }.toSet
+    assert(got == naive, s"got ${got.toSeq.sorted}\nvs  ${naive.toSeq.sorted}")
+    assert(got.size == 20)
+    // deterministic under repartition/order changes
+    val again = Sampling.weightedReservoirPerStratum(
+        base.repartition(7).orderBy(col("id").desc), Seq("g"),
+        col("id"), col("w"), k = 10)
+      .select("id").as[Long].collect().toSet
+    assert(again == got)
+    // constant weight ⇒ priority is monotone in the hash ⇒ identical
+    // membership to the unweighted reservoir at the same salt
+    val equalW = Sampling.weightedReservoirPerStratum(
+        base.withColumn("w", lit(1L)), Seq("g"), col("id"), col("w"), k = 10)
+      .select("id").as[Long].collect().toSet
+    val unweighted = Sampling.reservoirPerStratum(base, Seq("g"), col("id"),
+        k = 10, salt = "wres")
+      .select("id").as[Long].collect().toSet
+    assert(equalW == unweighted)
+  }
+
   test("packBins assigns docs to budget bins by prefix sum within each shard") {
     import spark.implicits._
     val docs = Seq(
