@@ -4,7 +4,7 @@ import java.util.concurrent.atomic.AtomicLong
 
 import graft.Tables
 import graft.ext.{Curation, Dedup, Hashing, PlanCache}
-import graft.streaming.{Sessionize, StreamIngest, StreamMatview, StreamMerge, StreamingQueries}
+import graft.streaming.{BucketStore, Sessionize, StreamIngest, StreamMatview, StreamMerge, StreamingQueries}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -831,25 +831,139 @@ object ExtStreamQueries {
         q.awaitTermination()
         StreamMatview.viewSnapshot(s, aggDir).orderBy("c_mktsegment")
       },
-      Some("""WITH log AS (
+      matviewOracle),
+
+    // Erasure INSIDE the streaming lifecycle ([[BucketStore.purgeKeys]]
+    // between replays of one checkpointed stream) — the operational
+    // sequence a real right-to-be-forgotten request runs: ingest half
+    // the changelog (even event ids, 4 triggers), STOP, purge every
+    // key ≡ 0 (mod 89), ingest the other half against the SAME
+    // checkpoint (the file source picks up only the appended files —
+    // the purge's maintenance version must neither skip nor trip the
+    // stream's reset guard), settle. Semantics under pin: a purge is
+    // not a delete — a forgotten key legitimately REAPPEARS if
+    // post-purge changes arrive for it, while its pre-purge rows are
+    // gone from disk (the `__residual` probe scans every parquet file
+    // under the store for forgotten keys with phase-1 provenance and
+    // the oracle pins it to zero). The oracle replays the same
+    // two-phase fold: latest-per-key over seed+evens, drop forgotten
+    // keys, fold odds on top.
+    Declared(
+      "ext_stream_forget",
+      (s, d) => {
+        val k = col("user_id") + 1450
+        val ev = Tables.events(s, d)
+        def slim(e: org.apache.spark.sql.DataFrame) = e.select(
+          k.as("c_custkey"), col("event_type").as("c_mktsegment"),
+          round(col("value") * 100).cast("long").as("bal_cents"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"),
+          col("ts"), col("event_id"))
+        // fresh (non-memoized) source dir: phase 2 APPENDS to it mid-
+        // run, so a shared artifact would leak phase-2 files into a
+        // rerun's phase 1
+        val Seq(srcDir, storeDir, ckpt) = freshDirs("sforget", 3)
+        slim(ev.where(pmod(col("event_id"), lit(2)) === 0))
+          .repartitionByRange(4, col("ts"))
+          .write.mode("overwrite").parquet(srcDir)
+        val seed = Tables.customer(s, d).select(
+          col("c_custkey"), col("c_mktsegment"),
+          round(col("c_acctbal") * 100).cast("long").as("bal_cents"),
+          lit("U").as("op"), timestamp_millis(lit(0L)).as("ts"),
+          lit(-1L).as("event_id"))
+        StreamMerge.seed(seed, storeDir, "c_custkey")
+        val schema = s.read.parquet(srcDir).schema
+        def replay(): Unit = {
+          val q = StreamMerge.start(
+            s.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(srcDir),
+            storeDir, ckpt, "c_custkey", "op", Seq("ts", "event_id"))
+          q.awaitTermination()
+        }
+        replay() // phase 1 settles
+        val keys = seed.select("c_custkey")
+          .union(slim(ev).select("c_custkey")).distinct()
+          .where(col("c_custkey") % 89 === 0)
+        BucketStore.purgeKeys(s, storeDir, keys, "c_custkey")
+        slim(ev.where(pmod(col("event_id"), lit(2)) === 1))
+          .repartitionByRange(4, col("ts"))
+          .write.mode("append").parquet(srcDir)
+        replay() // phase 2: same checkpoint, only the new files
+        val census = StreamMerge
+          .snapshot(s, storeDir, "op", Seq("ts", "event_id"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            sum(col("c_custkey")).as("key_checksum"),
+            sum(col("bal_cents")).as("cents_checksum"))
+        val residual = ExtVersionQueries.allStoreBytes(s, storeDir)
+          .where(col("event_id") === -1L ||
+            pmod(col("event_id"), lit(2)) === 0)
+          .join(keys, Seq("c_custkey"), "left_semi")
+          .agg(count(lit(1)).as("n"))
+          .select(lit("__residual").as("c_mktsegment"), col("n"),
+            lit(0L).as("key_checksum"), lit(0L).as("cents_checksum"))
+        census.unionByName(residual).orderBy("c_mktsegment")
+      },
+      Some("""WITH seedr AS (
+                SELECT c_custkey AS k, c_mktsegment AS seg,
+                       CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+                       'U' AS op, TIMESTAMP '1970-01-01 00:00:00' AS ts,
+                       CAST(-1 AS BIGINT) AS eid
+                FROM customer),
+              log AS (
                 SELECT user_id + 1450 AS k, event_type AS seg,
                        CAST(round(value * 100) AS BIGINT) AS cents,
                        CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
-                       ts, event_id
+                       ts, event_id AS eid
                 FROM events),
-              latest AS (
-                SELECT k, seg, cents, op FROM (
-                  SELECT *, ROW_NUMBER() OVER (PARTITION BY k
-                    ORDER BY ts DESC, event_id DESC) AS rn FROM log)
-                WHERE rn = 1),
-              merged AS (
-                SELECT c.c_mktsegment AS seg,
-                       CAST(round(c.c_acctbal * 100) AS BIGINT) AS cents
-                FROM customer c ANTI JOIN latest l ON c.c_custkey = l.k
-                UNION ALL
-                SELECT seg, cents FROM latest WHERE op <> 'D')
+              p1 AS (SELECT * FROM seedr
+                     UNION ALL SELECT * FROM log WHERE eid % 2 = 0),
+              l1 AS (SELECT k, seg, cents, op, ts, eid FROM (
+                       SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+                         ORDER BY ts DESC, eid DESC) AS rn FROM p1)
+                     WHERE rn = 1),
+              purged AS (SELECT * FROM l1 WHERE k % 89 <> 0),
+              p2 AS (SELECT * FROM purged
+                     UNION ALL SELECT * FROM log WHERE eid % 2 = 1),
+              l2 AS (SELECT k, seg, cents, op FROM (
+                       SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+                         ORDER BY ts DESC, eid DESC) AS rn FROM p2)
+                     WHERE rn = 1),
+              snap AS (SELECT * FROM l2 WHERE op <> 'D')
               SELECT seg AS c_mktsegment, COUNT(*) AS n,
-                     CAST(SUM(cents) AS BIGINT) AS sum_cents
-              FROM merged GROUP BY 1 ORDER BY 1"""))
+                     CAST(SUM(k) AS BIGINT) AS key_checksum,
+                     CAST(SUM(cents) AS BIGINT) AS cents_checksum
+              FROM snap GROUP BY 1
+              UNION ALL
+              SELECT '__residual', 0, 0, 0
+              ORDER BY c_mktsegment"""))
   )
+
+  /** Oracle of the maintained per-segment view — the full recompute
+    * over the one-shot batch merge, shared verbatim with
+    * `ext_pipeline_matview` (ExtVersionQueries) so the batch fold,
+    * the streamed fold, and the recompute stay mutual audits.
+    */
+  // a def, not a val: `val all` initializes before file-tail vals
+  // would, and a val here would still be null inside the registry
+  private def matviewOracle = Some(
+    """WITH log AS (
+         SELECT user_id + 1450 AS k, event_type AS seg,
+                CAST(round(value * 100) AS BIGINT) AS cents,
+                CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                ts, event_id
+         FROM events),
+       latest AS (
+         SELECT k, seg, cents, op FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+             ORDER BY ts DESC, event_id DESC) AS rn FROM log)
+         WHERE rn = 1),
+       merged AS (
+         SELECT c.c_mktsegment AS seg,
+                CAST(round(c.c_acctbal * 100) AS BIGINT) AS cents
+         FROM customer c ANTI JOIN latest l ON c.c_custkey = l.k
+         UNION ALL
+         SELECT seg, cents FROM latest WHERE op <> 'D')
+       SELECT seg AS c_mktsegment, COUNT(*) AS n,
+              CAST(SUM(cents) AS BIGINT) AS sum_cents
+       FROM merged GROUP BY 1 ORDER BY 1""")
 }

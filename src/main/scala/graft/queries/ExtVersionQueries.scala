@@ -338,8 +338,8 @@ object ExtVersionQueries {
     * manifests: a manifest no longer referencing a key proves
     * nothing about what is still on disk.
     */
-  private def allStoreBytes(s: org.apache.spark.sql.SparkSession,
-                            storeDir: String): org.apache.spark.sql.DataFrame = {
+  private[queries] def allStoreBytes(s: org.apache.spark.sql.SparkSession,
+                                     storeDir: String): org.apache.spark.sql.DataFrame = {
     val root = new org.apache.hadoop.fs.Path(storeDir)
     val fs = root.getFileSystem(s.sessionState.newHadoopConf())
     val files = scala.collection.mutable.ListBuffer.empty[String]

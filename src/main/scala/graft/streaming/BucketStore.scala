@@ -192,10 +192,24 @@ object BucketStore {
     * plan at all). None for a store with no committed version; an
     * empty frame of the store schema when the selected buckets hold
     * no data.
+    *
+    * `at` pins the read to a specific committed version instead of
+    * the latest — SNAPSHOT ISOLATION for long readers: a version
+    * under any retained manifest is immutable (writers only add new
+    * versions; [[vacuum]] never deletes a version a retained manifest
+    * references), so a reader bound to `at` sees one consistent store
+    * while the stream commits past it. Two caveats are inherent:
+    * size `retain` above the longest reader, and [[purgeKeys]]
+    * scrubs erased buckets out from under OLD manifests by design.
     */
   def read(spark: SparkSession, storeDir: String,
-           only: Option[Set[Long]] = None): Option[DataFrame] =
-    latestVersion(spark, storeDir).map { v =>
+           only: Option[Set[Long]] = None,
+           at: Option[Long] = None): Option[DataFrame] =
+    at.map { v =>
+      require(versions(spark, storeDir).contains(v),
+        s"version $v is not committed under $storeDir")
+      v
+    }.orElse(latestVersion(spark, storeDir)).map { v =>
       val m = readManifest(spark, storeDir, v)
       val owners = only.fold(m.owners)(sel => m.owners.filter(kv => sel(kv._1)))
         .filter(_._2 != EmptyOwner) // claimed-empty buckets hold no data

@@ -256,6 +256,32 @@ class BucketStoreSpec extends SparkSpec {
     assert(allBytes(storeDir).join(b0, Seq("k"), "left_semi").count() == 0)
   }
 
+  test("a reader pinned at a version sees a consistent store while writes advance past it") {
+    val storeDir = Files.createTempDirectory("graft_bksi_store").toString
+    val nb = 4
+    StreamMerge.seed(
+      spark.range(0, 50).select(col("id").as("k"), lit("s").as("name"),
+        lit("U").as("op"), lit(-1L).as("seq")),
+      storeDir, "k", nb)
+    StreamMerge.applyBatch(mergeBatchDf(Seq(3L), "b0", 0L), 0L, storeDir,
+      "k", "op", Seq("seq"), retain = 2, nBuckets = nb)
+    val pinned = BucketStore.latestVersion(spark, storeDir).get
+    // writer advances: key 3 rewritten again, key 4 tombstoned
+    StreamMerge.applyBatch(
+      Seq((3L, "b1-3", "U", 1L), (4L, "", "D", 1L)).toDF("k", "name", "op", "seq"),
+      1L, storeDir, "k", "op", Seq("seq"), retain = 2, nBuckets = nb)
+    val old = BucketStore.read(spark, storeDir, at = Some(pinned)).get
+    assert(old.where(col("k") === 3L).select("name").as[String].head() == "b0-3")
+    assert(old.where(col("k") === 4L && col("op") === "U").count() == 1,
+      "pinned reader must not see the later tombstone")
+    val cur = BucketStore.read(spark, storeDir).get
+    assert(cur.where(col("k") === 3L).select("name").as[String].head() == "b1-3")
+    assert(cur.where(col("k") === 4L).select("op").as[String].head() == "D")
+    intercept[IllegalArgumentException] {
+      BucketStore.read(spark, storeDir, at = Some(999L))
+    }
+  }
+
   test("purge is a maintenance commit: the batch watermark holds and the stream resumes") {
     val storeDir = Files.createTempDirectory("graft_bkpw_store").toString
     val nb = 4
