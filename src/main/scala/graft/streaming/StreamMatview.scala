@@ -82,6 +82,7 @@ object StreamMatview {
     require(retain >= 1,
       s"retain=$retain: the vacuum must keep at least the version just written")
     val spark = batch.sparkSession
+    var probed: Option[Set[Long]] = None
     if (!StreamMerge.replaySkip(spark, aggDir, id)) {
       // the delta needs the PRE-batch snapshot — guaranteed by the
       // aggregate-first commit order; a snapshot already at/above
@@ -94,6 +95,9 @@ object StreamMatview {
         .map(v => BucketStore.readManifest(spark, storeDir, v).nBuckets)
         .getOrElse(nBuckets)
       val touched = BucketStore.touchedBuckets(batch, col(keyCol), nb)
+      // the probe is only reusable downstream if the snapshot store
+      // will bucket at the same count (it will: nb IS its count)
+      probed = Some(touched)
       val storeTouched = BucketStore.read(spark, storeDir, Some(touched))
         .getOrElse(batch.limit(0)) // unseeded snapshot store
       val agg = BucketStore.read(spark, aggDir).getOrElse(
@@ -110,7 +114,7 @@ object StreamMatview {
       BucketStore.vacuum(spark, aggDir, retain)
     }
     StreamMerge.applyBatch(batch, id, storeDir, keyCol, opCol, seqCols,
-      retain, nBuckets)
+      retain, nBuckets, touchedHint = probed)
   }
 
   /** Start the continuous maintenance of `storeDir` + `aggDir` from a

@@ -140,10 +140,16 @@ object StreamMerge {
     * rewrites ONLY the buckets the batch's keys touch; vacuums
     * versions no retained manifest references.
     */
+  /** `touchedHint`: a caller that already probed the batch's touched
+    * buckets at the SAME bucket count (StreamMatview runs the probe
+    * for its delta read) passes it through so the trigger pays one
+    * probe job, not two.
+    */
   def applyBatch(batch: DataFrame, id: Long, storeDir: String,
                  keyCol: String, opCol: String, seqCols: Seq[String],
                  retain: Int = 2,
-                 nBuckets: Int = BucketStore.DefaultBuckets): Unit = {
+                 nBuckets: Int = BucketStore.DefaultBuckets,
+                 touchedHint: Option[Set[Long]] = None): Unit = {
     require(retain >= 1,
       s"retain=$retain: the vacuum must keep at least the version just written")
     val spark = batch.sparkSession
@@ -159,7 +165,8 @@ object StreamMerge {
       val nb = latest
         .map(v => BucketStore.readManifest(spark, storeDir, v).nBuckets)
         .getOrElse(nBuckets)
-      val touched = BucketStore.touchedBuckets(batch, col(keyCol), nb)
+      val touched = touchedHint.getOrElse(
+        BucketStore.touchedBuckets(batch, col(keyCol), nb))
       val cur = BucketStore.read(spark, storeDir, Some(touched))
         .getOrElse(batch.limit(0)) // first batch of an unseeded store
       // version id = next in the store's own sequence (maintenance
