@@ -175,9 +175,18 @@ object Changelog {
   def aggSnapshot(store: DataFrame, opCol: String, dims: Seq[String],
                   valCol: String, deleteOp: String = "D",
                   nCol: String = "n", sumCol: String = "sum"): DataFrame =
+    // SUM0, not SQL SUM: a dimension whose live rows all carry null
+    // values reads 0, never null. Plain SUM would break the
+    // telescoping contract — deleting the only non-null row leaves
+    // the fold at sum=0 (arithmetic cancellation) while a bare
+    // recompute would say null; defining the maintained statistic as
+    // null-as-zero makes fold and recompute agree on every reachable
+    // state. Oracle twins must COALESCE(SUM(x), 0) the same way.
     store.where(col(opCol) =!= deleteOp)
       .groupBy(dims.map(col): _*)
-      .agg(count(lit(1)).as(nCol), sum(col(valCol)).as(sumCol))
+      .agg(count(lit(1)).as(nCol),
+        coalesce(sum(col(valCol)), lit(0L).cast(store.schema(valCol).dataType))
+          .as(sumCol))
 
   /** Per-dimension aggregate DELTA of one changelog batch against the
     * standing key store — incremental materialized-view maintenance.
@@ -247,9 +256,13 @@ object Changelog {
       df.where(col(opCol) =!= deleteOp)
         .select((dims.map(col) :+ lit(sign.toLong).as("__w") :+
           (col(valCol) * sign).as(valCol)): _*)
+    // same SUM0 convention as [[aggSnapshot]] — an all-null
+    // contribution set deltas the sum by 0, not to null
     live(winner, 1).unionByName(live(pre, -1))
       .groupBy(dims.map(col): _*)
-      .agg(sum(col("__w")).as(nCol), sum(col(valCol)).as(sumCol))
+      .agg(sum(col("__w")).as(nCol),
+        coalesce(sum(col(valCol)),
+          lit(0L).cast(store.schema(valCol).dataType)).as(sumCol))
   }
 
   /** Fold an [[aggDelta]] into the maintained aggregate: union and
@@ -262,7 +275,9 @@ object Changelog {
                     nCol: String = "n", sumCol: String = "sum"): DataFrame =
     agg.unionByName(delta)
       .groupBy(dims.map(col): _*)
-      .agg(sum(col(nCol)).as(nCol), sum(col(sumCol)).as(sumCol))
+      .agg(sum(col(nCol)).as(nCol),
+        coalesce(sum(col(sumCol)),
+          lit(0L).cast(agg.schema(sumCol).dataType)).as(sumCol))
       .where(col(nCol) =!= 0)
 
   /** Expand a changelog into SCD-type-2 history: one VERSION row per

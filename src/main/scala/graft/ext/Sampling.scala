@@ -158,13 +158,12 @@ object Sampling {
                                   key: Column, weight: Column, k: Int,
                                   salt: String = "wres"): DataFrame = {
     require(k > 0, s"k=$k must be positive")
-    require(!df.columns.contains("__wpri"),
-      "column name __wpri is reserved by weightedReservoirPerStratum")
+    Seq("__wpri", "__wh", "__ww", "__rk").foreach(t =>
+      require(!df.columns.contains(t),
+        s"column name $t is reserved by weightedReservoirPerStratum"))
     // integral `div`, not `/`: float division then truncation can
     // round across the integer boundary and disagree with the
     // oracle's exact `//`
-    require(!df.columns.contains("__wh") && !df.columns.contains("__ww"),
-      "column names __wh/__ww are reserved by weightedReservoirPerStratum")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(strataCols.map(col): _*)
       .orderBy(col("__wpri"), key)

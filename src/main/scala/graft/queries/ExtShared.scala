@@ -21,6 +21,36 @@ object ExtShared {
     */
   private[queries] val MaxBucket = 64
 
+  /** The maintained per-segment view's oracle — the full recompute
+    * over the one-shot batch merge of the events changelog into the
+    * customer snapshot. ONE definition shared by
+    * `ext_pipeline_matview` (the 4-batch incremental fold) and
+    * `ext_stream_matview` (the streamed fold): the two rows claim to
+    * gate against the same recompute, and a shared constant makes
+    * that true by construction instead of by parallel editing.
+    */
+  private[queries] def matviewOracleSql: String =
+    """WITH log AS (
+         SELECT user_id + 1450 AS k, event_type AS seg,
+                CAST(round(value * 100) AS BIGINT) AS cents,
+                CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                ts, event_id
+         FROM events),
+       latest AS (
+         SELECT k, seg, cents, op FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+             ORDER BY ts DESC, event_id DESC) AS rn FROM log)
+         WHERE rn = 1),
+       merged AS (
+         SELECT c.c_mktsegment AS seg,
+                CAST(round(c.c_acctbal * 100) AS BIGINT) AS cents
+         FROM customer c ANTI JOIN latest l ON c.c_custkey = l.k
+         UNION ALL
+         SELECT seg, cents FROM latest WHERE op <> 'D')
+       SELECT seg AS c_mktsegment, COUNT(*) AS n,
+              CAST(SUM(cents) AS BIGINT) AS sum_cents
+       FROM merged GROUP BY 1 ORDER BY 1"""
+
   /** Shared DuckDB CTE text: distinct (doc_id, token) with 32-bit hash. */
   private[queries] val tokCte =
     """tok AS (

@@ -894,7 +894,7 @@ object ExtStreamQueries {
           .agg(count(lit(1)).as("n"),
             sum(col("c_custkey")).as("key_checksum"),
             sum(col("bal_cents")).as("cents_checksum"))
-        val residual = ExtVersionQueries.allStoreBytes(s, storeDir)
+        val residual = BucketStore.allBytes(s, storeDir)
           .where(col("event_id") === -1L ||
             pmod(col("event_id"), lit(2)) === 0)
           .join(keys, Seq("c_custkey"), "left_semi")
@@ -938,32 +938,9 @@ object ExtStreamQueries {
               ORDER BY c_mktsegment"""))
   )
 
-  /** Oracle of the maintained per-segment view — the full recompute
-    * over the one-shot batch merge, shared verbatim with
-    * `ext_pipeline_matview` (ExtVersionQueries) so the batch fold,
-    * the streamed fold, and the recompute stay mutual audits.
-    */
   // a def, not a val: `val all` initializes before file-tail vals
-  // would, and a val here would still be null inside the registry
-  private def matviewOracle = Some(
-    """WITH log AS (
-         SELECT user_id + 1450 AS k, event_type AS seg,
-                CAST(round(value * 100) AS BIGINT) AS cents,
-                CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
-                ts, event_id
-         FROM events),
-       latest AS (
-         SELECT k, seg, cents, op FROM (
-           SELECT *, ROW_NUMBER() OVER (PARTITION BY k
-             ORDER BY ts DESC, event_id DESC) AS rn FROM log)
-         WHERE rn = 1),
-       merged AS (
-         SELECT c.c_mktsegment AS seg,
-                CAST(round(c.c_acctbal * 100) AS BIGINT) AS cents
-         FROM customer c ANTI JOIN latest l ON c.c_custkey = l.k
-         UNION ALL
-         SELECT seg, cents FROM latest WHERE op <> 'D')
-       SELECT seg AS c_mktsegment, COUNT(*) AS n,
-              CAST(SUM(cents) AS BIGINT) AS sum_cents
-       FROM merged GROUP BY 1 ORDER BY 1""")
+  // would, and a val here would still be null inside the registry.
+  // The SQL itself lives in [[ExtShared.matviewOracleSql]], shared
+  // with ext_pipeline_matview.
+  private def matviewOracle = Some(ExtShared.matviewOracleSql)
 }

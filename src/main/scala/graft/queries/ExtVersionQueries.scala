@@ -233,26 +233,10 @@ object ExtVersionQueries {
         }
         agg.orderBy("c_mktsegment")
       },
-      Some("""WITH log AS (
-                SELECT user_id + 1450 AS k, event_type AS seg,
-                       CAST(round(value * 100) AS BIGINT) AS cents,
-                       CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
-                       ts, event_id
-                FROM events),
-              latest AS (
-                SELECT k, seg, cents, op FROM (
-                  SELECT *, ROW_NUMBER() OVER (PARTITION BY k
-                    ORDER BY ts DESC, event_id DESC) AS rn FROM log)
-                WHERE rn = 1),
-              merged AS (
-                SELECT c.c_mktsegment AS seg,
-                       CAST(round(c.c_acctbal * 100) AS BIGINT) AS cents
-                FROM customer c ANTI JOIN latest l ON c.c_custkey = l.k
-                UNION ALL
-                SELECT seg, cents FROM latest WHERE op <> 'D')
-              SELECT seg AS c_mktsegment, COUNT(*) AS n,
-                     CAST(SUM(cents) AS BIGINT) AS sum_cents
-              FROM merged GROUP BY 1 ORDER BY 1""")),
+      // ONE oracle definition shared with ext_stream_matview
+      // (ExtShared.matviewOracleSql): the batch fold, the streamed
+      // fold, and the recompute stay mutual audits by construction
+      Some(ExtShared.matviewOracleSql)),
 
     // Right-to-be-forgotten ([[BucketStore.purgeKeys]]): the merged
     // customer store — seeded snapshot + one applied changelog batch,
@@ -298,7 +282,7 @@ object ExtVersionQueries {
         // the erasure probe: every parquet file still under the store
         // dir — current, superseded, or leftover — semi-joined with
         // the forgotten keys; must be empty
-        val residual = allStoreBytes(s, storeDir)
+        val residual = BucketStore.allBytes(s, storeDir)
           .join(keys, Seq("c_custkey"), "left_semi")
           .agg(count(lit(1)).as("n"))
           .select(lit("__residual").as("c_mktsegment"), col("n"),
@@ -332,25 +316,4 @@ object ExtVersionQueries {
               ORDER BY c_mktsegment"""))
   )
 
-  /** Every row readable from ANY parquet file anywhere under a
-    * bucketed store dir — committed, superseded, or crashed-write
-    * leftover. The forget gate's erasure probe has to scan BYTES, not
-    * manifests: a manifest no longer referencing a key proves
-    * nothing about what is still on disk.
-    */
-  private[queries] def allStoreBytes(s: org.apache.spark.sql.SparkSession,
-                                     storeDir: String): org.apache.spark.sql.DataFrame = {
-    val root = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
-    val files = scala.collection.mutable.ListBuffer.empty[String]
-    val it = fs.listFiles(root, true)
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.getPath.getName.endsWith(".parquet")) files += f.getPath.toString
-    }
-    val v = BucketStore.latestVersion(s, storeDir).getOrElse(
-      throw new IllegalStateException(s"no committed version under $storeDir"))
-    s.read.schema(BucketStore.readManifest(s, storeDir, v).schema)
-      .parquet(files.toSeq: _*)
-  }
 }

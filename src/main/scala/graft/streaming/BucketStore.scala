@@ -314,6 +314,30 @@ object BucketStore {
     }
   }
 
+  /** Every row readable from ANY parquet file anywhere under the
+    * store dir — committed, superseded, or crashed-write leftover —
+    * under the latest manifest's schema. The erasure probe
+    * ([[purgeKeys]]'s gate and spec) has to scan BYTES, not
+    * manifests: a manifest no longer referencing a key proves
+    * nothing about what is still on disk. One implementation here,
+    * next to the layout it walks, so the gate and the spec cannot
+    * drift apart.
+    */
+  def allBytes(spark: SparkSession, storeDir: String): DataFrame = {
+    val (fs, root) = fsOf(spark, storeDir)
+    val files = scala.collection.mutable.ListBuffer.empty[String]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) files += f.getPath.toString
+    }
+    val v = latestVersion(spark, storeDir).getOrElse(
+      throw new IllegalStateException(s"no committed version under $storeDir"))
+    val schema = readManifest(spark, storeDir, v).schema
+    if (files.isEmpty) emptyOf(spark, schema)
+    else spark.read.schema(schema).parquet(files.toSeq: _*)
+  }
+
   /** What [[purgeKeys]] did: rows physically removed, buckets the key
     * list hashed into (= buckets rewritten), and superseded bucket-dir
     * copies scrubbed from older version dirs.
@@ -357,6 +381,12 @@ object BucketStore {
     * list"), plus driver-side fs metadata for the scrub. A forget
     * list of any realistic size touches a bounded set of buckets;
     * the corpus never shuffles.
+    *
+    * DERIVED STATE: this op rewrites ONE store. A snapshot store with
+    * a maintained aggregate ([[StreamMatview]]) must purge through
+    * [[StreamMatview.purgeKeys]] instead — purging only the snapshot
+    * leaves the erased keys' contributions in the view forever (and
+    * derivable from it), and no watermark guard can notice.
     */
   def purgeKeys(spark: SparkSession, storeDir: String, keys: DataFrame,
                 keyCol: String,

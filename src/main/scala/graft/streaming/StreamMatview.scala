@@ -83,38 +83,79 @@ object StreamMatview {
       s"retain=$retain: the vacuum must keep at least the version just written")
     val spark = batch.sparkSession
     var probed: Option[Set[Long]] = None
-    if (!StreamMerge.replaySkip(spark, aggDir, id)) {
-      // the delta needs the PRE-batch snapshot — guaranteed by the
-      // aggregate-first commit order; a snapshot already at/above
-      // this batch means the two stores were driven independently
-      require(!BucketStore.latestBatch(spark, storeDir).exists(_ >= id),
-        s"snapshot store $storeDir already absorbed batch $id but the view " +
-          s"$aggDir has not — the stores were driven out of order; drive " +
-          "both through StreamMatview only")
-      val nb = BucketStore.latestVersion(spark, storeDir)
-        .map(v => BucketStore.readManifest(spark, storeDir, v).nBuckets)
-        .getOrElse(nBuckets)
-      val touched = BucketStore.touchedBuckets(batch, col(keyCol), nb)
-      // the probe is only reusable downstream if the snapshot store
-      // will bucket at the same count (it will: nb IS its count)
-      probed = Some(touched)
-      val storeTouched = BucketStore.read(spark, storeDir, Some(touched))
-        .getOrElse(batch.limit(0)) // unseeded snapshot store
-      val agg = BucketStore.read(spark, aggDir).getOrElse(
-        Changelog.aggSnapshot(batch.limit(0), opCol, dims, valCol,
-          nCol = nCol, sumCol = sumCol)) // unseeded view: empty, right shape
-      val delta = Changelog.aggDelta(storeTouched, batch, keyCol, opCol,
-        seqCols, dims, valCol, nCol = nCol, sumCol = sumCol,
-        maxBroadcastKeys = maxBroadcastKeys)
-      val av = BucketStore.latestVersion(spark, aggDir)
-      BucketStore.writeVersion(
-        Changelog.mergeAggDelta(agg, delta, dims, nCol, sumCol),
-        aggDir, av.map(_ + 1L).getOrElse(id), col(dims.head), nBuckets = 1,
-        batch = Some(id))
-      BucketStore.vacuum(spark, aggDir, retain)
-    }
-    StreamMerge.applyBatch(batch, id, storeDir, keyCol, opCol, seqCols,
-      retain, nBuckets, touchedHint = probed)
+    // one persist for the WHOLE trigger: the batch feeds the probe,
+    // the delta (latest + guard pre-count), and then every consumer
+    // inside the snapshot merge — re-reading the source slice per
+    // consumer is the repeated I/O this removes
+    batch.persist()
+    try {
+      if (!StreamMerge.replaySkip(spark, aggDir, id)) {
+        // the delta needs the PRE-batch snapshot — guaranteed by the
+        // aggregate-first commit order; a snapshot already at/above
+        // this batch means the two stores were driven independently
+        require(!BucketStore.latestBatch(spark, storeDir).exists(_ >= id),
+          s"snapshot store $storeDir already absorbed batch $id but the view " +
+            s"$aggDir has not — the stores were driven out of order; drive " +
+            "both through StreamMatview only")
+        val nb = BucketStore.latestVersion(spark, storeDir)
+          .map(v => BucketStore.readManifest(spark, storeDir, v).nBuckets)
+          .getOrElse(nBuckets)
+        val touched = BucketStore.touchedBuckets(batch, col(keyCol), nb)
+        // the probe is only reusable downstream if the snapshot store
+        // will bucket at the same count (it will: nb IS its count)
+        probed = Some(touched)
+        val storeTouched = BucketStore.read(spark, storeDir, Some(touched))
+          .getOrElse(batch.limit(0)) // unseeded snapshot store
+        val agg = BucketStore.read(spark, aggDir).getOrElse(
+          Changelog.aggSnapshot(batch.limit(0), opCol, dims, valCol,
+            nCol = nCol, sumCol = sumCol)) // unseeded view: empty, right shape
+        val delta = Changelog.aggDelta(storeTouched, batch, keyCol, opCol,
+          seqCols, dims, valCol, nCol = nCol, sumCol = sumCol,
+          maxBroadcastKeys = maxBroadcastKeys)
+        val av = BucketStore.latestVersion(spark, aggDir)
+        BucketStore.writeVersion(
+          Changelog.mergeAggDelta(agg, delta, dims, nCol, sumCol),
+          aggDir, av.map(_ + 1L).getOrElse(id), col(dims.head), nBuckets = 1,
+          batch = Some(id))
+        BucketStore.vacuum(spark, aggDir, retain)
+      }
+      StreamMerge.applyBatch(batch, id, storeDir, keyCol, opCol, seqCols,
+        retain, nBuckets, touchedHint = probed, managePersist = false)
+    } finally batch.unpersist(false)
+  }
+
+  /** Erase keys from BOTH stores consistently — the
+    * right-to-be-forgotten op for a store with a maintained view.
+    * Calling [[BucketStore.purgeKeys]] directly on the snapshot store
+    * would silently corrupt the view: the purged rows' (count, sum)
+    * contributions stay in the aggregate forever (and remain
+    * derivable from it — defeating the erasure), with no guard able
+    * to notice because a purge deliberately does not advance the
+    * batch watermark. This purges the snapshot store, then REBUILDS
+    * the aggregate from the purged store as a maintenance version —
+    * a full recompute, which is exactly the cost an erasure should
+    * pay: it is rare, and unlike a delta it is idempotent across a
+    * crash anywhere between the two commits (re-running recomputes
+    * from the already-purged store and lands on the same view).
+    * Run with the stream stopped, like any maintenance.
+    */
+  def purgeKeys(spark: SparkSession, storeDir: String, aggDir: String,
+                keys: DataFrame, keyCol: String, opCol: String,
+                dims: Seq[String], valCol: String,
+                nCol: String = "n", sumCol: String = "sum",
+                maxBroadcastKeys: Long = 10000000L): BucketStore.PurgeStats = {
+    val stats = BucketStore.purgeKeys(spark, storeDir, keys, keyCol,
+      maxBroadcastKeys)
+    val store = BucketStore.read(spark, storeDir).getOrElse(
+      throw new IllegalStateException(s"no committed store version under $storeDir"))
+    val av = BucketStore.latestVersion(spark, aggDir).getOrElse(
+      throw new IllegalStateException(s"no committed view version under $aggDir"))
+    val ab = BucketStore.readManifest(spark, aggDir, av).batch
+    BucketStore.writeVersion(
+      Changelog.aggSnapshot(store, opCol, dims, valCol, nCol = nCol,
+        sumCol = sumCol),
+      aggDir, av + 1L, col(dims.head), nBuckets = 1, batch = Some(ab))
+    stats
   }
 
   /** Start the continuous maintenance of `storeDir` + `aggDir` from a
@@ -126,6 +167,7 @@ object StreamMatview {
             nCol: String = "n", sumCol: String = "sum",
             retain: Int = 2,
             nBuckets: Int = BucketStore.DefaultBuckets,
+            maxBroadcastKeys: Long = 10000000L,
             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     require(retain >= 1,
       s"retain=$retain: the vacuum must keep at least the version just written")
@@ -134,7 +176,7 @@ object StreamMatview {
       .trigger(trigger)
       .foreachBatch { (b: Dataset[Row], id: Long) =>
         applyBatch(b, id, storeDir, aggDir, keyCol, opCol, seqCols, dims,
-          valCol, nCol, sumCol, retain, nBuckets)
+          valCol, nCol, sumCol, retain, nBuckets, maxBroadcastKeys)
       }
       .start()
   }

@@ -37,8 +37,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *    `_SUCCESS`, version invisible; the replayed batch deletes the
   *    partial dir and recomputes from `v<latest>`;
   *  - crash after the version committed but before the streaming
-  *    offset log did → the replayed batch sees `latestVersion >= id`
-  *    and SKIPS (already applied);
+  *    offset log did → the replayed batch sees the manifest's BATCH
+  *    WATERMARK at `id` and SKIPS (already applied — the watermark,
+  *    not the version id, is the exactly-once sequence: maintenance
+  *    commits advance versions without advancing it);
   *  - and independently of both, [[Changelog.mergeBatch]] itself is
   *    idempotent (re-offered entries lose the max_by at equal seq),
   *    so even a skip-logic bug degrades to a no-op re-merge, not a
@@ -143,13 +145,16 @@ object StreamMerge {
   /** `touchedHint`: a caller that already probed the batch's touched
     * buckets at the SAME bucket count (StreamMatview runs the probe
     * for its delta read) passes it through so the trigger pays one
-    * probe job, not two.
+    * probe job, not two. `managePersist = false` says the caller
+    * already holds the batch persisted for the whole trigger (a
+    * second persist() would warn and do nothing).
     */
   def applyBatch(batch: DataFrame, id: Long, storeDir: String,
                  keyCol: String, opCol: String, seqCols: Seq[String],
                  retain: Int = 2,
                  nBuckets: Int = BucketStore.DefaultBuckets,
-                 touchedHint: Option[Set[Long]] = None): Unit = {
+                 touchedHint: Option[Set[Long]] = None,
+                 managePersist: Boolean = true): Unit = {
     require(retain >= 1,
       s"retain=$retain: the vacuum must keep at least the version just written")
     val spark = batch.sparkSession
@@ -157,7 +162,7 @@ object StreamMerge {
     // the microbatch feeds four consumers (touched-bucket probe +
     // mergeBatch's latest/anti/semi) — pin it for the one action
     // instead of re-running the source slice each time
-    batch.persist()
+    if (managePersist) batch.persist()
     try {
       // the store's own bucket count wins over the parameter: the
       // mapping key→bucket must never move across versions
@@ -176,7 +181,7 @@ object StreamMerge {
         Changelog.mergeBatch(cur, batch, keyCol, opCol, seqCols),
         storeDir, latest.map(_ + 1L).getOrElse(id), col(keyCol), nb,
         batch = Some(id))
-    } finally batch.unpersist(false)
+    } finally if (managePersist) batch.unpersist(false)
     BucketStore.vacuum(spark, storeDir, retain)
   }
 

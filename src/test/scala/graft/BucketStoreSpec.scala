@@ -181,21 +181,12 @@ class BucketStoreSpec extends SparkSpec {
       "old buckets must read back with lang null-backfilled")
   }
 
-  /** Every row readable from ANY parquet file anywhere under the
-    * store dir — committed, superseded, or leftover. The erasure
-    * assertion has to scan bytes, not manifests.
+  /** The erasure probe is [[BucketStore.allBytes]] itself — the same
+    * implementation the gated rows use, so the spec and the gate
+    * cannot drift on what "every file under the store" means.
     */
-  private def allBytes(storeDir: String): DataFrame = {
-    def walk(d: java.io.File): Seq[java.io.File] =
-      d.listFiles.toIndexedSeq.flatMap { f =>
-        if (f.isDirectory) walk(f)
-        else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
-      }
-    val files = walk(new java.io.File(storeDir)).map(_.toString)
-    val v = BucketStore.latestVersion(spark, storeDir).get
-    spark.read.schema(BucketStore.readManifest(spark, storeDir, v).schema)
-      .parquet(files: _*)
-  }
+  private def allBytes(storeDir: String): DataFrame =
+    BucketStore.allBytes(spark, storeDir)
 
   test("purgeKeys erases every trace: live rows, tombstones, and superseded copies") {
     val storeDir = Files.createTempDirectory("graft_bkp_store").toString
@@ -280,6 +271,46 @@ class BucketStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       BucketStore.read(spark, storeDir, at = Some(999L))
     }
+  }
+
+  test("purging a matview-managed store through StreamMatview keeps the view consistent") {
+    import graft.ext.Changelog
+    import graft.streaming.StreamMatview
+    val storeDir = Files.createTempDirectory("graft_bkmvp_store").toString
+    val aggDir = Files.createTempDirectory("graft_bkmvp_agg").toString
+    StreamMatview.seed(spark.range(0, 30).select(
+      col("id").as("k"), concat(lit("seg"), col("id") % 3).as("seg"),
+      (col("id") * 10).as("cents"), lit("U").as("op"), lit(-1L).as("seq")),
+      storeDir, aggDir, "k", "op", Seq("seg"), "cents")
+    StreamMatview.applyBatch(
+      Seq((3L, "seg0", 999L, "U", 0L), (7L, "seg1", 0L, "D", 0L))
+        .toDF("k", "seg", "cents", "op", "seq"),
+      0L, storeDir, aggDir, "k", "op", Seq("seq"), Seq("seg"), "cents")
+    def canonView = StreamMatview.viewSnapshot(spark, aggDir)
+      .select("seg", "n", "sum").as[(String, Long, Long)].collect().toSeq.sorted
+    def canonRecompute = Changelog.aggSnapshot(
+        StreamMerge.readStore(spark, storeDir).get, "op", Seq("seg"), "cents")
+      .select("seg", "n", "sum").as[(String, Long, Long)].collect().toSeq.sorted
+    assert(canonView == canonRecompute)
+    // the erasure: purge keys 3 (just updated) and 12 through the
+    // matview-aware op — the view must drop their contributions, the
+    // bytes must be gone, and the batch watermarks must hold so the
+    // stream resumes
+    val stats = StreamMatview.purgeKeys(spark, storeDir, aggDir,
+      Seq(3L, 12L).toDF("k"), "k", "op", Seq("seg"), "cents")
+    assert(stats.purgedRows == 2)
+    assert(canonView == canonRecompute,
+      "view diverged from the recompute after the purge")
+    assert(canonView.map(_._3).sum ==
+      (0L until 30L).filterNot(Seq(3L, 7L, 12L).contains).map(_ * 10).sum)
+    assert(allBytes(storeDir).where(col("k").isin(3L, 12L)).count() == 0)
+    // stream resumes: batch 1 applies to both stores
+    StreamMatview.applyBatch(
+      Seq((12L, "seg0", 5L, "U", 1L)).toDF("k", "seg", "cents", "op", "seq"),
+      1L, storeDir, aggDir, "k", "op", Seq("seq"), Seq("seg"), "cents")
+    assert(canonView == canonRecompute)
+    assert(StreamMerge.snapshot(spark, storeDir, "op", Seq("seq"))
+      .where(col("k") === 12L).select("cents").as[Long].head() == 5L)
   }
 
   test("purge is a maintenance commit: the batch watermark holds and the stream resumes") {

@@ -209,6 +209,32 @@ class ChangelogSpec extends SparkSpec {
     assert(folded == want)
   }
 
+  test("aggDelta SUM0: deleting a dim's only non-null value leaves sum 0 on BOTH fold and recompute") {
+    // plain SQL SUM would say null for a dim whose live rows all
+    // carry null values, while the fold's arithmetic cancellation
+    // says 0 — the maintained statistic is defined as null-as-zero
+    // on both paths so they cannot diverge
+    val s2 = Seq((1L, "x", Option(5L), "U", 1L),
+      (2L, "x", Option.empty[Long], "U", 1L))
+      .toDF("k", "dim", "v", "op", "seq")
+    val b2 = Seq((1L, "x", Option.empty[Long], "D", 2L))
+      .toDF("k", "dim", "v", "op", "seq")
+    val folded = Changelog.mergeAggDelta(
+        Changelog.aggSnapshot(s2, "op", Seq("dim"), "v"),
+        Changelog.aggDelta(s2, b2, "k", "op", Seq("seq"), Seq("dim"), "v",
+          maxBroadcastKeys = 0L),
+        Seq("dim"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    assert(folded == Seq(("x", 1L, Some(0L))), s"got $folded")
+    val recompute = Changelog.aggSnapshot(
+        Changelog.mergeBatch(s2, b2, "k", "op", Seq("seq")),
+        "op", Seq("dim"), "v")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    assert(folded == recompute, s"fold $folded vs recompute $recompute")
+  }
+
   test("scd2: versions chain, deletes close without opening, last version is current") {
     import java.sql.Timestamp
     def t(s: Int) = new Timestamp(s * 1000L)
