@@ -38,6 +38,53 @@ object ExtRelQueries {
               FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
               ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
 
+    // The ranking window-function family under one gate: rank /
+    // dense_rank / percent_rank over a TIES-BEARING ordering
+    // (balance cents only — tied rows must agree on all three across
+    // engines) plus ntile over a UNIQUE ordering (ntile splits ties
+    // by underlying row order, so determinism REQUIRES the tiebreak —
+    // that asymmetry is the documented point of the two windows).
+    // percent_rank's (rank−1)/(n−1) is one exactly-rounded double
+    // division of small integers — identical on both engines —
+    // rounded at 9 per the float discipline. One shuffle on the
+    // segment; each partition ranks independently (the scale shape
+    // of any per-group ranking).
+    Declared(
+      "ext_rel_rank_funcs",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val cents = round(col("c_acctbal") * 100).cast("long")
+        val wTies = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("bal_cents").desc)
+        val wUnique = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("bal_cents").desc, col("c_custkey"))
+        Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"), cents.as("bal_cents"))
+          .withColumn("rnk", rank().over(wTies))
+          .withColumn("drnk", dense_rank().over(wTies))
+          .withColumn("prk", round(percent_rank().over(wTies), 9))
+          .withColumn("tile", ntile(4).over(wUnique))
+          .where(col("c_custkey") % 25 === 0)
+          .orderBy("c_custkey")
+      },
+      Some("""WITH c AS (
+                SELECT c_custkey, c_mktsegment,
+                       CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+                FROM customer),
+              r AS (
+                SELECT c_custkey, c_mktsegment, bal_cents,
+                       RANK() OVER (PARTITION BY c_mktsegment
+                         ORDER BY bal_cents DESC) AS rnk,
+                       DENSE_RANK() OVER (PARTITION BY c_mktsegment
+                         ORDER BY bal_cents DESC) AS drnk,
+                       ROUND(PERCENT_RANK() OVER (PARTITION BY c_mktsegment
+                         ORDER BY bal_cents DESC), 9) AS prk,
+                       NTILE(4) OVER (PARTITION BY c_mktsegment
+                         ORDER BY bal_cents DESC, c_custkey) AS tile
+                FROM c)
+              SELECT * FROM r WHERE c_custkey % 25 = 0
+              ORDER BY c_custkey""")),
+
     // Four-dimension star join over the fact table (region → nation →
     // supplier and part, TPC-H flavor): every dimension is broadcast,
     // so the lineitem fact never shuffles before the final small
