@@ -549,6 +549,127 @@ object ExtTextQueries {
               FROM vocab CROSS JOIN probes
               WHERE abs(len(term) - len(probe)) <= 2
                 AND levenshtein(term, probe) <= 2
-              ORDER BY probe, dist, term"""))
+              ORDER BY probe, dist, term""")),
+
+    // Distributed BPE tokenizer TRAINING ([[graft.ext.Bpe.train]]):
+    // 8 classic merges over the corpus's ASCII-lowercase word-
+    // frequency table — the corpus is scanned ONCE, every iteration
+    // runs on the Heaps-bounded vocabulary (pair explode + argmax +
+    // codegen'd greedy-leftmost fold rewrite; see Bpe's scaladoc for
+    // the batched-merges production variant). Gated rows: each step's
+    // (left, right, count) — the oracle independently replays all 8
+    // stages in SQL, expressing greedy leftmost as run-parity over
+    // match positions (adjacent matches only arise for a self-pair
+    // (x,x); alternate positions of the run merge) — plus a step=-1
+    // fingerprint of the FINAL symbol table (freq-weighted md5 of
+    // every word's symbol sequence) and a step=-2 vocabulary
+    // cardinality, so the applications of the merges are pinned, not
+    // just their selection.
+    Declared(
+      "ext_text_bpe",
+      (s, d) => {
+        val res = graft.ext.Bpe.train(Tables.documents(s, d), "text",
+          steps = 8, cacheTag = "bpe/docs8")
+        import s.implicits._
+        val mergeRows = res.merges.zipWithIndex
+          .map { case (m, i) => (i + 1L, m.left, m.right, m.count) }
+          .toDF("step", "left_sym", "right_sym", "n")
+        val fin = res.vocab.agg(
+          (sum((col("freq") * (Hashing.h32(col("sym")) % ChkP)) % ChkP)
+            % ChkP).as("cs"),
+          count(lit(1)).as("nw"))
+        mergeRows
+          .unionByName(fin.select(lit(-1L).as("step"), lit("").as("left_sym"),
+            lit("").as("right_sym"), col("cs").as("n")))
+          .unionByName(fin.select(lit(-2L).as("step"), lit("").as("left_sym"),
+            lit("").as("right_sym"), col("nw").as("n")))
+          .orderBy("step")
+      },
+      Some(bpeOracle(8)))
   )
+
+  // a def, not a val: `val all` initializes first and a later val
+  // would still read 0 inside the registry (same trap as
+  // ExtStreamQueries' matviewOracle)
+  private def ChkP = 1000000007L
+
+  /** Generated DuckDB replay of [[graft.ext.Bpe.train]]: `v0` is the
+    * char-split word-frequency table; each stage computes adjacent-
+    * pair counts (lockstep unnest of the two shifted slices), picks
+    * the (count desc, pair asc) argmax, and rewrites every word by
+    * the run-parity formulation of greedy leftmost — match positions
+    * group into runs (adjacent matches only occur for self-pairs),
+    * and odd-ranked members of each run merge, their right neighbor
+    * skipped. Generating the stages keeps 8 copies honest by
+    * construction.
+    */
+  private def bpeOracle(steps: Int): String = {
+    def stage(i: Int): String = {
+      val pv = s"v${i - 1}"
+      s"""p$i AS MATERIALIZED (
+            SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+              SELECT freq,
+                     unnest(list_slice(l, 1, len(l) - 1)) AS a,
+                     unnest(list_slice(l, 2, len(l))) AS b
+              FROM (SELECT freq, string_split(sym, ' ') AS l FROM $pv))
+            GROUP BY a, b),
+          b$i AS MATERIALIZED (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+          e$i AS (
+            SELECT word, freq,
+                   unnest(string_split(sym, ' ')) AS s,
+                   unnest(range(len(string_split(sym, ' ')))) AS pos
+            FROM $pv),
+          n$i AS (
+            SELECT word, freq, pos, s,
+                   LEAD(s) OVER (PARTITION BY word ORDER BY pos) AS ns
+            FROM e$i),
+          m$i AS (
+            SELECT word, freq, pos, s, ns,
+                   COALESCE(s = (SELECT a FROM b$i)
+                            AND ns = (SELECT b FROM b$i), FALSE) AS mt
+            FROM n$i),
+          g$i AS (
+            SELECT *, pos - ROW_NUMBER() OVER (PARTITION BY word, mt
+                     ORDER BY pos) AS grp
+            FROM m$i),
+          r$i AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY word, mt, grp
+                     ORDER BY pos) AS mrn
+            FROM g$i),
+          o$i AS (
+            SELECT word, freq, pos, s, ns,
+                   mt AND mrn % 2 = 1 AS merged,
+                   COALESCE(LAG(mt AND mrn % 2 = 1)
+                     OVER (PARTITION BY word ORDER BY pos), FALSE) AS prevm
+            FROM r$i),
+          v$i AS MATERIALIZED (
+            SELECT word, freq,
+                   string_agg(CASE WHEN merged THEN s || ns
+                                   WHEN prevm THEN NULL
+                                   ELSE s END, ' ' ORDER BY pos) AS sym
+            FROM o$i GROUP BY word, freq)"""
+    }
+    val finals = (1 to steps).map(i =>
+      s"""SELECT CAST($i AS BIGINT) AS step, a AS left_sym, b AS right_sym,
+                 cnt AS n FROM b$i""").mkString("\nUNION ALL\n")
+    s"""WITH w0 AS MATERIALIZED (
+          SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+            SELECT unnest(string_split_regex(text, '\\s+')) AS word
+            FROM documents)
+          WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY word),
+        v0 AS MATERIALIZED (
+          SELECT word, freq,
+                 array_to_string(regexp_extract_all(word, '.'), ' ') AS sym
+          FROM w0),
+        ${(1 to steps).map(stage).mkString(",\n")}
+        $finals
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT), '', '',
+               CAST(SUM((freq * (CAST('0x' || substr(md5(sym), 1, 8) AS BIGINT)
+                                 % $ChkP)) % $ChkP) % $ChkP AS BIGINT)
+        FROM v$steps
+        UNION ALL
+        SELECT CAST(-2 AS BIGINT), '', '', (SELECT COUNT(*) FROM v$steps)
+        ORDER BY step"""
+  }
 }
