@@ -151,8 +151,12 @@ object Sampling {
     *
     * Same key contract as [[reservoirPerStratum]] (unique, non-null
     * within stratum); `weight` must additionally be a POSITIVE
-    * integral column — zero/null weights divide to null, which sorts
-    * first and permanently seizes slots. Filter them upstream.
+    * integral column. The two invalid cases fail differently: a ZERO
+    * weight throws DIVIDE_BY_ZERO at runtime (this engine runs with
+    * spark.sql.ansi.enabled=true, where integral `div` by zero is an
+    * error, not null — loud, which is fine), while a NULL weight
+    * divides to a null priority, which sorts first and permanently
+    * seizes a reservoir slot — silent, so filter nulls upstream.
     */
   def weightedReservoirPerStratum(df: DataFrame, strataCols: Seq[String],
                                   key: Column, weight: Column, k: Int,

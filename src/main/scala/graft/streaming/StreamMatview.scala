@@ -97,7 +97,8 @@ object StreamMatview {
           s"snapshot store $storeDir already absorbed batch $id but the view " +
             s"$aggDir has not — the stores were driven out of order; drive " +
             "both through StreamMatview only")
-        val nb = BucketStore.latestVersion(spark, storeDir)
+        val sv = BucketStore.latestVersion(spark, storeDir)
+        val nb = sv
           .map(v => BucketStore.readManifest(spark, storeDir, v).nBuckets)
           .getOrElse(nBuckets)
         val touched = BucketStore.touchedBuckets(batch, col(keyCol), nb)
@@ -106,17 +107,34 @@ object StreamMatview {
         probed = Some(touched)
         val storeTouched = BucketStore.read(spark, storeDir, Some(touched))
           .getOrElse(batch.limit(0)) // unseeded snapshot store
-        val agg = BucketStore.read(spark, aggDir).getOrElse(
+        val agg = BucketStore.read(spark, aggDir).getOrElse {
+          // both stores unseeded: start the view empty (right shape).
+          // A SEEDED snapshot with an unseeded view must fail loudly:
+          // the empty fallback would start the fold at zero and the
+          // seed's contributions would be missing from every state
+          // the telescoping invariant can ever reach.
+          require(sv.isEmpty,
+            s"snapshot store $storeDir has committed versions but the view " +
+              s"$aggDir has none — an empty-view fallback would permanently " +
+              "drop the snapshot seed's contributions; seed both stores " +
+              "through StreamMatview.seed")
           Changelog.aggSnapshot(batch.limit(0), opCol, dims, valCol,
-            nCol = nCol, sumCol = sumCol)) // unseeded view: empty, right shape
+            nCol = nCol, sumCol = sumCol)
+        }
         val delta = Changelog.aggDelta(storeTouched, batch, keyCol, opCol,
           seqCols, dims, valCol, nCol = nCol, sumCol = sumCol,
           maxBroadcastKeys = maxBroadcastKeys)
         val av = BucketStore.latestVersion(spark, aggDir)
+        // claim bucket 0 (the aggregate's only bucket): a batch that
+        // drives every dim's n to 0 writes NO rows, and an unclaimed
+        // commit would leave the previous version as bucket owner —
+        // viewSnapshot would silently serve the stale pre-batch
+        // aggregate and every later delta would fold onto wrong state
+        // (the EmptyOwner hazard BucketStore.purgeKeys claims against)
         BucketStore.writeVersion(
           Changelog.mergeAggDelta(agg, delta, dims, nCol, sumCol),
           aggDir, av.map(_ + 1L).getOrElse(id), col(dims.head), nBuckets = 1,
-          batch = Some(id))
+          batch = Some(id), claim = Set(0L))
         BucketStore.vacuum(spark, aggDir, retain)
       }
       StreamMerge.applyBatch(batch, id, storeDir, keyCol, opCol, seqCols,
@@ -151,10 +169,15 @@ object StreamMatview {
     val av = BucketStore.latestVersion(spark, aggDir).getOrElse(
       throw new IllegalStateException(s"no committed view version under $aggDir"))
     val ab = BucketStore.readManifest(spark, aggDir, av).batch
+    // claim bucket 0 for the same stale-owner reason as applyBatch: a
+    // purge that empties the store entirely recomputes an EMPTY view,
+    // and an unclaimed commit would leave the pre-purge aggregate
+    // serving — the erased keys' contributions still derivable from it
     BucketStore.writeVersion(
       Changelog.aggSnapshot(store, opCol, dims, valCol, nCol = nCol,
         sumCol = sumCol),
-      aggDir, av + 1L, col(dims.head), nBuckets = 1, batch = Some(ab))
+      aggDir, av + 1L, col(dims.head), nBuckets = 1, batch = Some(ab),
+      claim = Set(0L))
     stats
   }
 
