@@ -83,13 +83,16 @@ object Bpe {
       .limit(1).collect().headOption
       .map(r => Merge(r.getString(0), r.getString(1), r.getLong(2)))
 
-  /** Apply one merge greedy-LEFTMOST to every word: a codegen'd fold
-    * over the symbol array — merge when the accumulator's last symbol
-    * is `left` and the next is `right`, else append. The fold IS the
-    * greedy semantics: in a run of overlapping candidates (`a a a`
-    * under (a,a)) the merged symbol `aa` no longer equals `a`, so
-    * alternate positions merge — exactly leftmost non-overlapping.
-    * Pure map-side; no shuffle.
+  /** Apply one merge greedy-LEFTMOST to every word: a Catalyst
+    * higher-order-function fold over the symbol array (HOF lambdas
+    * evaluate INTERPRETED, not codegen'd — same engine fact the
+    * DotProduct kernel exists for; here the work is vocab-bounded and
+    * map-side, so interpretation is never the hot path) — merge when
+    * the accumulator's last symbol is `left` and the next is `right`,
+    * else append. The fold IS the greedy semantics: in a run of
+    * overlapping candidates (`a a a` under (a,a)) the merged symbol
+    * `aa` no longer equals `a`, so alternate positions merge — exactly
+    * leftmost non-overlapping. Pure map-side; no shuffle.
     */
   def applyMerge(vocab: DataFrame, m: Merge): DataFrame = {
     val merged = m.left + m.right
@@ -132,5 +135,136 @@ object Bpe {
       i += 1
     }
     Trained(merges.toList, vocab)
+  }
+
+  /** One batched round's outcome: the merges applied together, each
+    * with its in-round priority rank.
+    */
+  final case class BatchMerge(round: Int, rank: Int, merge: Merge)
+
+  /** The batched-training artifact: every applied merge in (round,
+    * rank) order plus the final vocabulary.
+    */
+  final case class TrainedBatched(merges: Seq[BatchMerge], vocab: DataFrame)
+
+  /** Two pairs CONFLICT when they share any symbol — left, right, or
+    * the merged token either would create. Pairwise-disjoint merges
+    * commute: a merge only consumes its own (left, right) adjacencies
+    * and only creates adjacencies involving its own merged token, so
+    * no disjoint rule's match sites are created or destroyed by
+    * applying another — one combined rewrite equals any sequential
+    * order.
+    */
+  private def pairSymbols(left: Column, right: Column): Column =
+    array(left, right, concat(left, right))
+
+  /** The round's merge batch: the LOCALLY-MAXIMAL pairs — those no
+    * conflicting pair outranks under the (count desc, left, right)
+    * priority — capped at the `m` best. Locally-maximal pairs are
+    * pairwise disjoint by construction (of two conflicting pairs, the
+    * lower-priority one is dominated), and the globally best pair is
+    * always selected, so every round makes progress and `m = 1`
+    * degenerates to exactly [[bestPair]]'s sequential policy.
+    *
+    * Shape: dominance is a symbol EQUI-join of the vocab-bounded pair
+    * table against itself (explode each pair into its ≤3 symbols, hash
+    * join on the symbol — never a quadratic pair×pair cross), then one
+    * anti-join and a top-m collect (≤ m rows, a bounded driver
+    * artifact).
+    */
+  def selectBatch(vocab: DataFrame, m: Int): Seq[Merge] = {
+    require(m >= 1, s"m=$m: need at least one merge per round")
+    val pc = pairCounts(vocab)
+    val sy = pc.select(col("left"), col("right"), col("cnt"),
+      explode(pairSymbols(col("left"), col("right"))).as("__sym"))
+    val dominators = sy.select(col("left").as("__yl"), col("right").as("__yr"),
+      col("cnt").as("__ycnt"), col("__sym").as("__ysym"))
+    val dominated = sy.join(dominators,
+        col("__sym") === col("__ysym") &&
+          !(col("left") === col("__yl") && col("right") === col("__yr")) &&
+          (col("__ycnt") > col("cnt") ||
+            (col("__ycnt") === col("cnt") &&
+              (col("__yl") < col("left") ||
+                (col("__yl") === col("left") && col("__yr") < col("right"))))),
+        "left_semi")
+      .select("left", "right").distinct()
+    pc.join(dominated, Seq("left", "right"), "left_anti")
+      .orderBy(col("cnt").desc, col("left"), col("right"))
+      .limit(m).collect().toIndexedSeq
+      .map(r => Merge(r.getString(0), r.getString(1), r.getLong(2)))
+  }
+
+  /** Apply a PAIRWISE-DISJOINT merge batch in one greedy-leftmost fold
+    * — [[applyMerge]]'s multi-rule twin. At each step the (previous
+    * symbol, next symbol) key is looked up in the rule map
+    * (try_element_at: null on miss — plain element_at throws under
+    * ANSI); disjointness means at most one rule can ever match a given
+    * adjacency, so the combined fold is exactly the sequential
+    * application of each rule in any order. One map-side rewrite for
+    * the whole batch; no shuffle.
+    */
+  def applyMerges(vocab: DataFrame, ms: Seq[Merge]): DataFrame = {
+    require(ms.nonEmpty, "applyMerges needs at least one merge")
+    // symbols never contain ' ' (the training-run delimiter), so
+    // "left right" is a collision-free map key
+    val rules = map(ms.flatMap(m =>
+      Seq(lit(m.left + " " + m.right), lit(m.left + m.right))): _*)
+    vocab.withColumn("sym", array_join(
+      aggregate(split(col("sym"), " "),
+        array().cast("array<string>"),
+        (acc, x) => {
+          val hit = try_element_at(rules,
+            concat(element_at(acc, -1), lit(" "), x))
+          when(size(acc) > 0 && hit.isNotNull,
+            concat(slice(acc, lit(1), size(acc) - 1), array(hit)))
+            .otherwise(concat(acc, array(x)))
+        }),
+      " "))
+  }
+
+  /** Train up to `rounds × maxPerRound` merges in `rounds` BATCHED
+    * rounds — the production-scale variant of [[train]]. [[train]]'s
+    * strictly-sequential loop pays one driver-coordinated round per
+    * merge: at a production tokenizer's 30k–50k merges that is 30k+
+    * sequential job rounds regardless of cluster size. Here each round
+    * selects the top-`maxPerRound` locally-maximal (hence pairwise-
+    * disjoint, hence order-safe — [[selectBatch]]) pairs and applies
+    * them in ONE vocab rewrite, collapsing the round count by up to
+    * `maxPerRound`× while staying exactly deterministic and
+    * oracle-replayable; rounds degrade toward single-merge only when
+    * every top pair overlaps every other. `maxPerRound = 1` reproduces
+    * [[train]]'s sequential policy merge for merge.
+    *
+    * Same per-round machinery and memoization discipline as [[train]]:
+    * the corpus is scanned once, every round is vocab-bounded, the
+    * batch selection is a ≤ maxPerRound-row driver artifact, and vocab
+    * states are checkpointed leaves.
+    */
+  def trainBatched(docs: DataFrame, textCol: String, rounds: Int,
+                   maxPerRound: Int,
+                   cacheTag: String = "bpeb"): TrainedBatched = {
+    require(rounds >= 1, s"rounds=$rounds: need at least one round")
+    require(maxPerRound >= 1, s"maxPerRound=$maxPerRound: need at least one")
+    var vocab = PlanCache.checkpointed(s"$cacheTag/$textCol/v0", docs) { d =>
+      wordFreq(d, textCol).withColumn("sym", charSymbols(col("word")))
+    }
+    val merges = scala.collection.mutable.ListBuffer.empty[BatchMerge]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val prev = vocab
+      val batch = PlanCache.artifact(s"$cacheTag/$textCol/sel$r", docs)(_ =>
+        selectBatch(prev, maxPerRound))
+      if (batch.isEmpty) exhausted = true
+      else {
+        merges ++= batch.zipWithIndex.map { case (m, i) =>
+          BatchMerge(r, i + 1, m)
+        }
+        vocab = PlanCache.checkpointed(s"$cacheTag/$textCol/v$r", docs)(_ =>
+          applyMerges(prev, batch))
+      }
+      r += 1
+    }
+    TrainedBatched(merges.toList, vocab)
   }
 }

@@ -585,7 +585,46 @@ object ExtTextQueries {
             lit("").as("right_sym"), col("nw").as("n")))
           .orderBy("step")
       },
-      Some(bpeOracle(8)))
+      Some(bpeOracle(8))),
+
+    // BATCHED BPE training ([[graft.ext.Bpe.trainBatched]]) — the
+    // production round-count fix for the sequential trainer above:
+    // each round selects the top-m LOCALLY-MAXIMAL pairs (no
+    // conflicting higher-priority pair; conflict = shared symbol
+    // among {left, right, merged}) and applies them in ONE vocab
+    // rewrite, so training is O(merges/m) driver rounds instead of
+    // O(merges). Locally-maximal pairs are pairwise-disjoint, hence
+    // the batch commutes and one multi-rule greedy-leftmost fold
+    // equals any sequential order. Gated rows: every applied merge's
+    // (round, in-round rank, left, right, count) — the oracle
+    // independently replays the selection (symbol equi-join dominance
+    // + anti-join + top-m) AND the multi-rule rewrite per round —
+    // plus the step=-1 final-symbol-table fingerprint and step=-2
+    // vocab cardinality, exactly as the sequential gate.
+    Declared(
+      "ext_text_bpe_batched",
+      (s, d) => {
+        val res = graft.ext.Bpe.trainBatched(Tables.documents(s, d), "text",
+          rounds = 3, maxPerRound = 4, cacheTag = "bpeb/docs34")
+        import s.implicits._
+        val mergeRows = res.merges
+          .map(b => (b.round.toLong, b.rank.toLong, b.merge.left,
+            b.merge.right, b.merge.count))
+          .toDF("round", "rk", "left_sym", "right_sym", "n")
+        val fin = res.vocab.agg(
+          (sum((col("freq") * (Hashing.h32(col("sym")) % ChkP)) % ChkP)
+            % ChkP).as("cs"),
+          count(lit(1)).as("nw"))
+        mergeRows
+          .unionByName(fin.select(lit(-1L).as("round"), lit(0L).as("rk"),
+            lit("").as("left_sym"), lit("").as("right_sym"),
+            col("cs").as("n")))
+          .unionByName(fin.select(lit(-2L).as("round"), lit(0L).as("rk"),
+            lit("").as("left_sym"), lit("").as("right_sym"),
+            col("nw").as("n")))
+          .orderBy("round", "rk")
+      },
+      Some(bpeBatchedOracle(3, 4)))
   )
 
   // a def, not a val: `val all` initializes first and a later val
@@ -671,5 +710,101 @@ object ExtTextQueries {
         UNION ALL
         SELECT CAST(-2 AS BIGINT), '', '', (SELECT COUNT(*) FROM v$steps)
         ORDER BY step"""
+  }
+
+  /** Generated DuckDB replay of [[graft.ext.Bpe.trainBatched]]: per
+    * round, pair counts as in [[bpeOracle]], then the BATCH selection
+    * — each pair explodes into its ≤3 symbols (left, right, merged),
+    * a symbol equi-join marks pairs DOMINATED by a conflicting
+    * higher-priority pair, the anti-joined survivors rank by (count
+    * desc, pair asc) and the top `m` form the round's batch — and the
+    * multi-rule rewrite: the run-parity greedy-leftmost formulation of
+    * [[bpeOracle]] with the match flag computed by a LEFT JOIN against
+    * the batch instead of a scalar subquery (disjointness guarantees
+    * at most one rule matches an adjacency, and adjacent matches still
+    * only arise from a self-pair, so run parity is unchanged).
+    */
+  private def bpeBatchedOracle(rounds: Int, m: Int): String = {
+    def stage(i: Int): String = {
+      val pv = s"v${i - 1}"
+      s"""p$i AS MATERIALIZED (
+            SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+              SELECT freq,
+                     unnest(list_slice(l, 1, len(l) - 1)) AS a,
+                     unnest(list_slice(l, 2, len(l))) AS b
+              FROM (SELECT freq, string_split(sym, ' ') AS l FROM $pv))
+            GROUP BY a, b),
+          sy$i AS (SELECT a, b, cnt, unnest([a, b, a || b]) AS sym FROM p$i),
+          dm$i AS (
+            SELECT DISTINCT x.a, x.b
+            FROM sy$i x JOIN sy$i y ON x.sym = y.sym
+             AND NOT (x.a = y.a AND x.b = y.b)
+             AND (y.cnt > x.cnt OR (y.cnt = x.cnt
+                  AND (y.a < x.a OR (y.a = x.a AND y.b < x.b))))),
+          b$i AS MATERIALIZED (
+            SELECT a, b, cnt, rk FROM (
+              SELECT sv.a, sv.b, sv.cnt,
+                     ROW_NUMBER() OVER (ORDER BY sv.cnt DESC, sv.a, sv.b) AS rk
+              FROM (SELECT p.a, p.b, p.cnt FROM p$i p
+                    ANTI JOIN dm$i d ON p.a = d.a AND p.b = d.b) sv)
+            WHERE rk <= $m),
+          e$i AS (
+            SELECT word, freq,
+                   unnest(string_split(sym, ' ')) AS s,
+                   unnest(range(len(string_split(sym, ' ')))) AS pos
+            FROM $pv),
+          n$i AS (
+            SELECT word, freq, pos, s,
+                   LEAD(s) OVER (PARTITION BY word ORDER BY pos) AS ns
+            FROM e$i),
+          m$i AS (
+            SELECT nn.word, nn.freq, nn.pos, nn.s, nn.ns,
+                   (sel.a IS NOT NULL) AS mt
+            FROM n$i nn LEFT JOIN b$i sel ON nn.s = sel.a AND nn.ns = sel.b),
+          g$i AS (
+            SELECT *, pos - ROW_NUMBER() OVER (PARTITION BY word, mt
+                     ORDER BY pos) AS grp
+            FROM m$i),
+          r$i AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY word, mt, grp
+                     ORDER BY pos) AS mrn
+            FROM g$i),
+          o$i AS (
+            SELECT word, freq, pos, s, ns,
+                   mt AND mrn % 2 = 1 AS merged,
+                   COALESCE(LAG(mt AND mrn % 2 = 1)
+                     OVER (PARTITION BY word ORDER BY pos), FALSE) AS prevm
+            FROM r$i),
+          v$i AS MATERIALIZED (
+            SELECT word, freq,
+                   string_agg(CASE WHEN merged THEN s || ns
+                                   WHEN prevm THEN NULL
+                                   ELSE s END, ' ' ORDER BY pos) AS sym
+            FROM o$i GROUP BY word, freq)"""
+    }
+    val finals = (1 to rounds).map(i =>
+      s"""SELECT CAST($i AS BIGINT) AS round, CAST(rk AS BIGINT) AS rk,
+                 a AS left_sym, b AS right_sym, cnt AS n FROM b$i""")
+      .mkString("\nUNION ALL\n")
+    s"""WITH w0 AS MATERIALIZED (
+          SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+            SELECT unnest(string_split_regex(text, '\\s+')) AS word
+            FROM documents)
+          WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY word),
+        v0 AS MATERIALIZED (
+          SELECT word, freq,
+                 array_to_string(regexp_extract_all(word, '.'), ' ') AS sym
+          FROM w0),
+        ${(1 to rounds).map(stage).mkString(",\n")}
+        $finals
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT), '', '',
+               CAST(SUM((freq * (CAST('0x' || substr(md5(sym), 1, 8) AS BIGINT)
+                                 % $ChkP)) % $ChkP) % $ChkP AS BIGINT)
+        FROM v$rounds
+        UNION ALL
+        SELECT CAST(-2 AS BIGINT), CAST(0 AS BIGINT), '', '',
+               (SELECT COUNT(*) FROM v$rounds)
+        ORDER BY round, rk"""
   }
 }

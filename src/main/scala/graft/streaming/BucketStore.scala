@@ -258,7 +258,20 @@ object BucketStore {
     */
   def writeVersion(df: DataFrame, storeDir: String, id: Long, key: Column,
                    nBuckets: Int, batch: Option[Long] = None,
-                   claim: Set[Long] = Set.empty): Unit = {
+                   claim: Set[Long] = Set.empty): Unit =
+    writeVersionImpl(df, storeDir, id, key, nBuckets, batch, claim,
+      migrating = false)
+
+  /** Shared body of [[writeVersion]] and [[rebucket]]'s migration
+    * commit. `migrating = true` relaxes the fixed-bucket-count
+    * invariant for ONE version and drops the previous manifest's
+    * owners instead of merging them — old-count bucket ids are
+    * meaningless under the new count, and carrying them would make
+    * [[read]] double-read rows through stale entries.
+    */
+  private def writeVersionImpl(df: DataFrame, storeDir: String, id: Long,
+                               key: Column, nBuckets: Int, batch: Option[Long],
+                               claim: Set[Long], migrating: Boolean): Unit = {
     require(nBuckets >= 1, s"nBuckets=$nBuckets must be positive")
     val spark = df.sparkSession
     require(!df.columns.contains(BucketCol),
@@ -268,9 +281,11 @@ object BucketStore {
     fs.delete(vdir, true) // replay of an uncommitted attempt
     val prev = latestVersion(spark, storeDir)
       .map(readManifest(spark, storeDir, _))
-    prev.foreach(m => require(m.nBuckets == nBuckets,
-      s"store $storeDir was created with ${m.nBuckets} buckets; a key's " +
-        s"bucket must be stable for the store's lifetime (got $nBuckets)"))
+    if (!migrating)
+      prev.foreach(m => require(m.nBuckets == nBuckets,
+        s"store $storeDir was created with ${m.nBuckets} buckets; a key's " +
+          s"bucket must be stable across versions (got $nBuckets) — grow the " +
+          "store through rebucket(), the one op allowed to move keys"))
     val dataDir = s"${versionDir(storeDir, id)}/data"
     // repartition ON THE BUCKET before the partitioned write: without
     // it every upstream task splits its rows across every bucket dir
@@ -288,7 +303,10 @@ object BucketStore {
       .toIndexedSeq.filter(_.isDirectory)
       .flatMap(s => BucketName.findFirstMatchIn(s.getPath.getName)
         .map(_.group(1).toLong))
-    val owners = prev.map(_.owners).getOrElse(Map.empty[Long, Long]) ++
+    val carried =
+      if (migrating) Map.empty[Long, Long]
+      else prev.map(_.owners).getOrElse(Map.empty[Long, Long])
+    val owners = carried ++
       (claim -- written).map(_ -> EmptyOwner) ++
       written.map(_ -> id)
     writeManifest(spark, storeDir, id,
@@ -312,6 +330,50 @@ object BucketStore {
     vs.filterNot(referenced).foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(versionDir(storeDir, v)), true)
     }
+  }
+
+  /** MIGRATE the store from its creation-time bucket count to
+    * `newBuckets` — the store-growth maintenance op. Bucket count is
+    * the write-amplification unit (see [[DefaultBuckets]]'s sizing
+    * note): a store seeded small and grown 1000× eventually wants
+    * thousands of buckets, and without this op the only way there is
+    * an out-of-band full rewrite with no exactly-once story.
+    *
+    * Mechanics: ONE full-store hash re-exchange (inherent — a bucket
+    *-count change moves almost every key) written as a maintenance
+    * version under the standard commit discipline: same batch
+    * watermark as the previous manifest (a stopped stream restarts
+    * cleanly across the migration — neither skips nor trips the reset
+    * guard), `_SUCCESS` last (a crash mid-rewrite leaves an invisible
+    * partial dir; re-running deletes and redoes it), and the new
+    * manifest owns EVERY written bucket itself, carrying none of the
+    * old-count owner entries. Re-running after the commit is a no-op
+    * (the manifest already reads `newBuckets`). Run with the stream
+    * stopped — the one-writer contract; the NEXT trigger reads the
+    * bucket count from the manifest ([[graft.streaming.StreamMerge
+    * .applyBatch]]), so no caller re-configuration is needed.
+    *
+    * Cost: O(store) read + shuffle + write, ONCE, as scheduled
+    * maintenance — amortized against every later trigger's
+    * O(batch × store/B) staying useful as the store grows. Old
+    * versions fall out through the normal [[vacuum]] path (`retain`
+    * manifests keep serving pinned readers; after the migration the
+    * new version owns every bucket, so fully-superseded versions age
+    * out as usual).
+    */
+  def rebucket(spark: SparkSession, storeDir: String, keyCol: String,
+               newBuckets: Int, retain: Int = 2): Unit = {
+    require(newBuckets >= 1, s"newBuckets=$newBuckets must be positive")
+    require(retain >= 1,
+      s"retain=$retain: the vacuum must keep at least the version just written")
+    val v = latestVersion(spark, storeDir).getOrElse(
+      throw new IllegalStateException(s"no committed store version under $storeDir"))
+    val m = readManifest(spark, storeDir, v)
+    if (m.nBuckets == newBuckets) return // already migrated (crash re-run)
+    val cur = read(spark, storeDir).get
+    writeVersionImpl(cur, storeDir, v + 1, col(keyCol), newBuckets,
+      batch = Some(m.batch), claim = Set.empty, migrating = true)
+    vacuum(spark, storeDir, retain)
   }
 
   /** Every row readable from ANY parquet file anywhere under the
@@ -338,9 +400,16 @@ object BucketStore {
     else spark.read.schema(schema).parquet(files.toSeq: _*)
   }
 
-  /** What [[purgeKeys]] did: rows physically removed, buckets the key
-    * list hashed into (= buckets rewritten), and superseded bucket-dir
-    * copies scrubbed from older version dirs.
+  /** What [[purgeKeys]] did. `purgedRows` counts the keys' rows in the
+    * CURRENT version's touched buckets only — the live rows (and
+    * tombstones) the rewrite dropped; the same keys' rows inside
+    * superseded bucket copies are erased by the scrub but NOT counted
+    * (the scrub deletes whole dirs without reading them — counting
+    * would mean scanning bytes the op exists to destroy), so on a
+    * crash-replay re-run it reads 0 even though the replay re-scrubs.
+    * `touchedBuckets` = buckets the key list hashed into (= buckets
+    * rewritten); `scrubbedDirs` = superseded bucket-dir copies deleted
+    * from other version dirs.
     */
   final case class PurgeStats(purgedRows: Long, touchedBuckets: Set[Long],
                               scrubbedDirs: Long)

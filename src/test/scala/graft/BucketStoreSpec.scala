@@ -313,6 +313,96 @@ class BucketStoreSpec extends SparkSpec {
       .where(col("k") === 12L).select("cents").as[Long].head() == 5L)
   }
 
+  test("rebucket migrates the store B->B': contents equal, writes re-prune at the new count, rerun no-ops") {
+    val storeDir = Files.createTempDirectory("graft_bkrb_store").toString
+    StreamMerge.seed(
+      spark.range(0, 100).select(col("id").as("k"),
+        concat(lit("seed-"), col("id")).as("name"),
+        lit("U").as("op"), lit(-1L).as("seq")),
+      storeDir, "k", nBuckets = 4)
+    StreamMerge.applyBatch(mergeBatchDf(Seq(3L, 7L), "b0", 0L), 0L, storeDir,
+      "k", "op", Seq("seq"), retain = 2, nBuckets = 4)
+    def canon = BucketStore.read(spark, storeDir).get
+      .select("k", "name", "op", "seq").as[(Long, String, String, Long)]
+      .collect().toSeq.sorted
+    val before = canon
+    val wmBefore = BucketStore.latestBatch(spark, storeDir)
+
+    BucketStore.rebucket(spark, storeDir, "k", newBuckets = 8)
+    val v = BucketStore.latestVersion(spark, storeDir).get
+    val m = BucketStore.readManifest(spark, storeDir, v)
+    assert(m.nBuckets == 8, "manifest must carry the migrated bucket count")
+    assert(canon == before, "contents must be hash-equal across the migration")
+    assert(BucketStore.latestBatch(spark, storeDir) == wmBefore,
+      "a migration is a maintenance commit: the ingest watermark must hold")
+    assert(m.owners.values.toSet == Set(v),
+      "the migration version must own every bucket itself — carried " +
+        "old-count owner entries would double-read rows")
+    assert(m.owners.keySet.forall(b => b >= 0 && b < 8))
+
+    // rerun (the crash-after-commit replay) is a no-op: no new version
+    BucketStore.rebucket(spark, storeDir, "k", newBuckets = 8)
+    assert(BucketStore.latestVersion(spark, storeDir).contains(v))
+
+    // the stream resumes at the NEW count: a 1-key batch rewrites
+    // exactly the one bucket its key hashes to under B'=8
+    StreamMerge.applyBatch(mergeBatchDf(Seq(42L), "b1", 1L), 1L, storeDir,
+      "k", "op", Seq("seq"), retain = 2, nBuckets = 4 /* manifest wins */)
+    val v2 = BucketStore.latestVersion(spark, storeDir).get
+    assert(BucketStore.readManifest(spark, storeDir, v2).nBuckets == 8)
+    val expect = spark.range(42, 43)
+      .select(pmod(xxhash64(col("id")), lit(8L))).as[Long].head()
+    assert(bucketDirs(storeDir, v2) == Set(expect),
+      "post-migration writes must prune at the migrated count")
+    assert(BucketStore.read(spark, storeDir).get
+      .where(col("k") === 42L).select("name").as[String].head() == "b1-42")
+  }
+
+  test("a batch that empties the view commits claimed-empty, never the stale pre-batch aggregate") {
+    import graft.streaming.StreamMatview
+    val storeDir = Files.createTempDirectory("graft_bkmve_store").toString
+    val aggDir = Files.createTempDirectory("graft_bkmve_agg").toString
+    StreamMatview.seed(
+      Seq((1L, "seg0", 10L, "U", -1L), (2L, "seg1", 20L, "U", -1L))
+        .toDF("k", "seg", "cents", "op", "seq"),
+      storeDir, aggDir, "k", "op", Seq("seg"), "cents")
+    // the batch tombstones EVERY live key: every dim's n reaches 0, so
+    // the merged aggregate writes no rows — the commit must CLAIM the
+    // bucket (EmptyOwner) or the manifest keeps the seed version as
+    // owner and viewSnapshot silently serves the stale seed aggregate
+    StreamMatview.applyBatch(
+      Seq((1L, "seg0", 0L, "D", 0L), (2L, "seg1", 0L, "D", 0L))
+        .toDF("k", "seg", "cents", "op", "seq"),
+      0L, storeDir, aggDir, "k", "op", Seq("seq"), Seq("seg"), "cents")
+    assert(StreamMatview.viewSnapshot(spark, aggDir).count() == 0,
+      "emptied view must read empty, not the stale pre-batch aggregate")
+    // and the fold continues correctly from the claimed-empty state
+    StreamMatview.applyBatch(
+      Seq((9L, "seg2", 7L, "U", 1L)).toDF("k", "seg", "cents", "op", "seq"),
+      1L, storeDir, aggDir, "k", "op", Seq("seq"), Seq("seg"), "cents")
+    assert(StreamMatview.viewSnapshot(spark, aggDir)
+      .select("seg", "n", "sum").as[(String, Long, Long)].collect().toSeq ==
+      Seq(("seg2", 1L, 7L)))
+  }
+
+  test("a seeded snapshot with an unseeded view fails loudly instead of folding from zero") {
+    import graft.streaming.StreamMatview
+    val storeDir = Files.createTempDirectory("graft_bkmvs_store").toString
+    val aggDir = Files.createTempDirectory("graft_bkmvs_agg").toString
+    // the snapshot store is seeded OUTSIDE StreamMatview.seed — the
+    // view store has no version, and the empty-view fallback would
+    // permanently miss the seed's contributions
+    StreamMerge.seed(
+      Seq((1L, "seg0", 10L, "U", -1L)).toDF("k", "seg", "cents", "op", "seq"),
+      storeDir, "k")
+    val e = intercept[IllegalArgumentException] {
+      StreamMatview.applyBatch(
+        Seq((2L, "seg0", 5L, "U", 0L)).toDF("k", "seg", "cents", "op", "seq"),
+        0L, storeDir, aggDir, "k", "op", Seq("seq"), Seq("seg"), "cents")
+    }
+    assert(e.getMessage.contains("StreamMatview.seed"))
+  }
+
   test("purge is a maintenance commit: the batch watermark holds and the stream resumes") {
     val storeDir = Files.createTempDirectory("graft_bkpw_store").toString
     val nb = 4
