@@ -537,7 +537,7 @@ object ExtStreamQueries {
             .write.mode("overwrite").parquet(p)
           p
         }
-        val Seq(storeDir, ckpt) = freshDirs("smerge", 2)
+        val Seq(storeDir, ckpt, stageDir) = freshDirs("smerge", 3)
         // seed = the standing snapshot, with bookkeeping columns below
         // any log entry's seq so every streamed change outranks it
         StreamMerge.seed(Tables.customer(s, d).select(
@@ -546,11 +546,34 @@ object ExtStreamQueries {
           lit("U").as("op"), timestamp_millis(lit(0L)).as("ts"),
           lit(-1L).as("event_id")), storeDir, "c_custkey")
         val schema = s.read.parquet(srcDir).schema
-        val stream = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(srcDir)
-        val q = StreamMerge.start(stream, storeDir, ckpt,
-          "c_custkey", "op", Seq("ts", "event_id"))
-        q.awaitTermination()
+        def run(): Unit = {
+          val stream = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(stageDir)
+          StreamMerge.start(stream, storeDir, ckpt,
+            "c_custkey", "op", Seq("ts", "event_id")).awaitTermination()
+        }
+        // the replay CROSSES a bucket-count migration: half the log
+        // folds at the creation-time count, the store is rebucketed
+        // 16 -> 32 (the store-growth maintenance op, stream stopped),
+        // and the remaining files resume from the SAME checkpoint at
+        // the migrated count. The oracle is unchanged — the bucket
+        // layout must be invisible to the merge semantics; what the
+        // gate adds is that the watermark held (no skipped/dropped
+        // batch around the maintenance version) and the settled
+        // snapshot still hash-equals the one-shot batch merge.
+        val parts = new java.io.File(srcDir).listFiles.toIndexedSeq
+          .map(_.getName).filter(_.endsWith(".parquet")).sorted
+        def stage(names: Seq[String]): Unit = names.foreach { f =>
+          java.nio.file.Files.copy(java.nio.file.Paths.get(srcDir, f),
+            java.nio.file.Paths.get(stageDir, f))
+        }
+        val (first, rest) = parts.splitAt(parts.size / 2)
+        stage(first)
+        run()
+        graft.streaming.BucketStore.rebucket(s, storeDir, "c_custkey",
+          newBuckets = 32)
+        stage(rest)
+        run()
         StreamMerge.snapshot(s, storeDir, "op", Seq("ts", "event_id"))
           .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
             round(col("c_acctbal") * 100).cast("long").as("bal_cents"),

@@ -564,4 +564,72 @@ class StreamRecoverySpec extends SparkSpec {
     assert(settled == run(interrupt = false)._1,
       "resumed run's settled store differs from the uninterrupted run's across the schema change")
   }
+
+  test("CDC merge restarts ACROSS a rebucket migration: the grown store folds later batches exactly-once") {
+    // the store-growth shape: a stream runs at the creation-time
+    // bucket count, stops, the store is MIGRATED to a larger count
+    // (BucketStore.rebucket — a maintenance version carrying the same
+    // ingest watermark), and the stream restarts from the SAME
+    // checkpoint. The restart must neither skip nor reset (the
+    // watermark held), every post-migration trigger must bucket at
+    // the migrated count (applyBatch reads it from the manifest), and
+    // a kill mid-phase-B must still settle identical to an
+    // uninterrupted never-migrated twin — bucket layout is invisible
+    // to the merge semantics.
+    import graft.streaming.{BucketStore, StreamMerge}
+    import spark.implicits._
+
+    def run(migrate: Boolean): Seq[(Long, Long)] = {
+      val srcDir = Files.createTempDirectory("graft_recrb_src").toString
+      val storeDir = Files.createTempDirectory("graft_recrb_store").toString
+      val ckpt = Files.createTempDirectory("graft_recrb_ckpt").toString
+      (0 until 4).foreach { i =>
+        spark.range(i.toLong * 25, (i + 1).toLong * 25).select(
+            (col("id") % 40).as("k"), (col("id") * 10).as("cents"),
+            lit("U").as("op"), col("id").as("seq"))
+          .coalesce(1).write.mode("append").parquet(srcDir)
+      }
+      val schema = spark.read.parquet(srcDir).schema
+      def start() = StreamMerge.start(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir),
+        storeDir, ckpt, "k", "op", Seq("seq"), nBuckets = 4)
+      start().awaitTermination()
+
+      if (migrate) {
+        val wm = BucketStore.latestBatch(spark, storeDir)
+        BucketStore.rebucket(spark, storeDir, "k", newBuckets = 16)
+        assert(BucketStore.latestBatch(spark, storeDir) == wm,
+          "migration must not advance the ingest watermark")
+      }
+
+      // phase B: 4 more files updating keys 0..19, killed mid-replay
+      (4 until 8).foreach { i =>
+        spark.range(i.toLong * 25, (i + 1).toLong * 25).select(
+            (col("id") % 20).as("k"), (col("id") * 10).as("cents"),
+            lit("U").as("op"), col("id").as("seq"))
+          .coalesce(1).write.mode("append").parquet(srcDir)
+      }
+      val killedAt = runInterrupted(start())
+      assert(killedAt < 7,
+        s"stop raced past the phase-B replay (batch $killedAt of 8) — migration recovery untested")
+      start().awaitTermination()
+
+      if (migrate) {
+        val v = BucketStore.latestVersion(spark, storeDir).get
+        val m = BucketStore.readManifest(spark, storeDir, v)
+        assert(m.nBuckets == 16,
+          "post-migration triggers must stay at the migrated bucket count")
+        assert(m.owners.keySet.forall(b => b >= 0 && b < 16))
+      }
+      StreamMerge.snapshot(spark, storeDir, "op", Seq("seq"))
+        .select("k", "cents").as[(Long, Long)].collect().toSeq.sorted
+    }
+
+    val migrated = run(migrate = true)
+    assert(migrated.map(_._1) == (0L until 40L),
+      "settled store must hold exactly one row per key")
+    assert(migrated == run(migrate = false),
+      "settled store across the migration differs from the never-migrated twin")
+  }
 }
