@@ -220,21 +220,29 @@ object Changelog {
     * dim-cardinality-sized. The corpus is never rescanned — that is
     * the entire point.
     */
-  def aggDelta(store: DataFrame, batch: DataFrame, keyCol: String,
-               opCol: String, seqCols: Seq[String], dims: Seq[String],
-               valCol: String, deleteOp: String = "D",
-               nCol: String = "n", sumCol: String = "sum",
-               maxBroadcastKeys: Long = 10000000L): DataFrame = {
-    require(seqCols.nonEmpty, "aggDelta needs at least one seq column")
-    require(dims.nonEmpty, "aggDelta needs at least one dimension column")
+  /** The shared incremental core of [[aggDelta]] and
+    * [[mergeAggMinMax]]: collapse the batch to latest-per-key, guard
+    * and broadcast its key list, and return (broadcast keys, the
+    * store's PRE-image rows for those keys, the post-merge WINNER
+    * rows — the same max_by [[mergeBatch]] commits). All three
+    * relations are batch-key-sized; the store enters only through the
+    * one broadcast semi-join.
+    */
+  private def preWinner(store: DataFrame, batch: DataFrame, keyCol: String,
+                        opCol: String, seqCols: Seq[String],
+                        dims: Seq[String], valCol: String,
+                        maxBroadcastKeys: Long)
+      : (DataFrame, DataFrame, DataFrame) = {
+    require(seqCols.nonEmpty, "view maintenance needs at least one seq column")
+    require(dims.nonEmpty, "view maintenance needs at least one dimension column")
     val needed = (keyCol +: opCol +: seqCols) ++ dims :+ valCol
     needed.foreach(c => require(store.columns.contains(c) &&
       batch.columns.contains(c), s"store/batch missing column $c"))
     Seq("__bk", "__m", "__w").foreach(t => require(!needed.contains(t),
-      s"column name $t is reserved by aggDelta's temporaries"))
-    // project BOTH sides to the columns the delta needs — the store
-    // side drops its payload before the semi-join, and an additive
-    // schema evolution elsewhere in the row is invisible here
+      s"column name $t is reserved by view-maintenance temporaries"))
+    // project BOTH sides to the columns the maintenance needs — the
+    // store side drops its payload before the semi-join, and an
+    // additive schema evolution elsewhere in the row is invisible here
     val proj = needed.distinct.map(col)
     val carried = needed.distinct.filterNot(_ == keyCol)
     def latest(df: DataFrame): DataFrame =
@@ -252,6 +260,16 @@ object Changelog {
     val pre = store.select(proj: _*)
       .join(bk, col(keyCol) <=> col("__bk"), "left_semi")
     val winner = latest(pre.unionByName(bl))
+    (bk, pre, winner)
+  }
+
+  def aggDelta(store: DataFrame, batch: DataFrame, keyCol: String,
+               opCol: String, seqCols: Seq[String], dims: Seq[String],
+               valCol: String, deleteOp: String = "D",
+               nCol: String = "n", sumCol: String = "sum",
+               maxBroadcastKeys: Long = 10000000L): DataFrame = {
+    val (_, pre, winner) = preWinner(store, batch, keyCol, opCol, seqCols,
+      dims, valCol, maxBroadcastKeys)
     val live = (df: DataFrame, sign: Int) =>
       df.where(col(opCol) =!= deleteOp)
         .select((dims.map(col) :+ lit(sign.toLong).as("__w") :+
@@ -279,6 +297,138 @@ object Changelog {
         coalesce(sum(col(sumCol)),
           lit(0L).cast(agg.schema(sumCol).dataType)).as(sumCol))
       .where(col(nCol) =!= 0)
+
+  /** [[aggSnapshot]] widened with MIN/MAX — the full recompute (seed
+    * and audit twin) for views maintained by [[mergeAggMinMax]].
+    * min/max are null iff the dimension's live values are all null
+    * (MIN/MAX skip nulls on both engines), so no SUM0-style coalesce.
+    */
+  def aggSnapshotMinMax(store: DataFrame, opCol: String, dims: Seq[String],
+                        valCol: String, deleteOp: String = "D",
+                        nCol: String = "n", sumCol: String = "sum",
+                        minCol: String = "min", maxCol: String = "max")
+      : DataFrame =
+    store.where(col(opCol) =!= deleteOp)
+      .groupBy(dims.map(col): _*)
+      .agg(count(lit(1)).as(nCol),
+        coalesce(sum(col(valCol)), lit(0L).cast(store.schema(valCol).dataType))
+          .as(sumCol),
+        min(col(valCol)).as(minCol),
+        max(col(valCol)).as(maxCol))
+
+  /** Fold one changelog batch into a (count, sum, MIN, MAX) maintained
+    * aggregate — the NON-self-maintainable extension of
+    * [[aggDelta]]+[[mergeAggDelta]]. count/sum telescope exactly as
+    * there; min/max cannot (a delete or downward update of the row
+    * holding the boundary needs other rows to answer), so the fold
+    * splits per dimension:
+    *
+    *  - dims whose LEAVING pre-image values never touch the current
+    *    boundary fold self-maintainably: min' = least(min, entering
+    *    min), max' = greatest(max, entering max) — batch-sized work,
+    *    store untouched beyond [[preWinner]]'s one semi-join;
+    *  - dims where a leaving value TIES the current min or max
+    *    RECOMPUTE min/max from the post-batch live rows of those dims
+    *    only — detected exactly (boundary test against the maintained
+    *    view, dim-cardinality-sized join), recomputed from
+    *    `(store ∖ batch keys) ∪ winners` restricted to the affected
+    *    dims.
+    *
+    * The recompute is the operator's honest cost: the store is
+    * bucketed by KEY, so an affected dim's rows live everywhere and
+    * the recompute is a dim-filtered full scan — O(store rows in
+    * affected dims) once per batch that actually retracts a boundary,
+    * not per batch. (Cheapening it further needs a per-dim top-k
+    * value sketch; out of scope here.) Re-delivered batches may
+    * trigger a spurious recompute (their pre == winner includes the
+    * boundary) but land on identical values — the fold stays
+    * idempotent, and `fold == aggSnapshotMinMax(post-store)` holds
+    * after every batch (the gated contract).
+    *
+    * `agg` is the CURRENT maintained view `(dims..., n, sum, min,
+    * max)` (seed with [[aggSnapshotMinMax]]); `store` is the
+    * PRE-batch store, same as [[aggDelta]]. Returns the new view,
+    * dims with no remaining live rows dropped.
+    *
+    * Lineage contract: the plan references `agg` and `store` several
+    * times, so a caller folding MANY batches in one lineage must
+    * truncate between folds (checkpoint, or commit the view through a
+    * store as [[graft.streaming.StreamMatview]] does per trigger) —
+    * un-truncated nesting grows the logical plan exponentially in the
+    * number of folds.
+    */
+  def mergeAggMinMax(agg: DataFrame, store: DataFrame, batch: DataFrame,
+                     keyCol: String, opCol: String, seqCols: Seq[String],
+                     dims: Seq[String], valCol: String,
+                     deleteOp: String = "D",
+                     nCol: String = "n", sumCol: String = "sum",
+                     minCol: String = "min", maxCol: String = "max",
+                     maxBroadcastKeys: Long = 10000000L): DataFrame = {
+    Seq("__lmn", "__lmx", "__emn", "__emx", "__rc", "__rmn", "__rmx", "__dk")
+      .foreach(t => require(!dims.contains(t),
+        s"column name $t is reserved by mergeAggMinMax's temporaries"))
+    val (bk, pre, winner) = preWinner(store, batch, keyCol, opCol, seqCols,
+      dims, valCol, maxBroadcastKeys)
+    // all view-side joins key on the dim tuple as ONE struct column:
+    // struct equality is null-safe field-wise (a null dim is an
+    // ordinary group on both engines — same convention as
+    // mergeAggDelta's union+groupBy), and the join stays a plain
+    // hash-joinable equi-join
+    val dk = struct(dims.map(col): _*).as("__dk")
+    def live(df: DataFrame): DataFrame =
+      df.where(col(opCol) =!= deleteOp)
+        .select(dk, col(valCol))
+    // count/sum: the standard telescoping delta over the SAME
+    // pre/winner relations
+    val liveW = (df: DataFrame, sign: Int) =>
+      df.where(col(opCol) =!= deleteOp)
+        .select((dims.map(col) :+ lit(sign.toLong).as("__w") :+
+          (col(valCol) * sign).as(valCol)): _*)
+    val delta = liveW(winner, 1).unionByName(liveW(pre, -1))
+      .groupBy(dims.map(col): _*)
+      .agg(sum(col("__w")).as(nCol),
+        coalesce(sum(col(valCol)),
+          lit(0L).cast(store.schema(valCol).dataType)).as(sumCol))
+    val foldedNS = mergeAggDelta(agg.select((dims.map(col) :+ col(nCol) :+
+      col(sumCol)): _*), delta, dims, nCol, sumCol)
+      .withColumn("__dk", struct(dims.map(col): _*))
+    // boundary test: does any LEAVING live value tie the current
+    // min/max of its dim? (leaving values are store rows, so <=/>= is
+    // equality in disguise; null leaving values never contribute to a
+    // boundary and null comparisons filter out)
+    val leaving = live(pre).groupBy(col("__dk"))
+      .agg(min(col(valCol)).as("__lmn"), max(col(valCol)).as("__lmx"))
+    val aggMM = agg.select(dk, col(minCol), col(maxCol))
+    val recomputeDims = leaving.join(aggMM, Seq("__dk"))
+      .where(col("__lmn") <= col(minCol) || col("__lmx") >= col(maxCol))
+      .select(col("__dk"), lit(true).as("__rc"))
+    // recompute source: post-batch live rows of the affected dims only
+    // — untouched keys straight from the store (anti-join on the
+    // broadcast key list), touched keys from the winners
+    val untouchedLive = live(store.join(bk,
+      col(keyCol) <=> col("__bk"), "left_anti"))
+    val recomputed = untouchedLive.unionByName(live(winner))
+      .join(recomputeDims.select("__dk").hint("broadcast"),
+        Seq("__dk"), "left_semi")
+      .groupBy(col("__dk"))
+      .agg(min(col(valCol)).as("__rmn"), max(col(valCol)).as("__rmx"))
+    // entering values (self-maintainable path): winners' live rows
+    val entering = live(winner).groupBy(col("__dk"))
+      .agg(min(col(valCol)).as("__emn"), max(col(valCol)).as("__emx"))
+    // assemble: least/greatest SKIP nulls, so an untouched dim keeps
+    // (min, max), a new dim takes the entering bounds, and a
+    // recomputed dim takes the recompute verbatim
+    foldedNS
+      .join(aggMM, Seq("__dk"), "left")
+      .join(entering, Seq("__dk"), "left")
+      .join(recomputeDims, Seq("__dk"), "left")
+      .join(recomputed, Seq("__dk"), "left")
+      .select((dims.map(col) :+ col(nCol) :+ col(sumCol) :+
+        when(coalesce(col("__rc"), lit(false)), col("__rmn"))
+          .otherwise(least(col(minCol), col("__emn"))).as(minCol) :+
+        when(coalesce(col("__rc"), lit(false)), col("__rmx"))
+          .otherwise(greatest(col(maxCol), col("__emx"))).as(maxCol)): _*)
+  }
 
   /** Expand a changelog into SCD-type-2 history: one VERSION row per
     * non-delete log entry, valid over [`validFrom`, `validTo`) —

@@ -29,8 +29,17 @@ object ExtShared {
     * gate against the same recompute, and a shared constant makes
     * that true by construction instead of by parallel editing.
     */
-  private[queries] def matviewOracleSql: String =
-    """WITH log AS (
+  private[queries] def matviewOracleSql: String = matviewOracle(minmax = false)
+
+  /** The same recompute widened with MIN/MAX — the oracle of
+    * `ext_pipeline_matview_minmax` ([[graft.ext.Changelog
+    * .mergeAggMinMax]]'s gate). One generator for both shapes keeps
+    * the three maintained-view rows mutual audits by construction.
+    */
+  private[queries] def matviewOracle(minmax: Boolean): String = {
+    val mm = if (minmax)
+      ", MIN(cents) AS min_cents, MAX(cents) AS max_cents" else ""
+    s"""WITH log AS (
          SELECT user_id + 1450 AS k, event_type AS seg,
                 CAST(round(value * 100) AS BIGINT) AS cents,
                 CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
@@ -48,8 +57,9 @@ object ExtShared {
          UNION ALL
          SELECT seg, cents FROM latest WHERE op <> 'D')
        SELECT seg AS c_mktsegment, COUNT(*) AS n,
-              CAST(SUM(cents) AS BIGINT) AS sum_cents
+              CAST(SUM(cents) AS BIGINT) AS sum_cents$mm
        FROM merged GROUP BY 1 ORDER BY 1"""
+  }
 
   /** Shared DuckDB CTE text: distinct (doc_id, token) with 32-bit hash. */
   private[queries] val tokCte =

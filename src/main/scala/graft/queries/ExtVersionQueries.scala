@@ -238,6 +238,54 @@ object ExtVersionQueries {
       // fold, and the recompute stay mutual audits by construction
       Some(ExtShared.matviewOracleSql)),
 
+    // NON-self-maintainable view maintenance
+    // ([[graft.ext.Changelog.mergeAggMinMax]]): the same per-segment
+    // view widened with MIN/MAX, folded through the same 4 changelog
+    // batches. count/sum telescope as above; min/max cannot survive a
+    // boundary retraction incrementally, so the fold recomputes
+    // EXACTLY the dims where a leaving pre-image value tied the
+    // current min or max (detected by a dim-bounded join against the
+    // maintained view; the recompute reads post-batch live rows of
+    // those dims only — the operator's honest, documented cost). The
+    // gate: folded view == full MIN/MAX recompute over the final
+    // merged table, on real data where the error-typed deletes DO
+    // retract segment boundaries. Folds checkpoint between batches
+    // (the maintenance plan references agg and store several times —
+    // see mergeAggMinMax's lineage contract; the streamed twin
+    // truncates naturally through the committed store).
+    Declared(
+      "ext_pipeline_matview_minmax",
+      (s, d) => {
+        val k = col("user_id") + 1450
+        val seed = Tables.customer(s, d).select(
+          col("c_custkey"), col("c_mktsegment"),
+          round(col("c_acctbal") * 100).cast("long").as("bal_cents"),
+          lit("U").as("op"), timestamp_millis(lit(0L)).as("ts"),
+          lit(-1L).as("event_id"))
+        val log = Tables.events(s, d).select(
+          k.as("c_custkey"), col("event_type").as("c_mktsegment"),
+          round(col("value") * 100).cast("long").as("bal_cents"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"),
+          col("ts"), col("event_id"))
+        var store = seed
+        var agg = Changelog.aggSnapshotMinMax(seed, "op", Seq("c_mktsegment"),
+          "bal_cents", nCol = "n", sumCol = "sum_cents",
+          minCol = "min_cents", maxCol = "max_cents")
+        (0 until 4).foreach { i =>
+          val b = log.where(pmod(col("event_id"), lit(4)) === i)
+          agg = Changelog.mergeAggMinMax(agg, store, b, "c_custkey", "op",
+            Seq("ts", "event_id"), Seq("c_mktsegment"), "bal_cents",
+            nCol = "n", sumCol = "sum_cents",
+            minCol = "min_cents", maxCol = "max_cents",
+            maxBroadcastKeys = 0L).localCheckpoint(true)
+          store = Changelog.mergeBatch(store, b, "c_custkey", "op",
+            Seq("ts", "event_id"), maxBroadcastKeys = 0L)
+            .localCheckpoint(true)
+        }
+        agg.orderBy("c_mktsegment")
+      },
+      Some(ExtShared.matviewOracle(minmax = true))),
+
     // Right-to-be-forgotten ([[BucketStore.purgeKeys]]): the merged
     // customer store — seeded snapshot + one applied changelog batch,
     // persisted in the bucketed version store — physically forgets

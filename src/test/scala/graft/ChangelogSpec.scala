@@ -235,6 +235,107 @@ class ChangelogSpec extends SparkSpec {
     assert(folded == recompute, s"fold $folded vs recompute $recompute")
   }
 
+  test("mergeAggMinMax: boundary retractions recompute, inserts fold self-maintainably, fold == recompute throughout") {
+    val seed = Seq(
+      (1L, "a", 10L, "U", -1L), (2L, "a", 50L, "U", -1L),
+      (3L, "a", 50L, "U", -1L),
+      (4L, "b", 5L, "U", -1L), (5L, "b", 7L, "U", -1L))
+      .toDF("k", "seg", "v", "op", "seq")
+    var store = seed
+    var agg = Changelog.aggSnapshotMinMax(seed, "op", Seq("seg"), "v")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("seg", "n", "sum", "min", "max")
+        .as[(String, Long, Long, Option[Long], Option[Long])]
+        .collect().toSeq.sortBy(_._1)
+    def fold(rows: Seq[(Long, String, Long, String, Long)])
+        : Seq[(String, Long, Long, Option[Long], Option[Long])] = {
+      val b = rows.toDF("k", "seg", "v", "op", "seq")
+      // checkpoint per fold: the maintenance plan references agg and
+      // store several times, so un-truncated lineage grows
+      // exponentially across folds (the deployed shape truncates
+      // naturally — StreamMatview reads each trigger's inputs back
+      // from the committed store)
+      agg = Changelog.mergeAggMinMax(agg, store, b, "k", "op", Seq("seq"),
+        Seq("seg"), "v", maxBroadcastKeys = 0L).localCheckpoint(true)
+      store = Changelog.mergeBatch(store, b, "k", "op", Seq("seq"),
+        maxBroadcastKeys = 0L).localCheckpoint(true)
+      val got = canon(agg)
+      assert(got == canon(Changelog.aggSnapshotMinMax(store, "op",
+        Seq("seg"), "v")),
+        s"fold diverged from the recompute after batch $rows")
+      got
+    }
+    // tied boundary: k=2 (one of two 50s in "a") deleted — recompute
+    // fires but the max survives through the tie
+    assert(fold(Seq((2L, "a", 0L, "D", 1L))) ==
+      Seq(("a", 2L, 60L, Some(10L), Some(50L)),
+          ("b", 2L, 12L, Some(5L), Some(7L))))
+    // genuine retraction: the last 50 goes, max falls to 10
+    assert(fold(Seq((3L, "a", 0L, "D", 2L))) ==
+      Seq(("a", 1L, 10L, Some(10L), Some(10L)),
+          ("b", 2L, 12L, Some(5L), Some(7L))))
+    // self-maintainable insert grows the max; a below-boundary update
+    // (k=5: 7 -> 6, neither old min nor max) stays incremental
+    assert(fold(Seq((6L, "a", 99L, "U", 3L), (5L, "b", 6L, "U", 3L))) ==
+      Seq(("a", 2L, 109L, Some(10L), Some(99L)),
+          ("b", 2L, 11L, Some(5L), Some(6L))))
+    // downward update OF the max row (k=6: 99 -> 1): leaving value
+    // ties the boundary, recompute retracts it and adopts the new min
+    assert(fold(Seq((6L, "a", 1L, "U", 4L))) ==
+      Seq(("a", 2L, 11L, Some(1L), Some(10L)),
+          ("b", 2L, 11L, Some(5L), Some(6L))))
+    // emptying a dim drops it entirely
+    assert(fold(Seq((4L, "b", 0L, "D", 5L), (5L, "b", 0L, "D", 5L))) ==
+      Seq(("a", 2L, 11L, Some(1L), Some(10L))))
+    // re-delivery (crash replay) is idempotent — same batch again
+    assert(fold(Seq((6L, "a", 1L, "U", 4L))) ==
+      Seq(("a", 2L, 11L, Some(1L), Some(10L))))
+  }
+
+  test("mergeAggMinMax: null dims group as values; all-null dims carry null min/max without faking boundaries") {
+    val seed = Seq(
+      (1L, Some("a"), Some(10L), "U", -1L),
+      (2L, None, Some(20L), "U", -1L),
+      (3L, None, Some(30L), "U", -1L),
+      (4L, Some("z"), None, "U", -1L), (5L, Some("z"), None, "U", -1L))
+      .toDF("k", "seg", "v", "op", "seq")
+    var store = seed
+    var agg = Changelog.aggSnapshotMinMax(seed, "op", Seq("seg"), "v")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("seg", "n", "sum", "min", "max")
+        .as[(Option[String], Long, Long, Option[Long], Option[Long])]
+        .collect().toSeq.sortBy(_._1)
+    def fold(rows: Seq[(Long, Option[String], Option[Long], String, Long)]) = {
+      val b = rows.toDF("k", "seg", "v", "op", "seq")
+      agg = Changelog.mergeAggMinMax(agg, store, b, "k", "op", Seq("seq"),
+        Seq("seg"), "v", maxBroadcastKeys = 0L).localCheckpoint(true)
+      store = Changelog.mergeBatch(store, b, "k", "op", Seq("seq"),
+        maxBroadcastKeys = 0L).localCheckpoint(true)
+      val got = canon(agg)
+      assert(got == canon(Changelog.aggSnapshotMinMax(store, "op",
+        Seq("seg"), "v")),
+        s"fold diverged from the recompute after batch $rows")
+      got
+    }
+    // delete the null dim's max (30): the null dim must recompute like
+    // any other group, not fall out of a non-null-safe join
+    assert(fold(Seq((3L, None, Some(0L), "D", 1L))) ==
+      Seq((None, 1L, 20L, Some(20L), Some(20L)),
+          (Some("a"), 1L, 10L, Some(10L), Some(10L)),
+          (Some("z"), 2L, 0L, None, None)))
+    // deleting one all-null row never fakes a boundary; min/max stay
+    // null, SUM0 keeps the sum at 0
+    assert(fold(Seq((4L, Some("z"), None, "D", 2L))) ==
+      Seq((None, 1L, 20L, Some(20L), Some(20L)),
+          (Some("a"), 1L, 10L, Some(10L), Some(10L)),
+          (Some("z"), 1L, 0L, None, None)))
+    // a first non-null value lands as both bounds of the all-null dim
+    assert(fold(Seq((6L, Some("z"), Some(42L), "U", 3L))) ==
+      Seq((None, 1L, 20L, Some(20L), Some(20L)),
+          (Some("a"), 1L, 10L, Some(10L), Some(10L)),
+          (Some("z"), 2L, 42L, Some(42L), Some(42L))))
+  }
+
   test("scd2: versions chain, deletes close without opening, last version is current") {
     import java.sql.Timestamp
     def t(s: Int) = new Timestamp(s * 1000L)
