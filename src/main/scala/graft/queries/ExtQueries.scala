@@ -25,5 +25,6 @@ object ExtQueries {
     ExtVersionQueries.all ++
     ExtGraphQueries.all ++
     ExtStreamQueries.all ++
+    ExtStoreQueries.all ++
     ExtSourceQueries.all
 }

@@ -141,11 +141,16 @@ object BucketStore {
 
   /** A committed version's bucket map: the fixed bucket count, the
     * store schema as of that version, bucket -> owning version
-    * ([[EmptyOwner]] marks a claimed-empty bucket), and the ingest
-    * batch watermark as of that version.
+    * ([[EmptyOwner]] marks a claimed-empty bucket), the ingest batch
+    * watermark as of that version, and an optional single-line NOTE a
+    * maintenance op attaches to make its two-store protocol
+    * crash-recoverable ([[graft.streaming.StreamMatview.purgeKeys]]'s
+    * intent record). Notes are NOT carried forward: each version
+    * writes its own manifest, so the next ordinary commit clears it.
     */
   final case class Manifest(nBuckets: Int, schema: StructType,
-                            owners: Map[Long, Long], batch: Long)
+                            owners: Map[Long, Long], batch: Long,
+                            note: Option[String] = None)
 
   def readManifest(spark: SparkSession, storeDir: String, id: Long): Manifest = {
     val (fs, _) = fsOf(spark, storeDir)
@@ -167,7 +172,8 @@ object BucketStore {
       // manifests written before the version/batch split carry no
       // batch key; there the two sequences were the same by
       // construction, so the version id IS the watermark
-      kv.get("batch").map(_.toLong).getOrElse(id))
+      kv.get("batch").map(_.toLong).getOrElse(id),
+      kv.get("note"))
   }
 
   private def writeManifest(spark: SparkSession, storeDir: String, id: Long,
@@ -176,7 +182,10 @@ object BucketStore {
     val p = new org.apache.hadoop.fs.Path(versionDir(storeDir, id), "manifest")
     val out = fs.create(p, true)
     try {
+      m.note.foreach(n => require(!n.contains('\n') && !n.contains('\r'),
+        s"manifest note must be a single line: $n"))
       val txt = s"buckets=${m.nBuckets}\nbatch=${m.batch}\n" +
+        m.note.map(n => s"note=$n\n").getOrElse("") +
         s"schema=${m.schema.json}\n" +
         m.owners.toSeq.sorted.map { case (b, v) => s"$b\t$v" }.mkString("\n")
       out.write(txt.getBytes("UTF-8"))
@@ -258,9 +267,10 @@ object BucketStore {
     */
   def writeVersion(df: DataFrame, storeDir: String, id: Long, key: Column,
                    nBuckets: Int, batch: Option[Long] = None,
-                   claim: Set[Long] = Set.empty): Unit =
+                   claim: Set[Long] = Set.empty,
+                   note: Option[String] = None): Unit =
     writeVersionImpl(df, storeDir, id, key, nBuckets, batch, claim,
-      migrating = false)
+      migrating = false, note = note)
 
   /** Shared body of [[writeVersion]] and [[rebucket]]'s migration
     * commit. `migrating = true` relaxes the fixed-bucket-count
@@ -271,7 +281,8 @@ object BucketStore {
     */
   private def writeVersionImpl(df: DataFrame, storeDir: String, id: Long,
                                key: Column, nBuckets: Int, batch: Option[Long],
-                               claim: Set[Long], migrating: Boolean): Unit = {
+                               claim: Set[Long], migrating: Boolean,
+                               note: Option[String] = None): Unit = {
     require(nBuckets >= 1, s"nBuckets=$nBuckets must be positive")
     val spark = df.sparkSession
     require(!df.columns.contains(BucketCol),
@@ -310,7 +321,7 @@ object BucketStore {
       (claim -- written).map(_ -> EmptyOwner) ++
       written.map(_ -> id)
     writeManifest(spark, storeDir, id,
-      Manifest(nBuckets, df.schema, owners, batch.getOrElse(id)))
+      Manifest(nBuckets, df.schema, owners, batch.getOrElse(id), note))
     fs.create(new org.apache.hadoop.fs.Path(vdir, "_SUCCESS"), true).close()
   }
 

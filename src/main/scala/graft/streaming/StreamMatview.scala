@@ -142,6 +142,49 @@ object StreamMatview {
     } finally batch.unpersist(false)
   }
 
+  /** Order-independent fingerprint of a purge's distinct key list —
+    * the token that lets a crash-interrupted [[purgeKeys]] recognize
+    * its own replay (and refuse a DIFFERENT purge until the first
+    * completes). One small job; null keys hash as an ordinary value.
+    */
+  private def keyFingerprint(keys: DataFrame, keyCol: String): String = {
+    val p = 1000000007L
+    val r = keys.select(col(keyCol).as("__pk")).distinct()
+      .agg(coalesce(sum(pmod(xxhash64(col("__pk")), lit(p))), lit(0L)),
+        count(lit(1)))
+      .head()
+    s"${r.getLong(1)}x${r.getLong(0)}"
+  }
+
+  private val PurgeNote = "^purge:snapv=(-?\\d+):fp=(.+)$".r
+
+  /** The view-side purge delta and the buckets it reads: the purged
+    * keys' LIVE (count, sum) contributions, NEGATED, computed from
+    * the pre-purge snapshot store's touched buckets only — one
+    * broadcast semi-join, never a store scan. Factored out so the
+    * plan-shape spec can pin the touched-buckets-only read.
+    */
+  private[graft] def purgeDelta(spark: SparkSession, storeDir: String,
+                                    keys: DataFrame, keyCol: String,
+                                    opCol: String, dims: Seq[String],
+                                    valCol: String, nCol: String,
+                                    sumCol: String)
+      : (DataFrame, Set[Long]) = {
+    val sv = BucketStore.latestVersion(spark, storeDir).getOrElse(
+      throw new IllegalStateException(s"no committed store version under $storeDir"))
+    val m = BucketStore.readManifest(spark, storeDir, sv)
+    val kdf = keys.select(col(keyCol).as("__pk")).distinct()
+    val touched = BucketStore.touchedBuckets(kdf, col("__pk"), m.nBuckets)
+    val cur = BucketStore.read(spark, storeDir, Some(touched)).get
+    val purged = cur.join(broadcast(kdf), col(keyCol) <=> col("__pk"),
+      "left_semi")
+    val neg = Changelog.aggSnapshot(purged, opCol, dims, valCol,
+        nCol = nCol, sumCol = sumCol)
+      .select((dims.map(col) :+ (col(nCol) * -1).as(nCol) :+
+        (col(sumCol) * -1).cast(cur.schema(valCol).dataType).as(sumCol)): _*)
+    (neg, touched)
+  }
+
   /** Erase keys from BOTH stores consistently — the
     * right-to-be-forgotten op for a store with a maintained view.
     * Calling [[BucketStore.purgeKeys]] directly on the snapshot store
@@ -149,36 +192,103 @@ object StreamMatview {
     * contributions stay in the aggregate forever (and remain
     * derivable from it — defeating the erasure), with no guard able
     * to notice because a purge deliberately does not advance the
-    * batch watermark. This purges the snapshot store, then REBUILDS
-    * the aggregate from the purged store as a maintenance version —
-    * a full recompute, which is exactly the cost an erasure should
-    * pay: it is rare, and unlike a delta it is idempotent across a
-    * crash anywhere between the two commits (re-running recomputes
-    * from the already-purged store and lands on the same view).
-    * Run with the stream stopped, like any maintenance.
+    * batch watermark.
+    *
+    * Cost shape: the view refresh is a DELTA — the purged keys' live
+    * contributions, read from the pre-purge snapshot's TOUCHED
+    * BUCKETS only ([[purgeDelta]]), subtracted from the maintained
+    * aggregate as a maintenance version. O(touched buckets), like the
+    * snapshot purge itself; the full-store recompute the previous
+    * design paid per erasure is gone (it survives as [[rebuildView]],
+    * the audit/disaster tool).
+    *
+    * Crash discipline, view-first with an INTENT NOTE: the delta must
+    * be computed from the PRE-purge store, so the view version
+    * commits first, carrying `purge:snapv=<the snapshot version the
+    * purge will create>:fp=<key-list fingerprint>` in its manifest.
+    * A re-run finds the note pointing PAST the snapshot's latest
+    * version and redoes ONLY the snapshot purge (same fingerprint
+    * required — a different key list fails loudly until the
+    * interrupted purge is re-run to completion); once the snapshot
+    * commit lands, the note is satisfied and later purges take the
+    * normal path. A crash below the view commit leaves nothing
+    * applied. Run with the stream stopped, like any maintenance.
     */
   def purgeKeys(spark: SparkSession, storeDir: String, aggDir: String,
                 keys: DataFrame, keyCol: String, opCol: String,
                 dims: Seq[String], valCol: String,
                 nCol: String = "n", sumCol: String = "sum",
                 maxBroadcastKeys: Long = 10000000L): BucketStore.PurgeStats = {
-    val stats = BucketStore.purgeKeys(spark, storeDir, keys, keyCol,
-      maxBroadcastKeys)
+    val av = BucketStore.latestVersion(spark, aggDir).getOrElse(
+      throw new IllegalStateException(s"no committed view version under $aggDir"))
+    val avm = BucketStore.readManifest(spark, aggDir, av)
+    val sv = BucketStore.latestVersion(spark, storeDir).getOrElse(
+      throw new IllegalStateException(s"no committed store version under $storeDir"))
+    val fp = keyFingerprint(keys, keyCol)
+    avm.note match {
+      case Some(PurgeNote(snapv, noteFp)) if snapv.toLong > sv =>
+        // crash window: the view already subtracted a purge whose
+        // snapshot commit never landed — redo ONLY the snapshot purge
+        require(noteFp == fp,
+          s"view $aggDir carries an incomplete purge of a DIFFERENT key " +
+            s"list (fp $noteFp vs $fp) — re-run that purge to completion " +
+            "before issuing a new one")
+        BucketStore.purgeKeys(spark, storeDir, keys, keyCol, maxBroadcastKeys)
+      case _ =>
+        purgeViewCommit(spark, storeDir, aggDir, keys, keyCol, opCol, dims,
+          valCol, nCol, sumCol)
+        BucketStore.purgeKeys(spark, storeDir, keys, keyCol, maxBroadcastKeys)
+    }
+  }
+
+  /** [[purgeKeys]]' view-side half — the delta subtract committed with
+    * the intent note, BEFORE the snapshot purge. private[graft] so the
+    * crash-window spec can stop exactly between the two commits.
+    */
+  private[graft] def purgeViewCommit(spark: SparkSession, storeDir: String,
+                                     aggDir: String, keys: DataFrame,
+                                     keyCol: String, opCol: String,
+                                     dims: Seq[String], valCol: String,
+                                     nCol: String, sumCol: String): Unit = {
+    val av = BucketStore.latestVersion(spark, aggDir).getOrElse(
+      throw new IllegalStateException(s"no committed view version under $aggDir"))
+    val avm = BucketStore.readManifest(spark, aggDir, av)
+    val sv = BucketStore.latestVersion(spark, storeDir).get
+    val fp = keyFingerprint(keys, keyCol)
+    val (neg, _) = purgeDelta(spark, storeDir, keys, keyCol, opCol,
+      dims, valCol, nCol, sumCol)
+    val agg = viewSnapshot(spark, aggDir)
+    // claim bucket 0 for the same stale-owner reason as applyBatch: a
+    // purge that erases every contributing row commits an EMPTY view,
+    // and an unclaimed commit would leave the pre-purge aggregate
+    // serving — the erased keys' contributions still derivable from it
+    BucketStore.writeVersion(
+      Changelog.mergeAggDelta(agg, neg, dims, nCol, sumCol),
+      aggDir, av + 1L, col(dims.head), nBuckets = 1,
+      batch = Some(avm.batch), claim = Set(0L),
+      note = Some(s"purge:snapv=${sv + 1}:fp=$fp"))
+  }
+
+  /** Rebuild the maintained aggregate from the CURRENT snapshot store
+    * — the full-recompute audit/disaster tool (the telescoping
+    * invariant says its output must equal [[viewSnapshot]] at any
+    * quiesced point; a mismatch means a maintenance protocol was
+    * violated out-of-band). Commits as a maintenance version under
+    * the view's current watermark. Run with the stream stopped.
+    */
+  def rebuildView(spark: SparkSession, storeDir: String, aggDir: String,
+                  opCol: String, dims: Seq[String], valCol: String,
+                  nCol: String = "n", sumCol: String = "sum"): Unit = {
     val store = BucketStore.read(spark, storeDir).getOrElse(
       throw new IllegalStateException(s"no committed store version under $storeDir"))
     val av = BucketStore.latestVersion(spark, aggDir).getOrElse(
       throw new IllegalStateException(s"no committed view version under $aggDir"))
     val ab = BucketStore.readManifest(spark, aggDir, av).batch
-    // claim bucket 0 for the same stale-owner reason as applyBatch: a
-    // purge that empties the store entirely recomputes an EMPTY view,
-    // and an unclaimed commit would leave the pre-purge aggregate
-    // serving — the erased keys' contributions still derivable from it
     BucketStore.writeVersion(
       Changelog.aggSnapshot(store, opCol, dims, valCol, nCol = nCol,
         sumCol = sumCol),
       aggDir, av + 1L, col(dims.head), nBuckets = 1, batch = Some(ab),
       claim = Set(0L))
-    stats
   }
 
   /** Start the continuous maintenance of `storeDir` + `aggDir` from a

@@ -358,6 +358,63 @@ class BucketStoreSpec extends SparkSpec {
       .where(col("k") === 42L).select("name").as[String].head() == "b1-42")
   }
 
+  test("matview purge: the view delta reads ONLY the touched buckets, and the crash window redoes only the snapshot") {
+    import graft.ext.Changelog
+    import graft.streaming.StreamMatview
+    val storeDir = Files.createTempDirectory("graft_bkmvd_store").toString
+    val aggDir = Files.createTempDirectory("graft_bkmvd_agg").toString
+    StreamMatview.seed(spark.range(0, 64).select(
+      col("id").as("k"), concat(lit("seg"), col("id") % 4).as("seg"),
+      (col("id") * 10).as("cents"), lit("U").as("op"), lit(-1L).as("seq")),
+      storeDir, aggDir, "k", "op", Seq("seg"), "cents")
+    def canonView = StreamMatview.viewSnapshot(spark, aggDir)
+      .select("seg", "n", "sum").as[(String, Long, Long)].collect().toSeq.sorted
+    def canonRecompute = Changelog.aggSnapshot(
+        StreamMerge.readStore(spark, storeDir).get, "op", Seq("seg"), "cents")
+      .select("seg", "n", "sum").as[(String, Long, Long)].collect().toSeq.sorted
+
+    // plan pin: the purge delta's parquet inputs are exactly the
+    // buckets the key list hashes into — never the whole store
+    val keys = Seq(5L, 9L).toDF("k")
+    val (neg, touched) = StreamMatview.purgeDelta(spark, storeDir, keys,
+      "k", "op", Seq("seg"), "cents", "n", "sum")
+    val bucketFiles = neg.inputFiles.toIndexedSeq.filter(_.contains("__b="))
+    assert(bucketFiles.nonEmpty)
+    val bucketsRead = bucketFiles
+      .map(f => "__b=(\\d+)".r.findFirstMatchIn(f).get.group(1).toLong).toSet
+    assert(bucketsRead == touched,
+      s"purge delta read buckets $bucketsRead, touched were $touched")
+    assert(touched.size < 16,
+      "fixture degenerate: the key list touched every bucket — the pin is vacuous")
+
+    // CRASH WINDOW: the view-side subtract commits (with the intent
+    // note), the snapshot purge never runs
+    StreamMatview.purgeViewCommit(spark, storeDir, aggDir, keys, "k", "op",
+      Seq("seg"), "cents", "n", "sum")
+    assert(StreamMerge.readStore(spark, storeDir).get
+      .where(col("k").isin(5L, 9L)).count() == 2,
+      "crash-window precondition: the snapshot still holds the keys")
+    // a DIFFERENT purge must refuse until the interrupted one completes
+    val e = intercept[IllegalArgumentException] {
+      StreamMatview.purgeKeys(spark, storeDir, aggDir, Seq(7L).toDF("k"),
+        "k", "op", Seq("seg"), "cents")
+    }
+    assert(e.getMessage.contains("DIFFERENT key list"))
+    // re-running the SAME purge redoes only the snapshot half: no
+    // double subtract, fold == recompute
+    StreamMatview.purgeKeys(spark, storeDir, aggDir, keys, "k", "op",
+      Seq("seg"), "cents")
+    assert(canonView == canonRecompute,
+      "view diverged after the crash-window replay (double subtract?)")
+    assert(canonView.map(_._3).sum ==
+      (0L until 64L).filterNot(Seq(5L, 9L).contains).map(_ * 10).sum)
+    // the protocol is now satisfied: a FRESH purge takes the normal
+    // delta path and stays consistent
+    StreamMatview.purgeKeys(spark, storeDir, aggDir, Seq(7L).toDF("k"),
+      "k", "op", Seq("seg"), "cents")
+    assert(canonView == canonRecompute)
+  }
+
   test("a batch that empties the view commits claimed-empty, never the stale pre-batch aggregate") {
     import graft.streaming.StreamMatview
     val storeDir = Files.createTempDirectory("graft_bkmve_store").toString
