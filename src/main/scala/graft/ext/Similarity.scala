@@ -280,6 +280,72 @@ object Similarity {
         .orderBy("centroid_id").select("center")
         .collect()
         .map(_.getSeq[Double](0)))
+
+    private val VersionName = "^v(\\d+)$".r
+
+    /** Committed index versions under `indexDir`, ascending — a
+      * version counts iff the parquet write's own `_SUCCESS` marker
+      * landed (a crashed publish is invisible).
+      */
+    def versions(spark: org.apache.spark.sql.SparkSession,
+                 indexDir: String): Seq[Long] = {
+      val root = new org.apache.hadoop.fs.Path(indexDir)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toIndexedSeq.filter(_.isDirectory)
+        .flatMap(s => s.getPath.getName match {
+          case VersionName(n) if fs.exists(
+            new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")) =>
+              Some(n.toLong)
+          case _ => None
+        }).sorted
+    }
+
+    /** The serving index: the highest committed version under
+      * `indexDir`. Readers bind here, so a retrain in flight (or a
+      * crashed one) is invisible until its version COMMITS — the old
+      * index keeps serving all through the retrain.
+      */
+    def loadLatest(spark: org.apache.spark.sql.SparkSession,
+                   indexDir: String): IvfIndex = {
+      val vs = versions(spark, indexDir)
+      require(vs.nonEmpty, s"no committed index version under $indexDir")
+      load(spark, s"$indexDir/v${vs.last}")
+    }
+
+    /** Periodic COMPACTION of a serving index — the recall-restoring
+      * half of the maintenance story whose ingest half is
+      * assignment-append against frozen centroids: retrain on the
+      * CURRENT corpus (standing + every appended delta) and publish
+      * the result as the next version under `indexDir`. The swap is
+      * the `_SUCCESS` commit of the new version dir: [[loadLatest]]
+      * readers see the old index until that instant and the new one
+      * after, with no partially-written state reachable in between
+      * (a crash mid-write leaves an uncommitted dir a re-run
+      * overwrites). Versions older than the newest `retain` are
+      * dropped AFTER the publish — size retain above the longest
+      * in-flight serving job, exactly the [[graft.streaming
+      * .BucketStore.vacuum]] contract.
+      *
+      * Cost: one k-means over the corpus (the same build the index
+      * was born from — retraining is scheduled compaction, never an
+      * ingest-path cost) plus a k×dim write.
+      */
+    def retrainPublish(corpus: DataFrame, idCol: String, vecCol: String,
+                       k: Int, iters: Int, indexDir: String,
+                       retain: Int = 2): IvfIndex = {
+      require(retain >= 1,
+        s"retain=$retain: must keep at least the version just published")
+      val spark = corpus.sparkSession
+      val next = versions(spark, indexDir).lastOption.map(_ + 1L).getOrElse(0L)
+      val idx = build(corpus, idCol, vecCol, k, iters)
+      save(spark, idx, s"$indexDir/v$next")
+      val root = new org.apache.hadoop.fs.Path(indexDir)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      versions(spark, indexDir).dropRight(retain).foreach(v =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, s"v$v"), true))
+      idx
+    }
   }
 
   /** `array(dot(v, c0), ..., dot(v, ck-1))` for unit-vector column `v`

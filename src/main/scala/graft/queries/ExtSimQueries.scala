@@ -343,6 +343,111 @@ object ExtSimQueries {
                       (SELECT COUNT(*) FROM bf WHERE nid % 10 = 0), TRUE
                ORDER BY query_id""")),
 
+    // IVF index COMPACTION ([[Similarity.IvfIndex.retrainPublish]]) —
+    // the recall-restoring half of the maintenance story whose ingest
+    // half ext_sim_ivf_append pins: the serving index was trained
+    // before the delta existed (standing = vec_id % 10 ≠ 0, published
+    // as v0 of a versioned index dir); the scheduled retrain runs over
+    // the CURRENT corpus and publishes v1, with the swap being the
+    // version commit itself — loadLatest readers see v0 all through
+    // the retrain (pinned: the pre-publish loadLatest still serves the
+    // stale centroids, query_id=-3) and v1 after (pinned: post-publish
+    // loadLatest equals the retrained index and exactly {v0, v1}
+    // remain, query_id=-4). The recall pin is the RECOVERY: at the
+    // serving config (nprobe=4 of 16, k=10 over the 20-query panel)
+    // the delta slice — which the append row only holds to a 0.25
+    // floor under the stale centroids — must come back to the SAME
+    // 0.40 aggregate floor as the overall row once the centroids have
+    // seen it (query_id=-2 vs -1); appended vectors stop being
+    // second-class the moment compaction lands.
+    Declared(
+      "ext_sim_ivf_retrain",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.where(col("vec_id") < 40)
+        val standing = emb.where(col("vec_id") % 10 =!= 0)
+        // the index LIFECYCLE runs once per (session, corpus): publish
+        // the stale index, check pre-swap serving, retrain + publish
+        // (a fresh dir per Bench replay would leak; the serving path
+        // below re-runs per replay against the published dir)
+        val (indexDir, staleServing, swapOk) = PlanCache.artifact(
+          "ivfRetrain/dir/vec_id/embedding/16/3", emb) { _ =>
+          val p = java.nio.file.Files
+            .createTempDirectory("graft_ivf_retrain_").toString
+          val stale = Similarity.IvfIndex.build(standing, "vec_id",
+            "embedding", k = 16, iters = 3)
+          Similarity.IvfIndex.save(s, stale, s"$p/v0")
+          // retrain complete but UNPUBLISHED: readers must still bind
+          // to the stale version
+          val fresh = Similarity.IvfIndex.build(emb, "vec_id", "embedding",
+            k = 16, iters = 3)
+          val pre = Similarity.IvfIndex.loadLatest(s, p)
+          val staleOk =
+            Similarity.IvfIndex.versions(s, p) == Seq(0L) &&
+            pre.centers.map(_.toSeq).toSeq ==
+              stale.centers.map(_.toSeq).toSeq
+          val published = Similarity.IvfIndex.retrainPublish(emb, "vec_id",
+            "embedding", k = 16, iters = 3, indexDir = p)
+          val sOk =
+            Similarity.IvfIndex.versions(s, p) == Seq(0L, 1L) &&
+            published.centers.map(_.toSeq).toSeq ==
+              fresh.centers.map(_.toSeq).toSeq &&
+            Similarity.IvfIndex.loadLatest(s, p).centers.map(_.toSeq).toSeq ==
+              fresh.centers.map(_.toSeq).toSeq
+          (p, staleOk, sOk)
+        }
+        val serving = Similarity.IvfIndex.loadLatest(s, indexDir)
+        val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+            k = 10, serving.centers, nprobe = 4)
+          .select("query_id", "neighbor_id")
+        val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
+            k = 10)
+          .select("query_id", "neighbor_id")
+        val perQ = bf
+          .withColumn("__d", (col("neighbor_id") % 10 === 0).cast("long"))
+          .join(ivf.withColumn("__hit", lit(1L)),
+            Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id")
+          .agg(count(lit(1)).as("n_bf"),
+            sum(coalesce(col("__hit"), lit(0L))).as("h"),
+            sum(col("__d")).as("n_bf_delta"),
+            sum(col("__d") * coalesce(col("__hit"), lit(0L))).as("h_delta"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4)))
+        val (tBf, tH) = (perQ.map(_._2).sum, perQ.map(_._3).sum)
+        val (tBfD, tHD) = (perQ.map(_._4).sum, perQ.map(_._5).sum)
+        import s.implicits._
+        (perQ.map { case (q, nbf, h, _, _) => (q, nbf, h >= 1) }.toSeq :+
+          ((-1L, tBf, tH * 5 >= tBf * 2)) :+
+          ((-2L, tBfD, tHD * 5 >= tBfD * 2)) :+
+          ((-3L, 1L, staleServing)) :+
+          ((-4L, 1L, swapOk)))
+          .toDF("query_id", "n_bf", "recall_ok")
+          .orderBy("query_id")
+      },
+      Some("""WITH bf AS (
+                 SELECT qid, nid FROM (
+                   SELECT q.vec_id AS qid, c.vec_id AS nid,
+                          ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                            list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                            c.vec_id) AS rk
+                   FROM embeddings q JOIN embeddings c
+                     ON q.vec_id < 40 AND q.vec_id <> c.vec_id)
+                 WHERE rk <= 10)
+               SELECT CAST(qid AS BIGINT) AS query_id, COUNT(*) AS n_bf,
+                      TRUE AS recall_ok
+               FROM bf GROUP BY qid
+               UNION ALL
+               SELECT CAST(-1 AS BIGINT), (SELECT COUNT(*) FROM bf), TRUE
+               UNION ALL
+               SELECT CAST(-2 AS BIGINT),
+                      (SELECT COUNT(*) FROM bf WHERE nid % 10 = 0), TRUE
+               UNION ALL
+               SELECT CAST(-3 AS BIGINT), 1, TRUE
+               UNION ALL
+               SELECT CAST(-4 AS BIGINT), 1, TRUE
+               ORDER BY query_id""")),
+
     // Quantized (int8-range) ANN ([[Similarity.quantizedTopK]]): the
     // 100 TB storage/bandwidth path — clamp(floor(x·127+0.5)) per dim
     // (floor, not round: half-even vs half-away differs across
