@@ -775,6 +775,64 @@ object ExtRelQueries {
                        WHERE o2.o_custkey = o.o_custkey)
                   > 3 * (SELECT SUM(o2.o_totalprice) FROM orders o2
                          WHERE o2.o_custkey = o.o_custkey)
-              GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+              GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // Correlated IN subquery with a NON-EQUI correlation: customers
+    // whose nation has a supplier RICHER than themselves. The IN
+    // membership contributes the equi key (nationkey); the
+    // correlated predicate is an inequality over the outer row —
+    // Catalyst must decorrelate BOTH into one hash LEFT SEMI join
+    // (equi key hashed, inequality as residual join condition), never
+    // a per-outer-row probe. PlanShapeSpec pins the shape.
+    Declared(
+      "ext_rel_in_subq",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("graft_corr_customer")
+        Tables.supplier(s, d).createOrReplaceTempView("graft_corr_supplier")
+        s.sql("""SELECT c_mktsegment, COUNT(*) AS n,
+                        CAST(SUM(c_custkey) AS BIGINT) AS id_checksum
+                 FROM graft_corr_customer c
+                 WHERE c.c_nationkey IN
+                       (SELECT s.s_nationkey FROM graft_corr_supplier s
+                        WHERE s.s_acctbal > c.c_acctbal)
+                 GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n,
+                     CAST(SUM(c_custkey) AS BIGINT) AS id_checksum
+              FROM customer c
+              WHERE c.c_nationkey IN
+                    (SELECT s.s_nationkey FROM supplier s
+                     WHERE s.s_acctbal > c.c_acctbal)
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // Correlated EXISTS under a DISJUNCTION — the decorrelation shape
+    // Catalyst handles worst: the subquery cannot gate the outer scan
+    // as a semi join (the OR keeps non-matching rows alive), so the
+    // right plan is an EXISTENCE join — a hash join emitting a
+    // boolean "exists" column the disjunctive filter then consumes,
+    // one pass, never a nested loop. PlanShapeSpec pins ExistenceJoin
+    // and the no-BNLJ rule.
+    Declared(
+      "ext_rel_exists_or",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("graft_corr_customer")
+        Tables.orders(s, d).createOrReplaceTempView("graft_corr_orders")
+        s.sql("""SELECT c_mktsegment, COUNT(*) AS n,
+                        CAST(SUM(c_custkey) AS BIGINT) AS id_checksum
+                 FROM graft_corr_customer c
+                 WHERE c.c_acctbal < 0
+                    OR EXISTS (SELECT 1 FROM graft_corr_orders o
+                               WHERE o.o_custkey = c.c_custkey
+                                 AND o.o_totalprice > 300000)
+                 GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n,
+                     CAST(SUM(c_custkey) AS BIGINT) AS id_checksum
+              FROM customer c
+              WHERE c.c_acctbal < 0
+                 OR EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_custkey = c.c_custkey
+                              AND o.o_totalprice > 300000)
+              GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
   )
 }

@@ -584,8 +584,21 @@ class PlanShapeSpec extends SparkSpec {
       s"correlated scalar aggregates must decorrelate to grouped aggregates:\n$sc")
     assert(count(sc, "BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin") >= 2,
       s"decorrelated scalars must join back, once per subquery:\n$sc")
+    // correlated IN with a NON-EQUI correlated predicate: one hash
+    // LEFT SEMI join — the nationkey membership hashes, the
+    // acctbal inequality rides as residual join condition
+    val in = planOf("ext_rel_in_subq")
+    assert(count(in, "Join [^\n]*LeftSemi") >= 1,
+      s"correlated IN must decorrelate to a LEFT SEMI hash join:\n$in")
+    // EXISTS under a disjunction: the OR keeps non-matching rows
+    // alive, so the right shape is an EXISTENCE join feeding the
+    // disjunctive filter — still a hash join, one pass
+    val or = planOf("ext_rel_exists_or")
+    assert(count(or, "ExistenceJoin") >= 1,
+      s"EXISTS under OR must plan as an existence hash join:\n$or")
     Seq("ext_rel_exists" -> ex, "ext_rel_not_exists" -> nx,
-        "ext_rel_scalar_subq" -> sc).foreach { case (n, p) =>
+        "ext_rel_scalar_subq" -> sc, "ext_rel_in_subq" -> in,
+        "ext_rel_exists_or" -> or).foreach { case (n, p) =>
       assert(count(p, "BroadcastNestedLoopJoin|CartesianProduct") == 0,
         s"$n: correlated subquery fell back to a nested-loop plan:\n$p")
     }
