@@ -281,25 +281,13 @@ object Similarity {
         .collect()
         .map(_.getSeq[Double](0)))
 
-    private val VersionName = "^v(\\d+)$".r
-
     /** Committed index versions under `indexDir`, ascending — a
       * version counts iff the parquet write's own `_SUCCESS` marker
       * landed (a crashed publish is invisible).
       */
     def versions(spark: org.apache.spark.sql.SparkSession,
-                 indexDir: String): Seq[Long] = {
-      val root = new org.apache.hadoop.fs.Path(indexDir)
-      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-      if (!fs.exists(root)) Seq.empty
-      else fs.listStatus(root).toIndexedSeq.filter(_.isDirectory)
-        .flatMap(s => s.getPath.getName match {
-          case VersionName(n) if fs.exists(
-            new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")) =>
-              Some(n.toLong)
-          case _ => None
-        }).sorted
-    }
+                 indexDir: String): Seq[Long] =
+      IndexVersions.versions(spark, indexDir)
 
     /** The serving index: the highest committed version under
       * `indexDir`. Readers bind here, so a retrain in flight (or a
@@ -307,11 +295,8 @@ object Similarity {
       * index keeps serving all through the retrain.
       */
     def loadLatest(spark: org.apache.spark.sql.SparkSession,
-                   indexDir: String): IvfIndex = {
-      val vs = versions(spark, indexDir)
-      require(vs.nonEmpty, s"no committed index version under $indexDir")
-      load(spark, s"$indexDir/v${vs.last}")
-    }
+                   indexDir: String): IvfIndex =
+      load(spark, IndexVersions.latestPath(spark, indexDir))
 
     /** Periodic COMPACTION of a serving index — the recall-restoring
       * half of the maintenance story whose ingest half is
@@ -334,17 +319,53 @@ object Similarity {
     def retrainPublish(corpus: DataFrame, idCol: String, vecCol: String,
                        k: Int, iters: Int, indexDir: String,
                        retain: Int = 2): IvfIndex = {
+      val spark = corpus.sparkSession
+      val idx = build(corpus, idCol, vecCol, k, iters)
+      IndexVersions.publish(spark, indexDir, retain)(p => save(spark, idx, p))
+      idx
+    }
+  }
+
+  /** Version-dir bookkeeping shared by [[IvfIndex]]'s and
+    * [[PqIndex]]'s publish/serve lifecycle: `v<N>` dirs committed by
+    * the parquet write's own `_SUCCESS`, readers bound to the highest
+    * committed N, versions older than `retain` vacuumed after a
+    * publish.
+    */
+  private object IndexVersions {
+    private val VersionName = "^v(\\d+)$".r
+
+    def versions(spark: org.apache.spark.sql.SparkSession,
+                 indexDir: String): Seq[Long] = {
+      val root = new org.apache.hadoop.fs.Path(indexDir)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toIndexedSeq.filter(_.isDirectory)
+        .flatMap(s => s.getPath.getName match {
+          case VersionName(n) if fs.exists(
+            new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")) =>
+              Some(n.toLong)
+          case _ => None
+        }).sorted
+    }
+
+    def publish(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                retain: Int)(write: String => Unit): Unit = {
       require(retain >= 1,
         s"retain=$retain: must keep at least the version just published")
-      val spark = corpus.sparkSession
       val next = versions(spark, indexDir).lastOption.map(_ + 1L).getOrElse(0L)
-      val idx = build(corpus, idCol, vecCol, k, iters)
-      save(spark, idx, s"$indexDir/v$next")
+      write(s"$indexDir/v$next")
       val root = new org.apache.hadoop.fs.Path(indexDir)
       val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
       versions(spark, indexDir).dropRight(retain).foreach(v =>
         fs.delete(new org.apache.hadoop.fs.Path(root, s"v$v"), true))
-      idx
+    }
+
+    def latestPath(spark: org.apache.spark.sql.SparkSession,
+                   indexDir: String): String = {
+      val vs = versions(spark, indexDir)
+      require(vs.nonEmpty, s"no committed index version under $indexDir")
+      s"$indexDir/v${vs.last}"
     }
   }
 
@@ -565,6 +586,39 @@ object Similarity {
         .collect()
       PqIndex(rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
         .map(_._2.map(_.getSeq[Double](1))).toArray)
+    }
+
+    /** Committed codebook versions — same [[IndexVersions]] lifecycle
+      * as [[IvfIndex.versions]].
+      */
+    def versions(spark: org.apache.spark.sql.SparkSession,
+                 indexDir: String): Seq[Long] =
+      IndexVersions.versions(spark, indexDir)
+
+    /** The serving codebooks: the highest committed version — the old
+      * books keep serving all through a retrain.
+      */
+    def loadLatest(spark: org.apache.spark.sql.SparkSession,
+                   indexDir: String): PqIndex =
+      load(spark, IndexVersions.latestPath(spark, indexDir))
+
+    /** Periodic codebook COMPACTION — [[IvfIndex.retrainPublish]]'s PQ
+      * sibling, with one extra cost the swap must price in: new books
+      * invalidate every stored CODE, so the publish schedules a full
+      * corpus re-encode (m nearest-centroid lookups per vector — at
+      * 100 TB the dominating half of the compaction, which is exactly
+      * why ingest absorbs deltas against FROZEN books and retrain is
+      * scheduled, never per-arrival). Serving jobs re-encode from the
+      * published books' plan literals, so the swap is still just the
+      * version commit.
+      */
+    def retrainPublish(corpus: DataFrame, idCol: String, vecCol: String,
+                       m: Int, ks: Int, dim: Int, iters: Int,
+                       indexDir: String, retain: Int = 2): PqIndex = {
+      val spark = corpus.sparkSession
+      val idx = build(corpus, idCol, vecCol, m, ks, dim, iters)
+      IndexVersions.publish(spark, indexDir, retain)(p => save(spark, idx, p))
+      idx
     }
   }
 

@@ -667,6 +667,85 @@ object ExtSimQueries {
                      CAST(SUM(CASE WHEN cos >= kc + 1e-9 THEN neighbor_id ELSE 0 END) AS BIGINT) AS id_checksum,
                      TRUE AS recall_ok, TRUE AS delta_recall_ok
               FROM top JOIN kth USING (query_id)
+              GROUP BY query_id ORDER BY query_id""")),
+
+    // PQ codebook COMPACTION ([[Similarity.PqIndex.retrainPublish]]) —
+    // ext_sim_ivf_retrain's PQ sibling, and the costlier one: new
+    // books invalidate every stored code, so the publish prices in a
+    // full corpus re-encode (m lookups per vector — the reason ingest
+    // encodes deltas against FROZEN books and retrain is scheduled
+    // compaction). Same versioned swap lifecycle: the stale books
+    // (trained pre-delta, published v0) provably serve until the v1
+    // commit (stale_serving), exactly {v0, v1} remain with the served
+    // books equal to the retrained ones (swap_ok), and the ADC probe
+    // contract holds at the pq_topk config against the retrained
+    // books: overall AND delta-member recall at the 0.80 floor.
+    Declared(
+      "ext_sim_pq_retrain",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val standing = emb.where(col("vec_id") % 10 =!= 0)
+        def booksOf(i: Similarity.PqIndex) =
+          i.books.map(_.map(_.toSeq).toSeq).toSeq
+        val (indexDir, staleServing, swapOk) = PlanCache.artifact(
+          "pqRetrain/dir/vec_id/embedding/16/64/64/3", emb) { _ =>
+          val p = java.nio.file.Files
+            .createTempDirectory("graft_pq_retrain_").toString
+          val stale = Similarity.PqIndex.build(standing, "vec_id",
+            "embedding", m = 16, ks = 64, dim = 64, iters = 3)
+          Similarity.PqIndex.save(s, stale, s"$p/v0")
+          val fresh = Similarity.PqIndex.build(emb, "vec_id", "embedding",
+            m = 16, ks = 64, dim = 64, iters = 3)
+          val staleOk =
+            Similarity.PqIndex.versions(s, p) == Seq(0L) &&
+            booksOf(Similarity.PqIndex.loadLatest(s, p)) == booksOf(stale)
+          val published = Similarity.PqIndex.retrainPublish(emb, "vec_id",
+            "embedding", m = 16, ks = 64, dim = 64, iters = 3, indexDir = p)
+          val sOk =
+            Similarity.PqIndex.versions(s, p) == Seq(0L, 1L) &&
+            booksOf(published) == booksOf(fresh) &&
+            booksOf(Similarity.PqIndex.loadLatest(s, p)) == booksOf(fresh)
+          (p, staleOk, sOk)
+        }
+        val serving = Similarity.PqIndex.loadLatest(s, indexDir)
+        val bf = PlanCache.cached("pqBfTop10/vec20", emb)(e =>
+          Similarity.bruteForceTopK(e, e.where(col("vec_id") < 20),
+            "vec_id", "embedding", k = 10))
+        val pq = Similarity.pqTopK(emb, emb.where(col("vec_id") < 20),
+          "vec_id", "embedding", k = 10, serving, rerank = 8)
+        val flags = bf.select(col("query_id"), col("neighbor_id"),
+            (col("neighbor_id") % 10 === 0).cast("long").as("__d"))
+          .join(pq.select("query_id", "neighbor_id")
+            .withColumn("__hit", lit(1L)),
+            Seq("query_id", "neighbor_id"), "left")
+          .agg(count(lit(1)).as("__n"),
+            sum(coalesce(col("__hit"), lit(0L))).as("__h"),
+            sum(col("__d")).as("__nd"),
+            sum(col("__d") * coalesce(col("__hit"), lit(0L))).as("__hd"))
+          .select((col("__h") * 5 >= col("__n") * 4).as("recall_ok"),
+            (col("__hd") * 5 >= col("__nd") * 4).as("delta_recall_ok"),
+            lit(staleServing).as("stale_serving"),
+            lit(swapOk).as("swap_ok"))
+        topkChecksum(bf).crossJoin(flags).orderBy("query_id")
+      },
+      Some("""WITH sc AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos
+                FROM embeddings q JOIN embeddings c
+                  ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+              rk AS (
+                SELECT query_id, neighbor_id, cos,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cos DESC, neighbor_id) AS rnk
+                FROM sc),
+              top AS (SELECT * FROM rk WHERE rnk <= 10),
+              kth AS (SELECT query_id, MIN(cos) AS kc FROM top GROUP BY query_id)
+              SELECT query_id, COUNT(*) AS n_rows,
+                     CAST(SUM(CASE WHEN cos >= kc + 1e-9 THEN 1 ELSE 0 END) AS BIGINT) AS n_clear,
+                     CAST(SUM(CASE WHEN cos >= kc + 1e-9 THEN neighbor_id ELSE 0 END) AS BIGINT) AS id_checksum,
+                     TRUE AS recall_ok, TRUE AS delta_recall_ok,
+                     TRUE AS stale_serving, TRUE AS swap_ok
+              FROM top JOIN kth USING (query_id)
               GROUP BY query_id ORDER BY query_id"""))
   )
 }
