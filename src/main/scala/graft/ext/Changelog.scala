@@ -356,6 +356,15 @@ object Changelog {
     * store as [[graft.streaming.StreamMatview]] does per trigger) —
     * un-truncated nesting grows the logical plan exponentially in the
     * number of folds.
+    *
+    * `recomputeStore` splits the two store roles for bucketed layouts:
+    * the pre-image probe only ever matches the batch's keys, so a
+    * caller on a [[graft.streaming.BucketStore]] passes the
+    * TOUCHED-BUCKET read as `store` — but an affected dim's OTHER rows
+    * live in every bucket, so the boundary recompute must read the
+    * FULL store (pass it here; defaults to `store` for unbucketed
+    * callers). Under AQE a batch that retracts no boundary broadcasts
+    * an EMPTY dim list and the recompute scan collapses away.
     */
   def mergeAggMinMax(agg: DataFrame, store: DataFrame, batch: DataFrame,
                      keyCol: String, opCol: String, seqCols: Seq[String],
@@ -363,7 +372,8 @@ object Changelog {
                      deleteOp: String = "D",
                      nCol: String = "n", sumCol: String = "sum",
                      minCol: String = "min", maxCol: String = "max",
-                     maxBroadcastKeys: Long = 10000000L): DataFrame = {
+                     maxBroadcastKeys: Long = 10000000L,
+                     recomputeStore: Option[DataFrame] = None): DataFrame = {
     Seq("__lmn", "__lmx", "__emn", "__emx", "__rc", "__rmn", "__rmx", "__dk")
       .foreach(t => require(!dims.contains(t),
         s"column name $t is reserved by mergeAggMinMax's temporaries"))
@@ -403,9 +413,13 @@ object Changelog {
       .where(col("__lmn") <= col(minCol) || col("__lmx") >= col(maxCol))
       .select(col("__dk"), lit(true).as("__rc"))
     // recompute source: post-batch live rows of the affected dims only
-    // — untouched keys straight from the store (anti-join on the
-    // broadcast key list), touched keys from the winners
-    val untouchedLive = live(store.join(bk,
+    // — untouched keys straight from the (full) store (anti-join on
+    // the broadcast key list), touched keys from the winners
+    val rstore = recomputeStore.getOrElse(store)
+    ((keyCol +: opCol +: dims) :+ valCol).foreach(c =>
+      require(rstore.columns.contains(c),
+        s"recomputeStore missing column $c"))
+    val untouchedLive = live(rstore.join(bk,
       col(keyCol) <=> col("__bk"), "left_anti"))
     val recomputed = untouchedLive.unionByName(live(winner))
       .join(recomputeDims.select("__dk").hint("broadcast"),

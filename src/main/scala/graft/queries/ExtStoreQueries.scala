@@ -408,6 +408,57 @@ object ExtStoreQueries {
       },
       matviewOracle),
 
+    // Continuous MIN/MAX view maintenance
+    // ([[StreamMatview.applyBatchMinMax]]) — the streaming twin of
+    // ext_pipeline_matview_minmax, completing the non-self-
+    // maintainable story: the same 8-trigger changelog replay
+    // maintains the per-segment (count, sum, MIN, MAX) view
+    // aggregate-first exactly-once. Per trigger the pre-images come
+    // from the touched buckets; a trigger that retracts a dim's
+    // boundary (the error-typed deletes do) recomputes EXACTLY that
+    // dim from the full store read, and one that doesn't broadcasts
+    // an empty dim list (AQE collapses the recompute scan). Settled
+    // view == the MIN/MAX-widened recompute oracle shared with the
+    // batch twin — the three rows stay mutual audits.
+    Declared(
+      "ext_stream_matview_minmax",
+      (s, d) => {
+        val k = col("user_id") + 1450
+        val ev = Tables.events(s, d)
+        val srcDir = PlanCache.artifact("streamMatview/src/8/1450", ev) { e =>
+          val p = java.nio.file.Files
+            .createTempDirectory("graft_smv_src").toString
+          e.select(
+              k.as("c_custkey"),
+              col("event_type").as("c_mktsegment"),
+              round(col("value") * 100).cast("long").as("bal_cents"),
+              when(col("event_type") === "error", "D").otherwise("U").as("op"),
+              col("ts"), col("event_id"))
+            .repartitionByRange(8, col("ts"))
+            .write.mode("overwrite").parquet(p)
+          p
+        }
+        val Seq(storeDir, aggDir, ckpt) = freshDirs("smvmm", 3)
+        StreamMatview.seedMinMax(Tables.customer(s, d).select(
+            col("c_custkey"), col("c_mktsegment"),
+            round(col("c_acctbal") * 100).cast("long").as("bal_cents"),
+            lit("U").as("op"), timestamp_millis(lit(0L)).as("ts"),
+            lit(-1L).as("event_id")),
+          storeDir, aggDir, "c_custkey", "op", Seq("c_mktsegment"),
+          "bal_cents", nCol = "n", sumCol = "sum_cents",
+          minCol = "min_cents", maxCol = "max_cents")
+        val schema = s.read.parquet(srcDir).schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        val q = StreamMatview.startMinMax(stream, storeDir, aggDir, ckpt,
+          "c_custkey", "op", Seq("ts", "event_id"), Seq("c_mktsegment"),
+          "bal_cents", nCol = "n", sumCol = "sum_cents",
+          minCol = "min_cents", maxCol = "max_cents")
+        q.awaitTermination()
+        StreamMatview.viewSnapshot(s, aggDir).orderBy("c_mktsegment")
+      },
+      Some(ExtShared.matviewOracle(minmax = true))),
+
     // Erasure INSIDE the streaming lifecycle ([[BucketStore.purgeKeys]]
     // between replays of one checkpointed stream) — the operational
     // sequence a real right-to-be-forgotten request runs: ingest half

@@ -185,6 +185,149 @@ object StreamMatview {
     (neg, touched)
   }
 
+  /** [[seed]]'s MIN/MAX twin: the aggregate store holds `(dims..., n,
+    * sum, min, max)` ([[Changelog.aggSnapshotMinMax]]) for a view
+    * maintained by [[applyBatchMinMax]].
+    */
+  def seedMinMax(snapshot: DataFrame, storeDir: String, aggDir: String,
+                 keyCol: String, opCol: String, dims: Seq[String],
+                 valCol: String,
+                 nCol: String = "n", sumCol: String = "sum",
+                 minCol: String = "min", maxCol: String = "max",
+                 nBuckets: Int = BucketStore.DefaultBuckets): Unit = {
+    val spark = snapshot.sparkSession
+    StreamMerge.seed(snapshot, storeDir, keyCol, nBuckets)
+    val existing = BucketStore.versions(spark, aggDir).filter(_ != -1L)
+    require(existing.isEmpty,
+      s"seedMinMax: view store $aggDir already has committed ingest versions " +
+        s"(${existing.mkString(", ")}) — the seed would be invisible; " +
+        "delete the store first to reset it")
+    BucketStore.writeVersion(
+      Changelog.aggSnapshotMinMax(snapshot, opCol, dims, valCol, nCol = nCol,
+        sumCol = sumCol, minCol = minCol, maxCol = maxCol),
+      aggDir, -1L, col(dims.head), nBuckets = 1)
+  }
+
+  /** [[applyBatch]]'s MIN/MAX twin — same two-store aggregate-first
+    * exactly-once protocol, with [[Changelog.mergeAggMinMax]] as the
+    * view refresh. The non-self-maintainable cost surfaces exactly
+    * where the operator's contract says: the batch's pre-images come
+    * from the TOUCHED buckets, but a batch that retracts a dim's
+    * boundary recomputes that dim from the FULL store read
+    * (`recomputeStore` — an affected dim's other rows live in every
+    * bucket); a batch that retracts nothing broadcasts an empty dim
+    * list and AQE collapses the recompute scan. Re-delivered batches
+    * stay idempotent (count/sum delta zero; min/max recompute lands on
+    * identical values — ChangelogSpec pins both).
+    */
+  def applyBatchMinMax(batch: DataFrame, id: Long, storeDir: String,
+                       aggDir: String, keyCol: String, opCol: String,
+                       seqCols: Seq[String], dims: Seq[String],
+                       valCol: String,
+                       nCol: String = "n", sumCol: String = "sum",
+                       minCol: String = "min", maxCol: String = "max",
+                       retain: Int = 2,
+                       nBuckets: Int = BucketStore.DefaultBuckets,
+                       maxBroadcastKeys: Long = 10000000L): Unit = {
+    require(retain >= 1,
+      s"retain=$retain: the vacuum must keep at least the version just written")
+    val spark = batch.sparkSession
+    var probed: Option[Set[Long]] = None
+    batch.persist()
+    try {
+      if (!StreamMerge.replaySkip(spark, aggDir, id)) {
+        require(!BucketStore.latestBatch(spark, storeDir).exists(_ >= id),
+          s"snapshot store $storeDir already absorbed batch $id but the view " +
+            s"$aggDir has not — the stores were driven out of order; drive " +
+            "both through StreamMatview only")
+        val sv = BucketStore.latestVersion(spark, storeDir)
+        val nb = sv
+          .map(v => BucketStore.readManifest(spark, storeDir, v).nBuckets)
+          .getOrElse(nBuckets)
+        val touched = BucketStore.touchedBuckets(batch, col(keyCol), nb)
+        probed = Some(touched)
+        val storeTouched = BucketStore.read(spark, storeDir, Some(touched))
+          .getOrElse(batch.limit(0))
+        val storeFull = BucketStore.read(spark, storeDir)
+          .getOrElse(batch.limit(0))
+        val agg = BucketStore.read(spark, aggDir).getOrElse {
+          require(sv.isEmpty,
+            s"snapshot store $storeDir has committed versions but the view " +
+              s"$aggDir has none — an empty-view fallback would permanently " +
+              "drop the snapshot seed's contributions; seed both stores " +
+              "through StreamMatview.seedMinMax")
+          Changelog.aggSnapshotMinMax(batch.limit(0), opCol, dims, valCol,
+            nCol = nCol, sumCol = sumCol, minCol = minCol, maxCol = maxCol)
+        }
+        val av = BucketStore.latestVersion(spark, aggDir)
+        BucketStore.writeVersion(
+          Changelog.mergeAggMinMax(agg, storeTouched, batch, keyCol, opCol,
+            seqCols, dims, valCol, nCol = nCol, sumCol = sumCol,
+            minCol = minCol, maxCol = maxCol,
+            maxBroadcastKeys = maxBroadcastKeys,
+            recomputeStore = Some(storeFull)),
+          aggDir, av.map(_ + 1L).getOrElse(id), col(dims.head), nBuckets = 1,
+          batch = Some(id), claim = Set(0L))
+        BucketStore.vacuum(spark, aggDir, retain)
+      }
+      StreamMerge.applyBatch(batch, id, storeDir, keyCol, opCol, seqCols,
+        retain, nBuckets, touchedHint = probed, managePersist = false)
+    } finally batch.unpersist(false)
+  }
+
+  /** [[start]]'s MIN/MAX twin. */
+  def startMinMax(changelog: DataFrame, storeDir: String, aggDir: String,
+                  checkpointDir: String, keyCol: String, opCol: String,
+                  seqCols: Seq[String], dims: Seq[String], valCol: String,
+                  nCol: String = "n", sumCol: String = "sum",
+                  minCol: String = "min", maxCol: String = "max",
+                  retain: Int = 2,
+                  nBuckets: Int = BucketStore.DefaultBuckets,
+                  maxBroadcastKeys: Long = 10000000L,
+                  trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(retain >= 1,
+      s"retain=$retain: the vacuum must keep at least the version just written")
+    changelog.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (b: Dataset[Row], id: Long) =>
+        applyBatchMinMax(b, id, storeDir, aggDir, keyCol, opCol, seqCols,
+          dims, valCol, nCol, sumCol, minCol, maxCol, retain, nBuckets,
+          maxBroadcastKeys)
+      }
+      .start()
+  }
+
+  /** Erasure for a MIN/MAX view: purge the snapshot, then REBUILD the
+    * aggregate from the purged store as a maintenance version — the
+    * full recompute [[purgeKeys]] dropped for count/sum views is the
+    * honest cost here: erasure retracts boundaries, and a
+    * non-self-maintainable aggregate needs the surviving rows to
+    * re-answer them anyway. Idempotent across a crash between the two
+    * commits (re-running recomputes from the already-purged store).
+    */
+  def purgeKeysMinMax(spark: SparkSession, storeDir: String, aggDir: String,
+                      keys: DataFrame, keyCol: String, opCol: String,
+                      dims: Seq[String], valCol: String,
+                      nCol: String = "n", sumCol: String = "sum",
+                      minCol: String = "min", maxCol: String = "max",
+                      maxBroadcastKeys: Long = 10000000L)
+      : BucketStore.PurgeStats = {
+    val stats = BucketStore.purgeKeys(spark, storeDir, keys, keyCol,
+      maxBroadcastKeys)
+    val store = BucketStore.read(spark, storeDir).getOrElse(
+      throw new IllegalStateException(s"no committed store version under $storeDir"))
+    val av = BucketStore.latestVersion(spark, aggDir).getOrElse(
+      throw new IllegalStateException(s"no committed view version under $aggDir"))
+    val ab = BucketStore.readManifest(spark, aggDir, av).batch
+    BucketStore.writeVersion(
+      Changelog.aggSnapshotMinMax(store, opCol, dims, valCol, nCol = nCol,
+        sumCol = sumCol, minCol = minCol, maxCol = maxCol),
+      aggDir, av + 1L, col(dims.head), nBuckets = 1, batch = Some(ab),
+      claim = Set(0L))
+    stats
+  }
+
   /** Erase keys from BOTH stores consistently — the
     * right-to-be-forgotten op for a store with a maintained view.
     * Calling [[BucketStore.purgeKeys]] directly on the snapshot store

@@ -415,6 +415,54 @@ class BucketStoreSpec extends SparkSpec {
     assert(canonView == canonRecompute)
   }
 
+  test("minmax matview: folds track the recompute across boundary retractions, and erasure rebuilds consistently") {
+    import graft.ext.Changelog
+    import graft.streaming.StreamMatview
+    val storeDir = Files.createTempDirectory("graft_bkmm_store").toString
+    val aggDir = Files.createTempDirectory("graft_bkmm_agg").toString
+    StreamMatview.seedMinMax(spark.range(0, 30).select(
+      col("id").as("k"), concat(lit("seg"), col("id") % 3).as("seg"),
+      (col("id") * 10).as("cents"), lit("U").as("op"), lit(-1L).as("seq")),
+      storeDir, aggDir, "k", "op", Seq("seg"), "cents")
+    def canonView = StreamMatview.viewSnapshot(spark, aggDir)
+      .select("seg", "n", "sum", "min", "max")
+      .as[(String, Long, Long, Option[Long], Option[Long])]
+      .collect().toSeq.sorted
+    def canonRecompute = Changelog.aggSnapshotMinMax(
+        StreamMerge.readStore(spark, storeDir).get, "op", Seq("seg"), "cents")
+      .select("seg", "n", "sum", "min", "max")
+      .as[(String, Long, Long, Option[Long], Option[Long])]
+      .collect().toSeq.sorted
+    assert(canonView == canonRecompute)
+    // batch 0 deletes seg0's max holder (k=27, 270) — the boundary
+    // retraction must recompute seg0 from the FULL store, not just
+    // the touched buckets
+    StreamMatview.applyBatchMinMax(
+      Seq((27L, "seg0", 0L, "D", 0L), (31L, "seg1", 999L, "U", 0L))
+        .toDF("k", "seg", "cents", "op", "seq"),
+      0L, storeDir, aggDir, "k", "op", Seq("seq"), Seq("seg"), "cents")
+    assert(canonView == canonRecompute,
+      "minmax fold diverged from the recompute after a boundary retraction")
+    assert(canonView.find(_._1 == "seg0").get._5 == Some(240L),
+      "seg0's max must retract 270 -> 240")
+    assert(canonView.find(_._1 == "seg1").get._5 == Some(999L))
+    // erasure: purge the new max holder; the rebuild must retract it
+    val stats = StreamMatview.purgeKeysMinMax(spark, storeDir, aggDir,
+      Seq(31L).toDF("k"), "k", "op", Seq("seg"), "cents")
+    assert(stats.purgedRows == 1)
+    assert(canonView == canonRecompute,
+      "minmax view diverged after the erasure rebuild")
+    assert(canonView.find(_._1 == "seg1").get._5 == Some(280L))
+    assert(allBytes(storeDir).where(col("k") === 31L).count() == 0)
+    // the stream resumes cleanly after the maintenance version
+    StreamMatview.applyBatchMinMax(
+      Seq((5L, "seg2", 1L, "U", 1L)).toDF("k", "seg", "cents", "op", "seq"),
+      1L, storeDir, aggDir, "k", "op", Seq("seq"), Seq("seg"), "cents")
+    assert(canonView == canonRecompute)
+    assert(canonView.find(_._1 == "seg2").get._4 == Some(1L),
+      "seg2's min must adopt the post-purge update")
+  }
+
   test("a batch that empties the view commits claimed-empty, never the stale pre-batch aggregate") {
     import graft.streaming.StreamMatview
     val storeDir = Files.createTempDirectory("graft_bkmve_store").toString

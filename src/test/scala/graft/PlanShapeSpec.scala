@@ -559,6 +559,39 @@ class PlanShapeSpec extends SparkSpec {
       s"the store must never shuffle for a view refresh:\n$plan")
   }
 
+  test("Changelog.mergeAggMinMax: store enters via broadcast joins only — the key probe and the dim-pruned recompute") {
+    // the min/max extension keeps aggDelta's contract: the store is
+    // touched by (a) the batch-keys broadcast semi-join (pre-image +
+    // winner) and (b) the boundary recompute's ANTI join on the same
+    // broadcast keys + LEFT SEMI on the broadcast affected-dim list —
+    // a dim-filtered scan, never a store shuffle
+    import org.apache.spark.sql.functions.{col, lit, round, when}
+    val store = Tables.customer(spark, sfDir).select(
+      col("c_custkey"), col("c_mktsegment"),
+      round(col("c_acctbal") * 100).cast("long").as("cents"),
+      lit("U").as("op"), lit(0L).as("seq"))
+    val agg = graft.ext.Changelog.aggSnapshotMinMax(store, "op",
+      Seq("c_mktsegment"), "cents").localCheckpoint(true)
+    // a delete of an existing key forces the boundary-recompute branch
+    // into the plan
+    val batch = Tables.customer(spark, sfDir).limit(50).select(
+      col("c_custkey"), col("c_mktsegment"),
+      round(col("c_acctbal") * 100).cast("long").as("cents"),
+      lit("D").as("op"), lit(1L).as("seq"))
+    val view = graft.ext.Changelog.mergeAggMinMax(agg, store, batch,
+      "c_custkey", "op", Seq("seq"), Seq("c_mktsegment"), "cents",
+      maxBroadcastKeys = 0L)
+    view.collect()
+    val plan = view.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(count(plan, "BroadcastHashJoin [^\n]*LeftSemi, BuildRight") >= 2,
+      s"key probe and dim-pruned recompute must both broadcast:\n$plan")
+    assert(count(plan, "BroadcastHashJoin [^\n]*LeftAnti, BuildRight") >= 1,
+      s"the recompute's untouched-keys side must anti-join the broadcast keys:\n$plan")
+    assert(count(plan, "SortMergeJoin|ShuffledHashJoin") == 0,
+      s"the store must never shuffle for a min/max view refresh:\n$plan")
+  }
+
   test("correlated subqueries decorrelate to hash joins — never per-row plans or nested loops") {
     // the SQL-surface contract: EXISTS → hash LEFT SEMI, NOT EXISTS →
     // hash LEFT ANTI, a correlated scalar aggregate → ONE grouped
