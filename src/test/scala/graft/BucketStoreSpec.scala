@@ -415,6 +415,37 @@ class BucketStoreSpec extends SparkSpec {
     assert(canonView == canonRecompute)
   }
 
+  test("a matview-managed snapshot store survives a rebucket: the view keeps folding at the migrated count") {
+    import graft.ext.Changelog
+    import graft.streaming.StreamMatview
+    val storeDir = Files.createTempDirectory("graft_bkmvrb_store").toString
+    val aggDir = Files.createTempDirectory("graft_bkmvrb_agg").toString
+    StreamMatview.seed(spark.range(0, 40).select(
+      col("id").as("k"), concat(lit("seg"), col("id") % 2).as("seg"),
+      (col("id") * 10).as("cents"), lit("U").as("op"), lit(-1L).as("seq")),
+      storeDir, aggDir, "k", "op", Seq("seg"), "cents")
+    StreamMatview.applyBatch(
+      Seq((3L, "seg0", 999L, "U", 0L)).toDF("k", "seg", "cents", "op", "seq"),
+      0L, storeDir, aggDir, "k", "op", Seq("seq"), Seq("seg"), "cents")
+    // maintenance: only the SNAPSHOT store migrates (the view store is
+    // dim-sized, 1 bucket forever); the next trigger must probe and
+    // fold at the migrated count with no caller reconfiguration
+    BucketStore.rebucket(spark, storeDir, "k", newBuckets = 32)
+    StreamMatview.applyBatch(
+      Seq((7L, "seg1", 0L, "D", 1L), (41L, "seg0", 5L, "U", 1L))
+        .toDF("k", "seg", "cents", "op", "seq"),
+      1L, storeDir, aggDir, "k", "op", Seq("seq"), Seq("seg"), "cents")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("seg", "n", "sum").as[(String, Long, Long)]
+        .collect().toSeq.sorted
+    assert(canon(StreamMatview.viewSnapshot(spark, aggDir)) ==
+      canon(Changelog.aggSnapshot(
+        StreamMerge.readStore(spark, storeDir).get, "op", Seq("seg"), "cents")),
+      "view diverged from the recompute across the snapshot migration")
+    val v = BucketStore.latestVersion(spark, storeDir).get
+    assert(BucketStore.readManifest(spark, storeDir, v).nBuckets == 32)
+  }
+
   test("minmax matview: folds track the recompute across boundary retractions, and erasure rebuilds consistently") {
     import graft.ext.Changelog
     import graft.streaming.StreamMatview

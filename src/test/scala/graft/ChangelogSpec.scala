@@ -292,6 +292,32 @@ class ChangelogSpec extends SparkSpec {
       Seq(("a", 2L, 11L, Some(1L), Some(10L))))
   }
 
+  test("mergeAggMinMax: multi-column dims fold correctly (struct-key joins span the whole tuple)") {
+    val seed = Seq(
+      (1L, "a", "x", 10L, "U", -1L), (2L, "a", "x", 50L, "U", -1L),
+      (3L, "a", "y", 50L, "U", -1L), (4L, "b", "x", 5L, "U", -1L))
+      .toDF("k", "s1", "s2", "v", "op", "seq")
+    var store = seed
+    var agg = Changelog.aggSnapshotMinMax(seed, "op", Seq("s1", "s2"), "v")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("s1", "s2", "n", "sum", "min", "max")
+        .as[(String, String, Long, Long, Option[Long], Option[Long])]
+        .collect().toSeq.sorted
+    // delete (a,x)'s max: only THAT tuple recomputes — (a,y) keeps its
+    // 50 even though it shares s1 = "a"
+    val b = Seq((2L, "a", "x", 0L, "D", 0L)).toDF("k", "s1", "s2", "v", "op", "seq")
+    agg = Changelog.mergeAggMinMax(agg, store, b, "k", "op", Seq("seq"),
+      Seq("s1", "s2"), "v", maxBroadcastKeys = 0L).localCheckpoint(true)
+    store = Changelog.mergeBatch(store, b, "k", "op", Seq("seq"),
+      maxBroadcastKeys = 0L).localCheckpoint(true)
+    assert(canon(agg) == canon(Changelog.aggSnapshotMinMax(store, "op",
+      Seq("s1", "s2"), "v")))
+    assert(canon(agg) == Seq(
+      ("a", "x", 1L, 10L, Some(10L), Some(10L)),
+      ("a", "y", 1L, 50L, Some(50L), Some(50L)),
+      ("b", "x", 1L, 5L, Some(5L), Some(5L))))
+  }
+
   test("mergeAggMinMax: null dims group as values; all-null dims carry null min/max without faking boundaries") {
     val seed = Seq(
       (1L, Some("a"), Some(10L), "U", -1L),
