@@ -448,8 +448,14 @@ object ExtStoreQueries {
           "bal_cents", nCol = "n", sumCol = "sum_cents",
           minCol = "min_cents", maxCol = "max_cents")
         val schema = s.read.parquet(srcDir).schema
+        // 2 files per trigger (4 triggers over the same 8-file log the
+        // count/sum twin replays 1-by-1): the minmax refresh carries
+        // the widest per-trigger plan in the suite (pre-image probe +
+        // boundary recompute + 4 view joins), so the replay halves the
+        // trigger count — the maintained semantics, the retraction
+        // recomputes, and the settled view are identical
         val stream = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+          .option("maxFilesPerTrigger", "2").parquet(srcDir)
         val q = StreamMatview.startMinMax(stream, storeDir, aggDir, ckpt,
           "c_custkey", "op", Seq("ts", "event_id"), Seq("c_mktsegment"),
           "bal_cents", nCol = "n", sumCol = "sum_cents",
