@@ -419,6 +419,8 @@ object Changelog {
     ((keyCol +: opCol +: dims) :+ valCol).foreach(c =>
       require(rstore.columns.contains(c),
         s"recomputeStore missing column $c"))
+    require(!rstore.columns.contains("__bk"),
+      "column name __bk is reserved by mergeAggMinMax's key anti-join")
     val untouchedLive = live(rstore.join(bk,
       col(keyCol) <=> col("__bk"), "left_anti"))
     val recomputed = untouchedLive.unionByName(live(winner))

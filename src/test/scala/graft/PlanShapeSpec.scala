@@ -590,6 +590,24 @@ class PlanShapeSpec extends SparkSpec {
       s"the recompute's untouched-keys side must anti-join the broadcast keys:\n$plan")
     assert(count(plan, "SortMergeJoin|ShuffledHashJoin") == 0,
       s"the store must never shuffle for a min/max view refresh:\n$plan")
+
+    // and the scaladoc's AQE claim, pinned: an INSERT-only batch of
+    // brand-new keys retracts no boundary, the affected-dim broadcast
+    // is empty, and empty-relation propagation must collapse the
+    // whole recompute branch — its outputs degrade to null literals
+    // in the FINAL plan instead of paying a store scan
+    val insBatch = Tables.customer(spark, sfDir).limit(50).select(
+      (col("c_custkey") + 1000000L).as("c_custkey"), col("c_mktsegment"),
+      lit(1L).as("cents"), lit("U").as("op"), lit(1L).as("seq"))
+    val noRetract = graft.ext.Changelog.mergeAggMinMax(agg, store, insBatch,
+      "c_custkey", "op", Seq("seq"), Seq("c_mktsegment"), "cents",
+      maxBroadcastKeys = 0L)
+    noRetract.collect()
+    val finalPlan = noRetract.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(finalPlan.contains("cast(null as boolean) AS __rc"),
+      "a no-retraction fold must collapse the recompute branch to null " +
+        s"literals under AQE (the scaladoc's claim):\n$finalPlan")
   }
 
   test("correlated subqueries decorrelate to hash joins — never per-row plans or nested loops") {
