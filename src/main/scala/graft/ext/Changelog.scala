@@ -446,6 +446,257 @@ object Changelog {
           .otherwise(greatest(col(maxCol), col("__emx"))).as(maxCol)): _*)
   }
 
+  /** Reserved sketch-state column names of the SKETCHED min/max view
+    * ([[aggSnapshotSketch]]/[[mergeAggSketch]]): the k smallest live
+    * values (sorted ascending), the k largest (sorted ascending,
+    * served from the tail), and the two coverage thresholds — null
+    * when the sketch is COMPLETE (covers every live non-null value of
+    * its side), else the value beyond which live values are untracked.
+    */
+  val SketchCols: Seq[String] = Seq("__mns", "__mxs", "__mnt", "__mxt")
+
+  private def kSmallestLargest(live: DataFrame, dkCol: String,
+                               valCol: String, k: Int): DataFrame = {
+    // two windows per dim over the (affected) live rows — the rebuild
+    // shuffle; per-dim depth is the skew contract, same class as scd2
+    val wAsc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(dkCol)).orderBy(col(valCol).asc)
+    val wDesc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(dkCol)).orderBy(col(valCol).desc)
+    val nn = live.where(col(valCol).isNotNull)
+    val smallest = nn.withColumn("__rn", row_number().over(wAsc))
+      .where(col("__rn") <= k + 1) // k+1: the (k+1)th proves truncation
+      .groupBy(col(dkCol))
+      .agg(sort_array(collect_list(col(valCol))).as("__sl"),
+        count(lit(1)).as("__sn"))
+    val largest = nn.withColumn("__rn", row_number().over(wDesc))
+      .where(col("__rn") <= k + 1)
+      .groupBy(col(dkCol))
+      .agg(sort_array(collect_list(col(valCol))).as("__ll"),
+        count(lit(1)).as("__ln"))
+    smallest.join(largest, Seq(dkCol))
+      .select(col(dkCol),
+        slice(col("__sl"), 1, k).as("__mns"),
+        // largest: k+1 collected ascending; keep the LAST k
+        when(col("__ln") > k, slice(col("__ll"), 2, k))
+          .otherwise(col("__ll")).as("__mxs"),
+        when(col("__sn") > k, element_at(col("__sl"), k)).as("__mnt"),
+        when(col("__ln") > k, element_at(col("__ll"), 2)).as("__mxt"))
+  }
+
+  /** [[aggSnapshotMinMax]] widened with a PER-DIM TOP-K VALUE SKETCH —
+    * the seed and audit twin of [[mergeAggSketch]]. The sketch holds
+    * each dim's k smallest and k largest live values, so the fold can
+    * absorb up to k boundary deletions per side before it ever has to
+    * rescan the store: the [[mergeAggMinMax]] design recomputes on ANY
+    * retraction of a boundary-tying value; here retraction is an O(1)
+    * array pop and the recompute fires only when a side's sketch
+    * DRAINS while untracked live values remain. Serving min/max read
+    * from the sketch ends; n/sum are the usual SUM0 aggregates.
+    */
+  def aggSnapshotSketch(store: DataFrame, opCol: String, dims: Seq[String],
+                        valCol: String, k: Int, deleteOp: String = "D",
+                        nCol: String = "n", sumCol: String = "sum",
+                        minCol: String = "min", maxCol: String = "max")
+      : DataFrame = {
+    require(k >= 1, s"sketch k=$k must be positive")
+    val live = store.where(col(opCol) =!= deleteOp)
+      .select(struct(dims.map(col): _*).as("__dk"), col(valCol))
+    val ns = store.where(col(opCol) =!= deleteOp)
+      .groupBy(dims.map(col): _*)
+      .agg(count(lit(1)).as(nCol),
+        coalesce(sum(col(valCol)), lit(0L).cast(store.schema(valCol).dataType))
+          .as(sumCol))
+      .withColumn("__dk", struct(dims.map(col): _*))
+    val sk = kSmallestLargest(live, "__dk", valCol, k)
+    ns.join(sk, Seq("__dk"), "left")
+      .select((dims.map(col) :+ col(nCol) :+ col(sumCol) :+
+        serveMin(store.schema(valCol).dataType).as(minCol) :+
+        serveMax(store.schema(valCol).dataType).as(maxCol) :+
+        coalesce(col("__mns"),
+          array().cast(s"array<${store.schema(valCol).dataType.sql}>"))
+          .as("__mns") :+
+        coalesce(col("__mxs"),
+          array().cast(s"array<${store.schema(valCol).dataType.sql}>"))
+          .as("__mxs") :+
+        col("__mnt") :+ col("__mxt")): _*)
+  }
+
+  // serving ends of the sketch (ANSI: element_at on an empty array
+  // throws, so guard on size)
+  private def serveMin(dt: org.apache.spark.sql.types.DataType): Column =
+    when(size(col("__mns")) > 0, element_at(col("__mns"), 1))
+      .otherwise(lit(null).cast(dt))
+  private def serveMax(dt: org.apache.spark.sql.types.DataType): Column =
+    when(size(col("__mxs")) > 0, element_at(col("__mxs"), -1))
+      .otherwise(lit(null).cast(dt))
+
+  /** Remove each element of `xs` from sorted array `acc` ONCE
+    * (multiset difference) — the retraction pop. Interpreted HOF fold
+    * over two ≤(k + batch)-sized arrays on dim-bounded rows.
+    */
+  private def multisetDiff(acc0: Column, xs: Column): Column =
+    aggregate(xs, acc0, (acc, x) => {
+      val p = array_position(acc, x)
+      when(p > 0,
+        concat(slice(acc, lit(1), (p - 1).cast("int")),
+          slice(acc, (p + 1).cast("int"), size(acc))))
+        .otherwise(acc)
+    })
+
+  /** Fold one changelog batch into a SKETCHED (count, sum, min, max)
+    * view — [[mergeAggMinMax]] with the recompute made RARE instead of
+    * per-retraction. Per dim and per side:
+    *
+    *  - leaving live values pop out of the sketch (multiset diff —
+    *    a leaver beyond the coverage threshold is simply absent);
+    *  - entering live values within coverage splice in (an enterer
+    *    beyond a TRUNCATED threshold is untracked by construction —
+    *    it can never be the boundary while covered values remain);
+    *  - the sketch re-truncates to k, tightening the threshold;
+    *  - ONLY a side whose sketch drains empty while untracked live
+    *    values remain (threshold non-null, n > 0) REBUILDS from the
+    *    post-batch live rows of that dim — k boundary deletions per
+    *    side, minimum, between rebuilds.
+    *
+    * Correctness invariant (property-tested): the sketch is always a
+    * sub-multiset of the dim's live values containing every live
+    * value within its threshold, so the served end equals the true
+    * min/max whenever the sketch is non-empty, and
+    * `fold == aggSnapshotSketch(post-store)` on (dims, n, sum, min,
+    * max) after every batch. Same `recomputeStore` and broadcast
+    * contracts as [[mergeAggMinMax]]; unlike it this fold is EAGER —
+    * the dim-bounded state checkpoints inside the call (the common
+    * no-drain result carries no rebuild branch and no growing
+    * lineage, so callers need no truncation of their own).
+    */
+  def mergeAggSketch(agg: DataFrame, store: DataFrame, batch: DataFrame,
+                     keyCol: String, opCol: String, seqCols: Seq[String],
+                     dims: Seq[String], valCol: String, k: Int,
+                     deleteOp: String = "D",
+                     nCol: String = "n", sumCol: String = "sum",
+                     minCol: String = "min", maxCol: String = "max",
+                     maxBroadcastKeys: Long = 10000000L,
+                     recomputeStore: Option[DataFrame] = None): DataFrame = {
+    require(k >= 1, s"sketch k=$k must be positive")
+    (SketchCols ++ Seq("__lv", "__ev", "__dk", "__rs")).foreach(t =>
+      require(!dims.contains(t),
+        s"column name $t is reserved by mergeAggSketch's state/temporaries"))
+    SketchCols.foreach(c => require(agg.columns.contains(c),
+      s"agg is missing sketch-state column $c — seed the view with " +
+        "aggSnapshotSketch, not aggSnapshotMinMax"))
+    val (bk, pre, winner) = preWinner(store, batch, keyCol, opCol, seqCols,
+      dims, valCol, maxBroadcastKeys)
+    val vt = store.schema(valCol).dataType
+    val dk = struct(dims.map(col): _*).as("__dk")
+    def live(df: DataFrame): DataFrame =
+      df.where(col(opCol) =!= deleteOp).select(dk, col(valCol))
+    // n/sum: the standard telescoping delta
+    val liveW = (df: DataFrame, sign: Int) =>
+      df.where(col(opCol) =!= deleteOp)
+        .select((dims.map(col) :+ lit(sign.toLong).as("__w") :+
+          (col(valCol) * sign).as(valCol)): _*)
+    val delta = liveW(winner, 1).unionByName(liveW(pre, -1))
+      .groupBy(dims.map(col): _*)
+      .agg(sum(col("__w")).as(nCol),
+        coalesce(sum(col(valCol)), lit(0L).cast(vt)).as(sumCol))
+    val foldedNS = mergeAggDelta(agg.select((dims.map(col) :+ col(nCol) :+
+      col(sumCol)): _*), delta, dims, nCol, sumCol)
+      .withColumn("__dk", struct(dims.map(col): _*))
+    // per-dim leaving/entering live value arrays (batch-sized)
+    val leaving = live(pre).where(col(valCol).isNotNull)
+      .groupBy(col("__dk"))
+      .agg(sort_array(collect_list(col(valCol))).as("__lv"))
+    val entering = live(winner).where(col(valCol).isNotNull)
+      .groupBy(col("__dk"))
+      .agg(sort_array(collect_list(col(valCol))).as("__ev"))
+    val aggSk = agg.select(dk, col("__mns"), col("__mxs"), col("__mnt"),
+      col("__mxt"))
+    val emptyArr = array().cast(s"array<${vt.sql}>")
+    val folded = foldedNS
+      .join(aggSk, Seq("__dk"), "left")
+      .join(leaving, Seq("__dk"), "left")
+      .join(entering, Seq("__dk"), "left")
+      .withColumn("__mns", coalesce(col("__mns"), emptyArr))
+      .withColumn("__mxs", coalesce(col("__mxs"), emptyArr))
+      .withColumn("__lv", coalesce(col("__lv"), emptyArr))
+      .withColumn("__ev", coalesce(col("__ev"), emptyArr))
+    // min side: pop leavers, splice coverable enterers, retruncate.
+    // Candidates land in their own columns FIRST — deriving state in
+    // one chained withColumn pass would re-resolve the candidate
+    // expression against the already-updated sketch column.
+    val mnCand = sort_array(concat(
+      multisetDiff(col("__mns"), col("__lv")),
+      when(col("__mnt").isNull, col("__ev"))
+        .otherwise(filter(col("__ev"), v => v <= col("__mnt")))))
+    // max side mirrored (arrays ascending; the tail is the boundary)
+    val mxCand = sort_array(concat(
+      multisetDiff(col("__mxs"), col("__lv")),
+      when(col("__mxt").isNull, col("__ev"))
+        .otherwise(filter(col("__ev"), v => v >= col("__mxt")))))
+    val stepped = folded
+      .withColumn("__mnc", mnCand)
+      .withColumn("__mxc", mxCand)
+      .select((dims.map(col) :+ col("__dk") :+ col(nCol) :+ col(sumCol) :+
+        when(size(col("__mnc")) > k, slice(col("__mnc"), 1, k))
+          .otherwise(col("__mnc")).as("__mns") :+
+        when(size(col("__mnc")) > k, element_at(col("__mnc"), k))
+          .otherwise(col("__mnt")).as("__mnt") :+
+        when(size(col("__mxc")) > k,
+          slice(col("__mxc"), (size(col("__mxc")) - k + 1).cast("int"), lit(k)))
+          .otherwise(col("__mxc")).as("__mxs") :+
+        when(size(col("__mxc")) > k,
+          element_at(col("__mxc"), (size(col("__mxc")) - k + 1).cast("int")))
+          .otherwise(col("__mxt")).as("__mxt")): _*)
+      // a side drains when its sketch is empty but untracked live
+      // values remain (threshold says truncated, n says rows exist)
+      .withColumn("__rs",
+        (size(col("__mns")) === 0 && col("__mnt").isNotNull) ||
+          (size(col("__mxs")) === 0 && col("__mxt").isNotNull))
+    // The fold state is dim-bounded — CHECKPOINT it eagerly so (a) the
+    // drain test below is a cheap action, (b) the common no-drain path
+    // carries NO rebuild branch in its plan at all, and (c) the rare
+    // drain path reads the state once instead of recomputing the whole
+    // fold subtree as the rebuild branch's second input. This makes
+    // mergeAggSketch EAGER (it runs the fold when called) — the shape
+    // every maintenance caller has anyway, and the reason the returned
+    // frame needs no further lineage truncation across folds.
+    val steppedCk = stepped.localCheckpoint(true)
+    def assemble(df: DataFrame): DataFrame =
+      df.select((dims.map(col) :+ col(nCol) :+ col(sumCol) :+
+        serveMin(vt).as(minCol) :+ serveMax(vt).as(maxCol) :+
+        col("__mns") :+ col("__mxs") :+ col("__mnt") :+ col("__mxt")): _*)
+    val rebuildDims = steppedCk.where(col("__rs")).select("__dk")
+    if (rebuildDims.isEmpty) return assemble(steppedCk)
+    // the rare path: REBUILD the drained dims' sketches from the
+    // post-batch live rows of those dims only
+    val rstore = recomputeStore.getOrElse(store)
+    ((keyCol +: opCol +: dims) :+ valCol).foreach(c =>
+      require(rstore.columns.contains(c),
+        s"recomputeStore missing column $c"))
+    require(!rstore.columns.contains("__bk"),
+      "column name __bk is reserved by mergeAggSketch's key anti-join")
+    val postLive = live(rstore.join(bk, col(keyCol) <=> col("__bk"),
+        "left_anti"))
+      .unionByName(live(winner))
+      .join(rebuildDims.hint("broadcast"), Seq("__dk"), "left_semi")
+    val rebuilt = kSmallestLargest(postLive, "__dk", valCol, k)
+      .select(col("__dk"), col("__mns").as("__rmns"),
+        col("__mxs").as("__rmxs"), col("__mnt").as("__rmnt"),
+        col("__mxt").as("__rmxt"))
+    assemble(steppedCk.join(rebuilt, Seq("__dk"), "left")
+      .withColumn("__mns",
+        when(col("__rs"), coalesce(col("__rmns"), emptyArr))
+          .otherwise(col("__mns")))
+      .withColumn("__mxs",
+        when(col("__rs"), coalesce(col("__rmxs"), emptyArr))
+          .otherwise(col("__mxs")))
+      .withColumn("__mnt", when(col("__rs"), col("__rmnt"))
+        .otherwise(col("__mnt")))
+      .withColumn("__mxt", when(col("__rs"), col("__rmxt"))
+        .otherwise(col("__mxt"))))
+  }
+
   /** Expand a changelog into SCD-type-2 history: one VERSION row per
     * non-delete log entry, valid over [`validFrom`, `validTo`) —
     * `validFrom` is the entry's own `tsCol`, `validTo` the NEXT

@@ -286,6 +286,50 @@ object ExtVersionQueries {
       },
       Some(ExtShared.matviewOracle(minmax = true))),
 
+    // SKETCHED MIN/MAX view maintenance
+    // ([[graft.ext.Changelog.mergeAggSketch]]): the same 4-batch fold
+    // as ext_pipeline_matview_minmax, but each dim carries its k=8
+    // smallest/largest live values, so a boundary retraction is an
+    // O(1) sketch pop — the per-retraction store recompute the plain
+    // minmax fold pays becomes RARE (only a dim whose sketch side
+    // DRAINS while untracked values remain rebuilds, i.e. at least k
+    // boundary deletions per side between rebuilds; ChangelogSpec pins
+    // both the rarity and the drain correctness at k=2). Served
+    // (n, sum, min, max) must equal the same full recompute oracle —
+    // the sketch is internal state, invisible to the answer.
+    Declared(
+      "ext_pipeline_matview_sketch",
+      (s, d) => {
+        val k = col("user_id") + 1450
+        val seed = Tables.customer(s, d).select(
+          col("c_custkey"), col("c_mktsegment"),
+          round(col("c_acctbal") * 100).cast("long").as("bal_cents"),
+          lit("U").as("op"), timestamp_millis(lit(0L)).as("ts"),
+          lit(-1L).as("event_id"))
+        val log = Tables.events(s, d).select(
+          k.as("c_custkey"), col("event_type").as("c_mktsegment"),
+          round(col("value") * 100).cast("long").as("bal_cents"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"),
+          col("ts"), col("event_id"))
+        var store = seed
+        var agg = Changelog.aggSnapshotSketch(seed, "op", Seq("c_mktsegment"),
+          "bal_cents", k = 8, nCol = "n", sumCol = "sum_cents",
+          minCol = "min_cents", maxCol = "max_cents")
+        (0 until 4).foreach { i =>
+          val b = log.where(pmod(col("event_id"), lit(4)) === i)
+          agg = Changelog.mergeAggSketch(agg, store, b, "c_custkey", "op",
+            Seq("ts", "event_id"), Seq("c_mktsegment"), "bal_cents", k = 8,
+            nCol = "n", sumCol = "sum_cents",
+            minCol = "min_cents", maxCol = "max_cents",
+            maxBroadcastKeys = 0L).localCheckpoint(true)
+          store = Changelog.mergeBatch(store, b, "c_custkey", "op",
+            Seq("ts", "event_id"), maxBroadcastKeys = 0L)
+            .localCheckpoint(true)
+        }
+        agg.drop(Changelog.SketchCols: _*).orderBy("c_mktsegment")
+      },
+      Some(ExtShared.matviewOracle(minmax = true))),
+
     // Right-to-be-forgotten ([[BucketStore.purgeKeys]]): the merged
     // customer store — seeded snapshot + one applied changelog batch,
     // persisted in the bucketed version store — physically forgets

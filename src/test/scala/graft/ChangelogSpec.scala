@@ -362,6 +362,81 @@ class ChangelogSpec extends SparkSpec {
           (Some("z"), 2L, 42L, Some(42L), Some(42L))))
   }
 
+  test("mergeAggSketch: served min/max track the recompute through pops, drains, and refills (k=2)") {
+    val seed = (1L to 18L).map(i =>
+      (i, s"seg${i % 3}", i * 10L, "U", -1L))
+      .toDF("k", "seg", "v", "op", "seq")
+    var store = seed
+    var agg = Changelog.aggSnapshotSketch(seed, "op", Seq("seg"), "v", k = 2)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("seg", "n", "sum", "min", "max")
+        .as[(String, Long, Long, Option[Long], Option[Long])]
+        .collect().toSeq.sorted
+    var seq = 0L
+    def fold(rows: Seq[(Long, String, Long, String)]): Unit = {
+      seq += 1
+      val b = rows.map { case (k, s, v, op) => (k, s, v, op, seq) }
+        .toDF("k", "seg", "v", "op", "seq")
+      agg = Changelog.mergeAggSketch(agg, store, b, "k", "op", Seq("seq"),
+        Seq("seg"), "v", k = 2, maxBroadcastKeys = 0L).localCheckpoint(true)
+      store = Changelog.mergeBatch(store, b, "k", "op", Seq("seq"),
+        maxBroadcastKeys = 0L).localCheckpoint(true)
+      assert(canon(agg) == canon(Changelog.aggSnapshotMinMax(store, "op",
+        Seq("seg"), "v")),
+        s"sketched fold diverged from the recompute after batch $seq: $rows")
+    }
+    // pop within the sketch: seg0's min holder (k=3, 30) leaves —
+    // absorbed, no drain (k=2 sketch still holds 60)
+    fold(Seq((3L, "seg0", 0L, "D")))
+    // DRAIN: both remaining tracked smallest of seg0 leave in one
+    // batch (6->60 and 9->90 were the refilled sketch) — rebuild fires
+    fold(Seq((6L, "seg0", 0L, "D"), (9L, "seg0", 0L, "D")))
+    // boundary moves by update, not delete: max of seg1 (16, 160)
+    // drops below everything — pop + splice in one step
+    fold(Seq((16L, "seg1", 1L, "U")))
+    // inserts beyond a truncated threshold stay untracked and the
+    // boundary is still served correctly
+    fold(Seq((100L, "seg2", 5000L, "U"), (101L, "seg2", 1L, "U")))
+    // drain seg2's min side twice over (forces rebuild with survivors)
+    fold(Seq((101L, "seg2", 0L, "D"), (2L, "seg2", 0L, "D"),
+      (5L, "seg2", 0L, "D")))
+    // pseudo-random churn, deterministic: 6 mixed batches
+    val rnd = new scala.util.Random(42)
+    (1 to 6).foreach { _ =>
+      val rows = (1 to 5).map { _ =>
+        val key = rnd.nextInt(30).toLong + 1
+        val sg = s"seg${rnd.nextInt(3)}"
+        if (rnd.nextBoolean()) (key, sg, rnd.nextInt(500).toLong, "U")
+        else (key, sg, 0L, "D")
+      }.distinct.groupBy(_._1).map(_._2.head).toSeq // one entry per key
+      fold(rows)
+    }
+    // empty a whole dim
+    val seg0Keys = store.where(col("seg") === "seg0" && col("op") =!= "D")
+      .select("k").as[Long].collect().toSeq
+    if (seg0Keys.nonEmpty) fold(seg0Keys.map(k => (k, "seg0", 0L, "D")))
+    assert(!canon(agg).exists(_._1 == "seg0"), "emptied dim must drop")
+  }
+
+  test("mergeAggSketch: a boundary deletion inside the sketch does NOT rebuild; the plan's rebuild branch collapses") {
+    val seed = (1L to 12L).map(i => (i, s"s${i % 2}", i * 10L, "U", -1L))
+      .toDF("k", "seg", "v", "op", "seq")
+    val agg = Changelog.aggSnapshotSketch(seed, "op", Seq("seg"), "v", k = 4)
+      .localCheckpoint(true)
+    // delete s0's max holder (12, 120): mergeAggMinMax would recompute
+    // the dim; the k=4 sketch pops it and serves 100 with no rebuild
+    val b = Seq((12L, "s0", 0L, "D", 1L)).toDF("k", "seg", "v", "op", "seq")
+    val view = Changelog.mergeAggSketch(agg, seed, b, "k", "op", Seq("seq"),
+      Seq("seg"), "v", k = 4, maxBroadcastKeys = 0L)
+    view.collect()
+    val finalPlan = view.queryExecution.executedPlan.toString
+    assert(!finalPlan.contains("__rmns"),
+      "an absorbed boundary deletion must take the no-rebuild path — " +
+        s"the returned plan carries no rebuild branch at all:\n$finalPlan")
+    assert(view.where(col("seg") === "s0")
+      .select("max").as[Option[Long]].head() == Some(100L))
+  }
+
   test("scd2: versions chain, deletes close without opening, last version is current") {
     import java.sql.Timestamp
     def t(s: Int) = new Timestamp(s * 1000L)
