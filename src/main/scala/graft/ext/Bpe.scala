@@ -245,6 +245,13 @@ object Bpe {
                    cacheTag: String = "bpeb"): TrainedBatched = {
     require(rounds >= 1, s"rounds=$rounds: need at least one round")
     require(maxPerRound >= 1, s"maxPerRound=$maxPerRound: need at least one")
+    // v0 (raw word frequencies) is selection-independent — shareable
+    // across maxPerRound values; every later selection and vocab state
+    // depends on m from round 1 (unlike sequential train, whose
+    // per-step selections are prefix-stable), so m is part of the
+    // cache key — two trainBatched calls in one session with the same
+    // cacheTag but different m must never alias. `rounds` needs no key
+    // slot: for a fixed m the per-round states are prefix-stable.
     var vocab = PlanCache.checkpointed(s"$cacheTag/$textCol/v0", docs) { d =>
       wordFreq(d, textCol).withColumn("sym", charSymbols(col("word")))
     }
@@ -253,14 +260,16 @@ object Bpe {
     var exhausted = false
     while (r <= rounds && !exhausted) {
       val prev = vocab
-      val batch = PlanCache.artifact(s"$cacheTag/$textCol/sel$r", docs)(_ =>
+      val batch = PlanCache.artifact(
+        s"$cacheTag/$textCol/m$maxPerRound/sel$r", docs)(_ =>
         selectBatch(prev, maxPerRound))
       if (batch.isEmpty) exhausted = true
       else {
         merges ++= batch.zipWithIndex.map { case (m, i) =>
           BatchMerge(r, i + 1, m)
         }
-        vocab = PlanCache.checkpointed(s"$cacheTag/$textCol/v$r", docs)(_ =>
+        vocab = PlanCache.checkpointed(
+          s"$cacheTag/$textCol/m$maxPerRound/v$r", docs)(_ =>
           applyMerges(prev, batch))
       }
       r += 1

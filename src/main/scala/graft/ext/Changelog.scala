@@ -612,6 +612,37 @@ object Changelog {
       .agg(sort_array(collect_list(col(valCol))).as("__ev"))
     val aggSk = agg.select(dk, col("__mns"), col("__mxs"), col("__mnt"),
       col("__mxt"))
+    sketchStep(foldedNS, aggSk, leaving, entering,
+      () => {
+        val rstore = recomputeStore.getOrElse(store)
+        ((keyCol +: opCol +: dims) :+ valCol).foreach(c =>
+          require(rstore.columns.contains(c),
+            s"recomputeStore missing column $c"))
+        require(!rstore.columns.contains("__bk"),
+          "column name __bk is reserved by mergeAggSketch's key anti-join")
+        live(rstore.join(bk, col(keyCol) <=> col("__bk"), "left_anti"))
+          .unionByName(live(winner))
+      },
+      dims, valCol, vt, k, nCol, sumCol, minCol, maxCol)
+  }
+
+  /** Shared sketch-state stepping of [[mergeAggSketch]] and
+    * [[purgeAggSketch]]: join the folded (n, sum) state with the prior
+    * sketch and the per-dim leaving/entering live-value arrays, pop
+    * leavers (multiset diff), splice coverable enterers, re-truncate to
+    * k, and — only for dims whose sketch side DRAINS while untracked
+    * live values remain — rebuild from `postLive()` (the POST-state
+    * live rows of the store, built lazily: the common no-drain path
+    * checkpoints before the drain test and never references it, so its
+    * committed plan carries no store scan at all).
+    */
+  private def sketchStep(foldedNS: DataFrame, aggSk: DataFrame,
+                         leaving: DataFrame, entering: DataFrame,
+                         postLive: () => DataFrame,
+                         dims: Seq[String], valCol: String,
+                         vt: org.apache.spark.sql.types.DataType, k: Int,
+                         nCol: String, sumCol: String,
+                         minCol: String, maxCol: String): DataFrame = {
     val emptyArr = array().cast(s"array<${vt.sql}>")
     val folded = foldedNS
       .join(aggSk, Seq("__dk"), "left")
@@ -669,18 +700,10 @@ object Changelog {
     val rebuildDims = steppedCk.where(col("__rs")).select("__dk")
     if (rebuildDims.isEmpty) return assemble(steppedCk)
     // the rare path: REBUILD the drained dims' sketches from the
-    // post-batch live rows of those dims only
-    val rstore = recomputeStore.getOrElse(store)
-    ((keyCol +: opCol +: dims) :+ valCol).foreach(c =>
-      require(rstore.columns.contains(c),
-        s"recomputeStore missing column $c"))
-    require(!rstore.columns.contains("__bk"),
-      "column name __bk is reserved by mergeAggSketch's key anti-join")
-    val postLive = live(rstore.join(bk, col(keyCol) <=> col("__bk"),
-        "left_anti"))
-      .unionByName(live(winner))
+    // post-state live rows of those dims only
+    val drainedLive = postLive()
       .join(rebuildDims.hint("broadcast"), Seq("__dk"), "left_semi")
-    val rebuilt = kSmallestLargest(postLive, "__dk", valCol, k)
+    val rebuilt = kSmallestLargest(drainedLive, "__dk", valCol, k)
       .select(col("__dk"), col("__mns").as("__rmns"),
         col("__mxs").as("__rmxs"), col("__mnt").as("__rmnt"),
         col("__mxt").as("__rmxt"))
@@ -695,6 +718,89 @@ object Changelog {
         .otherwise(col("__mnt")))
       .withColumn("__mxt", when(col("__rs"), col("__rmxt"))
         .otherwise(col("__mxt"))))
+  }
+
+  /** Subtract a PURGED key list's live contributions from a SKETCHED
+    * (count, sum, min, max) view — the erasure twin of
+    * [[mergeAggSketch]], sharing its [[sketchStep]]: the purged keys'
+    * live values POP out of each dim's sketch (an O(1) boundary
+    * retraction, where the plain min/max view pays a full recompute
+    * per erasure), n/sum subtract as the usual delta, and only a dim
+    * whose sketch side DRAINS while untracked live values remain
+    * rebuilds — from the store's SURVIVING rows (`recomputeStore`
+    * anti-joined with the purged keys), which makes the call correct
+    * VIEW-FIRST against the PRE-purge store: the crash-recoverable
+    * protocol of [[graft.streaming.StreamMatview.purgeKeys]] extends
+    * to min/max views unchanged.
+    *
+    * `store` may be the touched-buckets read (the pre-image probe only
+    * ever matches the purged keys); `recomputeStore` must be the FULL
+    * store for the same reason as [[mergeAggMinMax]]'s — a drained
+    * dim's surviving rows live in every bucket. A dim purged empty
+    * drops from the view (n reaches 0). Like [[mergeAggSketch]] this
+    * is EAGER: the dim-bounded state checkpoints inside the call, so
+    * the common no-drain path's plan carries no store scan at all.
+    */
+  def purgeAggSketch(agg: DataFrame, store: DataFrame, keys: DataFrame,
+                     keyCol: String, opCol: String, dims: Seq[String],
+                     valCol: String, k: Int, deleteOp: String = "D",
+                     nCol: String = "n", sumCol: String = "sum",
+                     minCol: String = "min", maxCol: String = "max",
+                     maxBroadcastKeys: Long = 10000000L,
+                     recomputeStore: Option[DataFrame] = None): DataFrame = {
+    require(k >= 1, s"sketch k=$k must be positive")
+    (SketchCols ++ Seq("__lv", "__ev", "__dk", "__rs", "__bk")).foreach(t =>
+      require(!dims.contains(t),
+        s"column name $t is reserved by purgeAggSketch's state/temporaries"))
+    SketchCols.foreach(c => require(agg.columns.contains(c),
+      s"agg is missing sketch-state column $c — seed the view with " +
+        "aggSnapshotSketch, not aggSnapshotMinMax"))
+    val needed = (keyCol +: opCol +: dims) :+ valCol
+    needed.foreach(c => require(store.columns.contains(c),
+      s"store missing column $c"))
+    val kdf = keys.select(col(keyCol).as("__bk")).distinct()
+    if (maxBroadcastKeys > 0)
+      require(kdf.limit(math.min(maxBroadcastKeys + 1, Int.MaxValue).toInt)
+        .count() <= maxBroadcastKeys,
+        s"purge has more than $maxBroadcastKeys distinct keys — too large to " +
+          "broadcast against the store; split the purge (or raise maxBroadcastKeys)")
+    val bk = broadcast(kdf)
+    val vt = store.schema(valCol).dataType
+    val dk = struct(dims.map(col): _*).as("__dk")
+    def live(df: DataFrame): DataFrame =
+      df.where(col(opCol) =!= deleteOp).select(dk, col(valCol))
+    // pre-images: the purged keys' current store rows — the ONLY store
+    // access of the common path, one broadcast semi-join (with a
+    // bucketed store underneath, touched buckets only)
+    val pre = store.select(needed.distinct.map(col): _*)
+      .join(bk, col(keyCol) <=> col("__bk"), "left_semi")
+    // n/sum: subtract the purged live contributions (same SUM0
+    // convention as aggDelta; the sum keeps its natural widened type —
+    // mergeAggDelta's union coerces, never a narrowing cast)
+    val delta = pre.where(col(opCol) =!= deleteOp)
+      .groupBy(dims.map(col): _*)
+      .agg((count(lit(1)) * -1).as(nCol),
+        (coalesce(sum(col(valCol)), lit(0L).cast(vt)) * -1).as(sumCol))
+    val foldedNS = mergeAggDelta(agg.select((dims.map(col) :+ col(nCol) :+
+      col(sumCol)): _*), delta, dims, nCol, sumCol)
+      .withColumn("__dk", struct(dims.map(col): _*))
+    val leaving = live(pre).where(col(valCol).isNotNull)
+      .groupBy(col("__dk"))
+      .agg(sort_array(collect_list(col(valCol))).as("__lv"))
+    // a purge only removes rows — nothing enters
+    val entering = leaving.limit(0).withColumnRenamed("__lv", "__ev")
+    val aggSk = agg.select(dk, col("__mns"), col("__mxs"), col("__mnt"),
+      col("__mxt"))
+    sketchStep(foldedNS, aggSk, leaving, entering,
+      () => {
+        val rstore = recomputeStore.getOrElse(store)
+        needed.foreach(c => require(rstore.columns.contains(c),
+          s"recomputeStore missing column $c"))
+        require(!rstore.columns.contains("__bk"),
+          "column name __bk is reserved by purgeAggSketch's key anti-join")
+        live(rstore.join(bk, col(keyCol) <=> col("__bk"), "left_anti"))
+      },
+      dims, valCol, vt, k, nCol, sumCol, minCol, maxCol)
   }
 
   /** Expand a changelog into SCD-type-2 history: one VERSION row per

@@ -833,6 +833,73 @@ object ExtRelQueries {
                  OR EXISTS (SELECT 1 FROM orders o
                             WHERE o.o_custkey = c.c_custkey
                               AND o.o_totalprice > 300000)
-              GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // NOT IN over a NULLABLE subquery column — SQL's classic
+    // three-valued-logic trap, and the correlated-subquery family's
+    // most common production incident: `x NOT IN (S)` is NULL (hence
+    // filtered) for every non-member once S contains a single NULL,
+    // and Catalyst must emit a NULL-AWARE hash anti-join for it —
+    // degrading to BroadcastNestedLoopJoin is the 100 TB death
+    // sentence PlanShapeSpec pins against. Three scenarios pin the
+    // whole truth table: (a) a nullable-TYPED but null-free subquery
+    // (the common case — the planner can't prove non-null, the rows
+    // must still flow), (b) a subquery with real NULLs (result
+    // collapses to zero rows), (c) an empty subquery (every outer row
+    // passes, NULL or not).
+    Declared(
+      "ext_rel_not_in_null",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("graft_nin_customer")
+        Tables.orders(s, d).createOrReplaceTempView("graft_nin_orders")
+        s.sql("""SELECT 'a_nullable_type' AS scenario, COUNT(*) AS n,
+                        CAST(COALESCE(SUM(c_custkey), 0) AS BIGINT) AS id_checksum
+                 FROM graft_nin_customer c
+                 WHERE c.c_custkey NOT IN
+                       (SELECT CASE WHEN o.o_custkey < 0 THEN NULL
+                                    ELSE o.o_custkey END
+                        FROM graft_nin_orders o WHERE o.o_totalprice > 100000)
+                 UNION ALL
+                 SELECT 'b_null_present', COUNT(*),
+                        CAST(COALESCE(SUM(c_custkey), 0) AS BIGINT)
+                 FROM graft_nin_customer c
+                 WHERE c.c_custkey NOT IN
+                       (SELECT CASE WHEN o.o_orderstatus = 'F' THEN NULL
+                                    ELSE o.o_custkey END
+                        FROM graft_nin_orders o WHERE o.o_totalprice > 100000)
+                 UNION ALL
+                 SELECT 'c_empty_sub', COUNT(*),
+                        CAST(COALESCE(SUM(c_custkey), 0) AS BIGINT)
+                 FROM graft_nin_customer c
+                 WHERE c.c_custkey NOT IN
+                       (SELECT CASE WHEN o.o_custkey < 0 THEN NULL
+                                    ELSE o.o_custkey END
+                        FROM graft_nin_orders o WHERE o.o_totalprice < 0)
+                 ORDER BY scenario""")
+      },
+      Some("""SELECT 'a_nullable_type' AS scenario, COUNT(*) AS n,
+                     CAST(COALESCE(SUM(c_custkey), 0) AS BIGINT) AS id_checksum
+              FROM customer c
+              WHERE c.c_custkey NOT IN
+                    (SELECT CASE WHEN o.o_custkey < 0 THEN NULL
+                                 ELSE o.o_custkey END
+                     FROM orders o WHERE o.o_totalprice > 100000)
+              UNION ALL
+              SELECT 'b_null_present', COUNT(*),
+                     CAST(COALESCE(SUM(c_custkey), 0) AS BIGINT)
+              FROM customer c
+              WHERE c.c_custkey NOT IN
+                    (SELECT CASE WHEN o.o_orderstatus = 'F' THEN NULL
+                                 ELSE o.o_custkey END
+                     FROM orders o WHERE o.o_totalprice > 100000)
+              UNION ALL
+              SELECT 'c_empty_sub', COUNT(*),
+                     CAST(COALESCE(SUM(c_custkey), 0) AS BIGINT)
+              FROM customer c
+              WHERE c.c_custkey NOT IN
+                    (SELECT CASE WHEN o.o_custkey < 0 THEN NULL
+                                 ELSE o.o_custkey END
+                     FROM orders o WHERE o.o_totalprice < 0)
+              ORDER BY scenario"""))
   )
 }

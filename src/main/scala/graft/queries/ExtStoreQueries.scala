@@ -97,35 +97,19 @@ object ExtStoreQueries {
           col("c_acctbal"), col("c_mktsegment"),
           lit("U").as("op"), timestamp_millis(lit(0L)).as("ts"),
           lit(-1L).as("event_id")), storeDir, "c_custkey")
+        // single-phase replay (the pre-round-14 shape, restored so this
+        // row's floor is trend-comparable again): the rebucket-crossing
+        // variant moved to its own gated row, ext_store_rebucket
         val schema = s.read.parquet(srcDir).schema
-        def run(): Unit = {
-          val stream = s.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1").parquet(stageDir)
-          StreamMerge.start(stream, storeDir, ckpt,
-            "c_custkey", "op", Seq("ts", "event_id")).awaitTermination()
-        }
-        // the replay CROSSES a bucket-count migration: half the log
-        // folds at the creation-time count, the store is rebucketed
-        // 16 -> 32 (the store-growth maintenance op, stream stopped),
-        // and the remaining files resume from the SAME checkpoint at
-        // the migrated count. The oracle is unchanged — the bucket
-        // layout must be invisible to the merge semantics; what the
-        // gate adds is that the watermark held (no skipped/dropped
-        // batch around the maintenance version) and the settled
-        // snapshot still hash-equals the one-shot batch merge.
-        val parts = new java.io.File(srcDir).listFiles.toIndexedSeq
-          .map(_.getName).filter(_.endsWith(".parquet")).sorted
-        def stage(names: Seq[String]): Unit = names.foreach { f =>
-          java.nio.file.Files.copy(java.nio.file.Paths.get(srcDir, f),
-            java.nio.file.Paths.get(stageDir, f))
-        }
-        val (first, rest) = parts.splitAt(parts.size / 2)
-        stage(first)
-        run()
-        graft.streaming.BucketStore.rebucket(s, storeDir, "c_custkey",
-          newBuckets = 32)
-        stage(rest)
-        run()
+        new java.io.File(srcDir).listFiles.toIndexedSeq
+          .map(_.getName).filter(_.endsWith(".parquet")).foreach { f =>
+            java.nio.file.Files.copy(java.nio.file.Paths.get(srcDir, f),
+              java.nio.file.Paths.get(stageDir, f))
+          }
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stageDir)
+        StreamMerge.start(stream, storeDir, ckpt,
+          "c_custkey", "op", Seq("ts", "event_id")).awaitTermination()
         StreamMerge.snapshot(s, storeDir, "op", Seq("ts", "event_id"))
           .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
             round(col("c_acctbal") * 100).cast("long").as("bal_cents"),
@@ -156,6 +140,117 @@ object ExtStoreQueries {
                      CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
                      c_mktsegment
               FROM merged ORDER BY c_custkey""")),
+
+    // Bucket-count MIGRATION under a live stream
+    // ([[BucketStore.rebucket]]) — the store-growth maintenance op,
+    // gated alone (round 15; it rode inside ext_stream_merge in round
+    // 14, which muddied that row's floor trend): half the changelog
+    // folds at the creation-time count (16), the stream stops, the
+    // store rebuckets 16 -> 32 (one full rewrite — the honest,
+    // once-per-growth cost), and the remaining files resume from the
+    // SAME checkpoint at the migrated count. The settled snapshot must
+    // hash-equal the one-shot batch merge (the bucket layout is
+    // invisible to merge semantics), the batch watermark must hold
+    // across the maintenance version (no skipped/dropped trigger), and
+    // the `__manifest` row pins the migrated layout itself: 32 buckets,
+    // all 32 owned by post-migration versions (stale 16-count owner
+    // entries would double-read rows).
+    Declared(
+      "ext_store_rebucket",
+      (s, d) => {
+        val k = col("user_id") + 1450
+        val ev = Tables.events(s, d)
+        val srcDir = PlanCache.artifact("streamMerge/src/8/1450", ev) { e =>
+          val p = java.nio.file.Files
+            .createTempDirectory("graft_smerge_src").toString
+          e.select(
+              k.as("c_custkey"),
+              concat(lit("u"), k.cast("string")).as("c_name"),
+              (k % 25).cast("int").as("c_nationkey"),
+              col("value").as("c_acctbal"),
+              col("event_type").as("c_mktsegment"),
+              when(col("event_type") === "error", "D").otherwise("U").as("op"),
+              col("ts"), col("event_id"))
+            .repartitionByRange(8, col("ts"))
+            .write.mode("overwrite").parquet(p)
+          p
+        }
+        val Seq(storeDir, ckpt, stageDir) = freshDirs("srebucket", 3)
+        StreamMerge.seed(Tables.customer(s, d).select(
+          col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"), col("c_mktsegment"),
+          lit("U").as("op"), timestamp_millis(lit(0L)).as("ts"),
+          lit(-1L).as("event_id")), storeDir, "c_custkey", nBuckets = 16)
+        val schema = s.read.parquet(srcDir).schema
+        def run(): Unit = {
+          val stream = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(stageDir)
+          StreamMerge.start(stream, storeDir, ckpt,
+            "c_custkey", "op", Seq("ts", "event_id")).awaitTermination()
+        }
+        val parts = new java.io.File(srcDir).listFiles.toIndexedSeq
+          .map(_.getName).filter(_.endsWith(".parquet")).sorted
+        def stage(names: Seq[String]): Unit = names.foreach { f =>
+          java.nio.file.Files.copy(java.nio.file.Paths.get(srcDir, f),
+            java.nio.file.Paths.get(stageDir, f))
+        }
+        val (first, rest) = parts.splitAt(parts.size / 2)
+        stage(first)
+        run()
+        val preWm = BucketStore.latestBatch(s, storeDir)
+        BucketStore.rebucket(s, storeDir, "c_custkey", newBuckets = 32)
+        val postWm = BucketStore.latestBatch(s, storeDir)
+        stage(rest)
+        run()
+        // layout census off the migrated manifest: bucket count, owner
+        // coverage (every bucket owned, every owner id in range — a
+        // stale pre-migration entry would read as out-of-range), and
+        // the watermark held across the maintenance version
+        val v = BucketStore.latestVersion(s, storeDir).get
+        val m = BucketStore.readManifest(s, storeDir, v)
+        val ownersSane = m.owners.keySet.forall(b => b >= 0 && b < m.nBuckets)
+        val wmHeld = preWm == postWm
+        val manifestRow = s.range(1).select(
+          lit(-1L).as("c_custkey"), lit("__manifest").as("c_name"),
+          lit(m.nBuckets).cast("int").as("c_nationkey"),
+          lit(if (ownersSane && wmHeld) m.owners.size.toLong else -1L)
+            .as("bal_cents"),
+          lit("__m").as("c_mktsegment"))
+        StreamMerge.snapshot(s, storeDir, "op", Seq("ts", "event_id"))
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+            round(col("c_acctbal") * 100).cast("long").as("bal_cents"),
+            col("c_mktsegment"))
+          .unionByName(manifestRow)
+          .orderBy("c_custkey")
+      },
+      Some("""WITH log AS (
+                SELECT user_id + 1450 AS k,
+                       'u' || CAST(user_id + 1450 AS VARCHAR) AS c_name,
+                       CAST((user_id + 1450) % 25 AS INTEGER) AS c_nationkey,
+                       value AS c_acctbal, event_type AS c_mktsegment,
+                       CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                       ts, event_id
+                FROM events),
+              latest AS (
+                SELECT k, c_name, c_nationkey, c_acctbal, c_mktsegment, op FROM (
+                  SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+                    ORDER BY ts DESC, event_id DESC) AS rn FROM log)
+                WHERE rn = 1),
+              merged AS (
+                SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal,
+                       c.c_mktsegment
+                FROM customer c ANTI JOIN latest l ON c.c_custkey = l.k
+                UNION ALL
+                SELECT k, c_name, c_nationkey, c_acctbal, c_mktsegment
+                FROM latest WHERE op <> 'D')
+              SELECT c_custkey, c_name, c_nationkey,
+                     CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+                     c_mktsegment
+              FROM merged
+              UNION ALL
+              SELECT CAST(-1 AS BIGINT), '__manifest', CAST(32 AS INTEGER),
+                     CAST(32 AS BIGINT), '__m'
+              ORDER BY c_custkey""")),
 
     // Store-backed continuous ingest dedup ([[StreamIngest]]) — the
     // UNBOUNDED-horizon twin of ext_stream_dedup: same 20% slice
@@ -465,6 +560,62 @@ object ExtStoreQueries {
       },
       Some(ExtShared.matviewOracle(minmax = true))),
 
+    // SKETCH-backed continuous MIN/MAX view maintenance
+    // ([[StreamMatview.applyBatchSketch]]) — the SCALE PATH for the
+    // row above, closing round 14's one weak: the view store carries
+    // each dim's k=8 smallest/largest live values
+    // ([[graft.ext.Changelog.SketchCols]] — internal state, dropped
+    // from the served snapshot), so a trigger whose boundary
+    // retractions stay inside the sketch commits WITHOUT the
+    // full-store recompute read applyBatchMinMax pays on every
+    // retracting trigger (the error-typed deletes retract per
+    // trigger here); the full store is referenced only as the lazy
+    // drain-rebuild source (PlanShapeSpec pins the no-drain plan
+    // carries no store scan, via a poisoned source). Same 8-file
+    // replay, 1 file per trigger — the per-trigger plan is NARROWER
+    // than the minmax twin's (no recompute branch), so the halved
+    // trigger count isn't needed. Settled served view == the same
+    // MIN/MAX recompute oracle: batch sketch fold, plain minmax folds,
+    // and this row stay mutual audits.
+    Declared(
+      "ext_stream_matview_sketch",
+      (s, d) => {
+        val k = col("user_id") + 1450
+        val ev = Tables.events(s, d)
+        val srcDir = PlanCache.artifact("streamMatview/src/8/1450", ev) { e =>
+          val p = java.nio.file.Files
+            .createTempDirectory("graft_smv_src").toString
+          e.select(
+              k.as("c_custkey"),
+              col("event_type").as("c_mktsegment"),
+              round(col("value") * 100).cast("long").as("bal_cents"),
+              when(col("event_type") === "error", "D").otherwise("U").as("op"),
+              col("ts"), col("event_id"))
+            .repartitionByRange(8, col("ts"))
+            .write.mode("overwrite").parquet(p)
+          p
+        }
+        val Seq(storeDir, aggDir, ckpt) = freshDirs("smvsk", 3)
+        StreamMatview.seedSketch(Tables.customer(s, d).select(
+            col("c_custkey"), col("c_mktsegment"),
+            round(col("c_acctbal") * 100).cast("long").as("bal_cents"),
+            lit("U").as("op"), timestamp_millis(lit(0L)).as("ts"),
+            lit(-1L).as("event_id")),
+          storeDir, aggDir, "c_custkey", "op", Seq("c_mktsegment"),
+          "bal_cents", k = 8, nCol = "n", sumCol = "sum_cents",
+          minCol = "min_cents", maxCol = "max_cents")
+        val schema = s.read.parquet(srcDir).schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        val q = StreamMatview.startSketch(stream, storeDir, aggDir, ckpt,
+          "c_custkey", "op", Seq("ts", "event_id"), Seq("c_mktsegment"),
+          "bal_cents", k = 8, nCol = "n", sumCol = "sum_cents",
+          minCol = "min_cents", maxCol = "max_cents")
+        q.awaitTermination()
+        StreamMatview.viewSnapshotServed(s, aggDir).orderBy("c_mktsegment")
+      },
+      Some(ExtShared.matviewOracle(minmax = true))),
+
     // Erasure INSIDE the streaming lifecycle ([[BucketStore.purgeKeys]]
     // between replays of one checkpointed stream) — the operational
     // sequence a real right-to-be-forgotten request runs: ingest half
@@ -665,6 +816,113 @@ object ExtStoreQueries {
               FROM snap GROUP BY 1
               UNION ALL
               SELECT '__residual', 0, 0
+              ORDER BY c_mktsegment""")),
+
+    // Erasure from a store with a maintained MIN/MAX view
+    // ([[StreamMatview.purgeKeysSketch]] between replays of one
+    // checkpointed sketch-maintenance stream) — round 14's ask #2:
+    // erasure from a min/max view no longer pays the full view
+    // rebuild. The purge is a VIEW-FIRST DELTA with the same
+    // crash-recoverable intent note as the count/sum path: the purged
+    // keys' n/sum contributions subtract and their live values POP out
+    // of each dim's sketch, all read from the pre-purge snapshot's
+    // touched buckets; only a dim whose sketch side drains reads the
+    // full store (anti-joined with the purged keys — correct before
+    // the snapshot purge lands). Two 3-trigger phases drive both
+    // stores through applyBatchSketch; the settled SERVED view must
+    // equal the MIN/MAX recompute over the two-phase fold (forgotten
+    // contributions gone, post-purge changes for those keys
+    // legitimately re-counted — min/max boundaries re-answered), and
+    // the `__residual` byte-scan pins the physical erasure to zero.
+    Declared(
+      "ext_stream_matview_minmax_forget",
+      (s, d) => {
+        val k = col("user_id") + 1450
+        val ev = Tables.events(s, d)
+        def slim(e: org.apache.spark.sql.DataFrame) = e.select(
+          k.as("c_custkey"), col("event_type").as("c_mktsegment"),
+          round(col("value") * 100).cast("long").as("bal_cents"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"),
+          col("ts"), col("event_id"))
+        // fresh (non-memoized) source dir: phase 2 APPENDS to it
+        val Seq(srcDir, storeDir, aggDir, ckpt) = freshDirs("smvmmforget", 4)
+        slim(ev.where(pmod(col("event_id"), lit(2)) === 0))
+          .repartitionByRange(3, col("ts"))
+          .write.mode("overwrite").parquet(srcDir)
+        val seed = Tables.customer(s, d).select(
+          col("c_custkey"), col("c_mktsegment"),
+          round(col("c_acctbal") * 100).cast("long").as("bal_cents"),
+          lit("U").as("op"), timestamp_millis(lit(0L)).as("ts"),
+          lit(-1L).as("event_id"))
+        StreamMatview.seedSketch(seed, storeDir, aggDir, "c_custkey", "op",
+          Seq("c_mktsegment"), "bal_cents", k = 8,
+          nCol = "n", sumCol = "sum_cents",
+          minCol = "min_cents", maxCol = "max_cents")
+        val schema = s.read.parquet(srcDir).schema
+        def replay(): Unit = StreamMatview.startSketch(
+          s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(srcDir),
+          storeDir, aggDir, ckpt, "c_custkey", "op", Seq("ts", "event_id"),
+          Seq("c_mktsegment"), "bal_cents", k = 8,
+          nCol = "n", sumCol = "sum_cents",
+          minCol = "min_cents", maxCol = "max_cents").awaitTermination()
+        replay() // phase 1 settles into store + view
+        val keys = seed.select("c_custkey")
+          .union(slim(ev).select("c_custkey")).distinct()
+          .where(col("c_custkey") % 89 === 0)
+        StreamMatview.purgeKeysSketch(s, storeDir, aggDir, keys, "c_custkey",
+          "op", Seq("c_mktsegment"), "bal_cents", k = 8,
+          nCol = "n", sumCol = "sum_cents",
+          minCol = "min_cents", maxCol = "max_cents")
+        slim(ev.where(pmod(col("event_id"), lit(2)) === 1))
+          .repartitionByRange(3, col("ts"))
+          .write.mode("append").parquet(srcDir)
+        replay() // phase 2: same checkpoint, only the new files
+        val view = StreamMatview.viewSnapshotServed(s, aggDir)
+          .select(col("c_mktsegment"), col("n"), col("sum_cents"),
+            col("min_cents"), col("max_cents"))
+        val residual = BucketStore.allBytes(s, storeDir)
+          .where(col("event_id") === -1L ||
+            pmod(col("event_id"), lit(2)) === 0)
+          .join(keys, Seq("c_custkey"), "left_semi")
+          .agg(count(lit(1)).as("n"))
+          .select(lit("__residual").as("c_mktsegment"), col("n"),
+            lit(0L).as("sum_cents"), lit(0L).as("min_cents"),
+            lit(0L).as("max_cents"))
+        view.unionByName(residual).orderBy("c_mktsegment")
+      },
+      Some("""WITH seedr AS (
+                SELECT c_custkey AS k, c_mktsegment AS seg,
+                       CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+                       'U' AS op, TIMESTAMP '1970-01-01 00:00:00' AS ts,
+                       CAST(-1 AS BIGINT) AS eid
+                FROM customer),
+              log AS (
+                SELECT user_id + 1450 AS k, event_type AS seg,
+                       CAST(round(value * 100) AS BIGINT) AS cents,
+                       CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                       ts, event_id AS eid
+                FROM events),
+              p1 AS (SELECT * FROM seedr
+                     UNION ALL SELECT * FROM log WHERE eid % 2 = 0),
+              l1 AS (SELECT k, seg, cents, op, ts, eid FROM (
+                       SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+                         ORDER BY ts DESC, eid DESC) AS rn FROM p1)
+                     WHERE rn = 1),
+              purged AS (SELECT * FROM l1 WHERE k % 89 <> 0),
+              p2 AS (SELECT * FROM purged
+                     UNION ALL SELECT * FROM log WHERE eid % 2 = 1),
+              l2 AS (SELECT k, seg, cents, op FROM (
+                       SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+                         ORDER BY ts DESC, eid DESC) AS rn FROM p2)
+                     WHERE rn = 1),
+              snap AS (SELECT * FROM l2 WHERE op <> 'D')
+              SELECT seg AS c_mktsegment, COUNT(*) AS n,
+                     CAST(SUM(cents) AS BIGINT) AS sum_cents,
+                     MIN(cents) AS min_cents, MAX(cents) AS max_cents
+              FROM snap GROUP BY 1
+              UNION ALL
+              SELECT '__residual', 0, 0, 0, 0
               ORDER BY c_mktsegment"""))
   )
 

@@ -90,6 +90,7 @@ object StreamMatview {
     batch.persist()
     try {
       if (!StreamMerge.replaySkip(spark, aggDir, id)) {
+        requirePurgeSettled(spark, storeDir, aggDir)
         // the delta needs the PRE-batch snapshot — guaranteed by the
         // aggregate-first commit order; a snapshot already at/above
         // this batch means the two stores were driven independently
@@ -147,7 +148,7 @@ object StreamMatview {
     * its own replay (and refuse a DIFFERENT purge until the first
     * completes). One small job; null keys hash as an ordinary value.
     */
-  private def keyFingerprint(keys: DataFrame, keyCol: String): String = {
+  private[graft] def keyFingerprint(keys: DataFrame, keyCol: String): String = {
     val p = 1000000007L
     val r = keys.select(col(keyCol).as("__pk")).distinct()
       .agg(coalesce(sum(pmod(xxhash64(col("__pk")), lit(p))), lit(0L)),
@@ -157,6 +158,46 @@ object StreamMatview {
   }
 
   private val PurgeNote = "^purge:snapv=(-?\\d+):fp=(.+)$".r
+  private val PurgeMMNote = "^purgemm:fp=(.+)$".r
+
+  /** Refuse to run an ordinary view commit over an UNSATISFIED purge
+    * intent. Manifest notes are not carried forward (each version
+    * writes its own), so an ordinary commit would silently erase the
+    * only record that a purge is half-applied:
+    *
+    *  - a [[PurgeNote]] (count/sum and sketch views, view-first) is
+    *    unsatisfied while it points PAST the snapshot's latest
+    *    version — the view already subtracted contributions whose
+    *    rows still live in the snapshot, and a later delete of those
+    *    keys would double-subtract with no guard able to fire;
+    *  - a [[PurgeMMNote]] (plain min/max views, snapshot-first) is
+    *    unsatisfied by PRESENCE — it is written before the snapshot
+    *    purge and cleared only by the view-rebuild commit.
+    *
+    * Called by every ordinary view-committing path (the applyBatch
+    * family and [[rebuildView]]); the fix is to re-run the interrupted
+    * purge to completion first.
+    */
+  private def requirePurgeSettled(spark: SparkSession, storeDir: String,
+                                  aggDir: String): Unit =
+    BucketStore.latestVersion(spark, aggDir).foreach { av =>
+      BucketStore.readManifest(spark, aggDir, av).note.foreach {
+        case PurgeNote(snapv, fp) =>
+          val sv = BucketStore.latestVersion(spark, storeDir)
+          require(sv.exists(_ >= snapv.toLong),
+            s"view $aggDir carries an incomplete purge intent (fp $fp: view " +
+              s"delta committed, snapshot purge to version $snapv never " +
+              "landed) — an ordinary commit would erase the record and a " +
+              "later delete of those keys would double-subtract; re-run the " +
+              "purge to completion first")
+        case PurgeMMNote(fp) =>
+          throw new IllegalArgumentException(
+            s"requirement failed: view $aggDir carries an incomplete min/max " +
+              s"purge intent (fp $fp: snapshot purge and/or view rebuild " +
+              "never completed) — re-run the purge to completion first")
+        case _ => ()
+      }
+    }
 
   /** The view-side purge delta and the buckets it reads: the purged
     * keys' LIVE (count, sum) contributions, NEGATED, computed from
@@ -178,10 +219,15 @@ object StreamMatview {
     val cur = BucketStore.read(spark, storeDir, Some(touched)).get
     val purged = cur.join(broadcast(kdf), col(keyCol) <=> col("__pk"),
       "left_semi")
+    // the negated sum keeps aggSnapshot's natural (sum-widened) type —
+    // casting back to valCol would narrow (sum(int) is long; decimal
+    // sums widen precision) and overflow a large purged contribution;
+    // mergeAggDelta's union coerces against the view's own sum type,
+    // the same convention aggDelta follows
     val neg = Changelog.aggSnapshot(purged, opCol, dims, valCol,
         nCol = nCol, sumCol = sumCol)
       .select((dims.map(col) :+ (col(nCol) * -1).as(nCol) :+
-        (col(sumCol) * -1).cast(cur.schema(valCol).dataType).as(sumCol)): _*)
+        (col(sumCol) * -1).as(sumCol)): _*)
     (neg, touched)
   }
 
@@ -236,6 +282,7 @@ object StreamMatview {
     batch.persist()
     try {
       if (!StreamMerge.replaySkip(spark, aggDir, id)) {
+        requirePurgeSettled(spark, storeDir, aggDir)
         require(!BucketStore.latestBatch(spark, storeDir).exists(_ >= id),
           s"snapshot store $storeDir already absorbed batch $id but the view " +
             s"$aggDir has not — the stores were driven out of order; drive " +
@@ -298,13 +345,227 @@ object StreamMatview {
       .start()
   }
 
-  /** Erasure for a MIN/MAX view: purge the snapshot, then REBUILD the
-    * aggregate from the purged store as a maintenance version — the
-    * full recompute [[purgeKeys]] dropped for count/sum views is the
+  /** [[seed]]'s SKETCHED twin: the aggregate store holds `(dims..., n,
+    * sum, min, max, sketch state)` ([[Changelog.aggSnapshotSketch]])
+    * for a view maintained by [[applyBatchSketch]] — the scale path
+    * for deletes-bearing changelogs, where [[applyBatchMinMax]]'s
+    * per-retraction full-store recompute becomes an O(1) sketch pop.
+    */
+  def seedSketch(snapshot: DataFrame, storeDir: String, aggDir: String,
+                 keyCol: String, opCol: String, dims: Seq[String],
+                 valCol: String, k: Int,
+                 nCol: String = "n", sumCol: String = "sum",
+                 minCol: String = "min", maxCol: String = "max",
+                 nBuckets: Int = BucketStore.DefaultBuckets): Unit = {
+    val spark = snapshot.sparkSession
+    StreamMerge.seed(snapshot, storeDir, keyCol, nBuckets)
+    val existing = BucketStore.versions(spark, aggDir).filter(_ != -1L)
+    require(existing.isEmpty,
+      s"seedSketch: view store $aggDir already has committed ingest versions " +
+        s"(${existing.mkString(", ")}) — the seed would be invisible; " +
+        "delete the store first to reset it")
+    BucketStore.writeVersion(
+      Changelog.aggSnapshotSketch(snapshot, opCol, dims, valCol, k = k,
+        nCol = nCol, sumCol = sumCol, minCol = minCol, maxCol = maxCol),
+      aggDir, -1L, col(dims.head), nBuckets = 1)
+  }
+
+  /** [[applyBatchMinMax]]'s SKETCHED twin — same two-store
+    * aggregate-first exactly-once protocol, with
+    * [[Changelog.mergeAggSketch]] as the view refresh: each dim's
+    * sketch (k smallest/largest live values, persisted IN the view
+    * store — invisible state, the served columns are identical)
+    * absorbs boundary retractions as O(1) array pops. The full store
+    * is passed only as the LAZY rebuild source, and mergeAggSketch is
+    * eager with the drain test checkpointed first — so a trigger whose
+    * retractions stay inside every sketch commits a plan with NO
+    * full-store scan at all (the scan [[applyBatchMinMax]] pays on
+    * every boundary-retracting trigger), and the scan happens only
+    * when a dim's sketch side DRAINS: at least k boundary deletions
+    * per side between rebuilds, amortized away at production k.
+    */
+  def applyBatchSketch(batch: DataFrame, id: Long, storeDir: String,
+                       aggDir: String, keyCol: String, opCol: String,
+                       seqCols: Seq[String], dims: Seq[String],
+                       valCol: String, k: Int,
+                       nCol: String = "n", sumCol: String = "sum",
+                       minCol: String = "min", maxCol: String = "max",
+                       retain: Int = 2,
+                       nBuckets: Int = BucketStore.DefaultBuckets,
+                       maxBroadcastKeys: Long = 10000000L): Unit = {
+    require(retain >= 1,
+      s"retain=$retain: the vacuum must keep at least the version just written")
+    val spark = batch.sparkSession
+    var probed: Option[Set[Long]] = None
+    batch.persist()
+    try {
+      if (!StreamMerge.replaySkip(spark, aggDir, id)) {
+        requirePurgeSettled(spark, storeDir, aggDir)
+        require(!BucketStore.latestBatch(spark, storeDir).exists(_ >= id),
+          s"snapshot store $storeDir already absorbed batch $id but the view " +
+            s"$aggDir has not — the stores were driven out of order; drive " +
+            "both through StreamMatview only")
+        val sv = BucketStore.latestVersion(spark, storeDir)
+        val nb = sv
+          .map(v => BucketStore.readManifest(spark, storeDir, v).nBuckets)
+          .getOrElse(nBuckets)
+        val touched = BucketStore.touchedBuckets(batch, col(keyCol), nb)
+        probed = Some(touched)
+        val storeTouched = BucketStore.read(spark, storeDir, Some(touched))
+          .getOrElse(batch.limit(0))
+        // the DRAIN-ONLY rebuild source: a lazy plan mergeAggSketch
+        // never executes (or references) on the no-drain path
+        val storeFull = BucketStore.read(spark, storeDir)
+          .getOrElse(batch.limit(0))
+        val agg = BucketStore.read(spark, aggDir).getOrElse {
+          require(sv.isEmpty,
+            s"snapshot store $storeDir has committed versions but the view " +
+              s"$aggDir has none — an empty-view fallback would permanently " +
+              "drop the snapshot seed's contributions; seed both stores " +
+              "through StreamMatview.seedSketch")
+          Changelog.aggSnapshotSketch(batch.limit(0), opCol, dims, valCol,
+            k = k, nCol = nCol, sumCol = sumCol, minCol = minCol,
+            maxCol = maxCol)
+        }
+        val av = BucketStore.latestVersion(spark, aggDir)
+        BucketStore.writeVersion(
+          Changelog.mergeAggSketch(agg, storeTouched, batch, keyCol, opCol,
+            seqCols, dims, valCol, k = k, nCol = nCol, sumCol = sumCol,
+            minCol = minCol, maxCol = maxCol,
+            maxBroadcastKeys = maxBroadcastKeys,
+            recomputeStore = Some(storeFull)),
+          aggDir, av.map(_ + 1L).getOrElse(id), col(dims.head), nBuckets = 1,
+          batch = Some(id), claim = Set(0L))
+        BucketStore.vacuum(spark, aggDir, retain)
+      }
+      StreamMerge.applyBatch(batch, id, storeDir, keyCol, opCol, seqCols,
+        retain, nBuckets, touchedHint = probed, managePersist = false)
+    } finally batch.unpersist(false)
+  }
+
+  /** [[start]]'s SKETCHED twin. */
+  def startSketch(changelog: DataFrame, storeDir: String, aggDir: String,
+                  checkpointDir: String, keyCol: String, opCol: String,
+                  seqCols: Seq[String], dims: Seq[String], valCol: String,
+                  k: Int,
+                  nCol: String = "n", sumCol: String = "sum",
+                  minCol: String = "min", maxCol: String = "max",
+                  retain: Int = 2,
+                  nBuckets: Int = BucketStore.DefaultBuckets,
+                  maxBroadcastKeys: Long = 10000000L,
+                  trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(retain >= 1,
+      s"retain=$retain: the vacuum must keep at least the version just written")
+    changelog.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (b: Dataset[Row], id: Long) =>
+        applyBatchSketch(b, id, storeDir, aggDir, keyCol, opCol, seqCols,
+          dims, valCol, k, nCol, sumCol, minCol, maxCol, retain, nBuckets,
+          maxBroadcastKeys)
+      }
+      .start()
+  }
+
+  /** The maintained SKETCHED view with its internal state dropped —
+    * the serving projection of a view kept by [[applyBatchSketch]]:
+    * `(dims..., n, sum, min, max)`, directly comparable to the plain
+    * [[viewSnapshot]] and the recompute oracle.
+    */
+  def viewSnapshotServed(spark: SparkSession, aggDir: String): DataFrame =
+    viewSnapshot(spark, aggDir).drop(Changelog.SketchCols: _*)
+
+  /** Erasure for a SKETCHED view — [[purgeKeys]]' protocol verbatim
+    * (view-first with the same intent note, same crash windows, same
+    * fingerprint discipline), with [[Changelog.purgeAggSketch]] as the
+    * view delta: the purged keys' live contributions subtract from
+    * n/sum and POP out of each dim's sketch, both computed from the
+    * pre-purge snapshot's touched buckets; only a dim whose sketch
+    * side drains reads the full store (anti-joined with the purged
+    * keys — correct view-first). The full-view rebuild
+    * [[purgeKeysMinMax]] pays per erasure is gone on this path.
+    */
+  def purgeKeysSketch(spark: SparkSession, storeDir: String, aggDir: String,
+                      keys: DataFrame, keyCol: String, opCol: String,
+                      dims: Seq[String], valCol: String, k: Int,
+                      nCol: String = "n", sumCol: String = "sum",
+                      minCol: String = "min", maxCol: String = "max",
+                      maxBroadcastKeys: Long = 10000000L)
+      : BucketStore.PurgeStats = {
+    val av = BucketStore.latestVersion(spark, aggDir).getOrElse(
+      throw new IllegalStateException(s"no committed view version under $aggDir"))
+    val avm = BucketStore.readManifest(spark, aggDir, av)
+    val sv = BucketStore.latestVersion(spark, storeDir).getOrElse(
+      throw new IllegalStateException(s"no committed store version under $storeDir"))
+    val fp = keyFingerprint(keys, keyCol)
+    avm.note match {
+      case Some(PurgeNote(snapv, noteFp)) if snapv.toLong > sv =>
+        require(noteFp == fp,
+          s"view $aggDir carries an incomplete purge of a DIFFERENT key " +
+            s"list (fp $noteFp vs $fp) — re-run that purge to completion " +
+            "before issuing a new one")
+        BucketStore.purgeKeys(spark, storeDir, keys, keyCol, maxBroadcastKeys)
+      case _ =>
+        purgeViewCommitSketch(spark, storeDir, aggDir, keys, keyCol, opCol,
+          dims, valCol, k, nCol, sumCol, minCol, maxCol, maxBroadcastKeys)
+        BucketStore.purgeKeys(spark, storeDir, keys, keyCol, maxBroadcastKeys)
+    }
+  }
+
+  /** [[purgeKeysSketch]]' view-side half — the sketch-popping subtract
+    * committed with the intent note, BEFORE the snapshot purge.
+    * private[graft] so the crash-window spec can stop exactly between
+    * the two commits.
+    */
+  private[graft] def purgeViewCommitSketch(spark: SparkSession,
+                                           storeDir: String, aggDir: String,
+                                           keys: DataFrame, keyCol: String,
+                                           opCol: String, dims: Seq[String],
+                                           valCol: String, k: Int,
+                                           nCol: String, sumCol: String,
+                                           minCol: String, maxCol: String,
+                                           maxBroadcastKeys: Long): Unit = {
+    val av = BucketStore.latestVersion(spark, aggDir).getOrElse(
+      throw new IllegalStateException(s"no committed view version under $aggDir"))
+    val avm = BucketStore.readManifest(spark, aggDir, av)
+    val sv = BucketStore.latestVersion(spark, storeDir).getOrElse(
+      throw new IllegalStateException(s"no committed store version under $storeDir"))
+    val m = BucketStore.readManifest(spark, storeDir, sv)
+    val fp = keyFingerprint(keys, keyCol)
+    val kdf = keys.select(col(keyCol).as("__pk")).distinct()
+    val touched = BucketStore.touchedBuckets(kdf, col("__pk"), m.nBuckets)
+    val storeTouched = BucketStore.read(spark, storeDir, Some(touched)).get
+    val storeFull = BucketStore.read(spark, storeDir)
+    val agg = viewSnapshot(spark, aggDir)
+    BucketStore.writeVersion(
+      Changelog.purgeAggSketch(agg, storeTouched, keys, keyCol, opCol, dims,
+        valCol, k = k, nCol = nCol, sumCol = sumCol, minCol = minCol,
+        maxCol = maxCol, maxBroadcastKeys = maxBroadcastKeys,
+        recomputeStore = storeFull),
+      aggDir, av + 1L, col(dims.head), nBuckets = 1,
+      batch = Some(avm.batch), claim = Set(0L),
+      note = Some(s"purge:snapv=${sv + 1}:fp=$fp"))
+  }
+
+  /** Erasure for a PLAIN MIN/MAX view: purge the snapshot, then
+    * REBUILD the aggregate from the purged store as a maintenance
+    * version — the full recompute [[purgeKeys]] dropped for count/sum
+    * views (and [[purgeKeysSketch]] drops for sketched views) is the
     * honest cost here: erasure retracts boundaries, and a
-    * non-self-maintainable aggregate needs the surviving rows to
-    * re-answer them anyway. Idempotent across a crash between the two
-    * commits (re-running recomputes from the already-purged store).
+    * non-self-maintainable aggregate without sketch state needs the
+    * surviving rows to re-answer them anyway.
+    *
+    * Crash discipline: snapshot-first ordering is inherent (the
+    * rebuild needs the post-purge store), so the intent note flips —
+    * a no-op view version carrying `purgemm:fp=<fingerprint>` commits
+    * BEFORE the snapshot purge and the rebuild commit clears it. A
+    * crash anywhere between the two leaves the note in place, the
+    * applyBatch family refuses to resume over it
+    * ([[requirePurgeSettled]] — the erased keys' contributions would
+    * otherwise stay derivable from the view indefinitely with nothing
+    * recording the half-applied purge), and re-running THIS purge with
+    * the same key list redoes both halves idempotently (the re-purge
+    * drops nothing new; the rebuild recomputes from the purged store).
     */
   def purgeKeysMinMax(spark: SparkSession, storeDir: String, aggDir: String,
                       keys: DataFrame, keyCol: String, opCol: String,
@@ -313,17 +574,35 @@ object StreamMatview {
                       minCol: String = "min", maxCol: String = "max",
                       maxBroadcastKeys: Long = 10000000L)
       : BucketStore.PurgeStats = {
+    val av = BucketStore.latestVersion(spark, aggDir).getOrElse(
+      throw new IllegalStateException(s"no committed view version under $aggDir"))
+    val avm = BucketStore.readManifest(spark, aggDir, av)
+    val fp = keyFingerprint(keys, keyCol)
+    avm.note match {
+      case Some(PurgeMMNote(noteFp)) =>
+        require(noteFp == fp,
+          s"view $aggDir carries an incomplete min/max purge of a DIFFERENT " +
+            s"key list (fp $noteFp vs $fp) — re-run that purge to " +
+            "completion before issuing a new one")
+      case _ =>
+        // intent first: a crash after the snapshot purge but before the
+        // rebuild must leave a record, or the view would keep serving
+        // (and deriving) the erased keys' contributions silently
+        BucketStore.writeVersion(viewSnapshot(spark, aggDir), aggDir,
+          av + 1L, col(dims.head), nBuckets = 1, batch = Some(avm.batch),
+          claim = Set(0L), note = Some(s"purgemm:fp=$fp"))
+    }
     val stats = BucketStore.purgeKeys(spark, storeDir, keys, keyCol,
       maxBroadcastKeys)
     val store = BucketStore.read(spark, storeDir).getOrElse(
       throw new IllegalStateException(s"no committed store version under $storeDir"))
-    val av = BucketStore.latestVersion(spark, aggDir).getOrElse(
-      throw new IllegalStateException(s"no committed view version under $aggDir"))
-    val ab = BucketStore.readManifest(spark, aggDir, av).batch
+    val av2 = BucketStore.latestVersion(spark, aggDir).get
+    val ab = BucketStore.readManifest(spark, aggDir, av2).batch
+    // the rebuild commit writes no note — clearing the intent
     BucketStore.writeVersion(
       Changelog.aggSnapshotMinMax(store, opCol, dims, valCol, nCol = nCol,
         sumCol = sumCol, minCol = minCol, maxCol = maxCol),
-      aggDir, av + 1L, col(dims.head), nBuckets = 1, batch = Some(ab),
+      aggDir, av2 + 1L, col(dims.head), nBuckets = 1, batch = Some(ab),
       claim = Set(0L))
     stats
   }
@@ -422,6 +701,10 @@ object StreamMatview {
   def rebuildView(spark: SparkSession, storeDir: String, aggDir: String,
                   opCol: String, dims: Seq[String], valCol: String,
                   nCol: String = "n", sumCol: String = "sum"): Unit = {
+    // a rebuild over a half-applied purge would "repair" the view back
+    // to the unpurged store AND clear the intent note — the purge's
+    // snapshot half would then silently never happen
+    requirePurgeSettled(spark, storeDir, aggDir)
     val store = BucketStore.read(spark, storeDir).getOrElse(
       throw new IllegalStateException(s"no committed store version under $storeDir"))
     val av = BucketStore.latestVersion(spark, aggDir).getOrElse(

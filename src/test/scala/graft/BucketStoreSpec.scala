@@ -566,4 +566,125 @@ class BucketStoreSpec extends SparkSpec {
     assert(StreamMerge.snapshot(spark, storeDir, "op", Seq("seq"))
       .where(col("k") === 6L).select("name").as[String].head() == "b1-6")
   }
+
+  test("sketched-view purge: sketch pops replace the rebuild; the crash window blocks ordinary commits and redoes only the snapshot") {
+    import graft.streaming.StreamMatview
+    val storeDir = Files.createTempDirectory("graft_bksk_store").toString
+    val aggDir = Files.createTempDirectory("graft_bksk_agg").toString
+    StreamMatview.seedSketch(spark.range(0, 64).select(
+      col("id").as("k"), concat(lit("seg"), col("id") % 4).as("seg"),
+      (col("id") * 10).as("cents"), lit("U").as("op"), lit(-1L).as("seq")),
+      storeDir, aggDir, "k", "op", Seq("seg"), "cents", k = 4)
+    def canonView = StreamMatview.viewSnapshotServed(spark, aggDir)
+      .select("seg", "n", "sum", "min", "max")
+      .as[(String, Long, Long, Option[Long], Option[Long])]
+      .collect().toSeq.sorted
+    def canonRecompute = Changelog.aggSnapshotMinMax(
+        StreamMerge.readStore(spark, storeDir).get, "op", Seq("seg"), "cents")
+      .select("seg", "n", "sum", "min", "max")
+      .as[(String, Long, Long, Option[Long], Option[Long])]
+      .collect().toSeq.sorted
+
+    // normal purge: boundary holders of seg0 (60, 63 hold neither; 60
+    // IS seg0's max holder) — an in-sketch pop, view == recompute
+    StreamMatview.purgeKeysSketch(spark, storeDir, aggDir,
+      Seq(60L, 5L).toDF("k"), "k", "op", Seq("seg"), "cents", k = 4)
+    assert(canonView == canonRecompute,
+      "sketched view diverged from the recompute after a normal purge")
+
+    // CRASH WINDOW: the view-side pop commits (with the intent note),
+    // the snapshot purge never runs
+    StreamMatview.purgeViewCommitSketch(spark, storeDir, aggDir,
+      Seq(8L, 12L).toDF("k"), "k", "op", Seq("seg"), "cents", 4,
+      "n", "sum", "min", "max", 10000000L)
+    assert(StreamMerge.readStore(spark, storeDir).get
+      .where(col("k").isin(8L, 12L)).count() == 2,
+      "crash-window precondition: the snapshot still holds the keys")
+    // an ordinary view commit must REFUSE — it would erase the intent
+    // note and the half-applied purge would never complete
+    val eb = intercept[IllegalArgumentException] {
+      StreamMatview.applyBatchSketch(
+        Seq((200L, "seg0", 5L, "U", 0L)).toDF("k", "seg", "cents", "op", "seq"),
+        0L, storeDir, aggDir, "k", "op", Seq("seq"), Seq("seg"), "cents", k = 4)
+    }
+    assert(eb.getMessage.contains("incomplete purge intent"))
+    // a DIFFERENT purge must refuse too
+    val ep = intercept[IllegalArgumentException] {
+      StreamMatview.purgeKeysSketch(spark, storeDir, aggDir,
+        Seq(14L).toDF("k"), "k", "op", Seq("seg"), "cents", k = 4)
+    }
+    assert(ep.getMessage.contains("DIFFERENT key list"))
+    // re-running the SAME purge redoes only the snapshot half
+    StreamMatview.purgeKeysSketch(spark, storeDir, aggDir,
+      Seq(8L, 12L).toDF("k"), "k", "op", Seq("seg"), "cents", k = 4)
+    assert(canonView == canonRecompute,
+      "view diverged after the crash-window replay (double pop?)")
+    // the protocol is satisfied: ordinary maintenance resumes, and a
+    // DRAINING purge (every tracked min of seg1 at k=4: 1,9,13,17 —
+    // with 5 already gone) rebuilds from the survivors
+    StreamMatview.applyBatchSketch(
+      Seq((300L, "seg1", 7L, "U", 0L)).toDF("k", "seg", "cents", "op", "seq"),
+      0L, storeDir, aggDir, "k", "op", Seq("seq"), Seq("seg"), "cents", k = 4)
+    assert(canonView == canonRecompute)
+    StreamMatview.purgeKeysSketch(spark, storeDir, aggDir,
+      Seq(1L, 9L, 13L, 17L, 300L).toDF("k"), "k", "op", Seq("seg"), "cents",
+      k = 4)
+    assert(canonView == canonRecompute,
+      "view diverged after a draining purge (rebuild read the wrong rows?)")
+  }
+
+  test("min/max purge intent: a half-applied purgeKeysMinMax blocks ordinary commits until re-run to completion") {
+    import graft.streaming.StreamMatview
+    val storeDir = Files.createTempDirectory("graft_bkmm_store").toString
+    val aggDir = Files.createTempDirectory("graft_bkmm_agg").toString
+    StreamMatview.seedMinMax(spark.range(0, 48).select(
+      col("id").as("k"), concat(lit("seg"), col("id") % 3).as("seg"),
+      (col("id") * 10).as("cents"), lit("U").as("op"), lit(-1L).as("seq")),
+      storeDir, aggDir, "k", "op", Seq("seg"), "cents")
+    def canonView = StreamMatview.viewSnapshot(spark, aggDir)
+      .select("seg", "n", "sum", "min", "max")
+      .as[(String, Long, Long, Option[Long], Option[Long])]
+      .collect().toSeq.sorted
+    def canonRecompute = Changelog.aggSnapshotMinMax(
+        StreamMerge.readStore(spark, storeDir).get, "op", Seq("seg"), "cents")
+      .select("seg", "n", "sum", "min", "max")
+      .as[(String, Long, Long, Option[Long], Option[Long])]
+      .collect().toSeq.sorted
+    val keys = Seq(6L, 47L).toDF("k") // 47 holds seg2's max — a retraction
+
+    // simulate the crash: the intent note commits, the snapshot purge
+    // lands, the view REBUILD never runs — the view still serves (and
+    // derives) the erased keys' contributions
+    val fp = StreamMatview.keyFingerprint(keys, "k")
+    val av = BucketStore.latestVersion(spark, aggDir).get
+    val ab = BucketStore.readManifest(spark, aggDir, av).batch
+    BucketStore.writeVersion(StreamMatview.viewSnapshot(spark, aggDir),
+      aggDir, av + 1L, col("seg"), nBuckets = 1, batch = Some(ab),
+      claim = Set(0L), note = Some(s"purgemm:fp=$fp"))
+    BucketStore.purgeKeys(spark, storeDir, keys, "k")
+    assert(canonView != canonRecompute,
+      "crash-window precondition: the stale view must still differ")
+    // ordinary maintenance must refuse over the intent
+    val eb = intercept[IllegalArgumentException] {
+      StreamMatview.applyBatchMinMax(
+        Seq((100L, "seg0", 5L, "U", 0L)).toDF("k", "seg", "cents", "op", "seq"),
+        0L, storeDir, aggDir, "k", "op", Seq("seq"), Seq("seg"), "cents")
+    }
+    assert(eb.getMessage.contains("incomplete min/max purge intent"))
+    // a DIFFERENT purge refuses; the SAME one completes and clears
+    val ep = intercept[IllegalArgumentException] {
+      StreamMatview.purgeKeysMinMax(spark, storeDir, aggDir,
+        Seq(9L).toDF("k"), "k", "op", Seq("seg"), "cents")
+    }
+    assert(ep.getMessage.contains("DIFFERENT key list"))
+    StreamMatview.purgeKeysMinMax(spark, storeDir, aggDir, keys,
+      "k", "op", Seq("seg"), "cents")
+    assert(canonView == canonRecompute,
+      "view must equal the recompute after the purge completes")
+    // the note is cleared: ordinary maintenance resumes
+    StreamMatview.applyBatchMinMax(
+      Seq((100L, "seg0", 5L, "U", 0L)).toDF("k", "seg", "cents", "op", "seq"),
+      0L, storeDir, aggDir, "k", "op", Seq("seq"), Seq("seg"), "cents")
+    assert(canonView == canonRecompute)
+  }
 }

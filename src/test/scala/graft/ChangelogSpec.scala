@@ -437,6 +437,58 @@ class ChangelogSpec extends SparkSpec {
       .select("max").as[Option[Long]].head() == Some(100L))
   }
 
+  test("purgeAggSketch: pops subtract within the sketch; a drained side rebuilds from survivors only; emptied dims drop") {
+    val seed = (1L to 18L).map(i => (i, s"seg${i % 3}", i * 10L, "U", -1L))
+      .toDF("k", "seg", "v", "op", "seq")
+    var store = seed
+    var agg = Changelog.aggSnapshotSketch(seed, "op", Seq("seg"), "v", k = 2)
+      .localCheckpoint(true)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("seg", "n", "sum", "min", "max")
+        .as[(String, Long, Long, Option[Long], Option[Long])]
+        .collect().toSeq.sorted
+    def purge(keys: Seq[Long]): Unit = {
+      agg = Changelog.purgeAggSketch(agg, store, keys.toDF("k"), "k", "op",
+        Seq("seg"), "v", k = 2, maxBroadcastKeys = 0L)
+      store = store.join(broadcast(keys.toDF("k")), Seq("k"), "left_anti")
+        .localCheckpoint(true)
+      assert(canon(agg) == canon(Changelog.aggSnapshotMinMax(store, "op",
+        Seq("seg"), "v")),
+        s"purged sketch view diverged from the recompute after purging $keys")
+    }
+    // pop WITHIN the sketch: seg0's min holder (k=3, v=30) — absorbed,
+    // served min moves to the next tracked value; and the no-drain
+    // path's plan must carry no rebuild branch (hence no store scan)
+    val popped = Changelog.purgeAggSketch(agg, store, Seq(3L).toDF("k"),
+      "k", "op", Seq("seg"), "v", k = 2, maxBroadcastKeys = 0L)
+    popped.collect()
+    val plan = popped.queryExecution.executedPlan.toString
+    assert(!plan.contains("__rmns"),
+      "an in-sketch purge must take the no-rebuild path — the returned " +
+        s"plan carries no rebuild branch at all:\n$plan")
+    purge(Seq(3L))
+    // DRAIN: both tracked smallest of seg0 (6->60, 9->90) purged in one
+    // call — the rebuild must come from the SURVIVORS (store minus the
+    // purged keys), not the pre-purge store
+    purge(Seq(6L, 9L))
+    // n/sum telescope: purge a mid-range key of seg1 (no boundary)
+    purge(Seq(7L))
+    // empty a whole dim: every remaining seg2 key goes
+    val seg2 = store.where(col("seg") === "seg2").select("k")
+      .as[Long].collect().toSeq
+    purge(seg2)
+    assert(!canon(agg).exists(_._1 == "seg2"), "emptied dim must drop")
+    // fold AFTER a purge keeps telescoping (mergeAggSketch over the
+    // purged state)
+    val b = Seq((100L, "seg0", 5L, "U", 1L)).toDF("k", "seg", "v", "op", "seq")
+    agg = Changelog.mergeAggSketch(agg, store, b, "k", "op", Seq("seq"),
+      Seq("seg"), "v", k = 2, maxBroadcastKeys = 0L)
+    store = Changelog.mergeBatch(store, b, "k", "op", Seq("seq"),
+      maxBroadcastKeys = 0L).localCheckpoint(true)
+    assert(canon(agg) == canon(Changelog.aggSnapshotMinMax(store, "op",
+      Seq("seg"), "v")))
+  }
+
   test("scd2: versions chain, deletes close without opening, last version is current") {
     import java.sql.Timestamp
     def t(s: Int) = new Timestamp(s * 1000L)

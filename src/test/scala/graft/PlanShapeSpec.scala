@@ -610,6 +610,78 @@ class PlanShapeSpec extends SparkSpec {
         s"literals under AQE (the scaladoc's claim):\n$finalPlan")
   }
 
+  test("sketched view maintenance: the full-store rebuild source executes ONLY on a drain") {
+    // the scale claim that makes the sketch worth carrying: a trigger
+    // whose boundary retractions stay inside every dim's sketch must
+    // commit WITHOUT touching the full store (applyBatchMinMax pays a
+    // full-store read on every retraction; the sketch makes it
+    // drain-only). Pinned with a POISONED rebuild source — a UDF that
+    // throws on the first row — so the pin is execution-exact: the
+    // no-drain fold succeeds iff the full store was never read, and
+    // the drain fold must reach it.
+    import org.apache.spark.sql.functions.{concat, udf}
+    import graft.streaming.{BucketStore, StreamMatview}
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft_pssk_store").toString
+    val aggDir = java.nio.file.Files
+      .createTempDirectory("graft_pssk_agg").toString
+    StreamMatview.seedSketch(spark.range(0, 64).select(
+      col("id").as("k"), concat(lit("seg"), col("id") % 4).as("seg"),
+      (col("id") * 10).as("cents"), lit("U").as("op"), lit(-1L).as("seq")),
+      storeDir, aggDir, "k", "op", Seq("seg"), "cents", k = 4)
+    val boom = udf((_: Long) => {
+      throw new IllegalStateException(
+        "full-store rebuild source executed on a no-drain trigger")
+      true
+    })
+    val poisoned = BucketStore.read(spark, storeDir).get
+      .where(boom(col("k")))
+    val agg = BucketStore.read(spark, aggDir).get
+    def fold(batch: org.apache.spark.sql.DataFrame) = {
+      val touched = BucketStore.touchedBuckets(batch, col("k"),
+        BucketStore.DefaultBuckets)
+      graft.ext.Changelog.mergeAggSketch(agg,
+        BucketStore.read(spark, storeDir, Some(touched)).get, batch,
+        "k", "op", Seq("seq"), Seq("seg"), "cents", k = 4,
+        maxBroadcastKeys = 0L, recomputeStore = Some(poisoned))
+    }
+    import spark.implicits._
+    // deleting seg0's max holder (k=60, 600) is a boundary retraction
+    // — an in-sketch pop; the poisoned full store must never execute
+    val popped = fold(Seq((60L, "seg0", 0L, "D", 1L))
+      .toDF("k", "seg", "cents", "op", "seq"))
+    assert(popped.where(col("seg") === "seg0")
+      .select("max").as[Option[Long]].head() == Some(560L))
+    // deleting ALL k tracked smallest of seg0 (0,4,8,12) drains the
+    // min side — the rebuild MUST reach the full store (and trips the
+    // poison, proving the lazy source is exactly the drain path)
+    val e = intercept[Exception] {
+      fold(Seq(0L, 4L, 8L, 12L).map(k => (k, "seg0", 0L, "D", 1L))
+        .toDF("k", "seg", "cents", "op", "seq")).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: chain(x.getCause))
+    assert(chain(e).exists(m => m != null && m.contains("no-drain trigger")),
+      s"the drain fold must read the (poisoned) full store: got $e")
+    // and the same claim for the erasure twin: purging inside the
+    // sketch never reads the full store; a draining purge must
+    val pg = graft.ext.Changelog.purgeAggSketch(agg,
+      BucketStore.read(spark, storeDir).get, Seq(60L).toDF("k"),
+      "k", "op", Seq("seg"), "cents", k = 4, maxBroadcastKeys = 0L,
+      recomputeStore = Some(poisoned))
+    assert(pg.where(col("seg") === "seg0")
+      .select("max").as[Option[Long]].head() == Some(560L))
+    val e2 = intercept[Exception] {
+      graft.ext.Changelog.purgeAggSketch(agg,
+        BucketStore.read(spark, storeDir).get,
+        Seq(0L, 4L, 8L, 12L).toDF("k"),
+        "k", "op", Seq("seg"), "cents", k = 4, maxBroadcastKeys = 0L,
+        recomputeStore = Some(poisoned)).collect()
+    }
+    assert(chain(e2).exists(m => m != null && m.contains("no-drain trigger")),
+      s"the draining purge must read the (poisoned) full store: got $e2")
+  }
+
   test("correlated subqueries decorrelate to hash joins — never per-row plans or nested loops") {
     // the SQL-surface contract: EXISTS → hash LEFT SEMI, NOT EXISTS →
     // hash LEFT ANTI, a correlated scalar aggregate → ONE grouped
@@ -647,9 +719,18 @@ class PlanShapeSpec extends SparkSpec {
     val or = planOf("ext_rel_exists_or")
     assert(count(or, "ExistenceJoin") >= 1,
       s"EXISTS under OR must plan as an existence hash join:\n$or")
+    // NOT IN over a NULLABLE subquery column: the classic
+    // three-valued-logic shape must plan as a single-column NULL-AWARE
+    // broadcast hash anti-join — the optimizer's dedicated NAAJ path —
+    // never the BroadcastNestedLoopJoin the unoptimized rewrite
+    // produces (a per-outer-row scan of the subquery at 100 TB)
+    val ni = planOf("ext_rel_not_in_null")
+    assert(count(ni, "BroadcastHashJoin [^\n]*LeftAnti, BuildRight") >= 1,
+      s"nullable NOT IN must plan as a null-aware hash anti-join:\n$ni")
     Seq("ext_rel_exists" -> ex, "ext_rel_not_exists" -> nx,
         "ext_rel_scalar_subq" -> sc, "ext_rel_in_subq" -> in,
-        "ext_rel_exists_or" -> or).foreach { case (n, p) =>
+        "ext_rel_exists_or" -> or, "ext_rel_not_in_null" -> ni)
+      .foreach { case (n, p) =>
       assert(count(p, "BroadcastNestedLoopJoin|CartesianProduct") == 0,
         s"$n: correlated subquery fell back to a nested-loop plan:\n$p")
     }

@@ -459,6 +459,69 @@ class StreamRecoverySpec extends SparkSpec {
       "resumed run's settled view differs from the uninterrupted run's")
   }
 
+  test("SKETCHED min/max matview maintenance survives a mid-replay kill: settled served view equals the recompute and the clean run") {
+    // the tenth recovery shape: the sketch state (per-dim top-k value
+    // arrays) is PART of the committed view version, so the
+    // aggregate-first exactly-once protocol must carry it across the
+    // kill unchanged — a lost or doubled pop would surface as a served
+    // min/max diverging from the recompute after the deletes-bearing
+    // tail of the changelog replays.
+    import graft.ext.Changelog
+    import graft.streaming.{StreamMatview, StreamMerge}
+    val srcDir = Files.createTempDirectory("graft_recsk_src").toString
+    val ev = Tables.events(spark, "/root/testdata/sf0.001").select(
+      col("user_id").as("k"),
+      col("event_type").as("seg"),
+      round(col("value") * 100).cast("long").as("cents"),
+      when(col("event_type") === "error", "D").otherwise("U").as("op"),
+      col("ts"), col("event_id"))
+    ev.repartitionByRange(8, col("ts")).write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+
+    def run(interrupt: Boolean): (Seq[(String, Long, Long, Option[Long], Option[Long])], Seq[(String, Long, Long, Option[Long], Option[Long])]) = {
+      val storeDir = Files.createTempDirectory("graft_recsk_store").toString
+      val aggDir = Files.createTempDirectory("graft_recsk_agg").toString
+      val ckpt = Files.createTempDirectory("graft_recsk_ckpt").toString
+      StreamMatview.seedSketch(spark.range(0, 100).select(
+        col("id").as("k"), concat(lit("seg"), col("id") % 3).as("seg"),
+        col("id").as("cents"), lit("U").as("op"),
+        timestamp_millis(lit(0L)).as("ts"), lit(-1L).as("event_id")),
+        storeDir, aggDir, "k", "op", Seq("seg"), "cents", k = 4)
+      def start() = StreamMatview.startSketch(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir),
+        storeDir, aggDir, ckpt, "k", "op", Seq("ts", "event_id"),
+        Seq("seg"), "cents", k = 4)
+      if (interrupt) {
+        val killedAt = runInterrupted(start())
+        assert(killedAt < 7,
+          s"stop raced past the replay (batch $killedAt of 8) — recovery untested")
+        val q2 = start()
+        q2.awaitTermination()
+      } else {
+        val q = start()
+        q.awaitTermination()
+      }
+      import spark.implicits._
+      def canon(df: DataFrame): Seq[(String, Long, Long, Option[Long], Option[Long])] =
+        df.select("seg", "n", "sum", "min", "max")
+          .as[(String, Long, Long, Option[Long], Option[Long])]
+          .collect().toSeq.sorted
+      val view = canon(StreamMatview.viewSnapshotServed(spark, aggDir))
+      val recompute = canon(Changelog.aggSnapshotMinMax(
+        StreamMerge.readStore(spark, storeDir).get, "op", Seq("seg"), "cents"))
+      (view, recompute)
+    }
+
+    val (view, recompute) = run(interrupt = true)
+    assert(view.nonEmpty, "empty settled view — seed/changelog mismatch")
+    assert(view == recompute,
+      s"settled served view diverged from the recompute over the settled store:\n$view\nvs\n$recompute")
+    val (cleanView, _) = run(interrupt = false)
+    assert(view == cleanView,
+      "resumed run's settled view differs from the uninterrupted run's")
+  }
+
   test("StreamMerge guards: batch-id reset fails loudly; exact replay skips; seed refuses a live store") {
     import graft.streaming.StreamMerge
     import spark.implicits._
