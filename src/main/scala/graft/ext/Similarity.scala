@@ -435,6 +435,24 @@ object Similarity {
     centers
   }
 
+  /** Per-list membership census of an IVF index over a corpus: one
+    * row per NONEMPTY centroid list with its size — the layout-health
+    * probe behind the post-retrain skew gate. Hot-list skew is the
+    * IVF production failure retrain exists to fix: a list N× the mean
+    * defeats the nprobe-bounded scan cost (every query probing that
+    * centroid ranks N× the expected candidates), so the census runs
+    * right after [[IvfIndex.retrainPublish]], while the layout is
+    * supposed to be at its healthiest. One assignment projection
+    * (native codegen'd centroid dots) + one k-bounded aggregation;
+    * the corpus is scanned once and never shuffled beyond k rows.
+    */
+  def ivfListCensus(corpus: DataFrame, idCol: String, vecCol: String,
+                    centers: Array[Seq[Double]]): DataFrame =
+    normalized(corpus, idCol, vecCol, "__id", "__v")
+      .select(nearestCentroid(col("__v"), centers.toSeq).as("centroid_id"))
+      .groupBy("centroid_id")
+      .agg(count(lit(1)).as("n"))
+
   /** IVF ANN top-k: corpus rows live in their nearest-centroid list;
     * each query probes its `nprobe` nearest lists and ranks those
     * candidates exactly. The probe-list expansion is a slice of the

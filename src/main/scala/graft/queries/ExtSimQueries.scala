@@ -15,6 +15,44 @@ import ExtShared._
   */
 object ExtSimQueries {
 
+  /** The retrained-IVF index LIFECYCLE, run once per (session, corpus)
+    * and shared by ext_sim_ivf_retrain and ext_sim_ivf_skew: publish
+    * the stale (standing-only) index as v0, prove pre-swap serving
+    * still binds to it, retrain over the full corpus and publish v1.
+    * Returns (indexDir, stale-serving held, swap committed cleanly).
+    * A fresh dir per Bench replay would leak; the serving paths re-run
+    * per replay against the published dir.
+    */
+  private def retrainedIvfDir(s: org.apache.spark.sql.SparkSession,
+                              emb: org.apache.spark.sql.DataFrame)
+      : (String, Boolean, Boolean) =
+    PlanCache.artifact("ivfRetrain/dir/vec_id/embedding/16/3", emb) { _ =>
+      val standing = emb.where(col("vec_id") % 10 =!= 0)
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_ivf_retrain_").toString
+      val stale = Similarity.IvfIndex.build(standing, "vec_id",
+        "embedding", k = 16, iters = 3)
+      Similarity.IvfIndex.save(s, stale, s"$p/v0")
+      // retrain complete but UNPUBLISHED: readers must still bind
+      // to the stale version
+      val fresh = Similarity.IvfIndex.build(emb, "vec_id", "embedding",
+        k = 16, iters = 3)
+      val pre = Similarity.IvfIndex.loadLatest(s, p)
+      val staleOk =
+        Similarity.IvfIndex.versions(s, p) == Seq(0L) &&
+        pre.centers.map(_.toSeq).toSeq ==
+          stale.centers.map(_.toSeq).toSeq
+      val published = Similarity.IvfIndex.retrainPublish(emb, "vec_id",
+        "embedding", k = 16, iters = 3, indexDir = p)
+      val sOk =
+        Similarity.IvfIndex.versions(s, p) == Seq(0L, 1L) &&
+        published.centers.map(_.toSeq).toSeq ==
+          fresh.centers.map(_.toSeq).toSeq &&
+        Similarity.IvfIndex.loadLatest(s, p).centers.map(_.toSeq).toSeq ==
+          fresh.centers.map(_.toSeq).toSeq
+      (p, staleOk, sOk)
+    }
+
   val all: Seq[Declared] = Seq(
 
     // --- Similarity search --------------------------------------------
@@ -365,37 +403,7 @@ object ExtSimQueries {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         val queries = emb.where(col("vec_id") < 40)
-        val standing = emb.where(col("vec_id") % 10 =!= 0)
-        // the index LIFECYCLE runs once per (session, corpus): publish
-        // the stale index, check pre-swap serving, retrain + publish
-        // (a fresh dir per Bench replay would leak; the serving path
-        // below re-runs per replay against the published dir)
-        val (indexDir, staleServing, swapOk) = PlanCache.artifact(
-          "ivfRetrain/dir/vec_id/embedding/16/3", emb) { _ =>
-          val p = java.nio.file.Files
-            .createTempDirectory("graft_ivf_retrain_").toString
-          val stale = Similarity.IvfIndex.build(standing, "vec_id",
-            "embedding", k = 16, iters = 3)
-          Similarity.IvfIndex.save(s, stale, s"$p/v0")
-          // retrain complete but UNPUBLISHED: readers must still bind
-          // to the stale version
-          val fresh = Similarity.IvfIndex.build(emb, "vec_id", "embedding",
-            k = 16, iters = 3)
-          val pre = Similarity.IvfIndex.loadLatest(s, p)
-          val staleOk =
-            Similarity.IvfIndex.versions(s, p) == Seq(0L) &&
-            pre.centers.map(_.toSeq).toSeq ==
-              stale.centers.map(_.toSeq).toSeq
-          val published = Similarity.IvfIndex.retrainPublish(emb, "vec_id",
-            "embedding", k = 16, iters = 3, indexDir = p)
-          val sOk =
-            Similarity.IvfIndex.versions(s, p) == Seq(0L, 1L) &&
-            published.centers.map(_.toSeq).toSeq ==
-              fresh.centers.map(_.toSeq).toSeq &&
-            Similarity.IvfIndex.loadLatest(s, p).centers.map(_.toSeq).toSeq ==
-              fresh.centers.map(_.toSeq).toSeq
-          (p, staleOk, sOk)
-        }
+        val (indexDir, staleServing, swapOk) = retrainedIvfDir(s, emb)
         val serving = Similarity.IvfIndex.loadLatest(s, indexDir)
         val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
             k = 10, serving.centers, nprobe = 4)
@@ -447,6 +455,31 @@ object ExtSimQueries {
                UNION ALL
                SELECT CAST(-4 AS BIGINT), 1, TRUE
                ORDER BY query_id""")),
+
+    // Post-retrain LIST-SKEW gate ([[Similarity.ivfListCensus]]):
+    // hot-list skew is the IVF production failure retrain exists to
+    // fix — a list N× the mean defeats the nprobe-bounded scan cost
+    // (every probe of that centroid ranks N× the expected candidates),
+    // so the census runs against the JUST-PUBLISHED serving version
+    // (the same lifecycle artifact ext_sim_ivf_retrain gates, v1).
+    // Pins: every corpus vector is assigned to exactly one list
+    // (n_vectors — oracle-counted), and no list exceeds 4× the mean
+    // size at the serving config (k=16) — the probe-contract bound
+    // ivf_nprobe's cost model assumes. One assignment scan + a
+    // k-bounded aggregate; nothing corpus-sized shuffles.
+    Declared(
+      "ext_sim_ivf_skew",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val (indexDir, _, _) = retrainedIvfDir(s, emb)
+        val serving = Similarity.IvfIndex.loadLatest(s, indexDir)
+        Similarity.ivfListCensus(emb, "vec_id", "embedding", serving.centers)
+          .agg(coalesce(sum(col("n")), lit(0L)).as("n_vectors"),
+            coalesce(max(col("n")), lit(0L)).as("__mx"))
+          .select(col("n_vectors"),
+            (col("__mx") * serving.k <= col("n_vectors") * 4).as("skew_ok"))
+      },
+      Some("SELECT COUNT(*) AS n_vectors, TRUE AS skew_ok FROM embeddings")),
 
     // Quantized (int8-range) ANN ([[Similarity.quantizedTopK]]): the
     // 100 TB storage/bandwidth path — clamp(floor(x·127+0.5)) per dim
