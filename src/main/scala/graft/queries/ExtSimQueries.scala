@@ -548,8 +548,13 @@ object ExtSimQueries {
         val bf = PlanCache.cached("pqBfTop10/vec20", emb)(e =>
           Similarity.bruteForceTopK(e, e.where(col("vec_id") < 20),
             "vec_id", "embedding", k = 10))
+        // rerank=16 (16·k ADC window) across every PQ serving row: the
+        // window is the candidate-DENSITY knob — at sf0.01@10 the 8·k
+        // window let the delta-slice recall dip to 0.77 (< the 0.80
+        // floor) while 16·k holds 0.98+ at every measured scale; the
+        // exact rescoring cost is 160 rows per query, scale-invisible
         val pq = Similarity.pqTopK(emb, emb.where(col("vec_id") < 20),
-          "vec_id", "embedding", k = 10, index, rerank = 8)
+          "vec_id", "embedding", k = 10, index, rerank = 16)
         val flag = bf.select("query_id", "neighbor_id")
           .join(pq.select("query_id", "neighbor_id"),
             Seq("query_id", "neighbor_id"), "left_semi")
@@ -614,7 +619,7 @@ object ExtSimQueries {
           Similarity.bruteForceTopK(e, e.where(col("vec_id") < 20),
             "vec_id", "embedding", k = 10))
         val pq = Similarity.pqTopK(emb, emb.where(col("vec_id") < 20),
-          "vec_id", "embedding", k = 10, loaded, rerank = 8)
+          "vec_id", "embedding", k = 10, loaded, rerank = 16)
         val flag = bf.select("query_id", "neighbor_id")
           .join(pq.select("query_id", "neighbor_id"),
             Seq("query_id", "neighbor_id"), "left_semi")
@@ -669,7 +674,7 @@ object ExtSimQueries {
           Similarity.bruteForceTopK(e, e.where(col("vec_id") < 20),
             "vec_id", "embedding", k = 10))
         val pq = Similarity.pqTopK(emb, emb.where(col("vec_id") < 20),
-          "vec_id", "embedding", k = 10, index, rerank = 8)
+          "vec_id", "embedding", k = 10, index, rerank = 16)
         val flags = bf.select(col("query_id"), col("neighbor_id"),
             (col("neighbor_id") % 10 === 0).cast("long").as("__d"))
           .join(pq.select("query_id", "neighbor_id")
@@ -745,7 +750,7 @@ object ExtSimQueries {
           Similarity.bruteForceTopK(e, e.where(col("vec_id") < 20),
             "vec_id", "embedding", k = 10))
         val pq = Similarity.pqTopK(emb, emb.where(col("vec_id") < 20),
-          "vec_id", "embedding", k = 10, serving, rerank = 8)
+          "vec_id", "embedding", k = 10, serving, rerank = 16)
         val flags = bf.select(col("query_id"), col("neighbor_id"),
             (col("neighbor_id") % 10 === 0).cast("long").as("__d"))
           .join(pq.select("query_id", "neighbor_id")
