@@ -176,10 +176,16 @@ object Graph {
     */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String,
             k: Int, rounds: Int,
-            cacheTag: String = "graph/kcore"): DataFrame = {
+            cacheTag: String = "graph/edges"): DataFrame = {
     require(k >= 1, s"k=$k: need at least 1")
     require(rounds >= 1, s"rounds=$rounds: need at least one peel")
-    val e0 = PlanCache.cached(s"$cacheTag/canon/$srcCol/$dstCol", edges)(
+    // the default tag deliberately matches [[triangleStats]]': both
+    // build the SAME canonical a<b edge relation from the same input,
+    // so sharing the tag shares ONE persisted copy — a second tag for
+    // the canonically-identical plan would re-persist it (CacheManager
+    // dedupes with an "already cached" warning, but one relation is
+    // the intent)
+    val e0 = PlanCache.cached(s"$cacheTag/$srcCol/$dstCol", edges)(
       canonicalEdges(_, srcCol, dstCol))
     def induced(alive: Option[DataFrame]): DataFrame = alive match {
       case None => e0

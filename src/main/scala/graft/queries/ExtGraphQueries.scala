@@ -31,8 +31,10 @@ object ExtGraphQueries {
         // verify stage are two consumers of ONE candidate generation
         val cands = Dedup.minhashLshCandidates(Tables.documents(s, d),
           "doc_id", "text", k = 16, rowsPerBand = 4, maxBucket = MaxBucket)
-        Graph.triangleStats(cands, "doc_a", "doc_b",
-          cacheTag = "query/graph_triangles")
+        // default cacheTag: the canonical edge relation is shared with
+        // kCore's (same input, same builder) — a query-private tag
+        // here double-persisted the canonically-identical plan
+        Graph.triangleStats(cands, "doc_a", "doc_b")
       },
       Some(s"""WITH $minhashSigCte,
                okb AS (
