@@ -149,6 +149,49 @@ object Graph {
     ranks.select(col("v").as("node"), col("r").as("pr"))
   }
 
+  /** Common-neighbor census: every node pair (a < b) sharing at least
+    * `minInter` neighbors, with the intersection size and both
+    * degrees — the Jaccard numerator |N(a)∩N(b)| and the terms of its
+    * denominator (deg_a + deg_b − inter), kept as EXACT INTEGERS so
+    * the whole frame is engine-portable bit-for-bit (emitting the
+    * ratio would put a float division's representation in the gate
+    * for no analytical gain — callers divide when they need the
+    * score). On a near-dup candidate graph this is the link-prediction
+    * / cluster-tightness signal: a pair with many shared neighbors but
+    * no direct edge is a banding near-miss worth verifying, and a
+    * direct edge with few shared neighbors is a likely hub artifact.
+    *
+    * Scale shape: same ordered wedge join as [[triangleStats]] —
+    * symmetrize the canonical edges, self-join on the shared endpoint
+    * (x), count per (a, b). Work is Σ d(v)², so degree is the skew
+    * contract (here bounded upstream by the LSH bucket cap); the
+    * `minInter` filter sits AFTER the count (it cannot prune the
+    * join) but bounds the emitted frame. Shares the canonical-edge
+    * [[PlanCache]] relation with triangles/kCore — one generation,
+    * N consumers.
+    */
+  def commonNeighbors(edges: DataFrame, srcCol: String, dstCol: String,
+                      minInter: Int = 2,
+                      cacheTag: String = "graph/edges"): DataFrame = {
+    require(minInter >= 1, s"minInter=$minInter: need at least 1")
+    val e = PlanCache.cached(s"$cacheTag/$srcCol/$dstCol", edges)(
+      canonicalEdges(_, srcCol, dstCol))
+    val ed = e.select(col("a").as("x"), col("b").as("y"))
+      .union(e.select(col("b").as("x"), col("a").as("y")))
+    val deg = ed.groupBy("x").agg(count(lit(1)).as("d"))
+    val pairs = ed.as("e1")
+      .join(ed.as("e2"),
+        col("e1.x") === col("e2.x") && col("e1.y") < col("e2.y"))
+      .select(col("e1.y").as("a"), col("e2.y").as("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("inter"))
+      .where(col("inter") >= minInter)
+    pairs
+      .join(deg.select(col("x").as("a"), col("d").as("deg_a")), "a")
+      .join(deg.select(col("x").as("b"), col("d").as("deg_b")), "b")
+      .select("a", "b", "inter", "deg_a", "deg_b")
+  }
+
   /** k-core peeling: `rounds` synchronous rounds of "drop every node
     * whose degree in the surviving induced subgraph is < k", returning
     * the survivors with their induced-subgraph degrees (node, deg).

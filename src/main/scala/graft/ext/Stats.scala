@@ -278,6 +278,50 @@ object Stats {
         col("n_a"), col("n_b")): _*)
   }
 
+  /** Pearson chi-square homogeneity statistic between two cohorts of
+    * one categorical column: ONE row `(chi2_e9, dof, n_a, n_b)` —
+    * the categorical drift test completing the drift family ([[psi]]
+    * quantizes a numeric metric, [[ks]] walks an ordered CDF; chi2 is
+    * the test when the column is NOMINAL and bucketing/ordering are
+    * meaningless). `cohort` must be a boolean column splitting the
+    * frame (true → cohort a); each category contributes
+    * (o−e)²/e for both cohort cells with e the usual row·col/N
+    * expectation.
+    *
+    * Float discipline ([[psi]]'s): the two cells' terms are summed in
+    * a FIXED written order (a-cell + b-cell, each a chain of exactly-
+    * rounded IEEE ops on exact integer counts — the products stay
+    * under 2⁵³ up to ~3e9 rows per side at 1e6 categories), rounded
+    * ONCE per category to an e9 BIGINT; the cross-category sum is
+    * integer, so partition/summation order cannot flip the gate.
+    *
+    * Scale shape: one partial-aggregated groupBy collapses the corpus
+    * to |categories| count rows; everything after runs on those
+    * against one broadcast totals row. Category cardinality is the
+    * only contract (a chi-square over an unbounded-cardinality column
+    * is statistically meaningless anyway — quantize first, which is
+    * [[psi]]).
+    */
+  def chiSquare(df: DataFrame, cohort: Column, category: Column): DataFrame = {
+    val obs = df.select(cohort.as("__c"), category.as("__cat"))
+      .groupBy("__cat")
+      .agg(sum(when(col("__c"), 1L).otherwise(0L)).as("__oa"),
+        sum(when(!col("__c"), 1L).otherwise(0L)).as("__ob"))
+    val tot = obs.agg(sum(col("__oa")).as("__ta"), sum(col("__ob")).as("__tb"),
+      sum(col("__oa") + col("__ob")).as("__n"))
+    val rowTot = col("__oa") + col("__ob")
+    val ea = (col("__ta").cast("double") * rowTot) / col("__n")
+    val eb = (col("__tb").cast("double") * rowTot) / col("__n")
+    val term = (col("__oa") - ea) * (col("__oa") - ea) / ea +
+      (col("__ob") - eb) * (col("__ob") - eb) / eb
+    obs.crossJoin(broadcast(tot))
+      .select(col("__oa"), col("__ob"),
+        round(term * lit(1e9)).cast("bigint").as("__term_e9"))
+      .agg(sum(col("__term_e9")).as("chi2_e9"),
+        (count(lit(1)) - lit(1)).cast("bigint").as("dof"),
+        sum(col("__oa")).as("n_a"), sum(col("__ob")).as("n_b"))
+  }
+
   /** Rolling z-score anomaly flags: for each row, compare its integer
     * measure against the mean ± z·σ of the SAME key's rows in the
     * trailing `[ts − windowMs, ts − 1]` ms window (equivalently

@@ -157,6 +157,47 @@ object ExtGraphQueries {
                       SEMI JOIN a3 y ON e2.b = y.node)
                SELECT node, COUNT(*) AS deg FROM (
                  SELECT a AS node FROM e3 UNION ALL SELECT b AS node FROM e3)
-               GROUP BY node ORDER BY node"""))
+               GROUP BY node ORDER BY node""")),
+
+    // Common-neighbor census ([[Graph.commonNeighbors]], minInter=2)
+    // over the shared candidate graph: every pair sharing ≥ 2 LSH
+    // neighbors with the intersection size and both degrees — the
+    // link-prediction / banding-near-miss signal (a high-overlap pair
+    // with no direct edge is a near-dup the bands missed; the caller
+    // divides inter / (deg_a + deg_b − inter) for the Jaccard score).
+    // ALL columns are exact integers, so the full pair frame is
+    // hash-gated — no float projection needed. The oracle replays the
+    // symmetrize → wedge-join → count chain; the candidate relation
+    // is the same PlanCache'd artifact the other three graph rows
+    // consume — one generation, four consumers.
+    Declared(
+      "ext_graph_common_neighbors",
+      (s, d) => {
+        val cands = Dedup.minhashLshCandidates(Tables.documents(s, d),
+          "doc_id", "text", k = 16, rowsPerBand = 4, maxBucket = MaxBucket)
+        Graph.commonNeighbors(cands, "doc_a", "doc_b", minInter = 2)
+          .orderBy("a", "b")
+      },
+      Some(s"""WITH $minhashSigCte,
+               okb AS (
+                 SELECT band, sig FROM sigs
+                 GROUP BY band, sig HAVING COUNT(*) <= $MaxBucket),
+               sig2 AS (SELECT sigs.* FROM sigs JOIN okb USING (band, sig)),
+               e AS (
+                 SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+                 FROM sig2 a JOIN sig2 b
+                   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+               ed AS (SELECT a AS x, b AS y FROM e
+                      UNION ALL SELECT b AS x, a AS y FROM e),
+               deg AS (SELECT x AS node, COUNT(*) AS d FROM ed GROUP BY 1),
+               p AS (SELECT e1.y AS a, e2.y AS b, COUNT(*) AS inter
+                     FROM ed e1 JOIN ed e2 ON e1.x = e2.x AND e1.y < e2.y
+                     GROUP BY 1, 2)
+               SELECT p.a, p.b, CAST(inter AS BIGINT) AS inter,
+                      CAST(da.d AS BIGINT) AS deg_a,
+                      CAST(db.d AS BIGINT) AS deg_b
+               FROM p JOIN deg da ON p.a = da.node
+               JOIN deg db ON p.b = db.node
+               WHERE inter >= 2 ORDER BY p.a, p.b"""))
   )
 }

@@ -158,6 +158,92 @@ object ExtRelQueries {
               GROUP BY CUBE (l_returnflag, l_linestatus)
               ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
 
+    // Arbitrary GROUPING SETS — the general form rollup/cube are
+    // sugar for: the two single-column marginals plus the grand
+    // total, WITHOUT the (flag, status) cross cells a cube would add.
+    // The gid column is the explicit grouping(flag)·2 + grouping(
+    // status) formula ON BOTH ENGINES (not the engines' native
+    // grouping_id/GROUPING bit packing, whose bit order is
+    // convention) — it disambiguates a subtotal NULL from a data
+    // NULL, the reason GROUPING exists. Same one-Expand plan shape as
+    // cube: the scan is read once and expanded 3×, partial-aggregated
+    // map-side.
+    Declared(
+      "ext_rel_grouping_sets",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupingSets(
+            Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+            col("l_returnflag"), col("l_linestatus"))
+          .agg((grouping(col("l_returnflag")) * 2 +
+              grouping(col("l_linestatus"))).cast("long").as("gid"),
+            count(lit(1)).as("n"),
+            FixedPoint.outCents(FixedPoint.sumCents(col("l_quantity"))).as("qty"))
+          .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first),
+      Some("""SELECT GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS gid,
+                     l_returnflag, l_linestatus, COUNT(*) AS n,
+                     ROUND(CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0, 2) AS qty
+              FROM lineitem
+              GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+              ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
+    // UNPIVOT (wide → long): three measure columns melted into
+    // (metric, val) rows — the inverse of ext_rel_pivot, and the
+    // standard first step of a metrics-lake normalization. Spark's
+    // native unpivot is a zero-shuffle Expand (the scan read once,
+    // emitted 3×); the gate aggregates per metric with an
+    // orderkey-weighted cents checksum that pins every (row, metric,
+    // value) ALIGNMENT — a melt that shifted values across ids or
+    // metrics hashes differently even where the per-metric totals
+    // happen to collide. The oracle replays the melt as the
+    // equivalent 3-way UNION ALL.
+    Declared(
+      "ext_rel_unpivot",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .unpivot(Array(col("l_orderkey")),
+            Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+            "metric", "val")
+          .groupBy("metric")
+          .agg(count(lit(1)).as("n"),
+            FixedPoint.outCents(FixedPoint.sumCents(col("val"))).as("total"),
+            sum((col("l_orderkey") % 1000003) *
+              round(col("val") * 100).cast("long")).as("align_checksum"))
+          .orderBy("metric"),
+      Some("""WITH long AS (
+                SELECT l_orderkey, 'l_discount' AS metric, l_discount AS val FROM lineitem
+                UNION ALL SELECT l_orderkey, 'l_quantity', l_quantity FROM lineitem
+                UNION ALL SELECT l_orderkey, 'l_tax', l_tax FROM lineitem)
+              SELECT metric, COUNT(*) AS n,
+                     ROUND(CAST(SUM(CAST(round(val*100) AS BIGINT)) AS DOUBLE)/100.0, 2) AS total,
+                     CAST(SUM((l_orderkey % 1000003) * CAST(round(val*100) AS BIGINT)) AS BIGINT) AS align_checksum
+              FROM long GROUP BY metric ORDER BY metric""")),
+
+    // Several EXACT count-distincts with different arguments in ONE
+    // aggregation — the dashboard staple whose plan is qualitatively
+    // different from a single distinct: Catalyst expands each input
+    // row once per distinct argument (tagged Expand), de-dups each
+    // (group, arg) stream partial-aggregated, and folds the streams
+    // back into one row per group — one pipeline, no N separate scans
+    // / self-joins. The exact twin of the approximate ext_stats_hll
+    // path; plan pinned to a single Expand by PlanShapeSpec.
+    Declared(
+      "ext_rel_multi_distinct",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("nu"),
+            countDistinct(to_date(col("ts"))).as("nd"),
+            countDistinct(round(col("value") * 100).cast("long")).as("nv"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(*) AS n,
+                     COUNT(DISTINCT user_id) AS nu,
+                     COUNT(DISTINCT CAST(ts AS DATE)) AS nd,
+                     COUNT(DISTINCT CAST(round(value*100) AS BIGINT)) AS nv
+              FROM events GROUP BY 1 ORDER BY 1""")),
+
     // Set operations: INTERSECT / EXCEPT (distinct semantics on both
     // engines).
     Declared(

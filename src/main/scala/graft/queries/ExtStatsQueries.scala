@@ -528,6 +528,45 @@ object ExtStatsQueries {
                      CAST(MAX(na) * MAX(nb) AS BIGINT) AS ks_den,
                      CAST(MAX(na) AS BIGINT) AS n_a,
                      CAST(MAX(nb) AS BIGINT) AS n_b
-              FROM c GROUP BY lang ORDER BY lang"""))
+              FROM c GROUP BY lang ORDER BY lang""")),
+
+    // Pearson chi-square homogeneity ([[Stats.chiSquare]]) of the
+    // event-type distribution between the even/odd event-id cohorts —
+    // the NOMINAL-column drift test completing the family (psi
+    // quantizes a numeric metric, ks needs an ordering; neither is
+    // meaningful for a categorical). The id-parity cohorts are
+    // scale-copy-stable (the @k shift is c·10⁹, parity-preserving)
+    // and drift-free by construction, so the statistic also doubles
+    // as a pipeline-health floor (chi2 ≈ 0 expected, the exact value
+    // gated). Same e9 discipline as psi: one rounded BIGINT term per
+    // category, integer cross-category sum — float summation order
+    // cannot flip the gate.
+    Declared(
+      "ext_stats_chisq",
+      (s, d) =>
+        Stats.chiSquare(Tables.events(s, d),
+          col("event_id") % 2 === 0, col("event_type")),
+      Some("""WITH obs AS (
+                SELECT event_type AS cat,
+                       SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS oa,
+                       SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS ob
+                FROM events GROUP BY 1),
+              tot AS (SELECT SUM(oa) AS ta, SUM(ob) AS tb, SUM(oa+ob) AS n FROM obs),
+              terms AS (
+                SELECT oa, ob,
+                  CAST(round((
+                      (oa - (CAST(ta AS DOUBLE) * (oa+ob)) / n)
+                        * (oa - (CAST(ta AS DOUBLE) * (oa+ob)) / n)
+                        / ((CAST(ta AS DOUBLE) * (oa+ob)) / n)
+                    + (ob - (CAST(tb AS DOUBLE) * (oa+ob)) / n)
+                        * (ob - (CAST(tb AS DOUBLE) * (oa+ob)) / n)
+                        / ((CAST(tb AS DOUBLE) * (oa+ob)) / n)
+                  ) * 1e9) AS BIGINT) AS term_e9
+                FROM obs, tot)
+              SELECT CAST(SUM(term_e9) AS BIGINT) AS chi2_e9,
+                     CAST(COUNT(*) - 1 AS BIGINT) AS dof,
+                     CAST(SUM(oa) AS BIGINT) AS n_a,
+                     CAST(SUM(ob) AS BIGINT) AS n_b
+              FROM terms"""))
   )
 }

@@ -164,4 +164,32 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kCore(tri, "s", "t", k = 3, rounds = 2,
       cacheTag = "spec/kcore-empty").count() == 0L)
   }
+
+  test("commonNeighbors: K4 + pendant — hand-counted intersections and both thresholds") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} plus pendant (4,5): every K4 pair shares exactly
+    // the other two K4 vertices (5 is adjacent only to 4, so it joins
+    // no pair's intersection); (x,5) pairs share {4} for x ∈ {1,2,3}
+    val g = ((for { a <- 1 to 4; b <- 1 to 4 if a < b }
+        yield (a.toLong, b.toLong)) :+ (4L, 5L))
+      .toDF("s", "t")
+    def rows(minInter: Int) =
+      Graph.commonNeighbors(g, "s", "t", minInter = minInter,
+          cacheTag = s"spec/cn$minInter")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val at2 = rows(2)
+    val k4pairs = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    assert(at2.keySet == k4pairs.toSet, s"got ${at2.keySet}")
+    k4pairs.foreach { case (a, b) =>
+      val dA = if (a == 4L) 4L else 3L
+      val dB = if (b == 4L) 4L else 3L
+      assert(at2((a, b)) == (2L, dA, dB), s"pair ($a,$b): ${at2((a, b))}")
+    }
+    // minInter=1 additionally surfaces the pendant's inter-1 pairs
+    val at1 = rows(1)
+    assert(at1.keySet == k4pairs.toSet ++ Set((1L, 5L), (2L, 5L), (3L, 5L)))
+    assert(at1((1L, 5L)) == (1L, 3L, 1L))
+  }
 }

@@ -61,6 +61,45 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(plan, "SortMergeJoin") == 0, s"unexpected SMJ:\n$plan")
   }
 
+  test("ext_rel_multi_distinct: ONE tagged Expand serves all three distinct streams, no joins") {
+    val plan = planOf("ext_rel_multi_distinct")
+    // Catalyst's multi-distinct rewrite expands each row once per
+    // distinct argument and de-dups the tagged streams in one
+    // pipeline; N separate scans / self-joins would be the regression
+    assert(count(plan, "Expand") == 1,
+      s"expected exactly one multi-distinct Expand:\n$plan")
+    assert(!plan.contains("Join"),
+      s"multi-distinct must not plan as self-joins:\n$plan")
+  }
+
+  test("ext_rel_grouping_sets: one Expand, scan read once") {
+    val plan = planOf("ext_rel_grouping_sets")
+    assert(count(plan, "Expand") == 1,
+      s"grouping sets must expand one scan, not union three:\n$plan")
+    assert(count(plan, "Scan parquet") == 1,
+      s"the lineitem scan must be read once:\n$plan")
+  }
+
+  test("ext_rel_unpivot: zero-join Expand melt; no shuffle below the aggregation") {
+    val plan = planOf("ext_rel_unpivot")
+    assert(plan.contains("Expand"),
+      s"unpivot should plan as a map-side Expand:\n$plan")
+    // exactly the two required exchanges: partial→final agg and the
+    // final orderBy's range partitioning — a melt that shuffled the
+    // long rows before aggregating would triple the shuffle bytes
+    assert(count(plan, "Exchange") <= 2,
+      s"melt must not shuffle pre-aggregation rows:\n$plan")
+    assert(!plan.contains("Join") && count(plan, "Scan parquet") == 1,
+      s"one scan, no joins:\n$plan")
+  }
+
+  test("ext_graph_common_neighbors: equi wedge join — never nested-loop/cartesian") {
+    val plan = planOf("ext_graph_common_neighbors")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the wedge join must stay an equi-join on the shared endpoint:\n$plan")
+  }
+
   test("dq12_exact_dedup: the exchange partitions on the md5 hash, not raw text") {
     val plan = planOf("dq12_exact_dedup")
     // the md5 must be computed in the partial aggregate BELOW the

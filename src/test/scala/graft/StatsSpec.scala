@@ -418,4 +418,30 @@ class StatsSpec extends SparkSpec {
         Seq(Stats.Check.notNull("id"), Stats.Check.notNull("id")))
     }
   }
+
+  test("chiSquare matches the hand-computed 2x2 contingency statistic") {
+    import spark.implicits._
+    // cohort a: 30×x + 10×y; cohort b: 10×x + 30×y. Every expected
+    // cell is 20, every (o−e)²/e term is 5 → chi2 = 4·5 = 20 exactly
+    // (integer-representable, so the e9 rounding is exact too)
+    val rows = Seq.fill(30)(("a", "x")) ++ Seq.fill(10)(("a", "y")) ++
+      Seq.fill(10)(("b", "x")) ++ Seq.fill(30)(("b", "y"))
+    val df = rows.toDF("cohort", "cat")
+    val r = Stats.chiSquare(df, col("cohort") === "a", col("cat"))
+      .collect().head
+    assert((r.getAs[Long]("chi2_e9"), r.getAs[Long]("dof"),
+      r.getAs[Long]("n_a"), r.getAs[Long]("n_b")) ==
+      (20L * 1000000000L, 1L, 40L, 40L))
+  }
+
+  test("chiSquare on identical cohort distributions is exactly zero") {
+    import spark.implicits._
+    val rows = for { c <- Seq("a", "b"); cat <- Seq("x", "y", "z");
+                     _ <- 1 to 7 } yield (c, cat)
+    val r = Stats.chiSquare(rows.toDF("cohort", "cat"),
+        col("cohort") === "a", col("cat"))
+      .collect().head
+    assert(r.getAs[Long]("chi2_e9") == 0L)
+    assert(r.getAs[Long]("dof") == 2L)
+  }
 }
