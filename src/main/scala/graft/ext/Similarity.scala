@@ -485,6 +485,21 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
+  /** (__id, __c, __r): each unit vector's nearest coarse centroid and
+    * its residual v − c — the relation IVF-PQ trains on and encodes.
+    * One expression-level projection (native codegen'd centroid dots,
+    * then an element-wise zip_with against the centroid literal
+    * selected by list id) — no shuffle, no kernel.
+    */
+  private def ivfResiduals(corpus: DataFrame, idCol: String, vecCol: String,
+                           centers: Array[Seq[Double]]): DataFrame = {
+    val centLit = typedlit(centers.toSeq)
+    normalized(corpus, idCol, vecCol, "__id", "__v")
+      .withColumn("__c", nearestCentroid(col("__v"), centers.toSeq))
+      .withColumn("__r", zip_with(col("__v"),
+        element_at(centLit, col("__c") + 1), (x, c) => x - c))
+  }
+
   // ----- Product quantization (PQ) -----------------------------------
 
   /** A trained PQ codebook set: `m` subspaces × `ks` centroids of
@@ -530,12 +545,52 @@ object Similarity {
       val key = (corpus.queryExecution.analyzed.canonicalized,
         s"$idCol/$vecCol/$m/$ks/$dim/$iters")
       memo.getOrElseUpdate(key, {
-        val subDim = dim / m
         val v = PlanCache.cached(s"unitVecs/$idCol/$vecCol", corpus)(
           normalized(_, idCol, vecCol, "__id", "__v"))
+        trainOn(v, s"pqSubs/$idCol/$vecCol/$m/$dim", m, ks, dim, iters)
+      })
+    }
+
+    /** Train (or reuse) codebooks for the COARSE RESIDUALS of
+      * `corpus` against an IVF index — the IVF-PQ composition's
+      * second stage. The trained geometry is v − c(v) (NOT
+      * re-normalized: residuals are small off-center displacements,
+      * and re-normalizing them would quantize a different vector than
+      * the one ADC reconstructs). Residual books are much tighter
+      * than whole-vector books at equal bits — every list's vectors
+      * share the same centroid offset, so the books only need to
+      * cover the within-list spread — which is why IVF-PQ is the
+      * standard 100 TB serving shape rather than either part alone.
+      * Memoized like [[build]], with the coarse centers folded into
+      * the key (retrained centers ⇒ different residuals ⇒ retrain).
+      */
+    def buildResidual(corpus: DataFrame, idCol: String, vecCol: String,
+                      coarse: IvfIndex, m: Int, ks: Int, dim: Int,
+                      iters: Int = 3): PqIndex = {
+      require(dim % m == 0, s"dim=$dim must split into m=$m equal subspaces")
+      val ck = coarse.centers.toSeq.hashCode
+      val key = (corpus.queryExecution.analyzed.canonicalized,
+        s"$idCol/$vecCol/$m/$ks/$dim/$iters/resid$ck")
+      memo.getOrElseUpdate(key, {
+        val r = PlanCache.cached(s"ivfResid/$idCol/$vecCol/$ck", corpus)(
+          ivfResiduals(_, idCol, vecCol, coarse.centers)
+            .select(col("__id"), col("__r").as("__v")))
+        trainOn(r, s"pqResidSubs/$idCol/$vecCol/$m/$dim/$ck", m, ks, dim, iters)
+      })
+    }
+
+    /** The Lloyd's training core over an ALREADY-PREPARED
+      * (__id, __v) frame — shared by [[build]] (unit vectors) and
+      * [[buildResidual]] (raw residuals). Same determinism contract
+      * throughout: md5-ordered seeds, DECIMAL(38,18) means,
+      * first-index argmin tie break.
+      */
+    private def trainOn(v: DataFrame, subsTag: String,
+                        m: Int, ks: Int, dim: Int, iters: Int): PqIndex = {
+        val subDim = dim / m
         // ONE cached subvector relation feeds every iteration:
         // (id, sub index, subvector) — m·N small rows, scanned once
-        val subs = PlanCache.cached(s"pqSubs/$idCol/$vecCol/$m/$dim", v) { vv =>
+        val subs = PlanCache.cached(subsTag, v) { vv =>
           val parts = (0 until m).map(s =>
             struct(lit(s).as("mi"),
               slice(col("__v"), s * subDim + 1, subDim).as("sub")))
@@ -575,7 +630,6 @@ object Similarity {
           }
         }
         PqIndex(books)
-      })
     }
 
     def clear(): Unit = memo.clear()
@@ -690,58 +744,64 @@ object Similarity {
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
     v.mapPartitions { it =>
       it.map { r =>
-        val id = r.getLong(0)
-        val vec = r.getSeq[Double](1)
-        val codes = new Array[Int](m)
-        var mi = 0
-        while (mi < m) {
-          val book = books(mi)
-          val off = mi * subDim
-          var vv = 0.0
-          var j = 0
-          while (j < subDim) { val x = vec(off + j); vv += x * x; j += 1 }
-          var best = 0
-          var bestD = Double.PositiveInfinity
-          var ci = 0
-          while (ci < book.length) {
-            val c = book(ci)
-            var d = 0.0; var cc = 0.0; var jj = 0
-            while (jj < subDim) {
-              d += vec(off + jj) * c(jj); cc += c(jj) * c(jj); jj += 1
-            }
-            val dist = vv - 2.0 * d + cc
-            if (dist < bestD) { bestD = dist; best = ci }
-            ci += 1
-          }
-          codes(mi) = best
-          mi += 1
-        }
-        org.apache.spark.sql.Row(id, codes.toSeq)
+        org.apache.spark.sql.Row(r.getLong(0),
+          pqCodesOf(r.getSeq[Double](1), books, m, subDim).toSeq)
       }
     }(encoder)
   }
 
-  /** ADC-scored (query, neighbor, score) pairs: queries stay exact;
-    * each query precomputes a lookup table
-    * lut[mi][c] = dot(q_sub_mi, book_mi[c]) (m·ks literal dot
-    * products, once per query row), and a candidate's approximate
-    * cosine is m table lookups summed — never a full dim-wide
-    * multiply against the corpus. The corpus side reads only the
-    * m-byte codes; in a stored pipeline [[pqEncode]]'s output is the
-    * scanned relation and the raw vectors never leave cold storage.
+  /** The per-vector code argmin shared by [[pqEncode]] and
+    * [[ivfPqEncode]]'s kernels. Summation order (vv, then the
+    * interleaved d/cc accumulation, dist = vv − 2d + cc) and the
+    * strict-< first-index tie break replicate the literal-expression
+    * semantics exactly — the codes are bit-identical to the
+    * expression version's (see [[pqEncode]]'s doc for why the kernel
+    * form exists at all).
     */
-  def pqAdcScores(corpus: DataFrame, queries: DataFrame,
-                  idCol: String, vecCol: String,
-                  index: PqIndex): DataFrame = {
+  private def pqCodesOf(vec: Seq[Double], books: Array[Array[Array[Double]]],
+                        m: Int, subDim: Int): Array[Int] = {
+    val codes = new Array[Int](m)
+    var mi = 0
+    while (mi < m) {
+      val book = books(mi)
+      val off = mi * subDim
+      var vv = 0.0
+      var j = 0
+      while (j < subDim) { val x = vec(off + j); vv += x * x; j += 1 }
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var ci = 0
+      while (ci < book.length) {
+        val c = book(ci)
+        var d = 0.0; var cc = 0.0; var jj = 0
+        while (jj < subDim) {
+          d += vec(off + jj) * c(jj); cc += c(jj) * c(jj); jj += 1
+        }
+        val dist = vv - 2.0 * d + cc
+        if (dist < bestD) { bestD = dist; best = ci }
+        ci += 1
+      }
+      codes(mi) = best
+      mi += 1
+    }
+    codes
+  }
+
+  /** (query_id, lut) where lut[mi][ci] = dot(q_sub_mi, book_mi[ci]) —
+    * the per-query ADC lookup tables, shared by [[pqAdcScores]] (whole-
+    * vector books) and [[ivfPqTopK]] (residual books: for the inner-
+    * product metric the SAME plain-query table against residual books
+    * yields dot(q, r), no query residual needed — dot is linear, so
+    * dot(q, v) = dot(q, c) + dot(q, r) and the centroid term is the
+    * probe constant). A mapPartitions kernel for the same reason as
+    * [[pqEncode]]: the literal-expression form costs seconds of
+    * planning per run; the closure computes the identical
+    * left-to-right dot products.
+    */
+  private def lutFrame(qn: DataFrame, index: PqIndex): DataFrame = {
     val subDim = index.subDim
     val m = index.m
     val books = index.books.map(_.map(_.toArray))
-    val encoded = pqEncode(corpus, idCol, vecCol, index)
-    val qn = normalized(queries, idCol, vecCol, "query_id", "qv")
-    // LUT as a mapPartitions kernel for the same reason as
-    // [[pqEncode]]: the literal-expression form costs seconds of
-    // planning per run; the closure computes the identical
-    // left-to-right dot products
     val lutSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("query_id",
         org.apache.spark.sql.types.LongType, nullable = false),
@@ -752,7 +812,7 @@ object Similarity {
           containsNull = false),
         nullable = false)))
     val lutEncoder = org.apache.spark.sql.Encoders.row(lutSchema)
-    val withLut = qn.mapPartitions { it =>
+    qn.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
         val vec = r.getSeq[Double](1)
@@ -769,7 +829,22 @@ object Similarity {
         org.apache.spark.sql.Row(id, lut)
       }
     }(lutEncoder)
-    val q = broadcast(withLut)
+  }
+
+  /** ADC-scored (query, neighbor, score) pairs: queries stay exact;
+    * each query precomputes its [[lutFrame]] lookup tables, and a
+    * candidate's approximate cosine is m table lookups summed — never
+    * a full dim-wide multiply against the corpus. The corpus side
+    * reads only the m-byte codes; in a stored pipeline [[pqEncode]]'s
+    * output is the scanned relation and the raw vectors never leave
+    * cold storage.
+    */
+  def pqAdcScores(corpus: DataFrame, queries: DataFrame,
+                  idCol: String, vecCol: String,
+                  index: PqIndex): DataFrame = {
+    val encoded = pqEncode(corpus, idCol, vecCol, index)
+    val qn = normalized(queries, idCol, vecCol, "query_id", "qv")
+    val q = broadcast(lutFrame(qn, index))
     // scoring is the native codegen'd LutSum gather loop — the HOF
     // zip_with/element_at/aggregate form paid interpreted-lambda cost
     // on every (query, candidate) pair and is kept as the differential
@@ -795,6 +870,94 @@ object Similarity {
              idCol: String, vecCol: String, k: Int,
              index: PqIndex, rerank: Int = 8): DataFrame = {
     val adc = pqAdcScores(corpus, queries, idCol, vecCol, index)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    val shortlist = adc.withColumn("r0", row_number().over(w))
+      .where(col("r0") <= k * rerank)
+      .select("query_id", "neighbor_id")
+    val qv = normalized(queries, idCol, vecCol, "query_id", "qv")
+    val cv = normalized(corpus, idCol, vecCol, "neighbor_id", "cv")
+    val exact = shortlist
+      .join(broadcast(qv), "query_id")
+      .join(cv, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        unitDot(col("qv"), col("cv")).as("cos"))
+    val w2 = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w2)).where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  /** IVF-PQ corpus encoding: (neighbor_id, c, codes) — each vector in
+    * its nearest coarse list with the PQ codes of its RESIDUAL
+    * against that list's centroid ([[PqIndex.buildResidual]]'s
+    * geometry). This is what a 100 TB deployment PERSISTS, clustered
+    * by list: a serving scan reads only the probed lists' m-byte code
+    * rows (partition pruning on c), the double vectors stay in cold
+    * storage. One projection + one kernel pass — no shuffle.
+    */
+  def ivfPqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+                  coarse: IvfIndex, index: PqIndex): DataFrame = {
+    val subDim = index.subDim
+    val m = index.m
+    val books = index.books.map(_.map(_.toArray))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("neighbor_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("c",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("codes",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.IntegerType, containsNull = false),
+        nullable = false)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    ivfResiduals(corpus, idCol, vecCol, coarse.centers)
+      .select(col("__id"), col("__c"), col("__r"))
+      .mapPartitions { it =>
+        it.map { r =>
+          org.apache.spark.sql.Row(r.getLong(0), r.getInt(1),
+            pqCodesOf(r.getSeq[Double](2), books, m, subDim).toSeq)
+        }
+      }(encoder)
+  }
+
+  /** IVF-PQ ANN top-k — the composition of the two index families
+    * into the standard large-scale serving shape (coarse quantizer
+    * bounds the SCAN, product quantizer bounds the BYTES): each query
+    * probes its `nprobe` nearest coarse lists, ADC-scores only those
+    * lists' residual codes as dot(q, c) + Σ lut[code] (the centroid
+    * term is the probe constant — [[lutFrame]]'s linearity note), and
+    * exactly re-ranks a `rerank·k` shortlist like [[pqTopK]]. Against
+    * either part alone: vs flat PQ the ADC scan drops from N to
+    * N·nprobe/k_coarse candidates; vs flat IVF the scanned candidate
+    * rows shrink ~32× (m bytes vs dim doubles) and score in m lookups
+    * instead of dim multiplies. Skew contract is IVF's: hot-list size
+    * (gated post-retrain by the list-skew census).
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+                idCol: String, vecCol: String, k: Int,
+                coarse: IvfIndex, index: PqIndex,
+                nprobe: Int = 4, rerank: Int = 16): DataFrame = {
+    val cs = coarse.centers.toSeq
+    val enc = ivfPqEncode(corpus, idCol, vecCol, coarse, index)
+    val qn = normalized(queries, idCol, vecCol, "query_id", "qv")
+    // nprobe nearest lists per query, carrying dot(q, c) as the
+    // per-list ADC constant — same probe expression as [[ivfTopK]]
+    val probes = slice(
+      sort_array(
+        zip_with(centroidDots(col("qv"), cs),
+          sequence(lit(0), lit(cs.size - 1)),
+          (d, i) => struct(d.as("d"), i.as("i"))),
+        asc = false),
+      1, nprobe)
+    val qp = qn.select(col("query_id"), explode(probes).as("p"))
+      .select(col("query_id"), col("p.i").as("c"), col("p.d").as("cdot"))
+    val q = broadcast(qp.join(lutFrame(qn, index), "query_id"))
+    val adc = q.join(enc, "c")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (col("cdot") +
+          graft.functions.LutSum.lutSum(col("codes"), col("lut"))).as("score"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id"))
     val shortlist = adc.withColumn("r0", row_number().over(w))

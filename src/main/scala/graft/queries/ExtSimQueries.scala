@@ -784,6 +784,75 @@ object ExtSimQueries {
                      TRUE AS recall_ok, TRUE AS delta_recall_ok,
                      TRUE AS stale_serving, TRUE AS swap_ok
               FROM top JOIN kth USING (query_id)
+              GROUP BY query_id ORDER BY query_id""")),
+
+    // IVF-PQ — the COMPOSITION of the two index families into the
+    // standard large-scale serving shape ([[Similarity.ivfPqTopK]]:
+    // coarse quantizer bounds the SCAN, product quantizer bounds the
+    // BYTES; codes are of coarse RESIDUALS,
+    // [[Similarity.PqIndex.buildResidual]]). Probe contract at the
+    // real serving config (nlist=16, nprobe=4, m=16, ks=64,
+    // rerank=16) with the miss budget DECOMPOSED into its two flags:
+    // recall_ok pins the end-to-end ≥0.40 floor vs brute force (the
+    // routing-loss-bounded figure ext_sim_ivf_nprobe pins for plain
+    // IVF at the same nprobe — measured 0.515-0.59 across fixtures,
+    // EQUAL to plain IVF@4's: the PQ stage adds almost nothing), and
+    // pq_faithful_ok pins the QUANTIZATION loss alone: ≥0.80 of what
+    // exact scoring finds in the probed lists must survive ADC+rerank
+    // (ivfPq ∩ ivf@4 over |ivf@4| — routing loss cancels; measured
+    // 0.995-1.0, the 16·k exact rerank absorbing nearly all
+    // reconstruction error). Same brute-force checksum frame and
+    // oracle as the other serving rows — one cached generation, N
+    // consumers.
+    Declared(
+      "ext_sim_ivfpq_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val coarse = Similarity.IvfIndex.build(emb, "vec_id", "embedding",
+          k = 16, iters = 3)
+        val index = Similarity.PqIndex.buildResidual(emb, "vec_id",
+          "embedding", coarse, m = 16, ks = 64, dim = 64, iters = 3)
+        val bf = PlanCache.cached("pqBfTop10/vec20", emb)(e =>
+          Similarity.bruteForceTopK(e, e.where(col("vec_id") < 20),
+            "vec_id", "embedding", k = 10))
+        // the exact-IVF reference listing feeds two consumers (its
+        // cardinality + the intersection) — cache one materialization
+        val ivf = PlanCache.cached("ivfTop10/vec20/np4", emb)(e =>
+          Similarity.ivfTopK(e, e.where(col("vec_id") < 20),
+            "vec_id", "embedding", k = 10, coarse.centers, nprobe = 4))
+        val ipq = Similarity.ivfPqTopK(emb, emb.where(col("vec_id") < 20),
+            "vec_id", "embedding", k = 10, coarse, index,
+            nprobe = 4, rerank = 16)
+          .select("query_id", "neighbor_id")
+        val flags = bf.select("query_id", "neighbor_id")
+          .join(ipq, Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("__hb"))
+          .crossJoin(bf.agg(count(lit(1)).as("__nb")))
+          .crossJoin(ivf.select("query_id", "neighbor_id")
+            .join(ipq, Seq("query_id", "neighbor_id"), "left_semi")
+            .agg(count(lit(1)).as("__hi")))
+          .crossJoin(ivf.agg(count(lit(1)).as("__ni")))
+          .select((col("__hb") * 5 >= col("__nb") * 2).as("recall_ok"),
+            (col("__hi") * 5 >= col("__ni") * 4).as("pq_faithful_ok"))
+        topkChecksum(bf).crossJoin(flags).orderBy("query_id")
+      },
+      Some("""WITH sc AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos
+                FROM embeddings q JOIN embeddings c
+                  ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+              rk AS (
+                SELECT query_id, neighbor_id, cos,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cos DESC, neighbor_id) AS rnk
+                FROM sc),
+              top AS (SELECT * FROM rk WHERE rnk <= 10),
+              kth AS (SELECT query_id, MIN(cos) AS kc FROM top GROUP BY query_id)
+              SELECT query_id, COUNT(*) AS n_rows,
+                     CAST(SUM(CASE WHEN cos >= kc + 1e-9 THEN 1 ELSE 0 END) AS BIGINT) AS n_clear,
+                     CAST(SUM(CASE WHEN cos >= kc + 1e-9 THEN neighbor_id ELSE 0 END) AS BIGINT) AS id_checksum,
+                     TRUE AS recall_ok, TRUE AS pq_faithful_ok
+              FROM top JOIN kth USING (query_id)
               GROUP BY query_id ORDER BY query_id"""))
   )
 }

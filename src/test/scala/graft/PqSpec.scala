@@ -74,6 +74,76 @@ class PqSpec extends SparkSpec {
     assert(maxErr < 0.35, s"ADC error $maxErr implausibly large for 8x16 codebooks")
   }
 
+  test("ivfPqTopK with full probe and exhaustive rerank IS brute force; encode covers every vector once") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.where(col("vec_id") < 3)
+    val coarse = Similarity.IvfIndex.build(emb, "vec_id", "embedding",
+      k = 16, iters = 3)
+    val index = Similarity.PqIndex.buildResidual(emb, "vec_id", "embedding",
+      coarse, m = 16, ks = 64, dim = 64, iters = 3)
+    // every vector lands in exactly one list with a full m-length,
+    // in-range code word
+    val n = emb.count()
+    val enc = Similarity.ivfPqEncode(emb, "vec_id", "embedding", coarse, index)
+    assert(enc.count() == n)
+    val bad = enc.where(col("c") < 0 || col("c") >= 16 ||
+        size(col("codes")) =!= 16 ||
+        exists(col("codes"), x => x < 0 || x >= 64))
+      .count()
+    assert(bad == 0L, "malformed list id or code word")
+    // with every list probed and the whole corpus reranked, the exact
+    // second stage must reproduce brute force ROW FOR ROW (cos values
+    // bit-equal: both sides are unitDot over the same normalized
+    // frames) — quantization error can then only have reordered the
+    // shortlist, which the exact rerank undoes
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val bf = rows(Similarity.bruteForceTopK(emb, queries,
+      "vec_id", "embedding", k = 5))
+    val ipq = rows(Similarity.ivfPqTopK(emb, queries,
+      "vec_id", "embedding", k = 5, coarse, index,
+      nprobe = 16, rerank = n.toInt))
+    assert(ipq == bf, "exhaustive IVF-PQ must equal brute force exactly")
+  }
+
+  test("ivfPqTopK at the nprobe=4 serving config: IVF's own floor vs brute force, and ≤20% added loss vs plain IVF") {
+    // the gated row's config (nlist=16, nprobe=4, m=16, ks=64,
+    // rerank=16) and floors. The miss budget decomposes: routing loss
+    // (true neighbor in an unprobed list — IVF's, bounded by
+    // ext_sim_ivf_nprobe's 0.40 aggregate floor) and quantization
+    // loss (true neighbor probed but outside the ADC shortlist —
+    // PQ's own, measured against plain IVF at the SAME nprobe so the
+    // routing loss cancels: ≥0.80 of what exact scoring finds in the
+    // probed lists must survive ADC+rerank)
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                    "/root/testdata/sf0.1")) {
+      val emb = Tables.embeddings(spark, dir)
+      val queries = emb.where(col("vec_id") < 20)
+      val coarse = Similarity.IvfIndex.build(emb, "vec_id", "embedding",
+        k = 16, iters = 3)
+      val index = Similarity.PqIndex.buildResidual(emb, "vec_id", "embedding",
+        coarse, m = 16, ks = 64, dim = 64, iters = 3)
+      val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
+        k = 10).select("query_id", "neighbor_id")
+      val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+        k = 10, coarse.centers, nprobe = 4).select("query_id", "neighbor_id")
+      val ipq = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+        k = 10, coarse, index, nprobe = 4, rerank = 16)
+        .select("query_id", "neighbor_id")
+      val nBf = bf.count()
+      val nIvf = ivf.count()
+      val hitsBf = bf.join(ipq, Seq("query_id", "neighbor_id")).count()
+      val hitsIvf = ivf.join(ipq, Seq("query_id", "neighbor_id")).count()
+      info(s"$dir: ivfpq vs bf = $hitsBf/$nBf = ${hitsBf.toDouble / nBf}; " +
+        s"vs ivf@4 = $hitsIvf/$nIvf = ${hitsIvf.toDouble / nIvf}")
+      assert(hitsBf * 5 >= nBf * 2,
+        s"$dir: recall vs brute force ${hitsBf.toDouble / nBf} below 0.40")
+      assert(hitsIvf * 5 >= nIvf * 4,
+        s"$dir: PQ stage keeps only ${hitsIvf.toDouble / nIvf} of IVF@4 (< 0.80)")
+    }
+  }
+
   test("native serving kernels are bit-equal to their HOF baselines; bad inputs fail loudly") {
     import spark.implicits._
     import graft.functions.{DotProductLong, LutSum}
