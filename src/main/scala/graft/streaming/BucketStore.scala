@@ -82,6 +82,33 @@ object BucketStore {
   def bucketOf(key: Column, nBuckets: Int): Column =
     pmod(xxhash64(key), lit(nBuckets.toLong))
 
+  /** Run one microbatch/maintenance `body` with AQE off, restoring the
+    * caller's setting after. Rationale (measured on the gated matview
+    * replays, guide §1): every data-scale join in these bodies is
+    * explicitly broadcast-pinned and the per-trigger relations are
+    * batch- or dim-bounded, so AQE has nothing structural to decide —
+    * but it MATERIALIZES EVERY QUERY STAGE AS ITS OWN SPARK JOB, ~40
+    * jobs/trigger vs ~14 on ext_stream_matview_sketch, pure per-job
+    * scheduling+replanning overhead at any deployment's trigger rate.
+    * Callers whose batches are large enough to want runtime
+    * coalescing/skew handling back set spark.graft.microbatch.aqe=true
+    * (the operators still run correctly either way — this toggles plan
+    * mechanics only). Deliberately NOT used around
+    * [[graft.streaming.StreamMatview.applyBatchMinMax]]'s view fold:
+    * mergeAggMinMax's no-retraction path relies on AQE's
+    * empty-relation propagation to collapse the full-store recompute
+    * scan (PlanShapeSpec pins that collapse).
+    */
+  private[graft] def noAqe[A](spark: SparkSession)(body: => A): A = {
+    if (spark.conf.getOption("spark.graft.microbatch.aqe").contains("true")) body
+    else {
+      val key = "spark.sql.adaptive.enabled"
+      val before = spark.conf.get(key)
+      spark.conf.set(key, "false")
+      try body finally spark.conf.set(key, before)
+    }
+  }
+
   /** The distinct buckets `df`'s keys hash into — the driver-side
     * probe that decides which store buckets a batch must read and
     * rewrite. ONE single-pass job: collect_set partial-aggregates
@@ -93,6 +120,22 @@ object BucketStore {
   def touchedBuckets(df: DataFrame, key: Column, nBuckets: Int): Set[Long] =
     df.agg(collect_set(bucketOf(key, nBuckets)).as("__tb"))
       .head.getSeq[Long](0).toSet
+
+  /** [[touchedBuckets]] plus the batch's DISTINCT KEY COUNT (null as
+    * one ordinary key, matching the groupBy semantics of the merge) in
+    * the SAME single-pass job — so a caller that needs both the probe
+    * and a broadcast-guard pre-count (every maintenance body does)
+    * pays one job per trigger, not two.
+    */
+  def touchedBucketsAndKeys(df: DataFrame, key: Column,
+                            nBuckets: Int): (Set[Long], Long) = {
+    val r = df.agg(collect_set(bucketOf(key, nBuckets)).as("__tb"),
+      count_distinct(key).as("__ck"),
+      max(when(key.isNull, 1L).otherwise(0L)).as("__nk"))
+      .head
+    (r.getSeq[Long](0).toSet,
+      r.getLong(1) + (if (r.isNullAt(2)) 0L else r.getLong(2)))
+  }
 
   private def fsOf(spark: SparkSession, dir: String) = {
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -306,10 +349,20 @@ object BucketStore {
     // the touched-bucket content buys one file per bucket per
     // version — the compact layout a table format's write bin-packing
     // produces, and the shape per-bucket maintenance compaction
-    // ([[bucketPaths]]) wants to keep.
-    df.withColumn(BucketCol, bucketOf(key, nBuckets))
-      .repartition(col(BucketCol))
-      .write.partitionBy(BucketCol).parquet(dataDir)
+    // ([[bucketPaths]]) wants to keep. The exchange is sized to the
+    // BUCKET COUNT, not the session's shuffle partitions: buckets are
+    // the only distinct keys, so any partition past nBuckets is
+    // guaranteed empty — pure task overhead (an aggregate view store
+    // has nBuckets = 1 and was paying a full shuffle fan-out per
+    // trigger for one row of output).
+    // nBuckets == 1 (every aggregate view store): coalesce instead of
+    // repartition — a narrow merge of the final stage's partitions
+    // into the single write task, no exchange stage at all
+    val bucketed = df.withColumn(BucketCol, bucketOf(key, nBuckets))
+    val arranged =
+      if (nBuckets == 1) bucketed.coalesce(1)
+      else bucketed.repartition(nBuckets, col(BucketCol))
+    arranged.write.partitionBy(BucketCol).parquet(dataDir)
     val written = fs.listStatus(new org.apache.hadoop.fs.Path(dataDir))
       .toIndexedSeq.filter(_.isDirectory)
       .flatMap(s => BucketName.findFirstMatchIn(s.getPath.getName)
@@ -470,7 +523,7 @@ object BucketStore {
     */
   def purgeKeys(spark: SparkSession, storeDir: String, keys: DataFrame,
                 keyCol: String,
-                maxBroadcastKeys: Long = 10000000L): PurgeStats = {
+                maxBroadcastKeys: Long = 10000000L): PurgeStats = noAqe(spark) {
     val v = latestVersion(spark, storeDir).getOrElse(
       throw new IllegalStateException(s"no committed store version under $storeDir"))
     val m = readManifest(spark, storeDir, v)

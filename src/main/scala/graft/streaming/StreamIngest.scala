@@ -137,7 +137,7 @@ object StreamIngest {
     // implementation of the exactly-once bookkeeping, not two)
     if (StreamMerge.replaySkip(spark, storeDir, id)) return
     batch.persist()
-    try {
+    try BucketStore.noAqe(spark) {
       val latest = StreamMerge.latestVersion(spark, storeDir)
       val nb = latest
         .map(v => BucketStore.readManifest(spark, storeDir, v).nBuckets)

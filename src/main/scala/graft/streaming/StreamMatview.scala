@@ -83,12 +83,13 @@ object StreamMatview {
       s"retain=$retain: the vacuum must keep at least the version just written")
     val spark = batch.sparkSession
     var probed: Option[Set[Long]] = None
+    var guarded = false
     // one persist for the WHOLE trigger: the batch feeds the probe,
     // the delta (latest + guard pre-count), and then every consumer
     // inside the snapshot merge — re-reading the source slice per
     // consumer is the repeated I/O this removes
     batch.persist()
-    try {
+    try BucketStore.noAqe(spark) {
       if (!StreamMerge.replaySkip(spark, aggDir, id)) {
         requirePurgeSettled(spark, storeDir, aggDir)
         // the delta needs the PRE-batch snapshot — guaranteed by the
@@ -102,7 +103,17 @@ object StreamMatview {
         val nb = sv
           .map(v => BucketStore.readManifest(spark, storeDir, v).nBuckets)
           .getOrElse(nBuckets)
-        val touched = BucketStore.touchedBuckets(batch, col(keyCol), nb)
+        spark.sparkContext.setJobDescription(s"matview b$id: probe")
+        // probe + broadcast-guard pre-count in ONE job (the fold and
+        // the merge below both skip their own guard counts)
+        val (touched, nKeys) =
+          if (maxBroadcastKeys > 0)
+            BucketStore.touchedBucketsAndKeys(batch, col(keyCol), nb)
+          else (BucketStore.touchedBuckets(batch, col(keyCol), nb), -1L)
+        require(maxBroadcastKeys <= 0 || nKeys <= maxBroadcastKeys,
+          s"batch has more than $maxBroadcastKeys distinct keys — too large " +
+            "to broadcast against the store; split the batch (or raise " +
+            "maxBroadcastKeys)")
         // the probe is only reusable downstream if the snapshot store
         // will bucket at the same count (it will: nb IS its count)
         probed = Some(touched)
@@ -122,9 +133,11 @@ object StreamMatview {
           Changelog.aggSnapshot(batch.limit(0), opCol, dims, valCol,
             nCol = nCol, sumCol = sumCol)
         }
+        spark.sparkContext.setJobDescription(s"matview b$id: view commit")
         val delta = Changelog.aggDelta(storeTouched, batch, keyCol, opCol,
           seqCols, dims, valCol, nCol = nCol, sumCol = sumCol,
-          maxBroadcastKeys = maxBroadcastKeys)
+          maxBroadcastKeys = 0L) // guarded by the probe job above
+        guarded = maxBroadcastKeys > 0
         val av = BucketStore.latestVersion(spark, aggDir)
         // claim bucket 0 (the aggregate's only bucket): a batch that
         // drives every dim's n to 0 writes NO rows, and an unclaimed
@@ -138,8 +151,13 @@ object StreamMatview {
           batch = Some(id), claim = Set(0L))
         BucketStore.vacuum(spark, aggDir, retain)
       }
+      spark.sparkContext.setJobDescription(s"matview b$id: snapshot merge")
+      // the fold's preWinner already pre-counted THIS batch's distinct
+      // keys at the same cap, so the merge skips its duplicate guard
       StreamMerge.applyBatch(batch, id, storeDir, keyCol, opCol, seqCols,
-        retain, nBuckets, touchedHint = probed, managePersist = false)
+        retain, nBuckets, touchedHint = probed, managePersist = false,
+        maxBroadcastKeys = if (guarded) 0L else maxBroadcastKeys)
+      spark.sparkContext.setJobDescription(null)
     } finally batch.unpersist(false)
   }
 
@@ -279,7 +297,13 @@ object StreamMatview {
       s"retain=$retain: the vacuum must keep at least the version just written")
     val spark = batch.sparkSession
     var probed: Option[Set[Long]] = None
+    var guarded = false
     batch.persist()
+    // NO noAqe bracket here, unlike the applyBatch/applyBatchSketch
+    // twins: mergeAggMinMax's no-retraction path relies on AQE's
+    // empty-relation propagation to collapse the full-store recompute
+    // scan (the PlanShapeSpec pin); the snapshot merge below still
+    // runs AQE-free inside StreamMerge.applyBatch itself.
     try {
       if (!StreamMerge.replaySkip(spark, aggDir, id)) {
         requirePurgeSettled(spark, storeDir, aggDir)
@@ -291,7 +315,17 @@ object StreamMatview {
         val nb = sv
           .map(v => BucketStore.readManifest(spark, storeDir, v).nBuckets)
           .getOrElse(nBuckets)
-        val touched = BucketStore.touchedBuckets(batch, col(keyCol), nb)
+        spark.sparkContext.setJobDescription(s"matview-minmax b$id: probe")
+        // probe + broadcast-guard pre-count in ONE job (the fold and
+        // the merge below both skip their own guard counts)
+        val (touched, nKeys) =
+          if (maxBroadcastKeys > 0)
+            BucketStore.touchedBucketsAndKeys(batch, col(keyCol), nb)
+          else (BucketStore.touchedBuckets(batch, col(keyCol), nb), -1L)
+        require(maxBroadcastKeys <= 0 || nKeys <= maxBroadcastKeys,
+          s"batch has more than $maxBroadcastKeys distinct keys — too large " +
+            "to broadcast against the store; split the batch (or raise " +
+            "maxBroadcastKeys)")
         probed = Some(touched)
         val storeTouched = BucketStore.read(spark, storeDir, Some(touched))
           .getOrElse(batch.limit(0))
@@ -307,18 +341,23 @@ object StreamMatview {
             nCol = nCol, sumCol = sumCol, minCol = minCol, maxCol = maxCol)
         }
         val av = BucketStore.latestVersion(spark, aggDir)
+        spark.sparkContext.setJobDescription(s"matview-minmax b$id: view commit")
         BucketStore.writeVersion(
           Changelog.mergeAggMinMax(agg, storeTouched, batch, keyCol, opCol,
             seqCols, dims, valCol, nCol = nCol, sumCol = sumCol,
             minCol = minCol, maxCol = maxCol,
-            maxBroadcastKeys = maxBroadcastKeys,
+            maxBroadcastKeys = 0L, // guarded by the probe job above
             recomputeStore = Some(storeFull)),
           aggDir, av.map(_ + 1L).getOrElse(id), col(dims.head), nBuckets = 1,
           batch = Some(id), claim = Set(0L))
+        guarded = maxBroadcastKeys > 0
         BucketStore.vacuum(spark, aggDir, retain)
       }
+      spark.sparkContext.setJobDescription(s"matview-minmax b$id: snapshot merge")
       StreamMerge.applyBatch(batch, id, storeDir, keyCol, opCol, seqCols,
-        retain, nBuckets, touchedHint = probed, managePersist = false)
+        retain, nBuckets, touchedHint = probed, managePersist = false,
+        maxBroadcastKeys = if (guarded) 0L else maxBroadcastKeys)
+      spark.sparkContext.setJobDescription(null)
     } finally batch.unpersist(false)
   }
 
@@ -397,8 +436,9 @@ object StreamMatview {
       s"retain=$retain: the vacuum must keep at least the version just written")
     val spark = batch.sparkSession
     var probed: Option[Set[Long]] = None
+    var guarded = false
     batch.persist()
-    try {
+    try BucketStore.noAqe(spark) {
       if (!StreamMerge.replaySkip(spark, aggDir, id)) {
         requirePurgeSettled(spark, storeDir, aggDir)
         require(!BucketStore.latestBatch(spark, storeDir).exists(_ >= id),
@@ -409,7 +449,17 @@ object StreamMatview {
         val nb = sv
           .map(v => BucketStore.readManifest(spark, storeDir, v).nBuckets)
           .getOrElse(nBuckets)
-        val touched = BucketStore.touchedBuckets(batch, col(keyCol), nb)
+        spark.sparkContext.setJobDescription(s"matview-sketch b$id: probe")
+        // probe + broadcast-guard pre-count in ONE job (the fold and
+        // the merge below both skip their own guard counts)
+        val (touched, nKeys) =
+          if (maxBroadcastKeys > 0)
+            BucketStore.touchedBucketsAndKeys(batch, col(keyCol), nb)
+          else (BucketStore.touchedBuckets(batch, col(keyCol), nb), -1L)
+        require(maxBroadcastKeys <= 0 || nKeys <= maxBroadcastKeys,
+          s"batch has more than $maxBroadcastKeys distinct keys — too large " +
+            "to broadcast against the store; split the batch (or raise " +
+            "maxBroadcastKeys)")
         probed = Some(touched)
         val storeTouched = BucketStore.read(spark, storeDir, Some(touched))
           .getOrElse(batch.limit(0))
@@ -428,18 +478,24 @@ object StreamMatview {
             maxCol = maxCol)
         }
         val av = BucketStore.latestVersion(spark, aggDir)
-        BucketStore.writeVersion(
-          Changelog.mergeAggSketch(agg, storeTouched, batch, keyCol, opCol,
-            seqCols, dims, valCol, k = k, nCol = nCol, sumCol = sumCol,
-            minCol = minCol, maxCol = maxCol,
-            maxBroadcastKeys = maxBroadcastKeys,
-            recomputeStore = Some(storeFull)),
+        spark.sparkContext.setJobDescription(s"matview-sketch b$id: fold")
+        val folded = Changelog.mergeAggSketch(agg, storeTouched, batch, keyCol,
+          opCol, seqCols, dims, valCol, k = k, nCol = nCol, sumCol = sumCol,
+          minCol = minCol, maxCol = maxCol,
+          maxBroadcastKeys = 0L, // guarded by the probe job above
+          recomputeStore = Some(storeFull))
+        guarded = maxBroadcastKeys > 0
+        spark.sparkContext.setJobDescription(s"matview-sketch b$id: view commit")
+        BucketStore.writeVersion(folded,
           aggDir, av.map(_ + 1L).getOrElse(id), col(dims.head), nBuckets = 1,
           batch = Some(id), claim = Set(0L))
         BucketStore.vacuum(spark, aggDir, retain)
       }
+      spark.sparkContext.setJobDescription(s"matview-sketch b$id: snapshot merge")
       StreamMerge.applyBatch(batch, id, storeDir, keyCol, opCol, seqCols,
-        retain, nBuckets, touchedHint = probed, managePersist = false)
+        retain, nBuckets, touchedHint = probed, managePersist = false,
+        maxBroadcastKeys = if (guarded) 0L else maxBroadcastKeys)
+      spark.sparkContext.setJobDescription(null)
     } finally batch.unpersist(false)
   }
 
@@ -524,7 +580,8 @@ object StreamMatview {
                                            valCol: String, k: Int,
                                            nCol: String, sumCol: String,
                                            minCol: String, maxCol: String,
-                                           maxBroadcastKeys: Long): Unit = {
+                                           maxBroadcastKeys: Long): Unit =
+      BucketStore.noAqe(spark) {
     val av = BucketStore.latestVersion(spark, aggDir).getOrElse(
       throw new IllegalStateException(s"no committed view version under $aggDir"))
     val avm = BucketStore.readManifest(spark, aggDir, av)
@@ -573,7 +630,7 @@ object StreamMatview {
                       nCol: String = "n", sumCol: String = "sum",
                       minCol: String = "min", maxCol: String = "max",
                       maxBroadcastKeys: Long = 10000000L)
-      : BucketStore.PurgeStats = {
+      : BucketStore.PurgeStats = BucketStore.noAqe(spark) {
     val av = BucketStore.latestVersion(spark, aggDir).getOrElse(
       throw new IllegalStateException(s"no committed view version under $aggDir"))
     val avm = BucketStore.readManifest(spark, aggDir, av)
@@ -671,7 +728,8 @@ object StreamMatview {
                                      aggDir: String, keys: DataFrame,
                                      keyCol: String, opCol: String,
                                      dims: Seq[String], valCol: String,
-                                     nCol: String, sumCol: String): Unit = {
+                                     nCol: String, sumCol: String): Unit =
+      BucketStore.noAqe(spark) {
     val av = BucketStore.latestVersion(spark, aggDir).getOrElse(
       throw new IllegalStateException(s"no committed view version under $aggDir"))
     val avm = BucketStore.readManifest(spark, aggDir, av)

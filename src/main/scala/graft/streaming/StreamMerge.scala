@@ -147,14 +147,19 @@ object StreamMerge {
     * for its delta read) passes it through so the trigger pays one
     * probe job, not two. `managePersist = false` says the caller
     * already holds the batch persisted for the whole trigger (a
-    * second persist() would warn and do nothing).
+    * second persist() would warn and do nothing). `maxBroadcastKeys`
+    * feeds [[Changelog.mergeBatch]]'s broadcast guard; a caller whose
+    * own fold already pre-counted THIS batch's distinct keys at the
+    * same cap (the StreamMatview family) passes 0 so the trigger pays
+    * one guard job, not two.
     */
   def applyBatch(batch: DataFrame, id: Long, storeDir: String,
                  keyCol: String, opCol: String, seqCols: Seq[String],
                  retain: Int = 2,
                  nBuckets: Int = BucketStore.DefaultBuckets,
                  touchedHint: Option[Set[Long]] = None,
-                 managePersist: Boolean = true): Unit = {
+                 managePersist: Boolean = true,
+                 maxBroadcastKeys: Long = 10000000L): Unit = {
     require(retain >= 1,
       s"retain=$retain: the vacuum must keep at least the version just written")
     val spark = batch.sparkSession
@@ -163,22 +168,36 @@ object StreamMerge {
     // mergeBatch's latest/anti/semi) — pin it for the one action
     // instead of re-running the source slice each time
     if (managePersist) batch.persist()
-    try {
+    try BucketStore.noAqe(spark) {
       // the store's own bucket count wins over the parameter: the
       // mapping key→bucket must never move across versions
       val latest = latestVersion(spark, storeDir)
       val nb = latest
         .map(v => BucketStore.readManifest(spark, storeDir, v).nBuckets)
         .getOrElse(nBuckets)
-      val touched = touchedHint.getOrElse(
-        BucketStore.touchedBuckets(batch, col(keyCol), nb))
+      // probe and broadcast-guard pre-count share ONE job: the guard
+      // needs the batch's distinct key count, the probe its buckets —
+      // both come out of the same single-pass aggregate
+      val (touched, guardCount) = touchedHint match {
+        case Some(t) => (t, None)
+        case None if maxBroadcastKeys > 0 =>
+          val (t, n) = BucketStore.touchedBucketsAndKeys(batch, col(keyCol), nb)
+          (t, Some(n))
+        case None =>
+          (BucketStore.touchedBuckets(batch, col(keyCol), nb), None)
+      }
+      guardCount.foreach(n => require(n <= maxBroadcastKeys,
+        s"batch has more than $maxBroadcastKeys distinct keys — too large to " +
+          "broadcast against the store; split the batch (or raise maxBroadcastKeys)"))
       val cur = BucketStore.read(spark, storeDir, Some(touched))
         .getOrElse(batch.limit(0)) // first batch of an unseeded store
       // version id = next in the store's own sequence (maintenance
       // commits may have advanced it past the batch ids); the batch
       // id lands in the manifest as the exactly-once watermark
       BucketStore.writeVersion(
-        Changelog.mergeBatch(cur, batch, keyCol, opCol, seqCols),
+        Changelog.mergeBatch(cur, batch, keyCol, opCol, seqCols,
+          maxBroadcastKeys =
+            if (guardCount.isDefined) 0L else maxBroadcastKeys),
         storeDir, latest.map(_ + 1L).getOrElse(id), col(keyCol), nb,
         batch = Some(id))
     } finally if (managePersist) batch.unpersist(false)
