@@ -591,28 +591,35 @@ object Changelog {
     val dk = struct(dims.map(col): _*).as("__dk")
     def live(df: DataFrame): DataFrame =
       df.where(col(opCol) =!= deleteOp).select(dk, col(valCol))
-    // n/sum: the standard telescoping delta
-    val liveW = (df: DataFrame, sign: Int) =>
+    // ONE exchange computes the n/sum telescoping delta AND the
+    // per-dim leaving/entering live-value arrays: tag each live
+    // pre-image row −1 and each live winner row +1, then a single
+    // groupBy aggregates the signed count/sum while collect_list's
+    // null-skipping splits the value arrays by side (a when() with no
+    // otherwise is null on the other side's rows and on null values —
+    // exactly the old per-side `.where(isNotNull)` filters). The
+    // previous shape paid three batch-sized exchanges (delta, leaving,
+    // entering) plus two extra view-side joins for the same numbers.
+    val signed = (df: DataFrame, sign: Int) =>
       df.where(col(opCol) =!= deleteOp)
-        .select((dims.map(col) :+ lit(sign.toLong).as("__w") :+
-          (col(valCol) * sign).as(valCol)): _*)
-    val delta = liveW(winner, 1).unionByName(liveW(pre, -1))
+        .select((dims.map(col) :+ col(valCol) :+ lit(sign).as("__sgn")): _*)
+    val fused = signed(winner, 1).unionByName(signed(pre, -1))
       .groupBy(dims.map(col): _*)
-      .agg(sum(col("__w")).as(nCol),
-        coalesce(sum(col(valCol)), lit(0L).cast(vt)).as(sumCol))
-    val foldedNS = mergeAggDelta(agg.select((dims.map(col) :+ col(nCol) :+
-      col(sumCol)): _*), delta, dims, nCol, sumCol)
+      .agg(sum(col("__sgn").cast("long")).as(nCol),
+        coalesce(sum(col(valCol) * col("__sgn")), lit(0L).cast(vt)).as(sumCol),
+        sort_array(collect_list(when(col("__sgn") === -1, col(valCol))))
+          .as("__lv"),
+        sort_array(collect_list(when(col("__sgn") === 1, col(valCol))))
+          .as("__ev"))
       .withColumn("__dk", struct(dims.map(col): _*))
-    // per-dim leaving/entering live value arrays (batch-sized)
-    val leaving = live(pre).where(col(valCol).isNotNull)
-      .groupBy(col("__dk"))
-      .agg(sort_array(collect_list(col(valCol))).as("__lv"))
-    val entering = live(winner).where(col(valCol).isNotNull)
-      .groupBy(col("__dk"))
-      .agg(sort_array(collect_list(col(valCol))).as("__ev"))
+    val foldedNS = mergeAggDelta(agg.select((dims.map(col) :+ col(nCol) :+
+      col(sumCol)): _*), fused.select((dims.map(col) :+ col(nCol) :+
+      col(sumCol)): _*), dims, nCol, sumCol)
+      .withColumn("__dk", struct(dims.map(col): _*))
+    val lvEv = fused.select(col("__dk"), col("__lv"), col("__ev"))
     val aggSk = agg.select(dk, col("__mns"), col("__mxs"), col("__mnt"),
       col("__mxt"))
-    sketchStep(foldedNS, aggSk, leaving, entering,
+    sketchStep(foldedNS, aggSk, lvEv,
       () => {
         val rstore = recomputeStore.getOrElse(store)
         ((keyCol +: opCol +: dims) :+ valCol).foreach(c =>
@@ -628,16 +635,18 @@ object Changelog {
 
   /** Shared sketch-state stepping of [[mergeAggSketch]] and
     * [[purgeAggSketch]]: join the folded (n, sum) state with the prior
-    * sketch and the per-dim leaving/entering live-value arrays, pop
-    * leavers (multiset diff), splice coverable enterers, re-truncate to
-    * k, and — only for dims whose sketch side DRAINS while untracked
-    * live values remain — rebuild from `postLive()` (the POST-state
-    * live rows of the store, built lazily: the common no-drain path
-    * checkpoints before the drain test and never references it, so its
-    * committed plan carries no store scan at all).
+    * sketch and the per-dim leaving/entering live-value arrays (one
+    * frame, `lvEv` — both sides come out of the callers' single fused
+    * exchange), pop leavers (multiset diff), splice coverable
+    * enterers, re-truncate to k, and — only for dims whose sketch side
+    * DRAINS while untracked live values remain — rebuild from
+    * `postLive()` (the POST-state live rows of the store, built
+    * lazily: the common no-drain path checkpoints before the drain
+    * test and never references it, so its committed plan carries no
+    * store scan at all).
     */
   private def sketchStep(foldedNS: DataFrame, aggSk: DataFrame,
-                         leaving: DataFrame, entering: DataFrame,
+                         lvEv: DataFrame,
                          postLive: () => DataFrame,
                          dims: Seq[String], valCol: String,
                          vt: org.apache.spark.sql.types.DataType, k: Int,
@@ -646,8 +655,7 @@ object Changelog {
     val emptyArr = array().cast(s"array<${vt.sql}>")
     val folded = foldedNS
       .join(aggSk, Seq("__dk"), "left")
-      .join(leaving, Seq("__dk"), "left")
-      .join(entering, Seq("__dk"), "left")
+      .join(lvEv, Seq("__dk"), "left")
       .withColumn("__mns", coalesce(col("__mns"), emptyArr))
       .withColumn("__mxs", coalesce(col("__mxs"), emptyArr))
       .withColumn("__lv", coalesce(col("__lv"), emptyArr))
@@ -774,24 +782,27 @@ object Changelog {
     // bucketed store underneath, touched buckets only)
     val pre = store.select(needed.distinct.map(col): _*)
       .join(bk, col(keyCol) <=> col("__bk"), "left_semi")
-    // n/sum: subtract the purged live contributions (same SUM0
-    // convention as aggDelta; the sum keeps its natural widened type —
-    // mergeAggDelta's union coerces, never a narrowing cast)
-    val delta = pre.where(col(opCol) =!= deleteOp)
+    // ONE exchange, same fusion as [[mergeAggSketch]]: the negated
+    // n/sum delta (SUM0 convention as aggDelta; the sum keeps its
+    // natural widened type — mergeAggDelta's union coerces, never a
+    // narrowing cast) and the leaving-value arrays come out of a
+    // single groupBy over the purged pre-images. A purge only removes
+    // rows, so the entering side is a constant empty array.
+    val fused = pre.where(col(opCol) =!= deleteOp)
       .groupBy(dims.map(col): _*)
       .agg((count(lit(1)) * -1).as(nCol),
-        (coalesce(sum(col(valCol)), lit(0L).cast(vt)) * -1).as(sumCol))
-    val foldedNS = mergeAggDelta(agg.select((dims.map(col) :+ col(nCol) :+
-      col(sumCol)): _*), delta, dims, nCol, sumCol)
+        (coalesce(sum(col(valCol)), lit(0L).cast(vt)) * -1).as(sumCol),
+        sort_array(collect_list(col(valCol))).as("__lv"))
+      .withColumn("__ev", array().cast(s"array<${vt.sql}>"))
       .withColumn("__dk", struct(dims.map(col): _*))
-    val leaving = live(pre).where(col(valCol).isNotNull)
-      .groupBy(col("__dk"))
-      .agg(sort_array(collect_list(col(valCol))).as("__lv"))
-    // a purge only removes rows — nothing enters
-    val entering = leaving.limit(0).withColumnRenamed("__lv", "__ev")
+    val foldedNS = mergeAggDelta(agg.select((dims.map(col) :+ col(nCol) :+
+      col(sumCol)): _*), fused.select((dims.map(col) :+ col(nCol) :+
+      col(sumCol)): _*), dims, nCol, sumCol)
+      .withColumn("__dk", struct(dims.map(col): _*))
+    val lvEv = fused.select(col("__dk"), col("__lv"), col("__ev"))
     val aggSk = agg.select(dk, col("__mns"), col("__mxs"), col("__mnt"),
       col("__mxt"))
-    sketchStep(foldedNS, aggSk, leaving, entering,
+    sketchStep(foldedNS, aggSk, lvEv,
       () => {
         val rstore = recomputeStore.getOrElse(store)
         needed.foreach(c => require(rstore.columns.contains(c),
