@@ -33,11 +33,17 @@ object ProfileJobs {
     val order = new java.util.concurrent.ConcurrentLinkedQueue[J]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
-        val d = Option(e.properties)
-          .flatMap(p => Option(p.getProperty("spark.job.description")))
-          .orElse(Option(e.properties)
-            .flatMap(p => Option(p.getProperty("callSite.short"))))
-          .getOrElse("?")
+        // the RESULT stage's name is the action's call site (the
+        // thread-inherited callSite property just says "start at ..."
+        // for every job a streaming trigger runs); earlier stages are
+        // shuffle-map stages of the same query
+        val p = Option(e.properties)
+        val desc = p.flatMap(x => Option(x.getProperty("spark.job.description")))
+        // single-line descriptions are the library's phase labels; the
+        // streaming engine's own three-line id/runId/batch block falls
+        // back to the result stage's call site
+        val d = desc.filter(!_.contains('\n'))
+          .getOrElse(e.stageInfos.lastOption.map(_.name).getOrElse("?"))
         val j = J(e.jobId, d, e.time)
         j.tasks = e.stageInfos.map(_.numTasks).sum
         jobs.put(e.jobId, j); order.add(j)
