@@ -42,8 +42,11 @@ object ProfileJobs {
         // single-line descriptions are the library's phase labels; the
         // streaming engine's own three-line id/runId/batch block falls
         // back to the result stage's call site
+        val stages = e.stageInfos.map(s => s"${s.name.takeWhile(_ != ' ')}@${s.name.reverse.takeWhile(_ != ':').reverse}x${s.numTasks}")
+          .mkString("|")
         val d = desc.filter(!_.contains('\n'))
-          .getOrElse(e.stageInfos.lastOption.map(_.name).getOrElse("?"))
+          .getOrElse(e.stageInfos.lastOption.map(_.name).getOrElse("?")) +
+          s" {$stages}"
         val j = J(e.jobId, d, e.time)
         j.tasks = e.stageInfos.map(_.numTasks).sum
         jobs.put(e.jobId, j); order.add(j)

@@ -179,16 +179,25 @@ object Graph {
     val ed = e.select(col("a").as("x"), col("b").as("y"))
       .union(e.select(col("b").as("x"), col("a").as("y")))
     val deg = ed.groupBy("x").agg(count(lit(1)).as("d"))
+    // shuffle_hash on every join here: the wedge join and the two
+    // degree attachments are equi-joins of moderate, hash-exchange-
+    // partitioned relations, and the default sort-merge pays two full
+    // sorts per join for nothing (the grouped consumers re-hash
+    // anyway); a cached edge relation must also never be left to a
+    // size estimate that could flip the SELF-join to broadcast (the
+    // verified 6x regression the repo's join discipline pins against)
     val pairs = ed.as("e1")
-      .join(ed.as("e2"),
+      .join(ed.as("e2").hint("shuffle_hash"),
         col("e1.x") === col("e2.x") && col("e1.y") < col("e2.y"))
       .select(col("e1.y").as("a"), col("e2.y").as("b"))
       .groupBy("a", "b")
       .agg(count(lit(1)).as("inter"))
       .where(col("inter") >= minInter)
     pairs
-      .join(deg.select(col("x").as("a"), col("d").as("deg_a")), "a")
-      .join(deg.select(col("x").as("b"), col("d").as("deg_b")), "b")
+      .join(deg.select(col("x").as("a"), col("d").as("deg_a"))
+        .hint("shuffle_hash"), "a")
+      .join(deg.select(col("x").as("b"), col("d").as("deg_b"))
+        .hint("shuffle_hash"), "b")
       .select("a", "b", "inter", "deg_a", "deg_b")
   }
 

@@ -14,7 +14,40 @@ import org.apache.spark.sql.functions._
   */
 object ExtVersionQueries {
 
-  val all: Seq[Declared] = Seq(
+  /** Same narrow-state-partition discipline as the replay families
+    * (ExtStreamQueries/ExtStoreQueries scaladocs carry the
+    * measurements): the EAGER store-fold rows below (per-fold
+    * localCheckpoints; forget's store commits) run batch- or
+    * dim-cardinality-sized exchanges, so the session's full shuffle
+    * fan-out (32 at the driver bench; hundreds on a production
+    * session) only adds empty-partition task waves per fold. Applied
+    * to the eager rows only — a lazy row's plan executes at the sink,
+    * after the restore, so wrapping it would claim an optimization
+    * that never runs (ext_pipeline_matview stays at session layout
+    * for exactly that reason). The sketch row additionally runs its
+    * eager folds AQE-free ([[graft.streaming.BucketStore.noAqe]] —
+    * all its joins are hint-pinned or dim-bounded; the minmax row
+    * must NOT get this, its no-retraction collapse is AQE-dependent).
+    */
+  private def statePartitions[A](s: org.apache.spark.sql.SparkSession)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val before = s.conf.get(key)
+    s.conf.set(key, "8")
+    try body finally s.conf.set(key, before)
+  }
+
+  val all: Seq[Declared] = declared.map { q =>
+    q.name match {
+      case "ext_pipeline_matview_sketch" =>
+        q.copy(df = (s, dir) => statePartitions(s)(
+          graft.streaming.BucketStore.noAqe(s)(q.df(s, dir))))
+      case "ext_pipeline_matview_minmax" | "ext_pipeline_forget" =>
+        q.copy(df = (s, dir) => statePartitions(s)(q.df(s, dir)))
+      case _ => q
+    }
+  }
+
+  private def declared: Seq[Declared] = Seq(
 
     // CDC merge ([[Changelog.applyLog]]): a changelog derived from
     // the events stream (key = user_id + 1450, so the log spans

@@ -147,6 +147,9 @@ object StreamIngest {
       val touched = BucketStore.touchedBuckets(batch, Hashing.h60(col(textCol)), nb)
       val cur = BucketStore.read(spark, storeDir, Some(touched))
         .getOrElse(spark.range(0).select(col("id").as("fp")))
+      // trigger-scoped persist: cur feeds BOTH the dedup anti-join and
+      // the rolled-forward version's union — one bucket scan, not two
+      cur.persist()
       val fresh = Dedup.incrementalExact(batch, idCol, textCol, cur).persist()
       try {
         // corpus first, version second: the version commit is the
@@ -156,7 +159,10 @@ object StreamIngest {
           cur.unionByName(fresh.select(Hashing.h60(col(textCol)).as("fp"))),
           storeDir, latest.map(_ + 1L).getOrElse(id), col("fp"), nb,
           batch = Some(id))
-      } finally fresh.unpersist(false)
+      } finally {
+        fresh.unpersist(false)
+        cur.unpersist(false)
+      }
     } finally batch.unpersist(false)
     BucketStore.vacuum(spark, storeDir, retain)
   }

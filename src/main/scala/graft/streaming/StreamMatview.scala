@@ -119,6 +119,10 @@ object StreamMatview {
         probed = Some(touched)
         val storeTouched = BucketStore.read(spark, storeDir, Some(touched))
           .getOrElse(batch.limit(0)) // unseeded snapshot store
+        // trigger-scoped persist: the delta references the pre-images
+        // under two exchanges (winner max_by + the -1 side of the
+        // telescoping union) — one touched-bucket scan, not two
+        storeTouched.persist()
         val agg = BucketStore.read(spark, aggDir).getOrElse {
           // both stores unseeded: start the view empty (right shape).
           // A SEEDED snapshot with an unseeded view must fail loudly:
@@ -145,10 +149,11 @@ object StreamMatview {
         // viewSnapshot would silently serve the stale pre-batch
         // aggregate and every later delta would fold onto wrong state
         // (the EmptyOwner hazard BucketStore.purgeKeys claims against)
-        BucketStore.writeVersion(
+        try BucketStore.writeVersion(
           Changelog.mergeAggDelta(agg, delta, dims, nCol, sumCol),
           aggDir, av.map(_ + 1L).getOrElse(id), col(dims.head), nBuckets = 1,
           batch = Some(id), claim = Set(0L))
+        finally storeTouched.unpersist(false)
         BucketStore.vacuum(spark, aggDir, retain)
       }
       spark.sparkContext.setJobDescription(s"matview b$id: snapshot merge")
@@ -329,6 +334,10 @@ object StreamMatview {
         probed = Some(touched)
         val storeTouched = BucketStore.read(spark, storeDir, Some(touched))
           .getOrElse(batch.limit(0))
+        // trigger-scoped persist: mergeAggMinMax references the
+        // pre-images under several exchanges (delta, leaving bounds,
+        // winner) — one touched-bucket scan, not three
+        storeTouched.persist()
         val storeFull = BucketStore.read(spark, storeDir)
           .getOrElse(batch.limit(0))
         val agg = BucketStore.read(spark, aggDir).getOrElse {
@@ -342,7 +351,7 @@ object StreamMatview {
         }
         val av = BucketStore.latestVersion(spark, aggDir)
         spark.sparkContext.setJobDescription(s"matview-minmax b$id: view commit")
-        BucketStore.writeVersion(
+        try BucketStore.writeVersion(
           Changelog.mergeAggMinMax(agg, storeTouched, batch, keyCol, opCol,
             seqCols, dims, valCol, nCol = nCol, sumCol = sumCol,
             minCol = minCol, maxCol = maxCol,
@@ -350,6 +359,7 @@ object StreamMatview {
             recomputeStore = Some(storeFull)),
           aggDir, av.map(_ + 1L).getOrElse(id), col(dims.head), nBuckets = 1,
           batch = Some(id), claim = Set(0L))
+        finally storeTouched.unpersist(false)
         guarded = maxBroadcastKeys > 0
         BucketStore.vacuum(spark, aggDir, retain)
       }
@@ -463,6 +473,10 @@ object StreamMatview {
         probed = Some(touched)
         val storeTouched = BucketStore.read(spark, storeDir, Some(touched))
           .getOrElse(batch.limit(0))
+        // trigger-scoped persist: the fused fold references the
+        // pre-images under two exchanges (winner max_by + the -1 side
+        // of the signed union) — one touched-bucket scan, not two
+        storeTouched.persist()
         // the DRAIN-ONLY rebuild source: a lazy plan mergeAggSketch
         // never executes (or references) on the no-drain path
         val storeFull = BucketStore.read(spark, storeDir)
@@ -479,16 +493,18 @@ object StreamMatview {
         }
         val av = BucketStore.latestVersion(spark, aggDir)
         spark.sparkContext.setJobDescription(s"matview-sketch b$id: fold")
-        val folded = Changelog.mergeAggSketch(agg, storeTouched, batch, keyCol,
-          opCol, seqCols, dims, valCol, k = k, nCol = nCol, sumCol = sumCol,
-          minCol = minCol, maxCol = maxCol,
-          maxBroadcastKeys = 0L, // guarded by the probe job above
-          recomputeStore = Some(storeFull))
-        guarded = maxBroadcastKeys > 0
-        spark.sparkContext.setJobDescription(s"matview-sketch b$id: view commit")
-        BucketStore.writeVersion(folded,
-          aggDir, av.map(_ + 1L).getOrElse(id), col(dims.head), nBuckets = 1,
-          batch = Some(id), claim = Set(0L))
+        try {
+          val folded = Changelog.mergeAggSketch(agg, storeTouched, batch,
+            keyCol, opCol, seqCols, dims, valCol, k = k, nCol = nCol,
+            sumCol = sumCol, minCol = minCol, maxCol = maxCol,
+            maxBroadcastKeys = 0L, // guarded by the probe job above
+            recomputeStore = Some(storeFull))
+          guarded = maxBroadcastKeys > 0
+          spark.sparkContext.setJobDescription(s"matview-sketch b$id: view commit")
+          BucketStore.writeVersion(folded,
+            aggDir, av.map(_ + 1L).getOrElse(id), col(dims.head), nBuckets = 1,
+            batch = Some(id), claim = Set(0L))
+        } finally storeTouched.unpersist(false)
         BucketStore.vacuum(spark, aggDir, retain)
       }
       spark.sparkContext.setJobDescription(s"matview-sketch b$id: snapshot merge")
@@ -592,9 +608,11 @@ object StreamMatview {
     val kdf = keys.select(col(keyCol).as("__pk")).distinct()
     val touched = BucketStore.touchedBuckets(kdf, col("__pk"), m.nBuckets)
     val storeTouched = BucketStore.read(spark, storeDir, Some(touched)).get
+    // trigger-scoped persist, same double-reference as the fold path
+    storeTouched.persist()
     val storeFull = BucketStore.read(spark, storeDir)
     val agg = viewSnapshot(spark, aggDir)
-    BucketStore.writeVersion(
+    try BucketStore.writeVersion(
       Changelog.purgeAggSketch(agg, storeTouched, keys, keyCol, opCol, dims,
         valCol, k = k, nCol = nCol, sumCol = sumCol, minCol = minCol,
         maxCol = maxCol, maxBroadcastKeys = maxBroadcastKeys,
@@ -602,6 +620,7 @@ object StreamMatview {
       aggDir, av + 1L, col(dims.head), nBuckets = 1,
       batch = Some(avm.batch), claim = Set(0L),
       note = Some(s"purge:snapv=${sv + 1}:fp=$fp"))
+    finally storeTouched.unpersist(false)
   }
 
   /** Erasure for a PLAIN MIN/MAX view: purge the snapshot, then

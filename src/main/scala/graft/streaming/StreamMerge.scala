@@ -191,15 +191,22 @@ object StreamMerge {
           "broadcast against the store; split the batch (or raise maxBroadcastKeys)"))
       val cur = BucketStore.read(spark, storeDir, Some(touched))
         .getOrElse(batch.limit(0)) // first batch of an unseeded store
+      // trigger-scoped persist: mergeBatch references cur under TWO
+      // exchanges (the anti-joined untouched rows feed the write
+      // directly, the semi-joined touched rows feed the max_by), so an
+      // unpersisted cur scans the touched buckets' parquet twice per
+      // trigger — once through the cache instead, at any store size
+      cur.persist()
       // version id = next in the store's own sequence (maintenance
       // commits may have advanced it past the batch ids); the batch
       // id lands in the manifest as the exactly-once watermark
-      BucketStore.writeVersion(
+      try BucketStore.writeVersion(
         Changelog.mergeBatch(cur, batch, keyCol, opCol, seqCols,
           maxBroadcastKeys =
             if (guardCount.isDefined) 0L else maxBroadcastKeys),
         storeDir, latest.map(_ + 1L).getOrElse(id), col(keyCol), nb,
         batch = Some(id))
+      finally cur.unpersist(false)
     } finally if (managePersist) batch.unpersist(false)
     BucketStore.vacuum(spark, storeDir, retain)
   }
