@@ -15,7 +15,11 @@ import org.apache.spark.sql.SparkSession
   */
 object ProfileJobs {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    if (args.length < 2) {
+      System.err.println("usage: runMain graft.ProfileJobs <sfDir> <queryName> [runs]")
+      sys.exit(2)
+    }
+    val sfDir = args(0)
     val name = args(1)
     val runs = args.drop(2).headOption.map(_.toInt).getOrElse(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -66,6 +70,9 @@ object ProfileJobs {
       val total = (System.nanoTime() - t0) / 1e9
       println(f"==== $name run $r: $total%.2f s, ${order.size} jobs ====")
       if (r == runs) {
+        // job-end events ride the async listener bus; give it a beat
+        // so the last jobs of the run don't print dur=-1
+        Thread.sleep(300)
         var prevEnd = -1L
         var jobSum = 0L; var gapSum = 0L
         val it = order.iterator()

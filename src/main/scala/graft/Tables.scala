@@ -209,6 +209,23 @@ object Tables {
     if (name == "events") normalizeEventsTs(raw) else raw
   }
 
+  /** On-disk bytes of a fixture table — Hadoop FS metadata only,
+    * never a scan. The `@k` scaled-dir convention multiplies the
+    * plain dir's size by k for the scaled tables (the scaled frame
+    * is k stateless copies). Sizing input for scale-adaptive
+    * partitioning (spark_optimization_guide §2: derive exchange
+    * widths from input size, not constants tuned for one box).
+    */
+  def tableBytes(s: SparkSession, dir: String, name: String): Long = {
+    val (base, k) = dir match {
+      case ScaledDir(b, kStr) => (b, kStr.toInt)
+      case _ => (dir, 1)
+    }
+    val p = new org.apache.hadoop.fs.Path(s"$base/$name.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.getContentSummary(p).getLength * (if (scaledTables(name)) k else 1)
+  }
+
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")

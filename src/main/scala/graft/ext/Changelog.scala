@@ -350,12 +350,21 @@ object Changelog {
     * PRE-batch store, same as [[aggDelta]]. Returns the new view,
     * dims with no remaining live rows dropped.
     *
-    * Lineage contract: the plan references `agg` and `store` several
-    * times, so a caller folding MANY batches in one lineage must
-    * truncate between folds (checkpoint, or commit the view through a
-    * store as [[graft.streaming.StreamMatview]] does per trigger) —
-    * un-truncated nesting grows the logical plan exponentially in the
-    * number of folds.
+    * Shape (mirrors [[mergeAggSketch]]'s, round 16): ONE signed-union
+    * exchange computes the n/sum telescoping delta AND the per-dim
+    * leaving/entering min/max bounds (the previous shape paid three
+    * batch-sized groupBy exchanges — delta, leaving, entering — whose
+    * winner subtrees re-executed per reference); a second dim-bounded
+    * union+groupBy folds that against the view state (n/sum
+    * arithmetic = [[mergeAggDelta]] verbatim), and the boundary test
+    * becomes a column over the folded row. The fold is EAGER: the
+    * dim-bounded state checkpoints inside the call, the retraction
+    * test is a cheap action over it, and ONLY a fold with at least
+    * one retracted boundary builds (or references) the recompute
+    * branch — the common no-retraction commit carries NO store scan
+    * in its plan at all, with no reliance on AQE's empty-relation
+    * propagation (so callers may run it AQE-free), and callers need
+    * no lineage truncation of their own across folds.
     *
     * `recomputeStore` splits the two store roles for bucketed layouts:
     * the pre-image probe only ever matches the batch's keys, so a
@@ -363,8 +372,8 @@ object Changelog {
     * TOUCHED-BUCKET read as `store` — but an affected dim's OTHER rows
     * live in every bucket, so the boundary recompute must read the
     * FULL store (pass it here; defaults to `store` for unbucketed
-    * callers). Under AQE a batch that retracts no boundary broadcasts
-    * an EMPTY dim list and the recompute scan collapses away.
+    * callers). It is referenced lazily — a no-retraction fold never
+    * executes it (PlanShapeSpec pins this with a poisoned source).
     */
   def mergeAggMinMax(agg: DataFrame, store: DataFrame, batch: DataFrame,
                      keyCol: String, opCol: String, seqCols: Seq[String],
@@ -379,7 +388,8 @@ object Changelog {
         s"column name $t is reserved by mergeAggMinMax's temporaries"))
     val (bk, pre, winner) = preWinner(store, batch, keyCol, opCol, seqCols,
       dims, valCol, maxBroadcastKeys)
-    // all view-side joins key on the dim tuple as ONE struct column:
+    val vt = store.schema(valCol).dataType
+    // view-side joins key on the dim tuple as ONE struct column:
     // struct equality is null-safe field-wise (a null dim is an
     // ordinary group on both engines — same convention as
     // mergeAggDelta's union+groupBy), and the join stays a plain
@@ -388,61 +398,83 @@ object Changelog {
     def live(df: DataFrame): DataFrame =
       df.where(col(opCol) =!= deleteOp)
         .select(dk, col(valCol))
-    // count/sum: the standard telescoping delta over the SAME
-    // pre/winner relations
-    val liveW = (df: DataFrame, sign: Int) =>
+    // ONE exchange: tag live winner rows +1 and live pre-image rows
+    // −1; a single groupBy computes the signed count/sum delta AND
+    // the per-side min/max bounds (a when() with no otherwise is null
+    // on the other side's rows and on null values, and MIN/MAX skip
+    // nulls — exactly the old per-side aggregations)
+    val signed = (df: DataFrame, sign: Int) =>
       df.where(col(opCol) =!= deleteOp)
-        .select((dims.map(col) :+ lit(sign.toLong).as("__w") :+
-          (col(valCol) * sign).as(valCol)): _*)
-    val delta = liveW(winner, 1).unionByName(liveW(pre, -1))
+        .select((dims.map(col) :+ col(valCol) :+ lit(sign).as("__sgn")): _*)
+    val fused = signed(winner, 1).unionByName(signed(pre, -1))
       .groupBy(dims.map(col): _*)
-      .agg(sum(col("__w")).as(nCol),
-        coalesce(sum(col(valCol)),
-          lit(0L).cast(store.schema(valCol).dataType)).as(sumCol))
-    val foldedNS = mergeAggDelta(agg.select((dims.map(col) :+ col(nCol) :+
-      col(sumCol)): _*), delta, dims, nCol, sumCol)
+      .agg(sum(col("__sgn").cast("long")).as(nCol),
+        coalesce(sum(col(valCol) * col("__sgn")), lit(0L).cast(vt)).as(sumCol),
+        min(when(col("__sgn") === -1, col(valCol))).as("__lmn"),
+        max(when(col("__sgn") === -1, col(valCol))).as("__lmx"),
+        min(when(col("__sgn") === 1, col(valCol))).as("__emn"),
+        max(when(col("__sgn") === 1, col(valCol))).as("__emx"))
+    // fold against the view state through one dim-bounded
+    // union+groupBy (same single-consumption shape as
+    // [[foldSketchState]]: each side contributes at most one row per
+    // dim, so the null-skipping MAX is pure selection), then the
+    // boundary test is a COLUMN: does any leaving live value tie the
+    // dim's current min/max? (leaving values are store rows, so <=/>=
+    // is equality in disguise; null comparisons coalesce to false —
+    // the old inner-join + where dropped them the same way)
+    val nullV = lit(null).cast(vt)
+    val aggSide = agg.select((dims.map(col) :+ col(nCol) :+ col(sumCol) :+
+      col(minCol) :+ col(maxCol) :+ nullV.as("__lmn") :+ nullV.as("__lmx") :+
+      nullV.as("__emn") :+ nullV.as("__emx")): _*)
+    val fusedSide = fused.select((dims.map(col) :+ col(nCol) :+ col(sumCol) :+
+      nullV.as(minCol) :+ nullV.as(maxCol) :+ col("__lmn") :+ col("__lmx") :+
+      col("__emn") :+ col("__emx")): _*)
+    val folded = aggSide.unionByName(fusedSide)
+      .groupBy(dims.map(col): _*)
+      .agg(sum(col(nCol)).as(nCol),
+        coalesce(sum(col(sumCol)),
+          lit(0L).cast(agg.schema(sumCol).dataType)).as(sumCol),
+        max(col(minCol)).as(minCol), max(col(maxCol)).as(maxCol),
+        max(col("__lmn")).as("__lmn"), max(col("__lmx")).as("__lmx"),
+        max(col("__emn")).as("__emn"), max(col("__emx")).as("__emx"))
+      .where(col(nCol) =!= 0)
+      .withColumn("__rc", coalesce(
+        col("__lmn") <= col(minCol) || col("__lmx") >= col(maxCol),
+        lit(false)))
       .withColumn("__dk", struct(dims.map(col): _*))
-    // boundary test: does any LEAVING live value tie the current
-    // min/max of its dim? (leaving values are store rows, so <=/>= is
-    // equality in disguise; null leaving values never contribute to a
-    // boundary and null comparisons filter out)
-    val leaving = live(pre).groupBy(col("__dk"))
-      .agg(min(col(valCol)).as("__lmn"), max(col(valCol)).as("__lmx"))
-    val aggMM = agg.select(dk, col(minCol), col(maxCol))
-    val recomputeDims = leaving.join(aggMM, Seq("__dk"))
-      .where(col("__lmn") <= col(minCol) || col("__lmx") >= col(maxCol))
-      .select(col("__dk"), lit(true).as("__rc"))
-    // recompute source: post-batch live rows of the affected dims only
-    // — untouched keys straight from the (full) store (anti-join on
-    // the broadcast key list), touched keys from the winners
     val rstore = recomputeStore.getOrElse(store)
     ((keyCol +: opCol +: dims) :+ valCol).foreach(c =>
       require(rstore.columns.contains(c),
         s"recomputeStore missing column $c"))
     require(!rstore.columns.contains("__bk"),
       "column name __bk is reserved by mergeAggMinMax's key anti-join")
-    val untouchedLive = live(rstore.join(bk,
-      col(keyCol) <=> col("__bk"), "left_anti"))
-    val recomputed = untouchedLive.unionByName(live(winner))
-      .join(recomputeDims.select("__dk").hint("broadcast"),
-        Seq("__dk"), "left_semi")
+    // The fold state is dim-bounded — CHECKPOINT it eagerly so the
+    // retraction test below is a cheap action and the common
+    // no-retraction path's committed plan carries NO recompute branch
+    // (and no store scan) at all. Same discipline as [[sketchStep]].
+    val foldedCk = folded.localCheckpoint(true)
+    val rcd = foldedCk.where(col("__rc")).select("__dk")
+    if (rcd.isEmpty)
+      // assemble: least/greatest SKIP nulls, so an untouched dim
+      // keeps (min, max) and a new dim takes the entering bounds
+      return foldedCk.select((dims.map(col) :+ col(nCol) :+ col(sumCol) :+
+        least(col(minCol), col("__emn")).as(minCol) :+
+        greatest(col(maxCol), col("__emx")).as(maxCol)): _*)
+    // the retraction path: recompute EXACTLY the affected dims from
+    // the post-batch live rows — untouched keys straight from the
+    // (full) store (anti-join on the broadcast key list), touched
+    // keys from the winners
+    val recomputed = live(rstore.join(bk, col(keyCol) <=> col("__bk"),
+        "left_anti"))
+      .unionByName(live(winner))
+      .join(rcd.hint("broadcast"), Seq("__dk"), "left_semi")
       .groupBy(col("__dk"))
       .agg(min(col(valCol)).as("__rmn"), max(col(valCol)).as("__rmx"))
-    // entering values (self-maintainable path): winners' live rows
-    val entering = live(winner).groupBy(col("__dk"))
-      .agg(min(col(valCol)).as("__emn"), max(col(valCol)).as("__emx"))
-    // assemble: least/greatest SKIP nulls, so an untouched dim keeps
-    // (min, max), a new dim takes the entering bounds, and a
-    // recomputed dim takes the recompute verbatim
-    foldedNS
-      .join(aggMM, Seq("__dk"), "left")
-      .join(entering, Seq("__dk"), "left")
-      .join(recomputeDims, Seq("__dk"), "left")
-      .join(recomputed, Seq("__dk"), "left")
+    foldedCk.join(recomputed, Seq("__dk"), "left")
       .select((dims.map(col) :+ col(nCol) :+ col(sumCol) :+
-        when(coalesce(col("__rc"), lit(false)), col("__rmn"))
+        when(col("__rc"), col("__rmn"))
           .otherwise(least(col(minCol), col("__emn"))).as(minCol) :+
-        when(coalesce(col("__rc"), lit(false)), col("__rmx"))
+        when(col("__rc"), col("__rmx"))
           .otherwise(greatest(col(maxCol), col("__emx"))).as(maxCol)): _*)
   }
 
@@ -564,11 +596,11 @@ object Changelog {
     * value within its threshold, so the served end equals the true
     * min/max whenever the sketch is non-empty, and
     * `fold == aggSnapshotSketch(post-store)` on (dims, n, sum, min,
-    * max) after every batch. Same `recomputeStore` and broadcast
-    * contracts as [[mergeAggMinMax]]; unlike it this fold is EAGER —
-    * the dim-bounded state checkpoints inside the call (the common
-    * no-drain result carries no rebuild branch and no growing
-    * lineage, so callers need no truncation of their own).
+    * max) after every batch. Same `recomputeStore`, broadcast, and
+    * EAGER contracts as [[mergeAggMinMax]] — the dim-bounded state
+    * checkpoints inside the call (the common no-drain result carries
+    * no rebuild branch and no growing lineage, so callers need no
+    * truncation of their own).
     */
   def mergeAggSketch(agg: DataFrame, store: DataFrame, batch: DataFrame,
                      keyCol: String, opCol: String, seqCols: Seq[String],
@@ -611,15 +643,7 @@ object Changelog {
           .as("__lv"),
         sort_array(collect_list(when(col("__sgn") === 1, col(valCol))))
           .as("__ev"))
-      .withColumn("__dk", struct(dims.map(col): _*))
-    val foldedNS = mergeAggDelta(agg.select((dims.map(col) :+ col(nCol) :+
-      col(sumCol)): _*), fused.select((dims.map(col) :+ col(nCol) :+
-      col(sumCol)): _*), dims, nCol, sumCol)
-      .withColumn("__dk", struct(dims.map(col): _*))
-    val lvEv = fused.select(col("__dk"), col("__lv"), col("__ev"))
-    val aggSk = agg.select(dk, col("__mns"), col("__mxs"), col("__mnt"),
-      col("__mxt"))
-    sketchStep(foldedNS, aggSk, lvEv,
+    sketchStep(foldSketchState(agg, fused, dims, nCol, sumCol, vt),
       () => {
         val rstore = recomputeStore.getOrElse(store)
         ((keyCol +: opCol +: dims) :+ valCol).foreach(c =>
@@ -633,29 +657,64 @@ object Changelog {
       dims, valCol, vt, k, nCol, sumCol, minCol, maxCol)
   }
 
-  /** Shared sketch-state stepping of [[mergeAggSketch]] and
-    * [[purgeAggSketch]]: join the folded (n, sum) state with the prior
-    * sketch and the per-dim leaving/entering live-value arrays (one
-    * frame, `lvEv` — both sides come out of the callers' single fused
-    * exchange), pop leavers (multiset diff), splice coverable
-    * enterers, re-truncate to k, and — only for dims whose sketch side
-    * DRAINS while untracked live values remain — rebuild from
-    * `postLive()` (the POST-state live rows of the store, built
-    * lazily: the common no-drain path checkpoints before the drain
-    * test and never references it, so its committed plan carries no
-    * store scan at all).
+  /** Fold the maintained view's (n, sum) + sketch state with a
+    * caller's `fused` delta frame (n/sum delta + leaving/entering
+    * value arrays, one row per touched dim) in ONE union + groupBy —
+    * the single consumption of `fused`. The n/sum arithmetic is
+    * [[mergeAggDelta]]'s verbatim (same union coercion, same SUM0
+    * fallback, same n≠0 drop); the sketch state and the value arrays
+    * ride the same exchange as null-on-the-other-side columns picked
+    * out by null-skipping MAX (each side contributes at most one row
+    * per dim, so MAX is pure selection, never comparison). The
+    * previous shape LEFT-joined the (n, sum) fold with the prior
+    * sketch and with `fused`'s arrays — two joins whose broadcast
+    * builds re-executed the fused subtree (column pruning specializes
+    * the two references, so exchange reuse never fired): one full
+    * batch+touched-store pass per trigger for nothing.
     */
-  private def sketchStep(foldedNS: DataFrame, aggSk: DataFrame,
-                         lvEv: DataFrame,
+  private def foldSketchState(agg: DataFrame, fused: DataFrame,
+                              dims: Seq[String], nCol: String, sumCol: String,
+                              vt: org.apache.spark.sql.types.DataType)
+      : DataFrame = {
+    val nullArr = lit(null).cast(s"array<${vt.sql}>")
+    val nullV = lit(null).cast(vt)
+    val aggSide = agg.select((dims.map(col) :+ col(nCol) :+ col(sumCol) :+
+      col("__mns") :+ col("__mxs") :+ col("__mnt") :+ col("__mxt") :+
+      nullArr.as("__lv") :+ nullArr.as("__ev")): _*)
+    val fusedSide = fused.select((dims.map(col) :+ col(nCol) :+ col(sumCol) :+
+      nullArr.as("__mns") :+ nullArr.as("__mxs") :+ nullV.as("__mnt") :+
+      nullV.as("__mxt") :+ col("__lv") :+ col("__ev")): _*)
+    aggSide.unionByName(fusedSide)
+      .groupBy(dims.map(col): _*)
+      .agg(sum(col(nCol)).as(nCol),
+        coalesce(sum(col(sumCol)),
+          lit(0L).cast(agg.schema(sumCol).dataType)).as(sumCol),
+        max(col("__mns")).as("__mns"), max(col("__mxs")).as("__mxs"),
+        max(col("__mnt")).as("__mnt"), max(col("__mxt")).as("__mxt"),
+        max(col("__lv")).as("__lv"), max(col("__ev")).as("__ev"))
+      .where(col(nCol) =!= 0)
+      .withColumn("__dk", struct(dims.map(col): _*))
+  }
+
+  /** Shared sketch-state stepping of [[mergeAggSketch]] and
+    * [[purgeAggSketch]]: take the [[foldSketchState]] frame (folded
+    * n/sum + prior sketch + the per-dim leaving/entering live-value
+    * arrays, all out of one exchange), pop leavers (multiset diff),
+    * splice coverable enterers, re-truncate to k, and — only for dims
+    * whose sketch side DRAINS while untracked live values remain —
+    * rebuild from `postLive()` (the POST-state live rows of the
+    * store, built lazily: the common no-drain path checkpoints before
+    * the drain test and never references it, so its committed plan
+    * carries no store scan at all).
+    */
+  private def sketchStep(foldedState: DataFrame,
                          postLive: () => DataFrame,
                          dims: Seq[String], valCol: String,
                          vt: org.apache.spark.sql.types.DataType, k: Int,
                          nCol: String, sumCol: String,
                          minCol: String, maxCol: String): DataFrame = {
     val emptyArr = array().cast(s"array<${vt.sql}>")
-    val folded = foldedNS
-      .join(aggSk, Seq("__dk"), "left")
-      .join(lvEv, Seq("__dk"), "left")
+    val folded = foldedState
       .withColumn("__mns", coalesce(col("__mns"), emptyArr))
       .withColumn("__mxs", coalesce(col("__mxs"), emptyArr))
       .withColumn("__lv", coalesce(col("__lv"), emptyArr))
@@ -794,15 +853,7 @@ object Changelog {
         (coalesce(sum(col(valCol)), lit(0L).cast(vt)) * -1).as(sumCol),
         sort_array(collect_list(col(valCol))).as("__lv"))
       .withColumn("__ev", array().cast(s"array<${vt.sql}>"))
-      .withColumn("__dk", struct(dims.map(col): _*))
-    val foldedNS = mergeAggDelta(agg.select((dims.map(col) :+ col(nCol) :+
-      col(sumCol)): _*), fused.select((dims.map(col) :+ col(nCol) :+
-      col(sumCol)): _*), dims, nCol, sumCol)
-      .withColumn("__dk", struct(dims.map(col): _*))
-    val lvEv = fused.select(col("__dk"), col("__lv"), col("__ev"))
-    val aggSk = agg.select(dk, col("__mns"), col("__mxs"), col("__mnt"),
-      col("__mxt"))
-    sketchStep(foldedNS, aggSk, lvEv,
+    sketchStep(foldSketchState(agg, fused, dims, nCol, sumCol, vt),
       () => {
         val rstore = recomputeStore.getOrElse(store)
         needed.foreach(c => require(rstore.columns.contains(c),

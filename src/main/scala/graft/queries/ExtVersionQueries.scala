@@ -16,33 +16,45 @@ object ExtVersionQueries {
 
   /** Same narrow-state-partition discipline as the replay families
     * (ExtStreamQueries/ExtStoreQueries scaladocs carry the
-    * measurements): the EAGER store-fold rows below (per-fold
-    * localCheckpoints; forget's store commits) run batch- or
-    * dim-cardinality-sized exchanges, so the session's full shuffle
-    * fan-out (32 at the driver bench; hundreds on a production
-    * session) only adds empty-partition task waves per fold. Applied
-    * to the eager rows only — a lazy row's plan executes at the sink,
-    * after the restore, so wrapping it would claim an optimization
-    * that never runs (ext_pipeline_matview stays at session layout
-    * for exactly that reason). The sketch row additionally runs its
-    * eager folds AQE-free ([[graft.streaming.BucketStore.noAqe]] —
-    * all its joins are hint-pinned or dim-bounded; the minmax row
-    * must NOT get this, its no-retraction collapse is AQE-dependent).
+    * measurements), with the width DERIVED from the changelog's input
+    * size instead of a tuned constant (guide §2 scale-adaptive
+    * partitioning; round 16): the EAGER store-fold rows below
+    * (per-fold localCheckpoints; forget's store commits) shuffle at
+    * most one fold batch — a quarter of the events table — per
+    * exchange, and every groupBy partial-aggregates map-side, so
+    * parquet batch bytes bound what crosses. Parquet is ~3-4× lighter
+    * than its in-flight rows, so the per-partition target defaults to
+    * 32 MB of parquet (≈ 100+ MB of rows — §2.2's partition-size
+    * band; conf `spark.graft.replay.bytesPerPartition` overrides).
+    * The session's own count stays the ceiling, so a narrow session
+    * is never widened. Applied to the eager rows only — a lazy row's
+    * plan executes at the sink, after the restore, so wrapping it
+    * would claim an optimization that never runs (ext_pipeline_matview
+    * stays at session layout for exactly that reason). The sketch and
+    * minmax rows additionally run their eager folds AQE-free
+    * ([[graft.streaming.BucketStore.noAqe]] — all their joins are
+    * hint-pinned or dim-bounded, and since round 16 the minmax fold
+    * gates its recompute branch itself instead of relying on AQE's
+    * empty-relation propagation).
     */
-  private def statePartitions[A](s: org.apache.spark.sql.SparkSession)(body: => A): A = {
-    val key = "spark.sql.shuffle.partitions"
-    val before = s.conf.get(key)
-    s.conf.set(key, "8")
-    try body finally s.conf.set(key, before)
+  private def statePartitions[A](s: org.apache.spark.sql.SparkSession,
+                                 dir: String)(body: => A): A = {
+    val target = s.conf.getOption("spark.graft.replay.bytesPerPartition")
+      .map(_.toLong).getOrElse(32L << 20)
+    val batchBytes = Tables.tableBytes(s, dir, "events") / 4
+    val n = math.max(1L, math.min(
+      s.sessionState.conf.numShufflePartitions.toLong,
+      (batchBytes + target - 1) / target)).toInt
+    graft.streaming.BucketStore.withShufflePartitions(s, n)(body)
   }
 
   val all: Seq[Declared] = declared.map { q =>
     q.name match {
-      case "ext_pipeline_matview_sketch" =>
-        q.copy(df = (s, dir) => statePartitions(s)(
+      case "ext_pipeline_matview_sketch" | "ext_pipeline_matview_minmax" =>
+        q.copy(df = (s, dir) => statePartitions(s, dir)(
           graft.streaming.BucketStore.noAqe(s)(q.df(s, dir))))
-      case "ext_pipeline_matview_minmax" | "ext_pipeline_forget" =>
-        q.copy(df = (s, dir) => statePartitions(s)(q.df(s, dir)))
+      case "ext_pipeline_forget" =>
+        q.copy(df = (s, dir) => statePartitions(s, dir)(q.df(s, dir)))
       case _ => q
     }
   }

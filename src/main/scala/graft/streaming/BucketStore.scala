@@ -109,6 +109,43 @@ object BucketStore {
     }
   }
 
+  /** Exchange width for a microbatch body whose shuffled relations
+    * are bounded by `nRows` rows — in the maintenance bodies that is
+    * the probe's distinct-key count: every groupBy/latest exchange
+    * partial-aggregates map-side, so at most one row per key crosses
+    * any exchange. Conf `spark.graft.microbatch.rowsPerPartition`
+    * (default 500k keys/task ≈ 100 MB at typical changelog row
+    * widths — guide §2.2's partition-size band) sets the per-task
+    * target; the session's own shuffle-partition count is the
+    * ceiling, so a session already tuned narrow is never widened.
+    * Scale-adaptive by construction instead of a constant tuned for
+    * one box: a 10k-key trigger runs ONE reduce partition instead of
+    * fanning empty task waves across the session fan-out, a 100M-key
+    * batch gets 200. `nRows < 0` = unknown — keep the session layout.
+    */
+  private[graft] def microbatchPartitions(spark: SparkSession, nRows: Long): Int = {
+    val target = spark.conf.getOption("spark.graft.microbatch.rowsPerPartition")
+      .map(_.toLong).getOrElse(500000L)
+    val session = spark.sessionState.conf.numShufflePartitions
+    if (nRows < 0) session
+    else math.max(1L, math.min(session.toLong,
+      (nRows + target - 1) / math.max(1L, target))).toInt
+  }
+
+  /** Run `body` with the session's shuffle-partition count pinned to
+    * `n`, restoring the caller's setting after — the SCOPED
+    * exchange-sizing bracket for per-trigger maintenance bodies
+    * (never a global conf: the same session serves full-size batch
+    * queries between triggers, and the driver's bench deliberately
+    * varies the session count to measure scaling).
+    */
+  private[graft] def withShufflePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, before)
+  }
+
   /** The distinct buckets `df`'s keys hash into — the driver-side
     * probe that decides which store buckets a batch must read and
     * rewrite. ONE single-pass job: collect_set partial-aggregates
@@ -529,13 +566,17 @@ object BucketStore {
     val m = readManifest(spark, storeDir, v)
     val kdf = keys.select(col(keyCol).as("__pk")).distinct().persist()
     try {
+      // probe + broadcast guard + exchange-sizing key count in ONE
+      // job over the persisted key list (was two jobs: a
+      // limit().count() guard plus a separate touched-bucket probe —
+      // the probe scans the whole list anyway, so the count is free)
+      val (touched, nKeys) = touchedBucketsAndKeys(kdf, col("__pk"), m.nBuckets)
       if (maxBroadcastKeys > 0)
-        require(kdf.limit(math.min(maxBroadcastKeys + 1, Int.MaxValue).toInt)
-          .count() <= maxBroadcastKeys,
+        require(nKeys <= maxBroadcastKeys,
           s"forget list has more than $maxBroadcastKeys distinct keys — too " +
             "large to broadcast against the store; split the list (or raise " +
             "maxBroadcastKeys)")
-      val touched = touchedBuckets(kdf, col("__pk"), m.nBuckets)
+      withShufflePartitions(spark, microbatchPartitions(spark, nKeys)) {
       val cur = read(spark, storeDir, Some(touched)).get
       // null-safe (<=>): a null key is an ordinary key here, exactly
       // as it is in mergeBatch's anti/semi joins
@@ -562,6 +603,7 @@ object BucketStore {
         }
       }
       PurgeStats(purged, touched, scrubbed)
+      }
     } finally kdf.unpersist(false)
   }
 }

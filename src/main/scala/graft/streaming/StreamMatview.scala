@@ -83,6 +83,7 @@ object StreamMatview {
       s"retain=$retain: the vacuum must keep at least the version just written")
     val spark = batch.sparkSession
     var probed: Option[Set[Long]] = None
+    var keyCount = -1L
     var guarded = false
     // one persist for the WHOLE trigger: the batch feeds the probe,
     // the delta (latest + guard pre-count), and then every consumer
@@ -104,12 +105,12 @@ object StreamMatview {
           .map(v => BucketStore.readManifest(spark, storeDir, v).nBuckets)
           .getOrElse(nBuckets)
         spark.sparkContext.setJobDescription(s"matview b$id: probe")
-        // probe + broadcast-guard pre-count in ONE job (the fold and
-        // the merge below both skip their own guard counts)
+        // probe, broadcast-guard pre-count, and the exchange-sizing
+        // key count in ONE job (the fold and the merge below both
+        // skip their own guard counts, and every exchange this
+        // trigger runs is sized to the count)
         val (touched, nKeys) =
-          if (maxBroadcastKeys > 0)
-            BucketStore.touchedBucketsAndKeys(batch, col(keyCol), nb)
-          else (BucketStore.touchedBuckets(batch, col(keyCol), nb), -1L)
+          BucketStore.touchedBucketsAndKeys(batch, col(keyCol), nb)
         require(maxBroadcastKeys <= 0 || nKeys <= maxBroadcastKeys,
           s"batch has more than $maxBroadcastKeys distinct keys — too large " +
             "to broadcast against the store; split the batch (or raise " +
@@ -117,6 +118,9 @@ object StreamMatview {
         // the probe is only reusable downstream if the snapshot store
         // will bucket at the same count (it will: nb IS its count)
         probed = Some(touched)
+        keyCount = nKeys
+        BucketStore.withShufflePartitions(spark,
+          BucketStore.microbatchPartitions(spark, nKeys)) {
         val storeTouched = BucketStore.read(spark, storeDir, Some(touched))
           .getOrElse(batch.limit(0)) // unseeded snapshot store
         // trigger-scoped persist: the delta references the pre-images
@@ -155,15 +159,23 @@ object StreamMatview {
           batch = Some(id), claim = Set(0L))
         finally storeTouched.unpersist(false)
         BucketStore.vacuum(spark, aggDir, retain)
+        }
       }
       spark.sparkContext.setJobDescription(s"matview b$id: snapshot merge")
-      // the fold's preWinner already pre-counted THIS batch's distinct
-      // keys at the same cap, so the merge skips its duplicate guard
+      // the probe already pre-counted THIS batch's distinct keys at
+      // the same cap, so the merge skips its duplicate guard — and
+      // sizes its exchanges from the same count
       StreamMerge.applyBatch(batch, id, storeDir, keyCol, opCol, seqCols,
         retain, nBuckets, touchedHint = probed, managePersist = false,
-        maxBroadcastKeys = if (guarded) 0L else maxBroadcastKeys)
+        maxBroadcastKeys = if (guarded) 0L else maxBroadcastKeys,
+        keyCountHint = keyCount)
+    } finally {
+      // clear the thread-local phase label HERE, not on the success
+      // path: a throwing fold would otherwise leak a stale label onto
+      // every later job scheduled from this stream thread
       spark.sparkContext.setJobDescription(null)
-    } finally batch.unpersist(false)
+      batch.unpersist(false)
+    }
   }
 
   /** Order-independent fingerprint of a purge's distinct key list —
@@ -233,12 +245,14 @@ object StreamMatview {
                                     opCol: String, dims: Seq[String],
                                     valCol: String, nCol: String,
                                     sumCol: String)
-      : (DataFrame, Set[Long]) = {
+      : (DataFrame, Set[Long], Long) = {
     val sv = BucketStore.latestVersion(spark, storeDir).getOrElse(
       throw new IllegalStateException(s"no committed store version under $storeDir"))
     val m = BucketStore.readManifest(spark, storeDir, sv)
     val kdf = keys.select(col(keyCol).as("__pk")).distinct()
-    val touched = BucketStore.touchedBuckets(kdf, col("__pk"), m.nBuckets)
+    // probe + exchange-sizing key count in the same single-pass job
+    val (touched, nKeys) =
+      BucketStore.touchedBucketsAndKeys(kdf, col("__pk"), m.nBuckets)
     val cur = BucketStore.read(spark, storeDir, Some(touched)).get
     val purged = cur.join(broadcast(kdf), col(keyCol) <=> col("__pk"),
       "left_semi")
@@ -251,7 +265,7 @@ object StreamMatview {
         nCol = nCol, sumCol = sumCol)
       .select((dims.map(col) :+ (col(nCol) * -1).as(nCol) :+
         (col(sumCol) * -1).as(sumCol)): _*)
-    (neg, touched)
+    (neg, touched, nKeys)
   }
 
   /** [[seed]]'s MIN/MAX twin: the aggregate store holds `(dims..., n,
@@ -302,14 +316,16 @@ object StreamMatview {
       s"retain=$retain: the vacuum must keep at least the version just written")
     val spark = batch.sparkSession
     var probed: Option[Set[Long]] = None
+    var keyCount = -1L
     var guarded = false
     batch.persist()
-    // NO noAqe bracket here, unlike the applyBatch/applyBatchSketch
-    // twins: mergeAggMinMax's no-retraction path relies on AQE's
-    // empty-relation propagation to collapse the full-store recompute
-    // scan (the PlanShapeSpec pin); the snapshot merge below still
-    // runs AQE-free inside StreamMerge.applyBatch itself.
-    try {
+    // noAqe joined the sketch/count-sum twins in round 16:
+    // mergeAggMinMax's no-retraction path no longer relies on AQE's
+    // empty-relation propagation — the fold gates the recompute
+    // branch itself (eager checkpoint + retraction test; PlanShapeSpec
+    // pins it with a poisoned source), so AQE has nothing structural
+    // left to decide here either.
+    try BucketStore.noAqe(spark) {
       if (!StreamMerge.replaySkip(spark, aggDir, id)) {
         requirePurgeSettled(spark, storeDir, aggDir)
         require(!BucketStore.latestBatch(spark, storeDir).exists(_ >= id),
@@ -321,23 +337,28 @@ object StreamMatview {
           .map(v => BucketStore.readManifest(spark, storeDir, v).nBuckets)
           .getOrElse(nBuckets)
         spark.sparkContext.setJobDescription(s"matview-minmax b$id: probe")
-        // probe + broadcast-guard pre-count in ONE job (the fold and
-        // the merge below both skip their own guard counts)
+        // probe, broadcast-guard pre-count, and the exchange-sizing
+        // key count in ONE job (the fold and the merge below both
+        // skip their own guard counts)
         val (touched, nKeys) =
-          if (maxBroadcastKeys > 0)
-            BucketStore.touchedBucketsAndKeys(batch, col(keyCol), nb)
-          else (BucketStore.touchedBuckets(batch, col(keyCol), nb), -1L)
+          BucketStore.touchedBucketsAndKeys(batch, col(keyCol), nb)
         require(maxBroadcastKeys <= 0 || nKeys <= maxBroadcastKeys,
           s"batch has more than $maxBroadcastKeys distinct keys — too large " +
             "to broadcast against the store; split the batch (or raise " +
             "maxBroadcastKeys)")
         probed = Some(touched)
+        keyCount = nKeys
+        BucketStore.withShufflePartitions(spark,
+          BucketStore.microbatchPartitions(spark, nKeys)) {
         val storeTouched = BucketStore.read(spark, storeDir, Some(touched))
           .getOrElse(batch.limit(0))
-        // trigger-scoped persist: mergeAggMinMax references the
-        // pre-images under several exchanges (delta, leaving bounds,
-        // winner) — one touched-bucket scan, not three
+        // trigger-scoped persist: the fused fold references the
+        // pre-images under two exchanges (winner max_by + the -1 side
+        // of the signed union) — one touched-bucket scan, not two
         storeTouched.persist()
+        // the RETRACTION-ONLY recompute source: a lazy plan
+        // mergeAggMinMax never executes (or references) on the
+        // no-retraction path
         val storeFull = BucketStore.read(spark, storeDir)
           .getOrElse(batch.limit(0))
         val agg = BucketStore.read(spark, aggDir).getOrElse {
@@ -362,13 +383,20 @@ object StreamMatview {
         finally storeTouched.unpersist(false)
         guarded = maxBroadcastKeys > 0
         BucketStore.vacuum(spark, aggDir, retain)
+        }
       }
       spark.sparkContext.setJobDescription(s"matview-minmax b$id: snapshot merge")
       StreamMerge.applyBatch(batch, id, storeDir, keyCol, opCol, seqCols,
         retain, nBuckets, touchedHint = probed, managePersist = false,
-        maxBroadcastKeys = if (guarded) 0L else maxBroadcastKeys)
+        maxBroadcastKeys = if (guarded) 0L else maxBroadcastKeys,
+        keyCountHint = keyCount)
+    } finally {
+      // clear the thread-local phase label HERE, not on the success
+      // path: a throwing fold would otherwise leak a stale label onto
+      // every later job scheduled from this stream thread
       spark.sparkContext.setJobDescription(null)
-    } finally batch.unpersist(false)
+      batch.unpersist(false)
+    }
   }
 
   /** [[start]]'s MIN/MAX twin. */
@@ -446,6 +474,7 @@ object StreamMatview {
       s"retain=$retain: the vacuum must keep at least the version just written")
     val spark = batch.sparkSession
     var probed: Option[Set[Long]] = None
+    var keyCount = -1L
     var guarded = false
     batch.persist()
     try BucketStore.noAqe(spark) {
@@ -460,17 +489,19 @@ object StreamMatview {
           .map(v => BucketStore.readManifest(spark, storeDir, v).nBuckets)
           .getOrElse(nBuckets)
         spark.sparkContext.setJobDescription(s"matview-sketch b$id: probe")
-        // probe + broadcast-guard pre-count in ONE job (the fold and
-        // the merge below both skip their own guard counts)
+        // probe, broadcast-guard pre-count, and the exchange-sizing
+        // key count in ONE job (the fold and the merge below both
+        // skip their own guard counts)
         val (touched, nKeys) =
-          if (maxBroadcastKeys > 0)
-            BucketStore.touchedBucketsAndKeys(batch, col(keyCol), nb)
-          else (BucketStore.touchedBuckets(batch, col(keyCol), nb), -1L)
+          BucketStore.touchedBucketsAndKeys(batch, col(keyCol), nb)
         require(maxBroadcastKeys <= 0 || nKeys <= maxBroadcastKeys,
           s"batch has more than $maxBroadcastKeys distinct keys — too large " +
             "to broadcast against the store; split the batch (or raise " +
             "maxBroadcastKeys)")
         probed = Some(touched)
+        keyCount = nKeys
+        BucketStore.withShufflePartitions(spark,
+          BucketStore.microbatchPartitions(spark, nKeys)) {
         val storeTouched = BucketStore.read(spark, storeDir, Some(touched))
           .getOrElse(batch.limit(0))
         // trigger-scoped persist: the fused fold references the
@@ -506,13 +537,20 @@ object StreamMatview {
             batch = Some(id), claim = Set(0L))
         } finally storeTouched.unpersist(false)
         BucketStore.vacuum(spark, aggDir, retain)
+        }
       }
       spark.sparkContext.setJobDescription(s"matview-sketch b$id: snapshot merge")
       StreamMerge.applyBatch(batch, id, storeDir, keyCol, opCol, seqCols,
         retain, nBuckets, touchedHint = probed, managePersist = false,
-        maxBroadcastKeys = if (guarded) 0L else maxBroadcastKeys)
+        maxBroadcastKeys = if (guarded) 0L else maxBroadcastKeys,
+        keyCountHint = keyCount)
+    } finally {
+      // clear the thread-local phase label HERE, not on the success
+      // path: a throwing fold would otherwise leak a stale label onto
+      // every later job scheduled from this stream thread
       spark.sparkContext.setJobDescription(null)
-    } finally batch.unpersist(false)
+      batch.unpersist(false)
+    }
   }
 
   /** [[start]]'s SKETCHED twin. */
@@ -606,21 +644,31 @@ object StreamMatview {
     val m = BucketStore.readManifest(spark, storeDir, sv)
     val fp = keyFingerprint(keys, keyCol)
     val kdf = keys.select(col(keyCol).as("__pk")).distinct()
-    val touched = BucketStore.touchedBuckets(kdf, col("__pk"), m.nBuckets)
-    val storeTouched = BucketStore.read(spark, storeDir, Some(touched)).get
-    // trigger-scoped persist, same double-reference as the fold path
-    storeTouched.persist()
-    val storeFull = BucketStore.read(spark, storeDir)
-    val agg = viewSnapshot(spark, aggDir)
-    try BucketStore.writeVersion(
-      Changelog.purgeAggSketch(agg, storeTouched, keys, keyCol, opCol, dims,
-        valCol, k = k, nCol = nCol, sumCol = sumCol, minCol = minCol,
-        maxCol = maxCol, maxBroadcastKeys = maxBroadcastKeys,
-        recomputeStore = storeFull),
-      aggDir, av + 1L, col(dims.head), nBuckets = 1,
-      batch = Some(avm.batch), claim = Set(0L),
-      note = Some(s"purge:snapv=${sv + 1}:fp=$fp"))
-    finally storeTouched.unpersist(false)
+    // probe + broadcast guard + exchange-sizing key count in ONE job
+    // (the inner purgeAggSketch skips its duplicate guard via 0)
+    val (touched, nKeys) =
+      BucketStore.touchedBucketsAndKeys(kdf, col("__pk"), m.nBuckets)
+    require(maxBroadcastKeys <= 0 || nKeys <= maxBroadcastKeys,
+      s"purge list has more than $maxBroadcastKeys distinct keys — too " +
+        "large to broadcast against the store; split the list (or raise " +
+        "maxBroadcastKeys)")
+    BucketStore.withShufflePartitions(spark,
+      BucketStore.microbatchPartitions(spark, nKeys)) {
+      val storeTouched = BucketStore.read(spark, storeDir, Some(touched)).get
+      // trigger-scoped persist, same double-reference as the fold path
+      storeTouched.persist()
+      val storeFull = BucketStore.read(spark, storeDir)
+      val agg = viewSnapshot(spark, aggDir)
+      try BucketStore.writeVersion(
+        Changelog.purgeAggSketch(agg, storeTouched, keys, keyCol, opCol, dims,
+          valCol, k = k, nCol = nCol, sumCol = sumCol, minCol = minCol,
+          maxCol = maxCol, maxBroadcastKeys = 0L,
+          recomputeStore = storeFull),
+        aggDir, av + 1L, col(dims.head), nBuckets = 1,
+        batch = Some(avm.batch), claim = Set(0L),
+        note = Some(s"purge:snapv=${sv + 1}:fp=$fp"))
+      finally storeTouched.unpersist(false)
+    }
   }
 
   /** Erasure for a PLAIN MIN/MAX view: purge the snapshot, then
@@ -754,18 +802,23 @@ object StreamMatview {
     val avm = BucketStore.readManifest(spark, aggDir, av)
     val sv = BucketStore.latestVersion(spark, storeDir).get
     val fp = keyFingerprint(keys, keyCol)
-    val (neg, _) = purgeDelta(spark, storeDir, keys, keyCol, opCol,
+    val (neg, _, nKeys) = purgeDelta(spark, storeDir, keys, keyCol, opCol,
       dims, valCol, nCol, sumCol)
     val agg = viewSnapshot(spark, aggDir)
     // claim bucket 0 for the same stale-owner reason as applyBatch: a
     // purge that erases every contributing row commits an EMPTY view,
     // and an unclaimed commit would leave the pre-purge aggregate
-    // serving — the erased keys' contributions still derivable from it
-    BucketStore.writeVersion(
-      Changelog.mergeAggDelta(agg, neg, dims, nCol, sumCol),
-      aggDir, av + 1L, col(dims.head), nBuckets = 1,
-      batch = Some(avm.batch), claim = Set(0L),
-      note = Some(s"purge:snapv=${sv + 1}:fp=$fp"))
+    // serving — the erased keys' contributions still derivable from it.
+    // Exchange width sized to the purge's own key count (guide §2) —
+    // the delta aggregates at most the purged keys' rows.
+    BucketStore.withShufflePartitions(spark,
+      BucketStore.microbatchPartitions(spark, nKeys)) {
+      BucketStore.writeVersion(
+        Changelog.mergeAggDelta(agg, neg, dims, nCol, sumCol),
+        aggDir, av + 1L, col(dims.head), nBuckets = 1,
+        batch = Some(avm.batch), claim = Set(0L),
+        note = Some(s"purge:snapv=${sv + 1}:fp=$fp"))
+    }
   }
 
   /** Rebuild the maintained aggregate from the CURRENT snapshot store

@@ -145,7 +145,9 @@ object StreamMerge {
   /** `touchedHint`: a caller that already probed the batch's touched
     * buckets at the SAME bucket count (StreamMatview runs the probe
     * for its delta read) passes it through so the trigger pays one
-    * probe job, not two. `managePersist = false` says the caller
+    * probe job, not two — `keyCountHint` carries that probe's
+    * distinct-key count alongside (−1 = unknown), which sizes this
+    * trigger's exchanges. `managePersist = false` says the caller
     * already holds the batch persisted for the whole trigger (a
     * second persist() would warn and do nothing). `maxBroadcastKeys`
     * feeds [[Changelog.mergeBatch]]'s broadcast guard; a caller whose
@@ -159,7 +161,8 @@ object StreamMerge {
                  nBuckets: Int = BucketStore.DefaultBuckets,
                  touchedHint: Option[Set[Long]] = None,
                  managePersist: Boolean = true,
-                 maxBroadcastKeys: Long = 10000000L): Unit = {
+                 maxBroadcastKeys: Long = 10000000L,
+                 keyCountHint: Long = -1L): Unit = {
     require(retain >= 1,
       s"retain=$retain: the vacuum must keep at least the version just written")
     val spark = batch.sparkSession
@@ -175,39 +178,56 @@ object StreamMerge {
       val nb = latest
         .map(v => BucketStore.readManifest(spark, storeDir, v).nBuckets)
         .getOrElse(nBuckets)
-      // probe and broadcast-guard pre-count share ONE job: the guard
-      // needs the batch's distinct key count, the probe its buckets —
-      // both come out of the same single-pass aggregate
-      val (touched, guardCount) = touchedHint match {
-        case Some(t) => (t, None)
-        case None if maxBroadcastKeys > 0 =>
-          val (t, n) = BucketStore.touchedBucketsAndKeys(batch, col(keyCol), nb)
-          (t, Some(n))
+      // probe, broadcast-guard pre-count, AND the exchange-sizing key
+      // count share ONE job: buckets, the guard's distinct-key count,
+      // and the width every groupBy below should fan to all come out
+      // of the same single-pass aggregate. Phase labels only when this
+      // body owns the trigger (a StreamMatview caller labels its own
+      // phases and must not be clobbered).
+      val ownLabels = managePersist
+      if (ownLabels) spark.sparkContext.setJobDescription(s"merge b$id: probe")
+      val (touched, nKeys) = touchedHint match {
+        case Some(t) => (t, keyCountHint)
         case None =>
-          (BucketStore.touchedBuckets(batch, col(keyCol), nb), None)
+          val (t, n) = BucketStore.touchedBucketsAndKeys(batch, col(keyCol), nb)
+          if (maxBroadcastKeys > 0) require(n <= maxBroadcastKeys,
+            s"batch has more than $maxBroadcastKeys distinct keys — too large to " +
+              "broadcast against the store; split the batch (or raise maxBroadcastKeys)")
+          (t, n)
       }
-      guardCount.foreach(n => require(n <= maxBroadcastKeys,
-        s"batch has more than $maxBroadcastKeys distinct keys — too large to " +
-          "broadcast against the store; split the batch (or raise maxBroadcastKeys)"))
-      val cur = BucketStore.read(spark, storeDir, Some(touched))
-        .getOrElse(batch.limit(0)) // first batch of an unseeded store
-      // trigger-scoped persist: mergeBatch references cur under TWO
-      // exchanges (the anti-joined untouched rows feed the write
-      // directly, the semi-joined touched rows feed the max_by), so an
-      // unpersisted cur scans the touched buckets' parquet twice per
-      // trigger — once through the cache instead, at any store size
-      cur.persist()
-      // version id = next in the store's own sequence (maintenance
-      // commits may have advanced it past the batch ids); the batch
-      // id lands in the manifest as the exactly-once watermark
-      try BucketStore.writeVersion(
-        Changelog.mergeBatch(cur, batch, keyCol, opCol, seqCols,
-          maxBroadcastKeys =
-            if (guardCount.isDefined) 0L else maxBroadcastKeys),
-        storeDir, latest.map(_ + 1L).getOrElse(id), col(keyCol), nb,
-        batch = Some(id))
-      finally cur.unpersist(false)
-    } finally if (managePersist) batch.unpersist(false)
+      if (ownLabels) spark.sparkContext.setJobDescription(s"merge b$id: store commit")
+      // size this trigger's exchanges to the batch's key cardinality
+      // (guide §2: every groupBy here partial-aggregates map-side, so
+      // at most one row per key crosses any exchange — partitions past
+      // ceil(keys/target) are guaranteed-empty task waves)
+      BucketStore.withShufflePartitions(spark,
+        BucketStore.microbatchPartitions(spark, nKeys)) {
+        val cur = BucketStore.read(spark, storeDir, Some(touched))
+          .getOrElse(batch.limit(0)) // first batch of an unseeded store
+        // trigger-scoped persist: mergeBatch references cur under TWO
+        // exchanges (the anti-joined untouched rows feed the write
+        // directly, the semi-joined touched rows feed the max_by), so an
+        // unpersisted cur scans the touched buckets' parquet twice per
+        // trigger — once through the cache instead, at any store size
+        cur.persist()
+        // version id = next in the store's own sequence (maintenance
+        // commits may have advanced it past the batch ids); the batch
+        // id lands in the manifest as the exactly-once watermark
+        try BucketStore.writeVersion(
+          Changelog.mergeBatch(cur, batch, keyCol, opCol, seqCols,
+            maxBroadcastKeys =
+              if (touchedHint.isEmpty) 0L else maxBroadcastKeys),
+          storeDir, latest.map(_ + 1L).getOrElse(id), col(keyCol), nb,
+          batch = Some(id))
+        finally cur.unpersist(false)
+      }
+    } finally if (managePersist) {
+      // clear the thread-local phase label in the SAME finally as the
+      // unpersist: a throw would otherwise leak the stale label onto
+      // every later job scheduled from this stream thread
+      spark.sparkContext.setJobDescription(null)
+      batch.unpersist(false)
+    }
     BucketStore.vacuum(spark, storeDir, retain)
   }
 

@@ -376,8 +376,9 @@ class BucketStoreSpec extends SparkSpec {
     // plan pin: the purge delta's parquet inputs are exactly the
     // buckets the key list hashes into — never the whole store
     val keys = Seq(5L, 9L).toDF("k")
-    val (neg, touched) = StreamMatview.purgeDelta(spark, storeDir, keys,
+    val (neg, touched, nKeys) = StreamMatview.purgeDelta(spark, storeDir, keys,
       "k", "op", Seq("seg"), "cents", "n", "sum")
+    assert(nKeys == 2L, s"fused probe must count the distinct keys: $nKeys")
     val bucketFiles = neg.inputFiles.toIndexedSeq.filter(_.contains("__b="))
     assert(bucketFiles.nonEmpty)
     val bucketsRead = bucketFiles

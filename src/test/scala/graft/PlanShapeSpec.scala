@@ -601,10 +601,11 @@ class PlanShapeSpec extends SparkSpec {
   test("Changelog.mergeAggMinMax: store enters via broadcast joins only — the key probe and the dim-pruned recompute") {
     // the min/max extension keeps aggDelta's contract: the store is
     // touched by (a) the batch-keys broadcast semi-join (pre-image +
-    // winner) and (b) the boundary recompute's ANTI join on the same
-    // broadcast keys + LEFT SEMI on the broadcast affected-dim list —
-    // a dim-filtered scan, never a store shuffle
-    import org.apache.spark.sql.functions.{col, lit, round, when}
+    // winner, inside the checkpointed fold state) and (b) the
+    // boundary recompute's ANTI join on the same broadcast keys +
+    // LEFT SEMI on the broadcast affected-dim list — a dim-filtered
+    // scan, never a store shuffle
+    import org.apache.spark.sql.functions.{col, lit, round, udf, when}
     val store = Tables.customer(spark, sfDir).select(
       col("c_custkey"), col("c_mktsegment"),
       round(col("c_acctbal") * 100).cast("long").as("cents"),
@@ -621,32 +622,51 @@ class PlanShapeSpec extends SparkSpec {
       "c_custkey", "op", Seq("seq"), Seq("c_mktsegment"), "cents",
       maxBroadcastKeys = 0L)
     view.collect()
+    // the returned plan is the retraction path: checkpointed fold
+    // state LEFT-joined with the dim-pruned recompute (the key-probe
+    // broadcasts live inside the checkpoint's own executed plan)
     val plan = view.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
-    assert(count(plan, "BroadcastHashJoin [^\n]*LeftSemi, BuildRight") >= 2,
-      s"key probe and dim-pruned recompute must both broadcast:\n$plan")
+    assert(count(plan, "BroadcastHashJoin [^\n]*LeftSemi, BuildRight") >= 1,
+      s"the dim-pruned recompute must broadcast the affected dims:\n$plan")
     assert(count(plan, "BroadcastHashJoin [^\n]*LeftAnti, BuildRight") >= 1,
       s"the recompute's untouched-keys side must anti-join the broadcast keys:\n$plan")
     assert(count(plan, "SortMergeJoin|ShuffledHashJoin") == 0,
       s"the store must never shuffle for a min/max view refresh:\n$plan")
 
-    // and the scaladoc's AQE claim, pinned: an INSERT-only batch of
-    // brand-new keys retracts no boundary, the affected-dim broadcast
-    // is empty, and empty-relation propagation must collapse the
-    // whole recompute branch — its outputs degrade to null literals
-    // in the FINAL plan instead of paying a store scan
+    // and the scaladoc's no-retraction claim, pinned EXECUTION-EXACT
+    // with a poisoned recompute source (same discipline as the sketch
+    // pin below): an INSERT-only batch of brand-new keys retracts no
+    // boundary, so the fold must commit without ever executing — or
+    // even planning — the full-store recompute branch
+    val boomMM = udf((_: Long) => {
+      throw new IllegalStateException(
+        "minmax recompute source executed on a no-retraction fold")
+      true
+    })
+    val poisonedStore = store.where(boomMM(col("c_custkey")))
     val insBatch = Tables.customer(spark, sfDir).limit(50).select(
       (col("c_custkey") + 1000000L).as("c_custkey"), col("c_mktsegment"),
       lit(1L).as("cents"), lit("U").as("op"), lit(1L).as("seq"))
     val noRetract = graft.ext.Changelog.mergeAggMinMax(agg, store, insBatch,
       "c_custkey", "op", Seq("seq"), Seq("c_mktsegment"), "cents",
-      maxBroadcastKeys = 0L)
+      maxBroadcastKeys = 0L, recomputeStore = Some(poisonedStore))
     noRetract.collect()
     val finalPlan = noRetract.queryExecution.executedPlan.toString
-      .split("== Initial Plan ==").head
-    assert(finalPlan.contains("cast(null as boolean) AS __rc"),
-      "a no-retraction fold must collapse the recompute branch to null " +
-        s"literals under AQE (the scaladoc's claim):\n$finalPlan")
+    assert(!finalPlan.contains("__rmn") && count(finalPlan, "Scan parquet") == 0,
+      "a no-retraction fold must commit a plan with no recompute branch " +
+        s"and no store scan at all:\n$finalPlan")
+    // ...and the retracting fold must reach the (poisoned) source —
+    // the gate is exactly the boundary test, not an AQE accident
+    val e = intercept[Exception] {
+      graft.ext.Changelog.mergeAggMinMax(agg, store, batch,
+        "c_custkey", "op", Seq("seq"), Seq("c_mktsegment"), "cents",
+        maxBroadcastKeys = 0L, recomputeStore = Some(poisonedStore)).collect()
+    }
+    def chainMM(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: chainMM(x.getCause))
+    assert(chainMM(e).exists(m => m != null && m.contains("no-retraction fold")),
+      s"a boundary-retracting fold must read the recompute source: got $e")
   }
 
   test("sketched view maintenance: the full-store rebuild source executes ONLY on a drain") {
